@@ -1,0 +1,213 @@
+package graft.sources
+
+import graft.DataSourceException
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Header handling modes of the reference reader (SURVEY.md §2.1). */
+sealed trait HeaderMode
+/** Default: column names taken from the first line (csvplus.go:1160-1168). */
+case object HeaderFromFirstRow extends HeaderMode
+/** Headerless file; caller supplies name → position (csvplus.go:995-1012). */
+final case class AssumeHeader(spec: Map[String, Int]) extends HeaderMode
+/** Header row verified against expected positions; -1 = find by name
+  * (csvplus.go:1014-1033, check at 1170-1183). */
+final case class ExpectHeader(spec: Map[String, Int]) extends HeaderMode
+
+/** Per-row field-count strictness (csvplus.go:1058-1076). */
+sealed trait FieldCountMode
+/** Count fixed by the first row (Go encoding/csv default). */
+case object NumFieldsAuto extends FieldCountMode
+/** Exactly n fields per row. */
+final case class NumFields(n: Int) extends FieldCountMode
+/** Ragged rows allowed; short rows right-padded with "" (csvplus.go:1121-1124). */
+case object NumFieldsAny extends FieldCountMode
+
+/** CSV source builder mirroring the reference `Reader`
+  * (/root/reference/csvplus.go:922-1206) as a thin declarative layer
+  * over Spark's csv datasource.
+  *
+  * Design (SURVEY.md §1.4): columns are ALWAYS `StringType` — the
+  * reference never infers types (`Row = map[string]string`,
+  * csvplus.go:59) and its observable sort order is lexicographic.
+  * Projection (`selectColumns`) is declared here and pushed into the
+  * `FileScan csv` by Catalyst's column pruning, reproducing the
+  * reference's parse-time projection (csvplus.go:1118-1131) at scale.
+  *
+  * Immutable builder: every setter returns a copy, like the reference's
+  * fluent `*Reader` chain.
+  */
+final case class CsvSource(
+    path: String,
+    delim: Char = ',',
+    comment: Option[Char] = None,
+    lazyQuotesOn: Boolean = false,
+    trimLeadingSpaceOn: Boolean = false,
+    headerMode: HeaderMode = HeaderFromFirstRow,
+    selected: Seq[String] = Nil,
+    fieldMode: FieldCountMode = NumFieldsAuto
+) {
+
+  /** csvplus.go:970-974 */
+  def delimiter(c: Char): CsvSource = copy(delim = c)
+
+  /** csvplus.go:976-980 */
+  def commentChar(c: Char): CsvSource = copy(comment = Some(c))
+
+  /** csvplus.go:982-987 — tolerate stray quotes (closest Spark analogue
+    * is univocity's STOP_AT_CLOSING_QUOTE handling). */
+  def lazyQuotes(): CsvSource = copy(lazyQuotesOn = true)
+
+  /** csvplus.go:989-993 */
+  def trimLeadingSpace(): CsvSource = copy(trimLeadingSpaceOn = true)
+
+  /** csvplus.go:995-1012 — headerless input, caller-specified layout. */
+  def assumeHeader(spec: Map[String, Int]): CsvSource = {
+    checkHeaderSpec(spec, allowNegative = false)
+    copy(headerMode = AssumeHeader(spec))
+  }
+
+  /** csvplus.go:1014-1033 — header verified against expected positions;
+    * a position of -1 means "find by name". */
+  def expectHeader(spec: Map[String, Int]): CsvSource = {
+    checkHeaderSpec(spec, allowNegative = true)
+    copy(headerMode = ExpectHeader(spec))
+  }
+
+  /** csvplus.go:1035-1056 — projection pushed into the scan. */
+  def selectColumns(columns: String*): CsvSource = {
+    if (columns.isEmpty) throw new IllegalArgumentException("empty header spec")
+    val dups = columns.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        "header spec: duplicate column name: " + dups.head)
+    copy(selected = columns)
+  }
+
+  /** csvplus.go:1058-1063 — strict per-row field count. */
+  def numFields(n: Int): CsvSource = copy(fieldMode = NumFields(n))
+
+  /** csvplus.go:1065-1070 — field count fixed by first row. */
+  def numFieldsAuto(): CsvSource = copy(fieldMode = NumFieldsAuto)
+
+  /** csvplus.go:1072-1076 — ragged rows allowed, short rows padded "". */
+  def numFieldsAny(): CsvSource = copy(fieldMode = NumFieldsAny)
+
+  private def checkHeaderSpec(spec: Map[String, Int], allowNegative: Boolean): Unit = {
+    if (spec.isEmpty) throw new IllegalArgumentException("empty header spec")
+    if (!allowNegative)
+      spec.foreach { case (name, i) =>
+        if (i < 0)
+          throw new IllegalArgumentException(
+            "header spec: negative index for column " + name)
+      }
+  }
+
+  private def baseOptions: Map[String, String] = Map(
+    "sep" -> delim.toString,
+    "inferSchema" -> "false",
+    "enforceSchema" -> "false",
+    "ignoreLeadingWhiteSpace" -> trimLeadingSpaceOn.toString,
+    "ignoreTrailingWhiteSpace" -> "false",
+    "emptyValue" -> "", // keep "" as "", not null — Row values are strings
+    "mode" -> (fieldMode match {
+      case NumFieldsAny => "PERMISSIVE"
+      case _            => "FAILFAST"
+    })
+  ) ++ comment.map(c => "comment" -> c.toString) ++
+    (if (lazyQuotesOn)
+       Map("unescapedQuoteHandling" -> "STOP_AT_CLOSING_QUOTE")
+     else Map.empty)
+
+  /** Read the raw first line's fields (driver-side pre-flight, used for
+    * header resolution/verification — one tiny bounded read, never the
+    * whole file). */
+  private def firstLineFields(spark: SparkSession): Seq[String] = {
+    val head = spark.read
+      .options(baseOptions)
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+      .limit(1)
+      .collect()
+    if (head.isEmpty) throw new DataSourceException(1, "empty header")
+    head.head.toSeq.map(v => if (v == null) "" else v.toString)
+  }
+
+  /** Build the DataFrame. All columns StringType; schema per header
+    * mode; projection applied (pruned into the scan by Catalyst). */
+  def read(spark: SparkSession): DataFrame = {
+    val df: DataFrame = headerMode match {
+      case HeaderFromFirstRow =>
+        val names = firstLineFields(spark)
+        if (names.isEmpty || names.forall(_.isEmpty))
+          throw new DataSourceException(1, "empty header")
+        val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+        spark.read.options(baseOptions).option("header", "true").schema(schema).csv(path)
+
+      case AssumeHeader(spec) =>
+        // headerless: read positionally then select/rename.
+        val width = spec.values.max + 1
+        val schema = StructType((0 until width).map(i =>
+          StructField(s"_c$i", StringType, nullable = true)))
+        val raw = spark.read.options(baseOptions).option("header", "false")
+          .schema(schema).csv(path)
+        raw.select(spec.toSeq.sortBy(_._2).map { case (name, i) =>
+          col(s"_c$i").as(name)
+        }: _*)
+
+      case ExpectHeader(spec) =>
+        val actual = firstLineFields(spark)
+        val pos = actual.zipWithIndex.toMap
+        // verify: -1 = locate by name; otherwise exact position match
+        val resolved = spec.toSeq.map { case (name, want) =>
+          pos.get(name) match {
+            case None =>
+              throw new DataSourceException(1, s"""column not found: "$name"""")
+            case Some(found) if want >= 0 && want != found =>
+              throw new DataSourceException(
+                1,
+                s"""misplaced column "$name": expected at pos. $want, but found at pos. $found""")
+            case Some(found) => name -> found
+          }
+        }
+        val schema = StructType(actual.map(StructField(_, StringType, nullable = true)))
+        val raw = spark.read.options(baseOptions).option("header", "true")
+          .schema(schema).csv(path)
+        raw.select(resolved.sortBy(_._2).map { case (name, _) => col(name) }: _*)
+    }
+
+    val projected =
+      if (selected.isEmpty) df
+      else {
+        val have = df.columns.toSet
+        val missing = selected.filterNot(have)
+        if (missing.nonEmpty)
+          throw new DataSourceException(
+            1,
+            if (missing.size == 1) s"""column not found: "${missing.head}""""
+            else "columns not found: " + missing.map(m => s""""$m"""").mkString(", "))
+        df.select(selected.map(col): _*)
+      }
+
+    fieldMode match {
+      // reference right-pads short rows with "" (csvplus.go:1121-1124);
+      // PERMISSIVE mode yields nulls there → restore "".
+      case NumFieldsAny =>
+        projected.select(projected.columns.map(c => coalesce(col(c), lit("")).as(c)): _*)
+      case NumFields(n) =>
+        val width = projected.columns.length
+        if (headerMode == HeaderFromFirstRow && width != n)
+          throw new DataSourceException(1, s"record on line 1: wrong number of fields")
+        projected
+      case NumFieldsAuto => projected
+    }
+  }
+}
+
+object CsvSource {
+  /** Reference `FromFile` (csvplus.go:949-960). */
+  def fromFile(name: String): CsvSource = CsvSource(name)
+}
