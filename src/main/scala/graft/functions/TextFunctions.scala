@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (beyond the reference surface — BASELINE.json north star).
+  *
+  * Everything here is pure `Column` algebra over Spark's higher-order
+  * functions: no UDFs, so every operator stays inside whole-stage
+  * codegen and runs at scan speed on any cluster size.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap, deterministic
+    * stand-in for a real BPE vocab that needs no model file). */
+  def subTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all",
+      text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Word n-grams (shingles) as strings. Documents shorter than n
+    * yield their single partial gram. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  /** Character k-grams of the raw text. */
+  def charNgrams(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), greatest(length(text) - k, lit(0))),
+      i => text.substr(i + 1, lit(k)))
+
+  /** 64-bit document fingerprint: xxhash64 over the
+    * whitespace-normalized, lower-cased text (the Spark-native,
+    * codegen'd form of a rolling content hash). */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(lower(text))))
+
+  /** Tiny per-language stopword sets for the n-gram/stopword language
+    * heuristic. Deliberately small: language ID at pipeline scale is a
+    * coarse filter, not a classifier. */
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "como", "más", "por"))
+
+  /** Language ID: argmax of stopword hits per language, deterministic
+    * tie-break on language code, "und" (undetermined) when no stopword
+    * of any language occurs. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores: Seq[(String, Column)] = stopwords.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        val wordSet = array(words.map(lit): _*)
+        lang -> size(filter(toks, t => array_contains(wordSet, t)))
+    }
+    val (bestLang, bestScore) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(bestScore > 0, bestLang).otherwise(lit("und"))
+  }
+
+  /** Total characters across tokens (= text length minus whitespace). */
+  def tokenChars(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))
+
+  /** Count of English stopword tokens. */
+  def stopwordCount(text: Column): Column = {
+    val en = array(stopwords("en").map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(en, t)))
+  }
+
+  /** Deterministic quality score in [0,1]:
+    *   0.4 · min(nTokens/100, 1)            — enough content
+    * + 0.3 · min(stopwordRatio·5, 1)        — natural-language-ness
+    * + 0.3 · [3 ≤ mean token length ≤ 10]   — not shredded, not garbage
+    * All inputs are integer counts, so the arithmetic is per-row IEEE
+    * deterministic (reproducible across engines).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val meanLen = when(nTok > 0, tokenChars(text).cast("double") / nTok).otherwise(lit(0d))
+    val stopRatio = when(nTok > 0, stopwordCount(text).cast("double") / nTok).otherwise(lit(0d))
+    least(nTok / lit(100d), lit(1d)) * lit(0.4) +
+      least(stopRatio * lit(5d), lit(1d)) * lit(0.3) +
+      when(meanLen >= 3d && meanLen <= 10d, lit(1d)).otherwise(lit(0d)) * lit(0.3)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard-verified near-dup.
+  *
+  * Scale design: every method is shuffle-bounded by design —
+  *  - exact dedup: one hash-groupBy (map-side partial agg);
+  *  - MinHash/SimHash: signatures are computed per-row inside codegen
+  *    (higher-order functions, no UDF), candidates come from a
+  *    self-join on (band, bucket) — the shuffle key is the bucket, so
+  *    only colliding docs ever meet, never the full cross product;
+  *  - oversized buckets (degenerate content) are capped to keep any
+  *    single key from dominating a partition (skew guard).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text, keeping
+    * the smallest id as canonical and counting copies. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct xxhash64 hashes of word n-gram shingles. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(TextFunctions.wordNgrams(text, n), g => xxhash64(g)))
+
+  /** MinHash signature: for each of `numPerm` hash functions
+    * h_i(x) = xxhash64(i, x), the min over the shingle-hash set.
+    * Pure column expression → codegen'd, O(numPerm·|shingles|) per doc.
+    */
+  def minhashSignature(shingles: Column, numPerm: Int): Column =
+    transform(
+      sequence(lit(0), lit(numPerm - 1)),
+      i => array_min(transform(shingles, h => xxhash64(i, h))))
+
+  /** LSH band buckets: signature split into `bands` bands of
+    * `rowsPerBand` values, each hashed to one bucket id. */
+  def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
+
+  /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
+    *
+    * @param threshold     keep pairs with estimated Jaccard ≥ threshold
+    * @param maxBucketSize skew guard: buckets larger than this are
+    *                      dropped (degenerate shingle sets — e.g. empty
+    *                      or boilerplate docs — would otherwise blow up
+    *                      the candidate join quadratically)
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b
+    */
+  def minHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+
+    val docs = df
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numPerm))
+
+    val buckets = docs
+      .select(col("id"), col("sig"),
+        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    // skew guard: drop degenerate buckets before the self-join
+    val sized = buckets
+      .withColumn("bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+
+    val a = sized.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sized.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val candidates = a.join(b,
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val matches = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+      v => v === 1))
+    candidates
+      .withColumn("est_jaccard", matches.cast("double") / lit(numPerm.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard over LSH candidates: MinHash proposes,
+    * the true shingle-set Jaccard disposes. The expensive exact
+    * computation only runs on the (tiny) candidate set. */
+  def ngramJaccardNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, threshold: Double = 0.8,
+      numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    // candidate recall: est threshold well below the exact one
+    val candidates = minHashNearDups(df, idCol, textCol, shingleLen,
+      numPerm, bands, threshold = math.max(0.1, threshold - 0.3))
+    val sh = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleLen).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  private val bitMasks: Seq[Long] = (0 until 64).map(i => 1L << i)
+
+  /** 64-bit SimHash over whitespace tokens: bit i of the hash is the
+    * sign of Σ_tokens (±1 depending on bit i of xxhash64(token)).
+    * Nested higher-order functions, fully codegen'd. */
+  def simhash(text: Column): Column = {
+    val masks = array(bitMasks.map(lit): _*)
+    val counts = aggregate(
+      TextFunctions.tokens(lower(text)),
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, masks, (a, m) =>
+        a + when(xxhash64(t).bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+      lit(0L), (s, x) => s.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
+    * via 4×16-bit band collision (any pair within Hamming ≤ 3 must
+    * agree on at least one 16-bit band by pigeonhole). */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

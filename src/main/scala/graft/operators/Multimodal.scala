@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed batch-at-a-time inside
+  * `mapPartitions` (the Scala analogue of `mapInPandas`: bounded
+  * batches, columnar-ish access, one decode context per batch instead
+  * of per row).
+  *
+  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
+  * so `decodeMetaStub` / `resizeStub` / `frameSampleStub` compute
+  * deterministic fakes from the raw bytes. The Spark-side plumbing —
+  * schema, batch shape, partition-level processing, null handling — is
+  * real and is what these operators exercise. A production build swaps
+  * the stub bodies for javax.imageio / ffmpeg bindings without touching
+  * any Spark code.
+  */
+object Multimodal {
+
+  /** Typed metadata produced by "decoding" a media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("byte_len", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("format", StringType)))
+
+  /** STUB: deterministic fake decode. Real impl: ImageIO.read /
+    * ffprobe over `bytes`. Kept total and pure so plumbing tests are
+    * reproducible. */
+  def decodeMetaStub(bytes: Array[Byte]): (Long, Int, Int, Int, String) = {
+    val len = bytes.length.toLong
+    (len,
+      1 + (len % 1024).toInt,
+      1 + (len % 768).toInt,
+      1 + (len % 30).toInt,
+      if (len % 2 == 0) "png" else "jpeg")
+  }
+
+  /** STUB: fake resize — real impl would re-encode at (w,h); the fake
+    * truncates/pads deterministically so output size is w-h-dependent. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, (w * h) / 64)
+    java.util.Arrays.copyOf(bytes, target)
+  }
+
+  /** STUB: fake frame sampling — every `stride`-th 256-byte window. */
+  def frameSampleStub(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] =
+    bytes.grouped(256).zipWithIndex.collect {
+      case (frame, i) if i % stride == 0 => frame
+    }.toSeq
+
+  /** Attach decoded metadata to a binary column. Batched decode inside
+    * mapPartitions: the per-partition iterator is processed in bounded
+    * batches (`batchSize`), mirroring Arrow-batch shape — a real codec
+    * would amortize its decoder/context across each batch. */
+  def withMediaMeta(df: DataFrame, binCol: String,
+                    batchSize: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("media", mediaMetaType))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outEnc = Encoders.row(outSchema)
+    val ds = df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "decoder context" per batch (stub: nothing to init)
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val meta =
+            if (bytes == null) null
+            else {
+              val (l, w, h, f, fmt) = decodeMetaStub(bytes)
+              Row(l, w, h, f, fmt)
+            }
+          Row.fromSeq(r.toSeq :+ meta)
+        }
+      }
+    }(outEnc)
+    ds.toDF(outSchema.fieldNames: _*)
+  }
+
+  /** Resize a binary media column (stub transform, real plumbing). */
+  def resized(df: DataFrame, binCol: String, w: Int, h: Int,
+              outCol: String = "resized", batchSize: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(outCol, BinaryType))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outEnc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(r.toSeq :+ (if (bytes == null) null else resizeStub(bytes, w, h)))
+        }
+      }
+    }(outEnc).toDF(outSchema.fieldNames: _*)
+  }
+}

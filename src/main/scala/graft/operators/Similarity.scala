@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, hyperplane-LSH
+  * near-dup pairs, and an IVF (inverted-file) index as the scale path.
+  *
+  * All vector math is `zip_with`/`aggregate` column algebra — codegen'd,
+  * no UDFs, no driver-side loops. Probes and centroids are the only
+  * broadcast-small sides; the big embedding table is never collected.
+  */
+object Similarity {
+
+  /** Σ aᵢbᵢ as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (s, x) => s + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0d), (s, x) => s + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n > 0d, d / n).otherwise(lit(0d))
+  }
+
+  /** Exact brute-force top-k: every probe against every vector, ranked
+    * by cosine (desc, id asc tie-break). Probes must be small (they are
+    * broadcast); the data side streams. O(N·P·dim) — the correctness
+    * baseline the approximate paths are judged against.
+    *
+    * @param data   (idCol, vecCol)
+    * @param probes (probeIdCol, probeVecCol), small
+    */
+  def bruteForceTopK(
+      data: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int): DataFrame = {
+    val scored = data.crossJoin(broadcast(probes))
+      .withColumn("cosine", cosine(col(vecCol), col(probeVecCol)))
+      .filter(col(probeIdCol) =!= col(idCol))
+    val w = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(probeIdCol).as("probe_id"), col(idCol).as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * a symmetric ±{1..} value derived from xxhash64 — no RNG, so plans
+    * are reproducible and resumable (no Math.random in a distributed
+    * plan). Returns `bits` sign-bits packed as a long. */
+  def hyperplaneSignature(vec: Column, bits: Int): Column = {
+    val planes: Seq[Column] = (0 until bits).map { p =>
+      // dot(vec, plane_p) where plane_p[j] = hash(p, j) mapped to [-1, 1)
+      aggregate(
+        zip_with(vec,
+          sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") *
+            (pmod(xxhash64(lit(p), j), lit(2000001L)).cast("double") / lit(1000000d) - lit(1d))),
+        lit(0d), (s, x) => s + x)
+    }
+    planes.zipWithIndex
+      .map { case (d, i) => when(d >= 0d, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Embedding near-duplicate pairs: hyperplane-LSH buckets propose,
+    * exact cosine disposes. Bands of the signature are the shuffle key;
+    * only bucket-colliding vectors ever pair up. */
+  def cosineNearDups(
+      data: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 16, bands: Int = 4): DataFrame = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sigd = data.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneSignature(col(vecCol), bits).as("sig"))
+    val banded = sigd.select(col("id"), col("v"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** IVF index: k-means-lite centroids (deterministic init = lowest
+    * ids, `iters` Lloyd rounds), every vector assigned to its nearest
+    * centroid. At scale the assignment table would be written bucketed
+    * by centroid id so probes only read their shortlist partitions.
+    *
+    * @return (assignments: id, vec, centroid_id; centroids: centroid_id, cvec)
+    */
+  def ivfIndex(
+      data: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+    val d = data.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+
+    // deterministic seed: the nCentroids lowest-id vectors
+    var centroids = d.orderBy(col("id")).limit(nCentroids)
+      .select(row_number().over(Window.orderBy(col("id"))).as("centroid_id"), col("v").as("cvec"))
+
+    def assign(points: DataFrame, cents: DataFrame): DataFrame = {
+      val scored = points.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col("v"), col("cvec")))
+      val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("centroid_id").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id"), col("v"), col("centroid_id"))
+    }
+
+    for (_ <- 0 until iters) {
+      val assigned = assign(d, centroids)
+      // element-wise mean per centroid: posexplode → avg → re-assemble
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"), transform(col("pm"), s => s.getField("m")).as("cvec"))
+    }
+    (assign(d, centroids), centroids)
+  }
+
+  /** IVF search: probe → `nprobe` nearest centroids → exact cosine only
+    * within those inverted lists → top-k. The 100 TB path: work is
+    * proportional to the probed lists, not the corpus. */
+  def ivfSearch(
+      assignments: DataFrame, centroids: DataFrame,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      transform(col(probeVecCol), x => x.cast("double")).as("pv"))
+    val pc = p.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("pv"), col("cvec")))
+    val wc = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("centroid_id").asc)
+    val shortlist = pc.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("centroid_id"))
+    val scored = shortlist.join(assignments, "centroid_id")
+      .filter(col("probe_id") =!= col("id"))
+      .withColumn("cosine", cosine(col("pv"), col("v")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table shape (beyond-reference
+  * extension — SURVEY.md §2.10): windowed aggregation with watermarks,
+  * and stateful gap-based sessionization via flatMapGroupsWithState.
+  * Each streaming operator has a batch twin (same column contract) so
+  * the DuckDB oracle can check the semantics on bounded input.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Batch read of an events parquet whose `ts` may be nanosecond
+    * precision (Spark's parquet reader rejects NANOS by default —
+    * read them as long and floor-divide to microseconds). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** File-source stream over a directory of event parquet. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(path)
+
+  /** Streaming hourly tumbling-window counts with a 2-hour watermark
+    * (late data beyond the watermark is dropped). */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Batch twin of [[hourlyTypeCounts]] (same output contract). */
+  def hourlyTypeCountsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp,
+                      user_id: Long, value: Double)
+  final case class SessionAcc(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: Long,
+                           n_events: Long, duration_sec: Long, total_value: Double)
+
+  /** Streaming gap-based sessionization: a session closes when a user
+    * is silent for `gapSec` (event-time). State = one open session per
+    * user; closed sessions are emitted on timeout. */
+  def sessionizeStream(events: DataFrame, gapSec: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionAcc]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.n, s.last - s.start, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var acc = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              if (acc == null) acc = SessionAcc(sec, sec, 1, e.value)
+              else if (sec - acc.last > gapSec) {
+                closed += Session(userId, acc.start, acc.n, acc.last - acc.start, acc.sum)
+                acc = SessionAcc(sec, sec, 1, e.value)
+              } else acc = acc.copy(last = sec, n = acc.n + 1, sum = acc.sum + e.value)
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.last * 1000 + gapSec * 1000)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch twin of sessionization via window functions (lag → gap flag
+    * → running session id → per-session aggregate). Integer epoch-second
+    * arithmetic throughout: engine-exact, oracle-friendly. */
+  def sessionizeBatch(events: DataFrame, gapSec: Long): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sec = unix_timestamp(col("ts"))
+    val newSession = when(
+      sec - lag(sec, 1).over(byUser) > gapSec || lag(sec, 1).over(byUser).isNull, 1
+    ).otherwise(0)
+    events
+      .withColumn("sec", sec)
+      .withColumn("new_s", newSession)
+      .withColumn("session_no", sum(col("new_s")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("sec")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (max(col("sec")) - min(col("sec"))).as("duration_sec"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("duration_sec"), col("total_value"))
+  }
+}
