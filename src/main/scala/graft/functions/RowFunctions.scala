@@ -21,7 +21,7 @@ object RowFunctions {
     * semantics).
     */
   def valueAsInt(c: Column, name: String): Column = {
-    val casted = c.cast(LongType)
+    val casted = c.try_cast(LongType) // ANSI-safe: null on bad parse, then raise with reference text
     when(
       c.isNotNull && casted.isNull,
       raise_error(
@@ -32,7 +32,7 @@ object RowFunctions {
 
   /** Reference `ValueAsFloat64` (csvplus.go:185-205). */
   def valueAsDouble(c: Column, name: String): Column = {
-    val casted = c.cast(DoubleType)
+    val casted = c.try_cast(DoubleType)
     when(
       c.isNotNull && casted.isNull,
       raise_error(

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.Pipe
+import graft.sources.CsvSource
+
+import java.nio.file.{Files, Path}
+
+/** CSV dialect / header modes / round-trips —
+  * csvplus_test.go:172-196, 808-909, and SURVEY §2.1. */
+class CsvSourceSpec extends GraftSpec {
+
+  private def tmpCsv(content: String): String = {
+    val p: Path = Files.createTempFile("graft_csv", ".csv")
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("default mode: header from first row, all columns StringType") {
+    val f = tmpCsv("id,name\n1,Ann\n2,Bob\n")
+    val df = CsvSource.fromFile(f).read(spark)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.count() == 2)
+  }
+
+  test("delimiter and comment-line configuration") {
+    val f = tmpCsv("id;name\n# a comment line\n1;Ann\n2;Bob\n")
+    val df = CsvSource.fromFile(f).delimiter(';').commentChar('#').read(spark)
+    assert(df.count() == 2)
+    assert(df.collect().map(_.getString(1)).toSet == Set("Ann", "Bob"))
+  }
+
+  test("trimLeadingSpace strips per-field leading whitespace") {
+    val f = tmpCsv("id,name\n1,  Ann\n")
+    val df = CsvSource.fromFile(f).trimLeadingSpace().read(spark)
+    assert(df.collect().head.getString(1) == "Ann")
+  }
+
+  test("assumeHeader: headerless file with caller layout; negative index panics") {
+    val f = tmpCsv("1,Ann,x\n2,Bob,y\n")
+    val df = CsvSource.fromFile(f)
+      .assumeHeader(Map("id" -> 0, "name" -> 1)).read(spark)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      CsvSource.fromFile(f).assumeHeader(Map("id" -> -1))
+    }
+    assert(e.getMessage == "header spec: negative index for column id")
+  }
+
+  test("expectHeader verifies positions; misplaced column error text parity") {
+    val f = tmpCsv("id,name\n1,Ann\n")
+    // -1 = find by name
+    val ok = CsvSource.fromFile(f)
+      .expectHeader(Map("name" -> -1, "id" -> 0)).read(spark)
+    assert(ok.count() == 1)
+    val e = intercept[DataSourceException] {
+      CsvSource.fromFile(f).expectHeader(Map("name" -> 0)).read(spark)
+    }
+    assert(e.getMessage ==
+      """row 1: misplaced column "name": expected at pos. 0, but found at pos. 1""")
+    val e2 = intercept[DataSourceException] {
+      CsvSource.fromFile(f).expectHeader(Map("ghost" -> -1)).read(spark)
+    }
+    assert(e2.getMessage == """row 1: column not found: "ghost"""")
+  }
+
+  test("selectColumns pushes projection; missing name errors; duplicate panics") {
+    val f = tmpCsv("id,name,born\n1,Ann,1990\n")
+    val df = CsvSource.fromFile(f).selectColumns("born", "id").read(spark)
+    assert(df.columns.toSeq == Seq("born", "id"))
+    val e = intercept[DataSourceException] {
+      CsvSource.fromFile(f).selectColumns("nope").read(spark)
+    }
+    assert(e.getMessage == """row 1: column not found: "nope"""")
+    val e2 = intercept[IllegalArgumentException] {
+      CsvSource.fromFile(f).selectColumns("id", "id")
+    }
+    assert(e2.getMessage == "header spec: duplicate column name: id")
+  }
+
+  test("numFieldsAny right-pads short rows with empty strings (csvplus.go:1121-1124)") {
+    val f = tmpCsv("a,b,c\n1,2,3\n4,5\n6\n")
+    val df = CsvSource.fromFile(f).numFieldsAny().read(spark)
+    val rows = df.collect().map(_.toSeq)
+    assert(rows.contains(Seq("4", "5", "")))
+    assert(rows.contains(Seq("6", "", "")))
+  }
+
+  test("empty input file yields the reference 'empty header' error") {
+    val f = tmpCsv("")
+    val e = intercept[DataSourceException] { CsvSource.fromFile(f).read(spark) }
+    assert(e.getMessage == "row 1: empty header")
+    assert(e.line == 1)
+  }
+
+  test("CSV write → read round-trip preserves all values (csvplus_test.go:172-196)") {
+    val dir = Files.createTempDirectory("graft_rt").toString + "/out"
+    Pipe(people).toCsv(dir, Seq("id", "name", "surname", "born"), singleFile = true)
+    val back = CsvSource.fromFile(dir).read(spark)
+    val a = people.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("toCsv with empty column list panics (reference parity)") {
+    val e = intercept[IllegalArgumentException] {
+      Pipe(people).toCsv("/tmp/never", Seq.empty)
+    }
+    assert(e.getMessage == "empty column list in ToCsv() function")
+  }
+
+  test("JSON array sink writes a single parseable array of objects") {
+    val f = Files.createTempFile("graft_json", ".json").toString
+    Pipe(stock).toJsonArrayFile(f)
+    val content = Files.readString(java.nio.file.Paths.get(f))
+    assert(content.startsWith("[") && content.endsWith("]"))
+    assert(content.split("\\{").length - 1 == 8) // 8 stock objects
+    assert(content.contains("\"product\":\"iPhone\""))
+  }
+}

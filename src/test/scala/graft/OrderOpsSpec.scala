@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Index, Pipe}
+
+import org.apache.spark.sql.functions._
+
+/** Order-dependent prefix operators over a declared order — the
+  * reference's sorted-iteration pagination tests
+  * (csvplus_test.go:454-514): first block all "Amelia"; after DropWhile
+  * all "Ava"; Drop(10).Top(10) lands on a known surname block. */
+class OrderOpsSpec extends GraftSpec {
+
+  private def sortedPeople = Pipe(Index.indexOn(people, "name", "surname").iterate)
+    .orderBy(col("name"), col("surname"))
+
+  test("top(n) returns the first block in index order — all Amelias") {
+    val got = sortedPeople.top(12).df.collect()
+    assert(got.length == 12)
+    assert(got.forall(_.getAs[String]("name") == "Amelia"))
+  }
+
+  test("drop(10).top(10) straddles the Amelia→Ava boundary deterministically") {
+    val got = sortedPeople.drop(10).top(10).df
+      .collect().map(_.getAs[String]("name"))
+    // names sorted: Amelia(12) then Ava(12): rows 10..19 = 2 Amelias + 8 Avas
+    assert(got.count(_ == "Amelia") == 2 && got.count(_ == "Ava") == 8)
+  }
+
+  test("takeWhile keeps the strict prefix before the first violation (latching)") {
+    // order by id numeric-as-string is lexicographic; use born as payload:
+    // order people by (name,surname); take while name != "Emily".
+    // Sorted names: Amelia, Ava, Charlie, Emily, ... → prefix = 36 rows.
+    val got = sortedPeople.takeWhile(col("name") =!= "Emily").df.collect()
+    assert(got.length == 36)
+    assert(got.map(_.getAs[String]("name")).toSet == Set("Amelia", "Ava", "Charlie"))
+  }
+
+  test("takeWhile latches: later matching rows after the cutoff are NOT re-admitted") {
+    // predicate true again after first violation: name != Emily is true for
+    // Harry etc., but they must stay dropped.
+    val got = sortedPeople.takeWhile(col("name") =!= "Emily").df
+    assert(got.filter(col("name") === "Harry").count() == 0)
+  }
+
+  test("dropWhile emits everything from the first violation on (csvplus_test.go:480-491)") {
+    val got = sortedPeople.dropWhile(col("name") =!= "Emily").df
+    assert(got.count() == 120 - 36)
+    // first surviving block is all Emilys
+    val first = sortedPeople.dropWhile(col("name") =!= "Emily").top(12).df.collect()
+    assert(first.forall(_.getAs[String]("name") == "Emily"))
+  }
+
+  test("takeWhile with an always-true predicate keeps everything") {
+    assert(sortedPeople.takeWhile(lit(true)).df.count() == 120)
+    assert(sortedPeople.dropWhile(lit(true)).df.count() == 0)
+  }
+
+  test("order-dependent ops without a declared order fail fast") {
+    intercept[IllegalArgumentException] { Pipe(people).top(5) }
+    intercept[IllegalArgumentException] { Pipe(people).takeWhile(lit(true)) }
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.streaming.EventStreams
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators driven synchronously through a
+  * MemoryStream + memory sink; the streaming results are checked
+  * against the batch twins on identical data (same column contract). */
+class StreamingSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private lazy val eventRows = Seq(
+    // user 1: two sessions separated by > 30 min
+    (0L, ts(0), 1L, "click", 1.0, """{"k":1}"""),
+    (1L, ts(10), 1L, "view", 2.0, """{"k":2}"""),
+    (2L, ts(70), 1L, "click", 3.0, """{"k":3}"""),
+    // user 2: one session
+    (3L, ts(5), 2L, "purchase", 10.0, """{"k":4}"""),
+    (4L, ts(20), 2L, "click", 0.5, """{"k":5}"""),
+    // user 3: single event
+    (5L, ts(90), 3L, "error", 7.0, """{"k":6}""")
+  )
+
+  private def eventsDf = eventRows.toDF(
+    "event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("streaming hourly window agg matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.hourlyTypeCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName("hourly").start()
+    try {
+      mem.addData(eventRows)
+      q.processAllAvailable()
+      // append mode only emits closed windows; push the watermark past all data
+      mem.addData(Seq((99L, ts(600), 9L, "view", 0.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select("hour", "event_type", "n", "total_value")
+        .collect().map(_.toSeq).toSet
+      val want = EventStreams.hourlyTypeCountsBatch(eventsDf)
+        .collect().map(_.toSeq).toSet
+      assert(want.subsetOf(got), s"streaming $got missing batch rows $want")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization matches the batch twin on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.sessionizeStream(stream, gapSec = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      mem.addData(eventRows)
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(600), 9L, "view", 0.0, "{}"))) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "session_start", "n_events", "duration_sec", "total_value")
+        .collect().map(_.toSeq).toSet
+      val want = EventStreams.sessionizeBatch(eventsDf, gapSec = 1800)
+        .collect().map(_.toSeq).toSet
+      // the last session of each user may still be open in the stream;
+      // every CLOSED streaming session must match a batch session.
+      assert(got.nonEmpty)
+      assert(got.subsetOf(want), s"streaming sessions $got not within batch $want")
+      // user 1's first session (2 events, 600s, 3.0) must have closed
+      assert(got.exists(s => s.head == 1L && s(2) == 2L))
+    } finally q.stop()
+  }
+
+  test("batch sessionization ground truth") {
+    val sessions = EventStreams.sessionizeBatch(eventsDf, gapSec = 1800)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("duration_sec"), r.getAs[Double]("total_value"))).toSet
+    assert(sessions == Set(
+      (1L, 2L, 600L, 3.0),   // events 0,1
+      (1L, 1L, 0L, 3.0),     // event 2 (new session after 60 min gap)
+      (2L, 2L, 900L, 10.5),  // events 3,4
+      (3L, 1L, 0L, 7.0)))    // event 5
+  }
+}

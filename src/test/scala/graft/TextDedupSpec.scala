@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+import org.apache.spark.sql.functions._
+
+/** Text analysis + dedup operators over planted fixtures. */
+class TextDedupSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "a completely different document about apples bananas oranges pears and plums"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "der hund läuft nicht zu dem haus und die katze ist auf dem dach mit vogel"),
+    (5L, "le chat est dans la maison et les oiseaux sont dans les arbres pour la nuit"),
+    (6L, "short"),
+    (7L, "")
+  ).toDF("doc_id", "text")
+
+  test("tokenCount / tokenChars / fingerprint basics") {
+    val r = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2))).toMap
+    assert(r(6L)._1 == 1)
+    assert(r(7L)._1 == 0)
+    assert(r(0L)._1 == 14)
+    assert(r(0L)._2 == r(3L)._2) // identical docs → identical fingerprint
+    assert(r(0L)._2 != r(1L)._2)
+  }
+
+  test("langId classifies by stopword hits; 'und' with no hits") {
+    val r = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(0L) == "en")
+    assert(r(4L) == "de")
+    assert(r(5L) == "fr")
+    assert(r(7L) == "und")
+  }
+
+  test("qualityScore is in [0,1] and favors natural text over fragments") {
+    val r = docs.select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(r(0L) > r(6L)) // real sentence beats "short"
+    assert(r(7L) == 0.0)
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out(0L) == 2) // docs 0 and 3
+    assert(!out.contains(3L))
+    assert(out.size == 7) // 8 docs, one collapsed pair
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+      shingleLen = 2, numPerm = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near-dups
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(2L) })
+  }
+
+  test("exact n-gram Jaccard confirms candidates with true similarity") {
+    val pairs = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+      shingleLen = 2, threshold = 0.8)
+      .collect().map(r =>
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs.get((0L, 1L)).exists(j => j > 0.8 && j < 1.0))
+  }
+
+  test("simhash: identical docs hamming 0; near-dups within 3; unrelated far") {
+    val sig = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(3L))
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(1L)) <= 8)
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(2L)) > 8)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+}
