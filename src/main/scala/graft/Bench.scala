@@ -37,15 +37,28 @@ object Bench {
 
     val entrySec = time(try force(SparkEntry.entry(spark)) catch { case _: Throwable => () })
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = time {
-        try force(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // two passes, per-query min: one pass absorbs JIT/codegen warmup and
+    // transient host interference without hiding real per-query cost
+    val passes = (1 to 2).map { pass =>
+      selected.map { case (name, fn) =>
+        val sec = time {
+          try force(fn(spark, sfDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
         }
+        System.err.println(f"[bench] pass$pass $name: $sec%.2f s")
+        // operators persist intermediates (signatures etc.); release them
+        // so later queries aren't timed under another query's cache
+        spark.catalog.clearCache()
+        name -> sec
       }
-      name -> sec
     }
+    val results = passes.flatten.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (n, ts) => n -> ts.map(_._2).min }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

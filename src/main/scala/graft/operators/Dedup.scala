@@ -25,18 +25,18 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Distinct xxhash64 hashes of word n-gram shingles. */
+  /** Distinct hashes of word n-gram shingles — native one-pass kernel
+    * (graft.plans.ShingleHashesExpr). */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(TextFunctions.wordNgrams(text, n), g => xxhash64(g)))
+    graft.plans.native.shingleHashes(text, n)
 
   /** MinHash signature: for each of `numPerm` hash functions
-    * h_i(x) = xxhash64(i, x), the min over the shingle-hash set.
-    * Pure column expression → codegen'd, O(numPerm·|shingles|) per doc.
-    */
+    * h_i(x) = XXH64(x, seed=i), the min over the shingle-hash set.
+    * Native codegen'd expression (graft.plans.MinHashSig) — the same
+    * math as nested `transform`/`array_min` HOFs ran ~100× slower
+    * interpreted (260 s for 5k docs at sf0.1). */
   def minhashSignature(shingles: Column, numPerm: Int): Column =
-    transform(
-      sequence(lit(0), lit(numPerm - 1)),
-      i => array_min(transform(shingles, h => xxhash64(i, h))))
+    graft.plans.native.minhashSig(shingles, numPerm)
 
   /** LSH band buckets: signature split into `bands` bands of
     * `rowsPerBand` values, each hashed to one bucket id. */
@@ -62,11 +62,17 @@ object Dedup {
     val rowsPerBand = numPerm / bands
     require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
 
+    // materialize signatures once: they feed the band explode, both
+    // sides of the self-join, and the estimate — recomputing the
+    // shingle+signature expression at each consumer is the single
+    // biggest cost at scale (at 100 TB this would be a persisted
+    // signature table, bucketed by doc id).
     val docs = df
       .select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numPerm))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val buckets = docs
       .select(col("id"), col("sig"),
@@ -122,22 +128,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  private val bitMasks: Seq[Long] = (0 until 64).map(i => 1L << i)
-
   /** 64-bit SimHash over whitespace tokens: bit i of the hash is the
-    * sign of Σ_tokens (±1 depending on bit i of xxhash64(token)).
-    * Nested higher-order functions, fully codegen'd. */
-  def simhash(text: Column): Column = {
-    val masks = array(bitMasks.map(lit): _*)
-    val counts = aggregate(
-      TextFunctions.tokens(lower(text)),
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, masks, (a, m) =>
-        a + when(xxhash64(t).bitwiseAND(m) =!= 0, 1).otherwise(-1)))
-    aggregate(
-      zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
-      lit(0L), (s, x) => s.bitwiseOR(x))
-  }
+    * sign of Σ_tokens (±1 depending on bit i of XXH64(token)).
+    * Native codegen'd expression (graft.plans.SimHash64). */
+  def simhash(text: Column): Column =
+    graft.plans.native.simhash64(TextFunctions.tokens(lower(text)))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
     * via 4×16-bit band collision (any pair within Hamming ≤ 3 must
@@ -146,6 +141,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

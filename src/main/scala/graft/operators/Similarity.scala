@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢbᵢ as double. */
+  /** Σ aᵢbᵢ as double (declarative HOF form — kept for reference/
+    * comparison; the hot paths use the native kernel). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0d), (s, x) => s + x)
@@ -22,11 +23,10 @@ object Similarity {
   def norm(v: Column): Column =
     sqrt(aggregate(v, lit(0d), (s, x) => s + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n > 0d, d / n).otherwise(lit(0d))
-  }
+  /** Cosine similarity — native codegen'd expression (one fused pass
+    * over both arrays, graft.plans.CosineSim). */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.native.cosineSim(a, b)
 
   /** Exact brute-force top-k: every probe against every vector, ranked
     * by cosine (desc, id asc tie-break). Probes must be small (they are
@@ -56,20 +56,8 @@ object Similarity {
     * a symmetric ±{1..} value derived from xxhash64 — no RNG, so plans
     * are reproducible and resumable (no Math.random in a distributed
     * plan). Returns `bits` sign-bits packed as a long. */
-  def hyperplaneSignature(vec: Column, bits: Int): Column = {
-    val planes: Seq[Column] = (0 until bits).map { p =>
-      // dot(vec, plane_p) where plane_p[j] = hash(p, j) mapped to [-1, 1)
-      aggregate(
-        zip_with(vec,
-          sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") *
-            (pmod(xxhash64(lit(p), j), lit(2000001L)).cast("double") / lit(1000000d) - lit(1d))),
-        lit(0d), (s, x) => s + x)
-    }
-    planes.zipWithIndex
-      .map { case (d, i) => when(d >= 0d, lit(1L << i)).otherwise(lit(0L)) }
-      .reduce((a, b) => a.bitwiseOR(b))
-  }
+  def hyperplaneSignature(vec: Column, bits: Int): Column =
+    graft.plans.native.hyperplaneSig(vec, bits)
 
   /** Embedding near-duplicate pairs: hyperplane-LSH buckets propose,
     * exact cosine disposes. Bands of the signature are the shuffle key;
@@ -81,17 +69,26 @@ object Similarity {
     val mask = (1L << bandBits) - 1
     val sigd = data.select(col(idCol).as("id"), col(vecCol).as("v"),
       hyperplaneSignature(col(vecCol), bits).as("sig"))
-    val banded = sigd.select(col("id"), col("v"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate generation over (id, bucket) ONLY — the wide vectors
+    // stay out of the bucket self-join and are fetched once per
+    // surviving candidate pair (at 100 TB the vectors are the payload;
+    // shuffling them per-band would multiply the shuffle by `bands`).
+    val banded = sigd.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = sigd.select(col("id"), col("v"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
@@ -109,6 +106,7 @@ object Similarity {
       nCentroids: Int, iters: Int = 2): (DataFrame, DataFrame) = {
     val d = data.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // deterministic seed: the nCentroids lowest-id vectors
     var centroids = d.orderBy(col("id")).limit(nCentroids)

@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.GraftShim
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (SURVEY.md §7.3 "optional later" —
+  * promoted to required once the bench showed interpreted higher-order
+  * functions dominating the dedup/similarity queries).
+  *
+  * Each is a thin codegen'd call into [[VectorKernels]]: `doGenCode`
+  * emits a single static invocation, so the expression lives inside
+  * whole-stage codegen like any built-in, and the per-element loops run
+  * as monomorphic JVM code instead of interpreted lambda dispatch.
+  */
+
+/** string text → array<long> distinct word n-gram shingle hashes. */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.shingleHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** array<long> shingle hashes → array<long> MinHash signature. */
+case class MinHashSig(child: Expression, numPerm: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.minhash(input.asInstanceOf[ArrayData], numPerm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.minhash($c, $numPerm)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → long SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** (array<float|double>, array<float|double>) → double cosine. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (isFloat)
+      VectorKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VectorKernels.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "cosineF" else "cosineD"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernels.$fn($a, $b)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** array<float|double> → long hyperplane-LSH signature. */
+case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.hyperplaneSig(input.asInstanceOf[ArrayData], bits, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.hyperplaneSig($c, $bits, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** Column-API entry points for the native expressions. */
+object native {
+  private def c(e: Expression): Column = GraftShim.column(e)
+  private def e(col: Column): Expression = GraftShim.expression(col)
+
+  def shingleHashes(text: Column, n: Int): Column =
+    c(ShingleHashesExpr(e(text), n))
+  def minhashSig(shingleHashes: Column, numPerm: Int): Column =
+    c(MinHashSig(e(shingleHashes), numPerm))
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def hyperplaneSig(v: Column, bits: Int): Column = c(HyperplaneSig(e(v), bits))
+}

@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind the native expressions (NativeExpressions
+  * .scala). Called from generated code — one static call per row, no
+  * boxing, no per-element lambda dispatch.
+  *
+  * Why these exist (measured, sf0.1): Spark's higher-order functions
+  * (`transform`/`aggregate`/`zip_with`) are interpreted — a MinHash
+  * signature as nested HOFs costs numPerm × |shingles| boxed lambda
+  * invocations per row and made q_dedup_minhash take 260 s. The same
+  * math as a fused while-loop is ~2 orders of magnitude faster and
+  * keeps the surrounding plan inside whole-stage codegen.
+  */
+object VectorKernels {
+
+  /** Distinct hashes of word n-gram shingles, one pass over the raw
+    * UTF-8 bytes: tokenize on ASCII whitespace, hash each token, chain
+    * n consecutive token hashes into a shingle hash, sort-dedupe.
+    * Replaces split → transform → slice → concat_ws → xxhash64 →
+    * array_distinct (six interpreted HOF nodes and ~10 allocations per
+    * shingle). */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // locate tokens
+    var nTok = 0
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        starts(nTok) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    if (nTok == 0) return new GenericArrayData(Array.emptyLongArray)
+    val tokHash = new Array[Long](nTok)
+    var t = 0
+    while (t < nTok) {
+      tokHash(t) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + starts(t),
+        ends(t) - starts(t), 0L)
+      t += 1
+    }
+    val span = math.min(n, nTok)
+    val nShingles = nTok - span + 1
+    val out = new Array[Long](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      var h = 0L
+      var k = 0
+      while (k < span) { h = XXH64.hashLong(tokHash(s + k), h); k += 1 }
+      out(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    var j = 0
+    while (j < nShingles) {
+      if (j == 0 || out(j) != out(j - 1)) { out(uniq) = out(j); uniq += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+
+  /** MinHash signature: out[i] = min over shingles of XXH64(h, seed=i). */
+  def minhash(shingles: ArrayData, numPerm: Int): ArrayData = {
+    val out = new Array[Long](numPerm)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      val h = shingles.getLong(j)
+      var i = 0
+      while (i < numPerm) {
+        val v = XXH64.hashLong(h, i)
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over a token array: bit i = sign of Σ ±1 where the
+    * sign is bit i of XXH64(token). */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val t = tokens.getUTF8String(j)
+      if (t != null) {
+        val h = XXH64.hashUTF8String(t, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** Cosine similarity of two float vectors (one fused pass: dot + both
+    * norms). Returns 0 when either norm is 0 (degenerate vector). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d > 0) dot / d else 0.0
+  }
+
+  /** Cosine for double vectors (IVF centroids are double arrays). */
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d > 0) dot / d else 0.0
+  }
+
+  /** Hyperplane LSH signature: bit p = sign of ⟨v, plane_p⟩ where
+    * plane_p[j] is a deterministic pseudo-random value in [-1, 1)
+    * derived from XXH64 — reproducible across runs/executors (no RNG in
+    * a distributed plan). isFloat selects the element accessor. */
+  def hyperplaneSig(v: ArrayData, bits: Int, isFloat: Boolean): Long = {
+    val dim = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        val h = XXH64.hashLong(p.toLong * 1000003L + j, 42L)
+        val comp = (java.lang.Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
+        dot += x * comp
+        j += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
