@@ -53,6 +53,15 @@ object SparkEntry {
         .df
     },
 
+    // §2.1 FromReader: CSV from an in-memory byte stream (the reference
+    // reads a driver-local buffer; faithful analogue)
+    "q_csv_from_lines" -> { (s, dir) =>
+      val rows = t(s, dir, "nation").orderBy(col("n_nationkey")).collect()
+        .map(r => s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}")
+      val csv = ("n_nationkey,n_name,n_regionkey" +: rows.toSeq).mkString("\n")
+      CsvSource.fromStrings(s, csv, ',')
+    },
+
     // §2.1 TakeRows: in-memory rows as a source
     "q_take_rows" -> { (s, _) =>
       val schema = StructType(Seq(
@@ -281,6 +290,8 @@ object SparkEntry {
   private val referenceOracles: Map[String, String] = Map(
     "q_csv_roundtrip" ->
       "SELECT cast(r_regionkey AS varchar) AS r_regionkey, r_name FROM region",
+    "q_csv_from_lines" ->
+      "SELECT cast(n_nationkey AS varchar) AS n_nationkey, n_name, cast(n_regionkey AS varchar) AS n_regionkey FROM nation",
     "q_take_rows" ->
       "SELECT * FROM (VALUES ('a','1'),('b','2'),('c','3')) AS t(k, v)",
     "q_select_columns" ->

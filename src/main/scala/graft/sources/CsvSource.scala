@@ -210,4 +210,29 @@ final case class CsvSource(
 object CsvSource {
   /** Reference `FromFile` (csvplus.go:949-960). */
   def fromFile(name: String): CsvSource = CsvSource(name)
+
+  /** Reference `FromReader`/`FromReadCloser` (csvplus.go:935-947): CSV
+    * from an already-in-memory byte stream. Spark-native form: parse a
+    * `Dataset[String]` of lines with the csv datasource. Header = first
+    * line; all columns StringType. Dialect options beyond the delimiter
+    * follow Spark's csv defaults here — use [[fromFile]] for the full
+    * builder. */
+  def fromLines(spark: SparkSession,
+                lines: org.apache.spark.sql.Dataset[String],
+                delimiter: Char = ','): DataFrame = {
+    val header = lines.limit(1).collect()
+    if (header.isEmpty || header.head.trim.isEmpty)
+      throw new graft.DataSourceException(1, "empty header")
+    val reader = spark.read
+      .option("sep", delimiter.toString)
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .option("emptyValue", "")
+    reader.csv(lines)
+  }
+
+  def fromStrings(spark: SparkSession, csv: String, delimiter: Char): DataFrame = {
+    import spark.implicits._
+    fromLines(spark, spark.createDataset(csv.split("\n").toIndexedSeq), delimiter)
+  }
 }

@@ -103,6 +103,16 @@ class CsvSourceSpec extends GraftSpec {
     assert(a == b)
   }
 
+  test("fromLines parses an in-memory CSV buffer (reference FromReader)") {
+    val df = CsvSource.fromStrings(spark, "id,name\n1,Ann\n2,Bob", ',')
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.collect().map(_.toSeq).toSet == Set(Seq("1", "Ann"), Seq("2", "Bob")))
+    val e = intercept[DataSourceException] {
+      CsvSource.fromStrings(spark, "", ',')
+    }
+    assert(e.getMessage == "row 1: empty header")
+  }
+
   test("toCsv with empty column list panics (reference parity)") {
     val e = intercept[IllegalArgumentException] {
       Pipe(people).toCsv("/tmp/never", Seq.empty)
