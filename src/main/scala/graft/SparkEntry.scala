@@ -62,6 +62,33 @@ object SparkEntry {
       CsvSource.fromStrings(s, csv, ',')
     },
 
+    // §2.1 AssumeHeader: headerless CSV with caller-declared layout
+    "q_csv_headerless" -> { (s, dir) =>
+      val out = s"/tmp/graft_csvnh_${math.abs(dir.hashCode)}"
+      t(s, dir, "region").select(col("r_regionkey").cast(StringType), col("r_name"))
+        .coalesce(1).write.mode("overwrite").option("header", "false").csv(out)
+      CsvSource.fromFile(out)
+        .assumeHeader(Map("r_regionkey" -> 0, "r_name" -> 1))
+        .read(s)
+    },
+
+    // §2.2 ToJSON: JSONL sink → read-back round-trip
+    "q_jsonl_roundtrip" -> { (s, dir) =>
+      val out = s"/tmp/graft_jsonl_${math.abs(dir.hashCode)}"
+      Pipe(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"), col("s_nationkey")))
+        .toJsonl(out)
+      s.read.schema("s_suppkey LONG, s_name STRING, s_nationkey INT").json(out)
+        .select("s_suppkey", "s_name", "s_nationkey")
+    },
+
+    // §2.2 Index.WriteTo / LoadIndex: parquet persistence round-trip
+    "q_index_persist" -> { (s, dir) =>
+      val out = s"/tmp/graft_idx_${math.abs(dir.hashCode)}"
+      Index.indexOn(t(s, dir, "supplier"), "s_nationkey", "s_suppkey").writeTo(out)
+      Index.load(s, out, "s_nationkey", "s_suppkey")
+        .iterate.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    },
+
     // §2.1 TakeRows: in-memory rows as a source
     "q_take_rows" -> { (s, _) =>
       val schema = StructType(Seq(
@@ -255,6 +282,16 @@ object SparkEntry {
         .selectColumns("o_orderkey", "c_name", "c_acctbal").df
     },
 
+    // scale extension: salted join (same semantics as q_join_unique,
+    // skew-resistant physical plan — hot probe keys spread over salts)
+    "q_join_salted" -> { (s, dir) =>
+      val cust = Index.indexOn(t(s, dir, "customer"), "c_custkey")
+      Pipe(t(s, dir, "orders"))
+        .joinSalted(cust, 8, "o_custkey")
+        .selectColumns("o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+          "o_totalprice").df
+    },
+
     // §2.6 Except — anti-join
     "q_except" -> { (s, dir) =>
       val auto = Index.indexOn(
@@ -294,6 +331,14 @@ object SparkEntry {
       "SELECT cast(n_nationkey AS varchar) AS n_nationkey, n_name, cast(n_regionkey AS varchar) AS n_regionkey FROM nation",
     "q_take_rows" ->
       "SELECT * FROM (VALUES ('a','1'),('b','2'),('c','3')) AS t(k, v)",
+    "q_csv_headerless" ->
+      "SELECT cast(r_regionkey AS varchar) AS r_regionkey, r_name FROM region",
+    "q_jsonl_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+    "q_index_persist" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q_join_salted" ->
+      "SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
     "q_select_columns" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",
     "q_drop_columns" ->
@@ -522,6 +567,13 @@ object SparkEntry {
       EventStreams.hourlyTypeCountsBatch(EventStreams.readEvents(s, s"$dir/events.parquet"))
     },
 
+    // real Structured Streaming execution (file source → available-now
+    // → complete-mode memory sink); result ≡ the batch twin, so the
+    // same oracle applies
+    "q_events_hourly_stream" -> { (s, dir) =>
+      EventStreams.hourlyTypeCountsStreamed(s, s"$dir/events.parquet")
+    },
+
     "q_events_sessionize" -> { (s, dir) =>
       EventStreams.sessionizeBatch(EventStreams.readEvents(s, s"$dir/events.parquet"), gapSec = 1800)
         .drop("session_no")
@@ -572,6 +624,8 @@ object SparkEntry {
         | CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents""".stripMargin,
     "q_events_hourly" ->
+      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type, count(*) AS n, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2",
+    "q_events_hourly_stream" ->
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type, count(*) AS n, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2",
     "q_events_sessionize" ->
       """WITH e AS (

@@ -151,6 +151,31 @@ final case class Pipe(df: DataFrame, order: Seq[Column] = Nil) {
   def join(index: Index, probeCols: String*): Pipe =
     copy(df = joinImpl(index, probeCols, anti = false))
 
+  /** Skew-resistant variant of [[join]]: the index side is replicated
+    * `saltFactor` times with a salt column and the probe side gets a
+    * deterministic per-row salt, so a hot join key's probe rows spread
+    * over `saltFactor` reducers instead of one. Results are identical
+    * to [[join]]; use when a shuffle join has a dominant key (the
+    * 100 TB answer to "one key holds 10% of the fact table"). AQE's
+    * skew-join split handles moderate skew automatically — salting is
+    * for the pathological tail. */
+  def joinSalted(index: Index, saltFactor: Int, probeCols: String*): Pipe = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    val pairs = index.probeKeyPairs(probeCols, "Join")
+    val salted = index.df.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    val saltedIdx = new Index(salted,
+      index.keyCols.take(pairs.length) :+ "__salt", broadcastHint = false)
+    // per-ROW salt (hash of the whole probe row): a hot key's rows get
+    // spread across saltFactor partitions — hashing just the key would
+    // send them all to the same reducer again
+    val probeSalt = pmod(
+      xxhash64(df.columns.map(col): _*), lit(saltFactor.toLong)).cast("int")
+    val out = copy(df = df.withColumn("__salt", probeSalt))
+      .join(saltedIdx, pairs.map(_._1) :+ "__salt": _*)
+    out.copy(df = out.df.drop("__salt"))
+  }
+
   /** Reference `DataSource.Except(index, columns…)` (csvplus.go:585-608):
     * anti-join — emit probe rows whose key prefix is absent from the
     * index; probe rows pass through unchanged. */

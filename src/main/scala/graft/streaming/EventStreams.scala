@@ -36,6 +36,42 @@ object EventStreams {
   def readEventStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(path)
 
+  /** Run [[hourlyTypeCounts]] as a REAL streaming query over the events
+    * parquet (file source → available-now trigger → complete-mode
+    * memory sink) and return the materialized result. On bounded input,
+    * complete mode recomputes every window, so the result equals the
+    * batch twin exactly — which is what lets the driver's DuckDB oracle
+    * check a Structured Streaming execution path. */
+  def hourlyTypeCountsStreamed(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source requires a DIRECTORY; stage a single-file
+    // input into one
+    val src = java.nio.file.Paths.get(path)
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val dir = java.nio.file.Paths.get(
+          s"/tmp/graft_stream_${math.abs(path.hashCode)}")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.copy(src, dir.resolve(src.getFileName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dir.toString
+      }
+    val batchSchema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(batchSchema).parquet(streamPath)
+    val events =
+      if (batchSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val name = "graft_hourly_" + math.abs(path.hashCode)
+    val q = hourlyTypeCounts(events)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming hourly tumbling-window counts with a 2-hour watermark
     * (late data beyond the watermark is dropped). */
   def hourlyTypeCounts(events: DataFrame): DataFrame =

@@ -88,6 +88,20 @@ class JoinSpec extends GraftSpec {
     assert(out.count() == 12) // each Olivia surname matches exactly one Amelia
   }
 
+  test("joinSalted produces exactly the same rows as join") {
+    val plain = Pipe(orders).join(custIdx, "cust_id").df
+      .collect().map(_.toSeq).toSeq.sorted(RowOrd)
+    val salted = Pipe(orders).joinSalted(custIdx, 8, "cust_id").df
+      .collect().map(_.toSeq).toSeq.sorted(RowOrd)
+    assert(plain == salted)
+  }
+
+  private object RowOrd extends Ordering[Seq[Any]] {
+    def compare(a: Seq[Any], b: Seq[Any]): Int =
+      a.map(String.valueOf(_)).mkString("")
+        .compareTo(b.map(String.valueOf(_)).mkString(""))
+  }
+
   test("resolveDuplicates: typed resolver picks per-group, declarative twin agrees") {
     val idx = Index.indexOn(people, "name")
     val typed = idx.resolveDuplicates { rows =>
