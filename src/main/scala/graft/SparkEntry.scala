@@ -320,7 +320,9 @@ object SparkEntry {
           col("c_custkey"),
           RowFunctions.safeGet(col("n_name"), "UNKNOWN").as("nation_name"),
           RowFunctions.valueAsInt(col("c_custkey").cast(StringType), "c_custkey")
-            .as("c_key_int"))
+            .as("c_key_int"),
+          RowFunctions.valueAsDouble(col("c_acctbal").cast(StringType), "c_acctbal")
+            .as("c_bal_f"))
     }
   )
 
@@ -386,7 +388,7 @@ object SparkEntry {
     "q_union" ->
       "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'R' UNION ALL SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'A'",
     "q_row_helpers" ->
-      "SELECT c_custkey, COALESCE(n_name, 'UNKNOWN') AS nation_name, cast(cast(c_custkey AS varchar) AS bigint) AS c_key_int FROM customer LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10) n ON c_nationkey = n_nationkey"
+      "SELECT c_custkey, COALESCE(n_name, 'UNKNOWN') AS nation_name, cast(cast(c_custkey AS varchar) AS bigint) AS c_key_int, cast(cast(c_acctbal AS varchar) AS double) AS c_bal_f FROM customer LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10) n ON c_nationkey = n_nationkey"
   )
 
   // ────────────────────────────────────────────────────────────────
