@@ -452,6 +452,16 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     },
 
+    // sketch aggregation: HLL++ approximate distinct (driver rows-only
+    // check; exactness asserted against countDistinct in tests/bench)
+    "q_agg_sketch" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+    },
+
     // distinct (exact dedup of a projection)
     "q_distinct" -> { (s, dir) =>
       t(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()

@@ -57,20 +57,11 @@ object TextFunctions {
 
   /** Language ID: argmax of stopword hits per language, deterministic
     * tie-break on language code, "und" (undetermined) when no stopword
-    * of any language occurs. */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scores: Seq[(String, Column)] = stopwords.toSeq.sortBy(_._1).map {
-      case (lang, words) =>
-        val wordSet = array(words.map(lit): _*)
-        lang -> size(filter(toks, t => array_contains(wordSet, t)))
-    }
-    val (bestLang, bestScore) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bl, bs), (l, s)) =>
-        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    when(bestScore > 0, bestLang).otherwise(lit("und"))
-  }
+    * of any language occurs. Native one-pass kernel
+    * (graft.plans.LangIdExpr); semantics mirrored by the DuckDB oracle
+    * SQL in SparkEntry. */
+  def langId(text: Column): Column =
+    graft.plans.native.langId(tokens(lower(text)))
 
   /** Total characters across tokens (= text length minus whitespace). */
   def tokenChars(text: Column): Column =

@@ -122,6 +122,18 @@ final class Index private[operators] (
   def writeTo(path: String): Unit =
     sortedDf.write.mode("overwrite").parquet(path)
 
+  /** Persist as a BUCKETED + sorted table: the physical analogue of
+    * the reference's "sorted index on disk". Two tables bucketed on
+    * their respective join keys with the same bucket count join with
+    * NO shuffle on either side — the 100 TB pattern for repeatedly
+    * joined fact/dim tables (write the partitioning once, reuse it in
+    * every query). */
+  def writeBucketedTable(tableName: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(tableName)
+
   /** Build side of a join, with the broadcast hint applied. */
   private[operators] def buildSide: DataFrame =
     if (broadcastHint) broadcast(df) else df
@@ -202,4 +214,10 @@ object Index {
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
            columns: String*): Index =
     indexOn(spark.read.parquet(path), columns: _*)
+
+  /** Reload a bucketed index table (keeps the bucket metadata → joins
+    * against other same-bucketed tables skip the shuffle). */
+  def fromTable(spark: org.apache.spark.sql.SparkSession, tableName: String,
+                columns: String*): Index =
+    indexOn(spark.table(tableName), columns: _*)
 }

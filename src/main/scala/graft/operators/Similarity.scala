@@ -113,10 +113,16 @@ object Similarity {
       .select(row_number().over(Window.orderBy(col("id"))).as("centroid_id"), col("v").as("cvec"))
 
     def assign(points: DataFrame, cents: DataFrame): DataFrame = {
+      // argmin by aggregation (max_by), not a window: one partial+final
+      // hash agg instead of a full sort per partition — matters when
+      // "points" is the 100 TB side
       val scored = points.crossJoin(broadcast(cents))
         .withColumn("cos", cosine(col("v"), col("cvec")))
-      val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("centroid_id").asc)
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      scored.groupBy(col("id"))
+        .agg(
+          first(col("v")).as("v"),
+          max_by(col("centroid_id"),
+            struct(col("cos"), -col("centroid_id"))).as("centroid_id"))
         .select(col("id"), col("v"), col("centroid_id"))
     }
 

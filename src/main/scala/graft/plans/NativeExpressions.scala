@@ -29,6 +29,17 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** array<string> lower-cased tokens → string language code. */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.langId(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.langId($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
 /** array<long> shingle hashes → array<long> MinHash signature. */
 case class MinHashSig(child: Expression, numPerm: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -95,6 +106,7 @@ object native {
 
   def shingleHashes(text: Column, n: Int): Column =
     c(ShingleHashesExpr(e(text), n))
+  def langId(tokens: Column): Column = c(LangIdExpr(e(tokens)))
   def minhashSig(shingleHashes: Column, numPerm: Int): Column =
     c(MinHashSig(e(shingleHashes), numPerm))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))

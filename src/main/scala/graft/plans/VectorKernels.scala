@@ -70,6 +70,47 @@ object VectorKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
   }
 
+  /** Stopword tables for the language-ID kernel, materialized once per
+    * JVM as UTF8String hash sets (sorted lang order = tie-break order,
+    * matching the SQL oracle's CASE chain). */
+  private lazy val langTable: Array[(UTF8String, java.util.HashSet[UTF8String])] =
+    graft.functions.TextFunctions.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val set = new java.util.HashSet[UTF8String]()
+      words.foreach(w => set.add(UTF8String.fromString(w)))
+      (UTF8String.fromString(lang), set)
+    }.toArray
+
+  private val UND = UTF8String.fromString("und")
+
+  /** Language ID over lower-cased tokens: stopword hits per language,
+    * argmax with earliest-language tie-break, "und" on zero hits.
+    * One pass over the tokens; semantics identical to the interpreted
+    * HOF form and the DuckDB oracle SQL. */
+  def langId(tokens: ArrayData): UTF8String = {
+    val nLang = langTable.length
+    val counts = new Array[Int](nLang)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val t = tokens.getUTF8String(j)
+      if (t != null) {
+        var l = 0
+        while (l < nLang) {
+          if (langTable(l)._2.contains(t)) counts(l) += 1
+          l += 1
+        }
+      }
+      j += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < nLang) {
+      if (counts(l) > counts(best)) best = l
+      l += 1
+    }
+    if (counts(best) == 0) UND else langTable(best)._1
+  }
+
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
 

@@ -69,6 +69,22 @@ class IndexSpec extends GraftSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("bucketed index tables join with no shuffle on either side") {
+    Index.indexOn(orders, "cust_id").writeBucketedTable("t_orders_b", 8)
+    Index.indexOn(people.withColumnRenamed("id", "cust_id"), "cust_id")
+      .writeBucketedTable("t_people_b", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("t_orders_b")
+        .join(spark.table("t_people_b"), "cust_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == Fixtures.numOrders)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("index contents are immune to downstream mutation (csvplus_test.go:326-365)") {
     val idx = Index.indexOn(people, "id")
     val before = idx.iterate.collect().map(_.toSeq).toSeq
