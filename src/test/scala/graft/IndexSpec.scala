@@ -70,6 +70,17 @@ class IndexSpec extends GraftSpec {
   }
 
   test("bucketed index tables join with no shuffle on either side") {
+    // stale locations survive across JVMs while the in-memory catalog
+    // doesn't — clear both before writing
+    Seq("t_orders_b", "t_people_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get(s"/tmp/graft_test_warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    }
     Index.indexOn(orders, "cust_id").writeBucketedTable("t_orders_b", 8)
     Index.indexOn(people.withColumnRenamed("id", "cust_id"), "cust_id")
       .writeBucketedTable("t_people_b", 8)
