@@ -579,6 +579,36 @@ object SparkEntry {
       EventStreams.hourlyTypeCountsBatch(EventStreams.readEvents(s, s"$dir/events.parquet"))
     },
 
+    // as-of join: each click attached to the user's most recent
+    // prior-or-equal view (merge-based plan: one shuffle, no
+    // inequality-join cartesian blow-up)
+    "q_asof_join" -> { (s, dir) =>
+      val ev = EventStreams.readEvents(s, s"$dir/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_event_id"), col("user_id"), col("ts"))
+      graft.operators.Temporal.asofJoin(clicks, views,
+        "user_id", "user_id", "ts", "ts",
+        Map("view_event_id" -> "view_event_id"))
+        .select(col("event_id"), col("view_event_id"))
+    },
+
+    // composite training-data cleaning pipeline: language filter →
+    // quality filter → exact dedup → per-source token accounting
+    "q_pipeline_clean" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val clean = docs
+        .filter(TextFunctions.langId(col("text")) === "en")
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+      val deduped = Dedup.exact(clean, "doc_id", "text").select("doc_id")
+      deduped
+        .join(docs.select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    },
+
     // real Structured Streaming execution (file source → available-now
     // → complete-mode memory sink); result ≡ the batch twin, so the
     // same oracle applies
@@ -654,6 +684,42 @@ object SparkEntry {
         | max(sec) - min(sec) AS duration_sec,
         | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_no""".stripMargin,
+    "q_asof_join" ->
+      """SELECT c.event_id, v.event_id AS view_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+    "q_pipeline_clean" ->
+      """WITH toks AS (
+        | SELECT doc_id, text, source,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS ltk
+        | FROM documents),
+        |feats AS (
+        | SELECT doc_id, text, source, len(tk) AS n_tokens_i,
+        |  cast(len(tk) AS DOUBLE) AS n_tok,
+        |  cast(coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS DOUBLE) AS n_chars,
+        |  cast(len(list_filter(ltk, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) AS n_stop,
+        |  len(list_filter(ltk, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], x))) AS s_de,
+        |  len(list_filter(ltk, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS s_en,
+        |  len(list_filter(ltk, x -> list_contains(['el','los','las','y','es','un','una','como','más','por'], x))) AS s_es,
+        |  len(list_filter(ltk, x -> list_contains(['le','la','les','et','est','dans','une','des','que','pour'], x))) AS s_fr
+        | FROM toks),
+        |scored AS (
+        | SELECT *,
+        |  least(n_tok / 100.0, 1.0) * 0.4 +
+        |  least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
+        |  (CASE WHEN (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |   WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |   WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |   WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |   ELSE 'fr' END AS lang_pred
+        | FROM feats),
+        |clean AS (SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5),
+        |dedup AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text))
+        |SELECT d.source, count(*) AS n_docs, cast(sum(d.n_tokens_i) AS BIGINT) AS total_tokens
+        |FROM dedup JOIN scored d USING (doc_id) GROUP BY d.source""".stripMargin,
     "q_lang_id" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS tk FROM documents),

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators (beyond-reference). */
+object Temporal {
+
+  /** As-of join: for every left row, attach the single right row with
+    * the greatest `rightTime` ≤ `leftTime` within the same key ("most
+    * recent prior observation").
+    *
+    * Spark-first plan: NOT an inequality join (which Catalyst can only
+    * execute as a broadcast-nested-loop / cartesian at scale). Instead
+    * union the two sides tagged, hash-shuffle ONCE on the key, sort
+    * within partitions by (time, side), and carry the latest right row
+    * forward with `last_value(ignoreNulls)` over the ordered window.
+    * Cost = one shuffle + one sort, same as a sort-merge join; no
+    * quadratic blow-up on hot keys.
+    *
+    * Ties (`rightTime == leftTime`) are INCLUSIVE (right sorts before
+    * left at equal time), matching DuckDB's `ASOF JOIN ... ON l.t >= r.t`.
+    * Left rows with no prior right row survive with nulls (left outer).
+    *
+    * @param rightCols right-side payload columns to attach (renamed as
+    *                  given in the map: rightName → outputName)
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Map[String, String]): DataFrame = {
+
+    val leftOut = left.columns.toSeq
+    // unified layout: key, t, side (0=right sorts first on ties), left
+    // payload (null on right rows), and the right payload as ONE struct
+    // (so all attached columns provably come from the same right row)
+    val rStruct = struct(rightCols.toSeq.map { case (rc, o) => col(rc).as(o) }: _*)
+    val lTagged = left.select(
+      (Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
+        leftOut.map(col) :+
+        lit(null).cast(right.select(rStruct).schema.head.dataType).as("__r")): _*)
+    val rTagged = right.select(
+      (Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
+        leftOut.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rStruct.as("__r")): _*)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftOut.map(col) ++
+        rightCols.values.toSeq.map(o => col("__c").getField(o).as(o)): _*)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Temporal
+
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics on hand-built rows. */
+class TemporalSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  private lazy val trades = Seq(
+    (1L, "A", 100L), (2L, "A", 205L), (3L, "B", 50L), (4L, "C", 10L)
+  ).toDF("trade_id", "sym", "t")
+
+  private lazy val quotes = Seq(
+    (10L, "A", 90L), (11L, "A", 100L), (12L, "A", 200L),
+    (13L, "B", 60L) // after B's only trade
+  ).toDF("quote_id", "sym", "qt")
+
+  test("asof join picks the latest right row at-or-before each left row") {
+    val out = Temporal.asofJoin(trades, quotes, "sym", "sym", "t", "qt",
+      Map("quote_id" -> "quote_id", "qt" -> "quote_time"))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Long]("quote_id")).map(_.toLong)).toMap
+    assert(out(1L) == Some(11L)) // tie at t=100 is inclusive
+    assert(out(2L) == Some(12L)) // 200 < 205, latest prior
+    assert(out(3L) == None)      // only quote is later
+    assert(out(4L) == None)      // no quotes for key C
+  }
+
+  test("all attached columns come from the same right row") {
+    val out = Temporal.asofJoin(trades, quotes, "sym", "sym", "t", "qt",
+      Map("quote_id" -> "quote_id", "qt" -> "quote_time"))
+      .filter(col("trade_id") === 2L).collect().head
+    assert(out.getAs[Long]("quote_id") == 12L)
+    assert(out.getAs[Long]("quote_time") == 200L)
+  }
+}
