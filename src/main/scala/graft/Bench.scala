@@ -44,12 +44,16 @@ object Bench {
     // transient host interference without hiding real per-query cost
     val passes = (1 to 2).map { pass =>
       selected.map { case (name, fn) =>
-        val sec = time {
+        var failed = false
+        val measured = time {
           try force(fn(spark, sfDir))
           catch { case e: Throwable =>
+            failed = true
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
         }
+        // a failed query must read as a failure (-1), not as a fast run
+        val sec = if (failed) -1.0 else measured
         System.err.println(f"[bench] pass$pass $name: $sec%.2f s")
         // operators persist intermediates (signatures etc.); release them
         // so later queries aren't timed under another query's cache
@@ -58,7 +62,9 @@ object Bench {
       }
     }
     val results = passes.flatten.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (n, ts) => n -> ts.map(_._2).min }
+      .map { case (n, ts) =>
+        n -> (if (ts.exists(_._2 < 0)) -1.0 else ts.map(_._2).min)
+      }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -15,8 +15,3 @@ final class DataSourceException(val line: Long, message: String, cause: Throwabl
   def this(line: Long, message: String) = this(line, message, null)
 }
 
-object errors {
-  /** Reference `panic` analogue: invalid operator construction. */
-  def misuse(condition: Boolean, msg: => String): Unit =
-    if (condition) throw new IllegalArgumentException(msg)
-}

@@ -46,7 +46,12 @@ object RowFunctions {
     * unique-index duplicate error. Driver-side, over a collected row.
     */
   def renderRow(row: org.apache.spark.sql.Row): String =
-    row.schema.fieldNames.sorted
+    renderRow(row, row.schema.fieldNames.toSeq)
+
+  /** Same canonical rendering restricted to a subset of columns (the
+    * reference's `SelectExisting(columns...).String`). */
+  def renderRow(row: org.apache.spark.sql.Row, names: Seq[String]): String =
+    names.sorted
       .map(f => s""""$f" : "${String.valueOf(row.getAs[Any](f))}"""")
       .mkString("{ ", ", ", " }")
 }

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   *    only colliding docs ever meet, never the full cross product;
   *  - oversized buckets (degenerate content) are capped to keep any
   *    single key from dominating a partition (skew guard).
+  *
+  * Caching note: the near-dup operators `persist()` their signature
+  * intermediates (consumed by several plan branches) and do NOT
+  * unpersist — the caller owns the lifecycle. In a long-running app,
+  * call `spark.catalog.clearCache()` (or unpersist the returned plan's
+  * sources) between batches; at warehouse scale you would materialize
+  * signatures to a table instead.
   */
 object Dedup {
 

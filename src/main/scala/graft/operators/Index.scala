@@ -88,7 +88,13 @@ final class Index private[operators] (
     implicit val rowEnc = Encoders.row(schema)
     val resolved = df
       .groupByKey { r: Row =>
-        keys.map(c => String.valueOf(r.getAs[Any](c))).mkString("\u0000")
+        // injective key encoding: length-prefix each part so separator
+        // characters inside values can't merge distinct keys, and null
+        // stays distinct from the string "null"
+        keys.map { c =>
+          val v = r.getAs[Any](c)
+          if (v == null) "N" else { val s = v.toString; s"S${s.length}:$s" }
+        }.mkString("|")
       }(Encoders.STRING)
       .flatMapGroups { (_: String, it: Iterator[Row]) =>
         val first = it.next()
@@ -198,12 +204,9 @@ object Index {
         .filter(col("count") > 1).limit(1)
         .collect()
       if (dup.nonEmpty) {
-        val r = dup.head
-        val rendered = columns.sorted
-          .map(c => s""""$c" : "${String.valueOf(r.getAs[Any](c))}"""")
-          .mkString("{ ", ", ", " }")
         throw new IllegalStateException(
-          "duplicate value while creating unique index: " + rendered)
+          "duplicate value while creating unique index: " +
+            RowFunctions.renderRow(dup.head, columns))
       }
     }
     new Index(checked, columns, broadcastHint)

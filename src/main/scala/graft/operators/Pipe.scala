@@ -241,8 +241,8 @@ final case class Pipe(df: DataFrame, order: Seq[Column] = Nil) {
     * (toLocalIterator) — only for reference-sized outputs. */
   def toJsonArrayFile(path: String): Unit = {
     val it = df.toJSON.toLocalIterator()
-    val w = new java.io.BufferedWriter(
-      new java.io.FileWriter(path), 1 << 16)
+    val w = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
     try {
       w.write("[")
       var first = true

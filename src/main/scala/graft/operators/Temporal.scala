@@ -46,8 +46,16 @@ object Temporal {
         leftOut.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         rStruct.as("__r")): _*)
 
+    // deterministic tie-break when several right rows share (key, time):
+    // order by the payload struct itself when its type is orderable, so
+    // the carried row is always the struct-greatest of the tied set
+    val rOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(right.select(rStruct).schema.head.dataType)
+    val ordering =
+      if (rOrderable) Seq(col("__t").asc, col("__side").asc, col("__r").asc_nulls_first)
+      else Seq(col("__t").asc, col("__side").asc)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     lTagged.unionByName(rTagged)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))

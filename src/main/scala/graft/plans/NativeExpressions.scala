@@ -62,22 +62,22 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** (array<float|double>, array<float|double>) → double cosine. */
+/** (array<float|double>, array<float|double>) → double cosine. Each
+  * side's element accessor is dispatched on ITS OWN static type (mixed
+  * float/double pairs are valid); dimension mismatch throws. */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  private def isFloat: Boolean = left.dataType match {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
   }
   override def nullSafeEval(a: Any, b: Any): Any =
-    if (isFloat)
-      VectorKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    else
-      VectorKernels.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = if (isFloat) "cosineF" else "cosineD"
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernels.$fn($a, $b)")
-  }
+    VectorKernels.cosine(
+      a.asInstanceOf[ArrayData], isFloat(left),
+      b.asInstanceOf[ArrayData], isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.VectorKernels.cosine($a, ${isFloat(left)}, $b, ${isFloat(right)})")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)

@@ -111,8 +111,10 @@ object VectorKernels {
     if (counts(best) == 0) UND else langTable(best)._1
   }
 
+  // ASCII \s of java.util.regex: [ \t\n\x0B\f\r] — must agree with the
+  // split("\\s+") tokenizer used by TextFunctions.tokens
   private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
 
   /** MinHash signature: out[i] = min over shingles of XXH64(h, seed=i). */
   def minhash(shingles: ArrayData, numPerm: Int): ArrayData = {
@@ -160,30 +162,20 @@ object VectorKernels {
     sig
   }
 
-  /** Cosine similarity of two float vectors (one fused pass: dot + both
-    * norms). Returns 0 when either norm is 0 (degenerate vector). */
-  def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Cosine similarity, one fused pass (dot + both norms). Per-side
+    * element accessors (mixed float/double inputs are legal); dimension
+    * mismatch is an error, not a silent truncation. Returns 0 when
+    * either norm is 0 (degenerate vector). */
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine: dimension mismatch (${a.numElements()} vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    val d = math.sqrt(na) * math.sqrt(nb)
-    if (d > 0) dot / d else 0.0
-  }
-
-  /** Cosine for double vectors (IVF centroids are double arrays). */
-  def cosineD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a.getDouble(i)
-      val y = b.getDouble(i)
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }

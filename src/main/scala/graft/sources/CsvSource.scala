@@ -111,7 +111,7 @@ final case class CsvSource(
     "enforceSchema" -> "false",
     "ignoreLeadingWhiteSpace" -> trimLeadingSpaceOn.toString,
     "ignoreTrailingWhiteSpace" -> "false",
-    "emptyValue" -> "", // keep "" as "", not null — Row values are strings
+    "emptyValue" -> "", // quoted "" stays "", not null
     "mode" -> (fieldMode match {
       case NumFieldsAny => "PERMISSIVE"
       case _            => "FAILFAST"
@@ -139,6 +139,18 @@ final case class CsvSource(
   /** Build the DataFrame. All columns StringType; schema per header
     * mode; projection applied (pruned into the scan by Catalyst). */
   def read(spark: SparkSession): DataFrame = {
+    // NumFields(n): strict per-row width. The RAW first-line width (not
+    // the projected width) must equal n — the reference checks every
+    // physical record (csvplus.go:1058-1063); per-row enforcement comes
+    // from FAILFAST against the n-column schema.
+    fieldMode match {
+      case NumFields(n) =>
+        val raw = firstLineFields(spark)
+        if (raw.length != n)
+          throw new DataSourceException(
+            1, s"record on line 1: wrong number of fields")
+      case _ => ()
+    }
     val df: DataFrame = headerMode match {
       case HeaderFromFirstRow =>
         val names = firstLineFields(spark)
@@ -192,18 +204,13 @@ final case class CsvSource(
         df.select(selected.map(col): _*)
       }
 
-    fieldMode match {
-      // reference right-pads short rows with "" (csvplus.go:1121-1124);
-      // PERMISSIVE mode yields nulls there → restore "".
-      case NumFieldsAny =>
-        projected.select(projected.columns.map(c => coalesce(col(c), lit("")).as(c)): _*)
-      case NumFields(n) =>
-        val width = projected.columns.length
-        if (headerMode == HeaderFromFirstRow && width != n)
-          throw new DataSourceException(1, s"record on line 1: wrong number of fields")
-        projected
-      case NumFieldsAuto => projected
-    }
+    // The reference's Row values are never null: unquoted empty fields
+    // parse to null in univocity (no option changes that), and short
+    // rows under PERMISSIVE yield nulls (csvplus right-pads with "",
+    // csvplus.go:1121-1124). In the FAILFAST modes short rows abort, so
+    // a null can only ever mean an empty field → coalesce to "" is
+    // exact in every mode.
+    projected.select(projected.columns.map(c => coalesce(col(c), lit("")).as(c)): _*)
   }
 }
 

@@ -87,6 +87,24 @@ class CsvSourceSpec extends GraftSpec {
     assert(rows.contains(Seq("6", "", "")))
   }
 
+  test("unquoted empty fields stay \"\" — never null (all-strings contract)") {
+    val f = tmpCsv("a,b\n1,\n,2\n")
+    val rows = CsvSource.fromFile(f).read(spark).collect().map(_.toSeq)
+    assert(rows.contains(Seq("1", "")))
+    assert(rows.contains(Seq("", "2")))
+  }
+
+  test("numFields validates the RAW field count, independent of projection") {
+    val f = tmpCsv("a,b,c\n1,2,3\n")
+    // projecting one column of a 3-field file with numFields(3) is valid
+    val ok = CsvSource.fromFile(f).selectColumns("a").numFields(3).read(spark)
+    assert(ok.columns.toSeq == Seq("a") && ok.count() == 1)
+    val e = intercept[DataSourceException] {
+      CsvSource.fromFile(f).numFields(2).read(spark)
+    }
+    assert(e.getMessage.contains("wrong number of fields"))
+  }
+
   test("empty input file yields the reference 'empty header' error") {
     val f = tmpCsv("")
     val e = intercept[DataSourceException] { CsvSource.fromFile(f).read(spark) }

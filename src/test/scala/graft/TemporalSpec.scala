@@ -29,6 +29,18 @@ class TemporalSpec extends GraftSpec {
     assert(out(4L) == None)      // no quotes for key C
   }
 
+  test("duplicate (key, time) right rows resolve deterministically (struct-greatest)") {
+    val dupQuotes = Seq(
+      (11L, "A", 100L), (12L, "A", 100L) // same sym, same time
+    ).toDF("quote_id", "sym", "qt")
+    val picks = (1 to 5).map { _ =>
+      Temporal.asofJoin(trades.filter(col("trade_id") === 1L), dupQuotes,
+        "sym", "sym", "t", "qt", Map("quote_id" -> "quote_id"))
+        .collect().head.getAs[Long]("quote_id")
+    }
+    assert(picks.distinct.size == 1 && picks.head == 12L)
+  }
+
   test("all attached columns come from the same right row") {
     val out = Temporal.asofJoin(trades, quotes, "sym", "sym", "t", "qt",
       Map("quote_id" -> "quote_id", "qt" -> "quote_time"))
