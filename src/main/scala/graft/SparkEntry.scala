@@ -452,6 +452,75 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     },
 
+    // beyond-surface join types (SURVEY §2.6 notes these come free)
+    "q_join_semi" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    "q_join_left_outer" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .select("c_custkey", "o_orderkey")
+    },
+
+    // cube grouping sets
+    "q_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    },
+
+    // scalar function suites over Spark built-ins
+    "q_date_functions" -> { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+    },
+
+    "q_string_funcs" -> { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_u"),
+        substring(col("c_name"), 1, 8).as("name_pfx"),
+        length(col("c_name")).as("name_len"),
+        regexp_replace(col("c_name"), "Customer", "C").as("name_short"),
+        concat(col("c_mktsegment"), lit("-"),
+          col("c_nationkey").cast(StringType)).as("seg_nation"))
+    },
+
+    // §2.11 Map's full generality: arbitrary-Scala whole-row transform
+    // with a new schema (typed path; declarative twin is q_map_amount)
+    "q_map_rows" -> { (s, dir) =>
+      val outSchema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("name_u", StringType),
+        StructField("bal_cents", LongType)))
+      Pipe(t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"))
+        .mapRows(outSchema) { r =>
+          Row(r.getAs[Long]("c_custkey"),
+            r.getAs[String]("c_name").toUpperCase,
+            math.round(r.getAs[Double]("c_acctbal") * 100))
+        }.df
+    },
+
+    // partitioned parquet write → partition-pruned read-back
+    "q_partitioned_write" -> { (s, dir) =>
+      val out = s"/tmp/graft_part_${math.abs(dir.hashCode)}"
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_returnflag") === "R") // prunes to one partition dir
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag").cast(StringType).as("l_returnflag"))
+    },
+
     // sketch aggregation: HLL++ approximate distinct (driver rows-only
     // check; exactness asserted against countDistinct in tests/bench)
     "q_agg_sketch" -> { (s, dir) =>
@@ -642,6 +711,20 @@ object SparkEntry {
         |GROUP BY n_name""".stripMargin,
     "q_window_rank" ->
       "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3",
+    "q_join_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q_join_left_outer" ->
+      "SELECT c_custkey, o_orderkey FROM customer LEFT JOIN orders ON c_custkey = o_custkey",
+    "q_cube" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+    "q_date_functions" ->
+      "SELECT o_orderkey, year(o_orderdate) AS o_year, month(o_orderdate) AS o_month, dayofmonth(o_orderdate) AS o_day, strftime(o_orderdate, '%Y-%m') AS o_ym FROM orders",
+    "q_string_funcs" ->
+      "SELECT c_custkey, upper(c_name) AS name_u, substr(c_name, 1, 8) AS name_pfx, length(c_name) AS name_len, replace(c_name, 'Customer', 'C') AS name_short, c_mktsegment || '-' || cast(c_nationkey AS varchar) AS seg_nation FROM customer",
+    "q_map_rows" ->
+      "SELECT c_custkey, upper(c_name) AS name_u, cast(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer",
+    "q_partitioned_write" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R'",
     "q_rollup" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n, cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
     "q_distinct" ->

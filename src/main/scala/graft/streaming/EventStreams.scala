@@ -92,6 +92,15 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
 
+  /** Streaming exactly-once dedup: drop re-deliveries of the same
+    * event id arriving within the watermark horizon (state is evicted
+    * once the watermark passes — bounded memory, unlike a plain
+    * streaming dropDuplicates). The at-scale answer to at-least-once
+    * ingestion feeding a training pipeline. */
+  def dedupStream(events: DataFrame, keyCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCol)
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp,
                       user_id: Long, value: Double)
   final case class SessionAcc(start: Long, last: Long, n: Long, sum: Double)

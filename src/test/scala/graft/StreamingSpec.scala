@@ -78,6 +78,24 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.dedupStream(stream, "event_id")
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    try {
+      mem.addData(eventRows ++ eventRows) // every event delivered twice
+      q.processAllAvailable()
+      mem.addData(eventRows.take(1))      // and a third time for one
+      q.processAllAvailable()
+      val got = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == eventRows.map(_._1).sorted)
+    } finally q.stop()
+  }
+
   test("batch sessionization ground truth") {
     val sessions = EventStreams.sessionizeBatch(eventsDf, gapSec = 1800)
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
