@@ -622,6 +622,15 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("quality"))
     },
 
+    // context-window chunking: token windows of 64 with 16 overlap
+    "q_text_chunks" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.chunks(col("text"), 64, 16)).as("c"))
+        .select(col("doc_id"), col("c.chunk_start").as("chunk_start"),
+          col("c.chunk_text").as("chunk_text"))
+    },
+
     "q_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -803,6 +812,14 @@ object SparkEntry {
         |dedup AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text))
         |SELECT d.source, count(*) AS n_docs, cast(sum(d.n_tokens_i) AS BIGINT) AS total_tokens
         |FROM dedup JOIN scored d USING (doc_id) GROUP BY d.source""".stripMargin,
+    "q_text_chunks" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
+        |starts AS (
+        | SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 16, 1), 48)) AS chunk_start FROM toks)
+        |SELECT doc_id, cast(chunk_start AS INTEGER) AS chunk_start,
+        | array_to_string(list_slice(tk, chunk_start + 1, chunk_start + 64), ' ') AS chunk_text
+        |FROM starts""".stripMargin,
     "q_lang_id" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS tk FROM documents),

@@ -63,6 +63,24 @@ object TextFunctions {
   def langId(text: Column): Column =
     graft.plans.native.langId(tokens(lower(text)))
 
+  /** Chunk a document into token windows of `size` with `overlap`
+    * tokens shared between consecutive chunks (context-window prep for
+    * training pipelines). Emits an array of (chunk_start, chunk_text)
+    * structs — explode downstream. Chunk starts are 0, step, 2·step, …
+    * with step = size − overlap; every document yields ≥ 1 chunk. */
+  def chunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need chunkSize > 0 and 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = tokens(text)
+    val lastStart = greatest(size(toks) - overlap, lit(1)) - 1
+    transform(
+      sequence(lit(0), lastStart, lit(step)),
+      start => struct(
+        start.as("chunk_start"),
+        concat_ws(" ", slice(toks, start + 1, lit(chunkSize))).as("chunk_text")))
+  }
+
   /** Total characters across tokens (= text length minus whitespace). */
   def tokenChars(text: Column): Column =
     aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))

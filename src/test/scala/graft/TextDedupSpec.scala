@@ -50,6 +50,24 @@ class TextDedupSpec extends GraftSpec {
     assert(r(7L) == 0.0)
   }
 
+  test("chunks: windowed token chunks with overlap, short docs yield one chunk") {
+    val r = docs.select(col("doc_id"),
+      explode(TextFunctions.chunks(col("text"), 10, 2)).as("c"))
+      .select(col("doc_id"), col("c.chunk_start"), col("c.chunk_text"))
+      .collect().groupBy(_.getLong(0))
+    // doc 0 has 14 tokens → starts 0, 8 (step = 10 - 2)
+    assert(r(0L).map(_.getInt(1)).sorted.toSeq == Seq(0, 8))
+    val chunk0 = r(0L).find(_.getInt(1) == 0).get.getString(2)
+    assert(chunk0.split(" ").length == 10)
+    val chunk8 = r(0L).find(_.getInt(1) == 8).get.getString(2)
+    assert(chunk8.split(" ").length == 6) // tail chunk, tokens 9..14
+    // overlap: last 2 tokens of chunk0 = first 2 of chunk8
+    assert(chunk0.split(" ").takeRight(2).toSeq == chunk8.split(" ").take(2).toSeq)
+    // single-token and empty docs yield exactly one chunk
+    assert(r(6L).length == 1 && r(6L).head.getString(2) == "short")
+    assert(r(7L).length == 1 && r(7L).head.getString(2) == "")
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val out = Dedup.exact(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
