@@ -42,6 +42,15 @@ class MultimodalSpec extends GraftSpec {
     assert(out.filter(col("media.byte_len") <= 0).count() == 0)
   }
 
+  test("frameSampleStub takes every stride-th 256-byte window") {
+    val bytes = Array.tabulate[Byte](1024)(i => (i % 127).toByte)
+    val frames = Multimodal.frameSampleStub(bytes, stride = 2)
+    assert(frames.length == 2) // windows 0 and 2 of 4
+    assert(frames.head.length == 256)
+    assert(frames.head.sameElements(bytes.slice(0, 256)))
+    assert(frames(1).sameElements(bytes.slice(512, 768)))
+  }
+
   test("resized replaces payload with a deterministic stub transform") {
     val out = Multimodal.resized(media.filter(col("media_id") === 2L),
       "payload", w = 64, h = 64)
