@@ -72,6 +72,23 @@ object SparkEntry {
         .read(s)
     },
 
+    // §2.1 ExpectHeader: header verified (position + find-by-name)
+    "q_csv_expect_header" -> { (s, dir) =>
+      val out = s"/tmp/graft_csv_${math.abs(dir.hashCode)}" // reuse roundtrip output
+      Pipe(t(s, dir, "region"))
+        .toCsv(out, Seq("r_regionkey", "r_name"), singleFile = true)
+      CsvSource.fromFile(out)
+        .expectHeader(Map("r_regionkey" -> 0, "r_name" -> -1))
+        .read(s)
+    },
+
+    // §2.11 typed Filter (arbitrary-Scala predicate over the row)
+    "q_filter_typed" -> { (s, dir) =>
+      Pipe(t(s, dir, "customer"))
+        .filterRows(r => r.getAs[String]("c_mktsegment") == "BUILDING")
+        .selectColumns("c_custkey", "c_name", "c_mktsegment").df
+    },
+
     // §2.2 ToJSON: JSONL sink → read-back round-trip
     "q_jsonl_roundtrip" -> { (s, dir) =>
       val out = s"/tmp/graft_jsonl_${math.abs(dir.hashCode)}"
@@ -335,6 +352,10 @@ object SparkEntry {
       "SELECT * FROM (VALUES ('a','1'),('b','2'),('c','3')) AS t(k, v)",
     "q_csv_headerless" ->
       "SELECT cast(r_regionkey AS varchar) AS r_regionkey, r_name FROM region",
+    "q_csv_expect_header" ->
+      "SELECT cast(r_regionkey AS varchar) AS r_regionkey, r_name FROM region",
+    "q_filter_typed" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
     "q_jsonl_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
     "q_index_persist" ->
