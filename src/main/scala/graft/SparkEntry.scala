@@ -643,6 +643,26 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("quality"))
     },
 
+    // deterministic stratified sampling: 10 customers per segment by
+    // md5 order (reproducible across engines/partitionings — the
+    // pipeline-grade replacement for rand()-based sampling)
+    "q_sample_stratified" -> { (s, dir) =>
+      graft.operators.Sampling.deterministicSample(
+        t(s, dir, "customer"), Seq("c_mktsegment"), "c_custkey", 10)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    },
+
+    // token-budget sequence packing: documents into ≤4096-token batches
+    // per source (exclusive-prefix-sum // budget)
+    "q_token_packing" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.packByBudget(
+        docs, "source", "doc_id", "n_tokens", 4096L)
+        .select("doc_id", "source", "n_tokens", "batch_id")
+    },
+
     // context-window chunking: token windows of 64 with 16 overlap
     "q_text_chunks" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -833,6 +853,16 @@ object SparkEntry {
         |dedup AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text))
         |SELECT d.source, count(*) AS n_docs, cast(sum(d.n_tokens_i) AS BIGINT) AS total_tokens
         |FROM dedup JOIN scored d USING (doc_id) GROUP BY d.source""".stripMargin,
+    "q_sample_stratified" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY md5(cast(c_custkey AS varchar)) ASC, c_custkey ASC) AS rn FROM customer) WHERE rn <= 10",
+    "q_token_packing" ->
+      """WITH docs AS (
+        | SELECT doc_id, source,
+        |  cast(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        | cast(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS batch_id
+        |FROM docs""".stripMargin,
     "q_text_chunks" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
