@@ -98,8 +98,9 @@ object EventStreams {
     * streaming dropDuplicates). The at-scale answer to at-least-once
     * ingestion feeding a training pipeline. */
   def dedupStream(events: DataFrame, keyCol: String,
-                  watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCol)
+                  watermark: String = "1 hour",
+                  tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCol)
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp,
                       user_id: Long, value: Double)

@@ -18,19 +18,34 @@ class SamplingSpec extends GraftSpec {
     assert(a.size == 30) // 10 names × 3
   }
 
-  test("packByBudget: batch sums stay within budget; oversized items isolated") {
+  test("packByBudget: cumulative-weight banding semantics (documented approximation)") {
     val items = Seq(
-      ("s1", 1L, 100L), ("s1", 2L, 200L), ("s1", 3L, 250L), // 100+200 ≤ 400, 250 next
-      ("s1", 4L, 900L),                                      // oversized → own batch
+      ("s1", 1L, 100L), ("s1", 2L, 200L), ("s1", 3L, 250L),
+      ("s1", 4L, 900L), // heavier than budget
       ("s1", 5L, 50L),
       ("s2", 1L, 400L), ("s2", 2L, 400L)
     ).toDF("source", "doc_id", "n_tokens")
     val packed = Sampling.packByBudget(items, "source", "doc_id", "n_tokens", 400L)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("batch_id")).toMap
-    assert(packed(("s1", 1L)) == 0 && packed(("s1", 2L)) == 0)
-    assert(packed(("s1", 3L)) == 0)   // prefix 300 < 400 → still batch 0 (greedy approx)
-    assert(packed(("s1", 4L)) == 1)   // prefix 550 // 400 = 1
-    assert(packed(("s1", 5L)) == 3)   // prefix 1450 // 400 = 3 — oversized item isolated
+    // banding: batch_id = exclusive prefix sum div 400
+    assert(packed(("s1", 1L)) == 0) // prefix 0
+    assert(packed(("s1", 2L)) == 0) // prefix 100
+    assert(packed(("s1", 3L)) == 0) // prefix 300 — batch 0 total 550 > 400: documented overshoot
+    assert(packed(("s1", 4L)) == 1) // prefix 550
+    assert(packed(("s1", 5L)) == 3) // prefix 1450 — heavy item forces the documented gap
     assert(packed(("s2", 1L)) == 0 && packed(("s2", 2L)) == 1)
+    // ids increase with order within each group
+    assert(packed(("s1", 4L)) >= packed(("s1", 3L)))
+  }
+
+  test("packByBudget and deterministicSample reject misuse") {
+    val items = Seq(("s", 1L, 1L)).toDF("source", "doc_id", "n_tokens")
+    intercept[IllegalArgumentException] {
+      Sampling.packByBudget(items, "source", "doc_id", "n_tokens", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSample(
+        items.withColumn("__graft_rn", lit(1)), Seq("source"), "doc_id", 1)
+    }
   }
 }
