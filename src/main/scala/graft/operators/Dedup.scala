@@ -88,11 +88,11 @@ object Dedup {
 
     // skew guard: drop degenerate buckets before the self-join
     val sized = buckets
-      .withColumn("bsz",
+      .withColumn("__graft_bsz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
+      .filter(col("__graft_bsz") <= maxBucketSize)
+      .drop("__graft_bsz")
 
     val a = sized.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))

@@ -112,6 +112,8 @@ final class Index private[operators] (
     * ordering, which covers "keep newest / max-priority" etc.).
     */
   def resolveDuplicatesBy(order: Column*): Index = {
+    require(!df.columns.contains("__rn"),
+      "input already has a column named __rn")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyColumns: _*).orderBy(order: _*)
     val resolved = df

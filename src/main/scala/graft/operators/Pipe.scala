@@ -123,6 +123,8 @@ final case class Pipe(df: DataFrame, order: Seq[Column] = Nil) {
   def dropWhile(pred: Column): Pipe = prefixSplit(pred, keepPrefix = false)
 
   private def prefixSplit(pred: Column, keepPrefix: Boolean): Pipe = {
+    require(!df.columns.contains("__cut"),
+      "input already has a column named __cut")
     val key = struct(ordered: _*)
     val cutoff = df.agg(min(when(!pred, key)).as("__cut"))
     val joined = df.crossJoin(broadcast(cutoff))
@@ -161,6 +163,8 @@ final case class Pipe(df: DataFrame, order: Seq[Column] = Nil) {
     * for the pathological tail. */
   def joinSalted(index: Index, saltFactor: Int, probeCols: String*): Pipe = {
     require(saltFactor > 1, "saltFactor must be > 1")
+    require(!df.columns.contains("__salt") && !index.df.columns.contains("__salt"),
+      "input already has a column named __salt")
     val pairs = index.probeKeyPairs(probeCols, "Join")
     val salted = index.df.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
