@@ -28,6 +28,31 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.plans.native.cosineSim(a, b)
 
+  /** L2-normalize a vector to unit length (zero vectors pass through
+    * unchanged). After normalization, cosine reduces to a dot product —
+    * normalize once at ingest, search many times. */
+  def l2Normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n > 0d, transform(v, x => x.cast("double") / n)).otherwise(
+      transform(v, x => x.cast("double")))
+  }
+
+  /** Symmetric int8 quantization for embedding storage: scale by
+    * 127/max|x| and round — an 8× storage/shuffle reduction with the
+    * scale kept alongside for dequantization. Returns
+    * struct(codes: array<int> in [-127,127], scale: double). */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = aggregate(v, lit(0d), (m, x) => greatest(m, abs(x.cast("double"))))
+    val scale = when(maxAbs > 0d, maxAbs / lit(127d)).otherwise(lit(1d))
+    struct(
+      transform(v, x => round(x.cast("double") / scale).cast("int")).as("codes"),
+      scale.as("scale"))
+  }
+
+  /** Dequantize int8 codes back to doubles. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
   /** Exact brute-force top-k: every probe against every vector, ranked
     * by cosine (desc, id asc tie-break). Probes must be small (they are
     * broadcast); the data side streams. O(N·P·dim) — the correctness

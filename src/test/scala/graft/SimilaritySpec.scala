@@ -54,6 +54,19 @@ class SimilaritySpec extends GraftSpec {
     assert(cosines.sameElements(cosines.sorted.reverse))
   }
 
+  test("l2Normalize yields unit vectors; quantize/dequantize round-trips within 1%") {
+    val v = vecs.filter(col("vec_id") === 0L)
+    val n = v.select(Similarity.norm(Similarity.l2Normalize(col("embedding"))).as("n"))
+      .head().getDouble(0)
+    assert(math.abs(n - 1.0) < 1e-9)
+    val rt = v.select(
+      col("embedding"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("deq"))
+      .select(Similarity.cosine(col("embedding"), col("deq")).as("c"))
+      .head().getDouble(0)
+    assert(rt > 0.99, s"dequantized cosine $rt should be ≈1")
+  }
+
   test("IVF search recalls most of the brute-force top-k (clustered data)") {
     val probes = vecs.filter(col("vec_id").isin(0L, 1L, 2L))
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
