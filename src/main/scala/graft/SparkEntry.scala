@@ -62,6 +62,17 @@ object SparkEntry {
       CsvSource.fromStrings(s, csv, ',')
     },
 
+    // §2.12 error/ordering currency: exact physical line numbers
+    // (file order fixed by a sorted single-partition write)
+    "q_csv_numbered" -> { (s, dir) =>
+      val out = s"/tmp/graft_csvnum_${math.abs(dir.hashCode)}"
+      t(s, dir, "region")
+        .select(col("r_regionkey").cast(StringType), col("r_name"))
+        .repartition(1).sortWithinPartitions(col("r_regionkey").cast("int"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      CsvSource.readNumbered(s, out)
+    },
+
     // §2.1 AssumeHeader: headerless CSV with caller-declared layout
     "q_csv_headerless" -> { (s, dir) =>
       val out = s"/tmp/graft_csvnh_${math.abs(dir.hashCode)}"
@@ -352,6 +363,8 @@ object SparkEntry {
       "SELECT * FROM (VALUES ('a','1'),('b','2'),('c','3')) AS t(k, v)",
     "q_csv_headerless" ->
       "SELECT cast(r_regionkey AS varchar) AS r_regionkey, r_name FROM region",
+    "q_csv_numbered" ->
+      "SELECT cast(r_regionkey AS varchar) AS r_regionkey, r_name, 1 + row_number() OVER (ORDER BY r_regionkey) AS _lineno FROM region",
     "q_csv_expect_header" ->
       "SELECT cast(r_regionkey AS varchar) AS r_regionkey, r_name FROM region",
     "q_filter_typed" ->

@@ -218,6 +218,43 @@ object CsvSource {
   /** Reference `FromFile` (csvplus.go:949-960). */
   def fromFile(name: String): CsvSource = CsvSource(name)
 
+  /** Read a CSV with an exact, 1-based physical line number column
+    * (`_lineno`) — the reference's error/ordering currency
+    * (DataSourceError.Line counts physical lines, header = line 1;
+    * csvplus.go:1102-1137). This realizes SURVEY §7.4's `_rowpos` plan:
+    * a text scan + `zipWithIndex` (one extra distributed pass, indices
+    * follow file order), then per-line `from_csv` parsing — so
+    * order-dependent Pipe ops (`orderBy(col("_lineno"))`) reproduce the
+    * reference's single-threaded file order exactly, and per-row
+    * validation errors can carry `row N:` line numbers.
+    * Single-path scope: no header modes/projection here — compose with
+    * the main builder when those are needed. */
+  def readNumbered(spark: SparkSession, path: String,
+                   delimiter: Char = ','): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val numbered = spark.sparkContext.textFile(path)
+      .zipWithIndex()
+      .map { case (line, i) => Row(line, i + 1L) } // 1-based, header = 1
+    val linesDf = spark.createDataFrame(numbered, StructType(Seq(
+      StructField("_line", StringType), StructField("_lineno", LongType))))
+    val names = {
+      val head = linesDf.filter(col("_lineno") === 1L).collect()
+      if (head.isEmpty) throw new DataSourceException(1, "empty header")
+      head.head.getString(0).split(delimiter).toSeq
+    }
+    if (names.isEmpty || names.forall(_.trim.isEmpty))
+      throw new DataSourceException(1, "empty header")
+    val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+    val parsed = linesDf
+      .filter(col("_lineno") > 1L)
+      .withColumn("_parsed", from_csv(col("_line"),
+        schema, Map("sep" -> delimiter.toString, "emptyValue" -> "")))
+    parsed.select(
+      names.map(n => coalesce(col(s"_parsed.$n"), lit("")).as(n)) :+
+        col("_lineno"): _*)
+  }
+
   /** Reference `FromReader`/`FromReadCloser` (csvplus.go:935-947): CSV
     * from an already-in-memory byte stream. Spark-native form: parse a
     * `Dataset[String]` of lines with the csv datasource. Header = first

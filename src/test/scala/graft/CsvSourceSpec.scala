@@ -112,6 +112,29 @@ class CsvSourceSpec extends GraftSpec {
     assert(e.line == 1)
   }
 
+  test("readNumbered: exact 1-based physical line numbers, file order reproducible") {
+    val f = tmpCsv("id,name\nr2,Ann\nr3,Bob\nr4,Cey\n")
+    val df = CsvSource.readNumbered(spark, f)
+    assert(df.columns.toSeq == Seq("id", "name", "_lineno"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows == Map("r2" -> 2L, "r3" -> 3L, "r4" -> 4L)) // header = line 1
+    // order-dependent ops over true file order via _lineno
+    val prefix = graft.operators.Pipe(df)
+      .orderBy(org.apache.spark.sql.functions.col("_lineno"))
+      .takeWhile(org.apache.spark.sql.functions.col("id") =!= "r4")
+      .df.collect().map(_.getString(0)).toSeq
+    assert(prefix == Seq("r2", "r3"))
+    // per-row validation can carry reference-style row numbers
+    val e = intercept[Exception] {
+      graft.operators.Pipe(df)
+        .validate(org.apache.spark.sql.functions.col("id") =!= "r3",
+          org.apache.spark.sql.functions.format_string(
+            "row %s: forbidden id", org.apache.spark.sql.functions.col("_lineno")))
+        .df.count()
+    }
+    assert(e.getMessage.contains("row 3: forbidden id"))
+  }
+
   test("CSV write → read round-trip preserves all values (csvplus_test.go:172-196)") {
     val dir = Files.createTempDirectory("graft_rt").toString + "/out"
     Pipe(people).toCsv(dir, Seq("id", "name", "surname", "born"), singleFile = true)
