@@ -241,7 +241,10 @@ object CsvSource {
     val names = {
       val head = linesDf.filter(col("_lineno") === 1L).collect()
       if (head.isEmpty) throw new DataSourceException(1, "empty header")
-      head.head.getString(0).split(delimiter).toSeq
+      // quote: String.split takes a REGEX — a '|' or '.' delimiter
+      // would otherwise split on everything
+      head.head.getString(0)
+        .split(java.util.regex.Pattern.quote(delimiter.toString)).toSeq
     }
     if (names.isEmpty || names.forall(_.trim.isEmpty))
       throw new DataSourceException(1, "empty header")

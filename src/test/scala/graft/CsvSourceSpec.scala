@@ -135,6 +135,13 @@ class CsvSourceSpec extends GraftSpec {
     assert(e.getMessage.contains("row 3: forbidden id"))
   }
 
+  test("readNumbered handles regex-special delimiters") {
+    val f = tmpCsv("id|name\n1|Ann\n")
+    val df = CsvSource.readNumbered(spark, f, delimiter = '|')
+    assert(df.columns.toSeq == Seq("id", "name", "_lineno"))
+    assert(df.collect().head.toSeq == Seq("1", "Ann", 2L))
+  }
+
   test("CSV write → read round-trip preserves all values (csvplus_test.go:172-196)") {
     val dir = Files.createTempDirectory("graft_rt").toString + "/out"
     Pipe(people).toCsv(dir, Seq("id", "name", "surname", "born"), singleFile = true)
