@@ -55,6 +55,22 @@ class OrderOpsSpec extends GraftSpec {
     assert(sortedPeople.dropWhile(lit(true)).df.count() == 0)
   }
 
+  test("takeWhile/dropWhile partition the stream for arbitrary predicates (property)") {
+    // for any predicate p: takeWhile(p) ⊎ dropWhile(p) == input, disjoint
+    val preds = Seq(
+      col("name") =!= "Emily",
+      col("born").cast("int") < 1950,           // violated early and often
+      col("surname") > "A",                     // never violated → take all
+      col("name") === "NOBODY",                 // violated immediately → drop all
+      col("born").cast("int") % 2 === 0)        // oscillating
+    preds.foreach { p =>
+      val taken = sortedPeople.takeWhile(p).df.collect().map(_.toSeq).toSeq
+      val dropped = sortedPeople.dropWhile(p).df.collect().map(_.toSeq).toSeq
+      assert(taken.size + dropped.size == 120, s"partition for $p")
+      assert(taken.toSet.intersect(dropped.toSet).isEmpty, s"disjoint for $p")
+    }
+  }
+
   test("order-dependent ops without a declared order fail fast") {
     intercept[IllegalArgumentException] { Pipe(people).top(5) }
     intercept[IllegalArgumentException] { Pipe(people).takeWhile(lit(true)) }
