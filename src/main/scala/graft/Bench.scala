@@ -35,7 +35,14 @@ object Bench {
     // measure the engine, not classloading.
     try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
 
-    val entrySec = time(try force(SparkEntry.entry(spark)) catch { case _: Throwable => () })
+    var entryFailed = false
+    val entryMeasured = time(
+      try force(SparkEntry.entry(spark))
+      catch { case e: Throwable =>
+        entryFailed = true
+        System.err.println(s"[bench] entry failed: ${e.getMessage}")
+      })
+    val entrySec = if (entryFailed) -1.0 else entryMeasured
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -68,10 +75,14 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    // failed queries carry a -1 sentinel: exclude them from the total
+    // (a failure must not make the suite look FASTER) and report the
+    // count explicitly so the harness can flag it
+    val failedCount = results.count(_._2 < 0)
+    val total = f"${results.map(_._2).filter(_ >= 0).sum}%.3f"
     val entry = f"$entrySec%.3f"
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"entry_sec":$entry,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedCount,"queries":$qs,"entry_sec":$entry,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

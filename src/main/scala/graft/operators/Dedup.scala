@@ -142,17 +142,28 @@ object Dedup {
     graft.plans.native.simhash64(TextFunctions.tokens(lower(text)))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
-    * via 4×16-bit band collision (any pair within Hamming ≤ 3 must
-    * agree on at least one 16-bit band by pigeonhole). */
+    * via band collision over `maxHamming + 1` bit-bands: a pair within
+    * Hamming ≤ maxHamming differs in at most maxHamming bands, so by
+    * pigeonhole it must agree exactly on at least one — candidate
+    * generation is complete for the requested radius (the default 3 →
+    * the classic 4×16-bit split). maxHamming ≤ 15 keeps every band
+    * ≥ 4 bits; beyond that the buckets degenerate and the candidate
+    * join stops pruning. */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val nBands = maxHamming + 1
     val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(col("id"), col("sig"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until nBands).map { b =>
+        val lo = b * 64 / nBands
+        val width = (b + 1) * 64 / nBands - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1L
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+          shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))

@@ -122,16 +122,51 @@ final case class Pipe(df: DataFrame, order: Seq[Column] = Nil) {
     * while pred holds, then emit everything from the first violation. */
   def dropWhile(pred: Column): Pipe = prefixSplit(pred, keepPrefix = false)
 
+  /** One declared sort key, normalized: a plain column is ascending
+    * nulls-first (Spark's `orderBy` default); `col.desc`/`asc_nulls_last`
+    * specs keep their direction and null ordering. */
+  private case class OrderSpec(key: Column, asc: Boolean, nullsFirst: Boolean)
+
+  private def orderSpecs: Seq[OrderSpec] = ordered.map { c =>
+    org.apache.spark.sql.classic.GraftShim.sortSpec(c) match {
+      case Some((key, asc, nullsFirst)) => OrderSpec(key, asc, nullsFirst)
+      case None => OrderSpec(c, asc = true, nullsFirst = true)
+    }
+  }
+
   private def prefixSplit(pred: Column, keepPrefix: Boolean): Pipe = {
-    require(!df.columns.contains("__cut"),
-      "input already has a column named __cut")
-    val key = struct(ordered: _*)
-    val cutoff = df.agg(min(when(!pred, key)).as("__cut"))
-    val joined = df.crossJoin(broadcast(cutoff))
-    val inPrefix = col("__cut").isNull || key < col("__cut")
-    val kept = if (keepPrefix) joined.filter(inPrefix)
-               else joined.filter(col("__cut").isNotNull && key >= col("__cut"))
-    copy(df = kept.drop("__cut"))
+    val specs = orderSpecs
+    val cutCols = specs.indices.map(i => s"__cut$i")
+    (cutCols :+ "__cuthas").foreach { n =>
+      require(!df.columns.contains(n), s"input already has a column named $n")
+    }
+    // Cutoff = the FIRST violating row in the DECLARED order (honors
+    // descending / null-ordering specs, which a min-over-struct would
+    // not): TakeOrderedAndProject down to one row, aggregated so the
+    // broadcast side always has exactly one row even with no violation.
+    val firstViol = df.filter(!pred).orderBy(ordered: _*).limit(1)
+      .select(specs.zipWithIndex.map { case (s, i) => s.key.as(s"__cut$i") }: _*)
+    val cut = firstViol.agg(
+      count(lit(1)).as("__cuthas"),
+      cutCols.map(n => first(col(n)).as(n)): _*)
+    val joined = df.crossJoin(broadcast(cut))
+    // row strictly-before cutoff under the declared sort spec, with
+    // Spark's sort null semantics made explicit (never evaluates null)
+    def strictlyBefore(s: OrderSpec, i: Int): Column = {
+      val k = s.key; val c = col(s"__cut$i")
+      val base = if (s.asc) k < c else k > c
+      val nullBefore = if (s.nullsFirst) k.isNull && c.isNotNull
+                       else c.isNull && k.isNotNull
+      nullBefore || (base && k.isNotNull && c.isNotNull)
+    }
+    val before = specs.zipWithIndex.foldRight(lit(false)) {
+      case ((s, i), rest) =>
+        strictlyBefore(s, i) || ((s.key <=> col(s"__cut$i")) && rest)
+    }
+    val noViolation = col("__cuthas") === 0
+    val kept = if (keepPrefix) joined.filter(noViolation || before)
+               else joined.filter(!noViolation && !before)
+    copy(df = kept.drop("__cuthas").drop(cutCols: _*))
   }
 
   // ─── set ops / joins ──────────────────────────────────────────────

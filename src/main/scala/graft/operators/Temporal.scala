@@ -32,6 +32,12 @@ object Temporal {
       leftTime: String, rightTime: String,
       rightCols: Map[String, String]): DataFrame = {
 
+    Seq("__k", "__t", "__side", "__r", "__c").foreach { n =>
+      require(!left.columns.contains(n),
+        s"left input already has a column named $n")
+      require(!rightCols.values.exists(_ == n),
+        s"right output column may not be named $n")
+    }
     val leftOut = left.columns.toSeq
     // unified layout: key, t, side (0=right sorts first on ties), left
     // payload (null on right rows), and the right payload as ONE struct

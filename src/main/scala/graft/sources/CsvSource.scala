@@ -125,12 +125,21 @@ final case class CsvSource(
     * header resolution/verification — one tiny bounded read, never the
     * whole file). */
   private def firstLineFields(spark: SparkSession): Seq[String] = {
+    // Deterministic "line 1": a text scan streamed partition-by-partition
+    // in file order (only the first partition is ever computed), NOT
+    // `.csv(path).limit(1)` — limit without ordering may surface an
+    // arbitrary row of an arbitrary part-file on multi-part directories.
+    // Comment/blank lines are skipped exactly as the csv parser would.
+    val lines = spark.sparkContext.textFile(path).toLocalIterator
+    val firstLine = lines.find { l =>
+      l.nonEmpty && comment.forall(c => !l.startsWith(c.toString))
+    }.getOrElse(throw new DataSourceException(1, "empty header"))
+    import spark.implicits._
     val head = spark.read
       .options(baseOptions)
       .option("header", "false")
       .option("mode", "PERMISSIVE")
-      .csv(path)
-      .limit(1)
+      .csv(spark.createDataset(Seq(firstLine)))
       .collect()
     if (head.isEmpty) throw new DataSourceException(1, "empty header")
     head.head.toSeq.map(v => if (v == null) "" else v.toString)

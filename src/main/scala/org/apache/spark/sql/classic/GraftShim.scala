@@ -12,4 +12,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Decompose a sort-spec Column (`col.desc`, `asc_nulls_last`, …) into
+    * (key, isAscending, nullsFirst); None for a plain column. The
+    * `internal.SortOrder` ColumnNode is private[sql], hence shimmed. */
+  def sortSpec(c: Column): Option[(Column, Boolean, Boolean)] = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      Some((new Column(so.child),
+        so.sortDirection == org.apache.spark.sql.internal.SortOrder.Ascending,
+        so.nullOrdering == org.apache.spark.sql.internal.SortOrder.NullsFirst))
+    case _ => None
+  }
 }

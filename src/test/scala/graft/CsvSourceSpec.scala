@@ -168,6 +168,29 @@ class CsvSourceSpec extends GraftSpec {
     assert(e.getMessage == "empty column list in ToCsv() function")
   }
 
+  test("multi-part directory: header verification reads the real first line") {
+    // two part files, shared header — ExpectHeader/NumFields pre-flight
+    // must see a header line deterministically, never a data row of an
+    // arbitrary part (the old .limit(1) could surface either)
+    val dir = Files.createTempDirectory("graft_csv_parts")
+    Files.writeString(dir.resolve("part-00000.csv"), "id,name\n1,Ann\n")
+    Files.writeString(dir.resolve("part-00001.csv"), "id,name\n2,Bob\n")
+    val rows = CsvSource.fromFile(dir.toString)
+      .expectHeader(Map("id" -> 0, "name" -> 1))
+      .numFields(2)
+      .read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set("1" -> "Ann", "2" -> "Bob"))
+  }
+
+  test("header detection skips comment and blank lines like the parser") {
+    val f = tmpCsv("# leading comment\n\nid,name\n1,Ann\n")
+    val got = CsvSource.fromFile(f).commentChar('#')
+      .expectHeader(Map("id" -> 0, "name" -> -1))
+      .read(spark).collect()
+    assert(got.length == 1 && got.head.getString(1) == "Ann")
+  }
+
   test("JSON array sink writes a single parseable array of objects") {
     val f = Files.createTempFile("graft_json", ".json").toString
     Pipe(stock).toJsonArrayFile(f)

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{Index, Pipe}
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Order-dependent prefix operators over a declared order — the
@@ -74,5 +75,57 @@ class OrderOpsSpec extends GraftSpec {
   test("order-dependent ops without a declared order fail fast") {
     intercept[IllegalArgumentException] { Pipe(people).top(5) }
     intercept[IllegalArgumentException] { Pipe(people).takeWhile(lit(true)) }
+  }
+
+  private def descPeople = Pipe(people)
+    .orderBy(col("name").desc, col("surname").desc)
+
+  test("takeWhile honors a DESCENDING declared order") {
+    // names desc: Olivia, Oliver, Jacob, Jack, ... → prefix before the
+    // first Jacob = 12 Olivias + 12 Olivers
+    val got = descPeople.takeWhile(col("name") =!= "Jacob").df.collect()
+    assert(got.length == 24)
+    assert(got.map(_.getAs[String]("name")).toSet == Set("Olivia", "Oliver"))
+  }
+
+  test("dropWhile under descending order starts at the first violation") {
+    val got = descPeople.dropWhile(col("name") =!= "Jacob").df
+    assert(got.count() == 120 - 24)
+    val first = descPeople.dropWhile(col("name") =!= "Jacob").top(12).df.collect()
+    assert(first.forall(_.getAs[String]("name") == "Jacob"))
+  }
+
+  test("takeWhile agrees with top/drop for mixed asc/desc orders (property)") {
+    // mixed spec: name desc, surname asc — same order fed to top() (which
+    // uses df.orderBy directly) must yield the same prefix as takeWhile
+    val mixed = Pipe(people).orderBy(col("name").desc, col("surname"))
+    val preds = Seq(
+      col("name") =!= "Jack",
+      col("surname") =!= "Lewis",
+      col("born").cast("int") % 2 === 0)
+    preds.foreach { p =>
+      val taken = mixed.takeWhile(p).df.collect().map(_.toSeq).toSeq
+      val dropped = mixed.dropWhile(p).df.collect().map(_.toSeq).toSeq
+      assert(taken.size + dropped.size == 120, s"partition for $p")
+      assert(taken.toSet.intersect(dropped.toSet).isEmpty, s"disjoint for $p")
+      // prefix length k ⇒ takeWhile == top(k) row set under the same order
+      val topK = mixed.top(taken.size).df.collect().map(_.toSeq).toSet
+      assert(taken.toSet == topK, s"takeWhile == top(k) for $p")
+    }
+  }
+
+  test("takeWhile sorts nulls per the declared null ordering") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val spark = SparkTestSession.spark
+    val rows = Seq(Row("a", "1"), Row(null, "2"), Row("b", "3"), Row(null, "4"))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("k", StringType), StructField("v", StringType))))
+    // asc default = nulls FIRST: prefix while k is null = the two null rows
+    val asc = Pipe(df).orderBy(col("k"), col("v")).takeWhile(col("k").isNull)
+    assert(asc.df.collect().map(_.getAs[String]("v")).sorted.toSeq == Seq("2", "4"))
+    // desc default = nulls LAST: prefix while k not null = a/b rows
+    val desc = Pipe(df).orderBy(col("k").desc, col("v")).takeWhile(col("k").isNotNull)
+    assert(desc.df.collect().map(_.getAs[String]("v")).sorted.toSeq == Seq("1", "3"))
   }
 }

@@ -41,6 +41,18 @@ class TemporalSpec extends GraftSpec {
     assert(picks.distinct.size == 1 && picks.head == 12L)
   }
 
+  test("internal temp-column collisions are rejected up front") {
+    val clash = trades.withColumnRenamed("t", "__t")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(clash, quotes, "sym", "sym", "__t", "qt",
+        Map("quote_id" -> "quote_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(trades, quotes, "sym", "sym", "t", "qt",
+        Map("quote_id" -> "__c"))
+    }
+  }
+
   test("all attached columns come from the same right row") {
     val out = Temporal.asofJoin(trades, quotes, "sym", "sym", "t", "qt",
       Map("quote_id" -> "quote_id", "qt" -> "quote_time"))

@@ -104,4 +104,25 @@ class TextDedupSpec extends GraftSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((0L, 3L)))
   }
+
+  test("simhashNearDups banding stays complete for any maxHamming (recall vs exact)") {
+    // ground truth: all pairs within Hamming d of each other, computed
+    // exactly on the driver — banded candidate generation must find ALL
+    // of them (pigeonhole over maxHamming+1 bands), for radii beyond the
+    // old fixed 4-band split's guarantee of 3
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (d <- Seq(4, 8, 15)) {
+      val expected = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= d
+      } yield (a, b)).toSet
+      val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = d)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(got == expected, s"maxHamming=$d")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 16)
+    }
+  }
 }
