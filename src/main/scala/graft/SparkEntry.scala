@@ -450,21 +450,28 @@ object SparkEntry {
             count(lit(1)).cast("double")).as("avg_qty"))
     },
 
-    // star-schema revenue per nation (two broadcast dims + fact agg)
+    // star-schema revenue per nation (two broadcast dims + fact agg).
+    // The fact side is PRE-AGGREGATED to one row per order before the
+    // join: the orderkey shuffle shrinks 4×, the join carries (key,
+    // decimal) instead of wide lineitem rows, and n_orders becomes a
+    // plain count — no countDistinct Expand. Decimal partial sums
+    // re-summed per nation are exactly the flat decimal sum.
     "q_agg_revenue_nation" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders")
       val cust = t(s, dir, "customer")
       val nat = t(s, dir, "nation")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val revByOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("__rev"))
+      revByOrder.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("__rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
     },
 
     // window functions: top-3 orders per customer by totalprice

@@ -124,44 +124,64 @@ object Similarity {
     * centroid. At scale the assignment table would be written bucketed
     * by centroid id so probes only read their shortlist partitions.
     *
+    * Centroids live on the DRIVER between rounds (k × dim doubles —
+    * tiny by construction, the standard k-means layout, same as Spark
+    * MLlib): each Lloyd round is then ONE distributed pass where the
+    * nearest-centroid argmax is a broadcast-literal codegen'd
+    * expression over the vectors — no per-round shuffle of the (wide)
+    * vector table, no lineage growth across rounds. Only the k × dim
+    * per-dimension means ever travel to the driver.
+    *
     * @return (assignments: id, vec, centroid_id; centroids: centroid_id, cvec)
     */
   def ivfIndex(
       data: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+    require(nCentroids >= 2, "nCentroids must be >= 2")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val spark = data.sparkSession
     val d = data.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // deterministic seed: the nCentroids lowest-id vectors
-    var centroids = d.orderBy(col("id")).limit(nCentroids)
-      .select(row_number().over(Window.orderBy(col("id"))).as("centroid_id"), col("v").as("cvec"))
+    var centroids: IndexedSeq[(Int, Seq[Double])] =
+      d.orderBy(col("id")).limit(nCentroids).collect().toIndexedSeq
+        .zipWithIndex.map { case (r, i) => (i + 1, r.getSeq[Double](1)) }
 
-    def assign(points: DataFrame, cents: DataFrame): DataFrame = {
-      // argmin by aggregation (max_by), not a window: one partial+final
-      // hash agg instead of a full sort per partition — matters when
-      // "points" is the 100 TB side
-      val scored = points.crossJoin(broadcast(cents))
-        .withColumn("cos", cosine(col("v"), col("cvec")))
-      scored.groupBy(col("id"))
-        .agg(
-          first(col("v")).as("v"),
-          max_by(col("centroid_id"),
-            struct(col("cos"), -col("centroid_id"))).as("centroid_id"))
-        .select(col("id"), col("v"), col("centroid_id"))
+    // nearest centroid id: max cosine, ties → smallest id, evaluated as
+    // a single whole-stage-codegen projection against literal centroids
+    def nearest(cents: IndexedSeq[(Int, Seq[Double])]): Column = {
+      val scored = cents.map { case (cid, cv) =>
+        struct(cosine(col("v"), typedLit(cv)).as("c"), lit(-cid).as("nid"))
+      }
+      -greatest(scored: _*).getField("nid")
     }
+    def assign(cents: IndexedSeq[(Int, Seq[Double])]): DataFrame =
+      d.withColumn("centroid_id", nearest(cents))
 
     for (_ <- 0 until iters) {
-      val assigned = assign(d, centroids)
-      // element-wise mean per centroid: posexplode → avg → re-assemble
-      centroids = assigned
+      // per-dimension means: scalar-only shuffle (centroid_id, pos, x),
+      // k × dim rows back to the driver; empty centroids keep their
+      // previous position (standard k-means edge case)
+      val means = assign(centroids)
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("centroid_id"), transform(col("pm"), s => s.getField("m")).as("cvec"))
+        .collect()
+      val byCentroid = means.groupBy(_.getAs[Int]("centroid_id")).map {
+        case (cid, rows) =>
+          cid -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
+      }
+      centroids = centroids.map { case (cid, old) =>
+        (cid, byCentroid.getOrElse(cid, old))
+      }
     }
-    (assign(d, centroids), centroids)
+    val centDf = spark.createDataFrame(
+      java.util.Arrays.asList(centroids.map { case (cid, cv) => Row(cid, cv) }: _*),
+      StructType(Seq(StructField("centroid_id", IntegerType, nullable = false),
+        StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    (assign(centroids), centDf)
   }
 
   /** IVF search: probe → `nprobe` nearest centroids → exact cosine only
