@@ -761,6 +761,196 @@ object SparkEntry {
     }
   )
 
+  // ────────────────────────────────────────────────────────────────
+  // Round-2 widening: pivot / grouping sets / window frames / set ops /
+  // explode / range join / disc quantiles / regex + array functions,
+  // plus the training-pipeline ops (PII redaction, repetition,
+  // decontamination, domain mixing) and sliding-window streaming.
+  // ────────────────────────────────────────────────────────────────
+
+  private val round2Queries: Map[String, Q] = Map(
+    // pivot: per-user event-type counts as columns (conditional agg;
+    // one shuffle on user_id, values list fixed so the schema is static)
+    "q_pivot" -> { (s, dir) =>
+      EventStreams.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // arbitrary grouping sets (not a rollup/cube prefix): totals per
+    // returnflag AND per linestatus in one pass over the fact table
+    "q_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    },
+
+    // window frames: running decimal spend, lag/lead, sliding count
+    "q_window_frames" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val W = org.apache.spark.sql.expressions.Window
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+          .cast("double").as("run_spend"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        count(lit(1)).over(w.rowsBetween(-1, 1)).as("neighborhood"))
+    },
+
+    // full outer join: both sides keep their unmatched rows
+    "q_full_outer" -> { (s, dir) =>
+      val poor = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_name"))
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 350000)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      poor.join(big, poor("c_custkey") === big("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // set intersection (distinct semantics, like SQL INTERSECT)
+    "q_intersect" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+        .intersect(
+          c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_nationkey")))
+    },
+
+    // lateral explode with position (tokenization fan-out)
+    "q_explode" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    },
+
+    // range (interval) join: facts against a small broadcast ranges
+    // side — the scale pattern for time-bucket joins Spark can only
+    // execute as broadcast-nested-loop; the ranges side stays tiny
+    "q_range_join" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val quarters = ord
+        .select(date_trunc("quarter", col("o_orderdate")).as("q_start")).distinct()
+        .withColumn("q_end", col("q_start") + expr("INTERVAL 3 MONTHS"))
+      ord.join(broadcast(quarters),
+          col("o_orderdate") >= col("q_start") && col("o_orderdate") < col("q_end"))
+        .groupBy(col("q_start"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(date_format(col("q_start"), "yyyy-MM-dd").as("quarter"),
+          col("n"), col("total"))
+    },
+
+    // max_by / min_by with a deterministic composite key
+    "q_arg_max" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("top_name"),
+          max(col("c_acctbal")).as("top_bal"),
+          min_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("bottom_name"),
+          min(col("c_acctbal")).as("bottom_bal"))
+    },
+
+    // exact discrete quantiles by rank selection (order-statistic
+    // semantics are engine-exact, unlike interpolated percentiles)
+    "q_percentile_disc" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wn = W.partitionBy(col("o_orderpriority"))
+      def pick(q: Double) =
+        max(when(col("__rn") === ceil(lit(q) * col("__n")).cast("long"),
+          col("o_totalprice")))
+      t(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .groupBy(col("o_orderpriority"))
+        .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"),
+          max(col("__n")).as("n_orders"))
+    },
+
+    // regex scalar functions (patterns in the Java∩RE2 subset)
+    "q_regex_extract" -> { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("cust_num"),
+        col("c_name").rlike("00[0-9]$").as("low_serial"))
+    },
+
+    // array scalar functions over the embedding column
+    "q_array_funcs" -> { (s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        element_at(col("embedding"), 1).cast("double").as("first_v"),
+        element_at(col("embedding"), -1).cast("double").as("last_v"),
+        array_min(col("embedding")).cast("double").as("min_v"),
+        array_max(col("embedding")).cast("double").as("max_v"))
+    },
+
+    // ── training-pipeline text ops ──
+
+    // PII redaction (emails + phone shapes); the synthetic PII is
+    // appended deterministically so the scrub provably fires per row
+    "q_pii_redact" -> { (s, dir) =>
+      val withPii = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      withPii.select(
+        col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("clean_text"))
+        .withColumn("still_has_email", col("clean_text").contains("@"))
+    },
+
+    // repeated-n-gram ratio (boilerplate / degenerate-repetition signal)
+    "q_repetition" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.repetitionRatio(col("text"), 3).as("rep3"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    },
+
+    // benchmark decontamination: docs sharing any 8-gram with the
+    // benchmark slice (doc_id % 97 == 0) are removed
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val rest = docs.filter(col("doc_id") % 97 =!= 0)
+      Dedup.decontaminate(rest, "doc_id", "text", bench, "text", n = 8)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // deterministic domain mixing: per-source keep rates, md5-uniform
+    "q_domain_mix" -> { (s, dir) =>
+      graft.operators.Sampling.weightedKeep(
+        t(s, dir, "documents"), "source", "doc_id",
+        rates = Map("src0" -> 0.1, "src1" -> 0.25, "src2" -> 0.5),
+        defaultRate = 0.75)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // ── sliding windows (batch twin + real streaming execution) ──
+    "q_events_sliding" -> { (s, dir) =>
+      EventStreams.slidingTypeCounts(
+        EventStreams.readEvents(s, s"$dir/events.parquet"))
+    },
+
+    "q_events_sliding_stream" -> { (s, dir) =>
+      EventStreams.slidingTypeCountsStreamed(s, s"$dir/events.parquet")
+    }
+  )
+
   private val extensionOracles: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -930,10 +1120,146 @@ object SparkEntry {
     // asserted in the ScalaTest suites instead.
   )
 
+  private val round2Oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        | cast(sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend,
+        | lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        | lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+        | count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS neighborhood
+        |FROM orders""".stripMargin,
+    "q_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0) c
+        |FULL JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 350000) o
+        |ON c.c_custkey = o.o_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
+    "q_explode" ->
+      """SELECT doc_id,
+        | cast(unnest(range(0, len(str_split(text, ' ')))) AS INTEGER) AS pos,
+        | unnest(str_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+    "q_range_join" ->
+      """WITH quarters AS (
+        | SELECT q_start, q_start + INTERVAL 3 MONTH AS q_end
+        | FROM (SELECT DISTINCT date_trunc('quarter', o_orderdate) AS q_start FROM orders))
+        |SELECT strftime(q_start, '%Y-%m-%d') AS quarter, count(*) AS n,
+        | cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN quarters ON o_orderdate >= q_start AND o_orderdate < q_end
+        |GROUP BY q_start""".stripMargin,
+    "q_arg_max" ->
+      """WITH ranked AS (
+        | SELECT c_mktsegment, c_name, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey DESC) AS rhi,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS rlo
+        | FROM customer)
+        |SELECT c_mktsegment,
+        | max(CASE WHEN rhi = 1 THEN c_name END) AS top_name,
+        | max(CASE WHEN rhi = 1 THEN c_acctbal END) AS top_bal,
+        | max(CASE WHEN rlo = 1 THEN c_name END) AS bottom_name,
+        | max(CASE WHEN rlo = 1 THEN c_acctbal END) AS bottom_bal
+        |FROM ranked GROUP BY c_mktsegment""".stripMargin,
+    "q_percentile_disc" ->
+      """WITH o AS (
+        | SELECT o_orderpriority, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        | FROM orders)
+        |SELECT o_orderpriority,
+        | max(CASE WHEN rn = cast(ceil(0.25 * n) AS BIGINT) THEN o_totalprice END) AS p25,
+        | max(CASE WHEN rn = cast(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+        | max(CASE WHEN rn = cast(ceil(0.75 * n) AS BIGINT) THEN o_totalprice END) AS p75,
+        | max(n) AS n_orders
+        |FROM o GROUP BY o_orderpriority""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT c_custkey,
+        | regexp_extract(c_name, '([0-9]+)', 1) AS cust_num,
+        | regexp_matches(c_name, '00[0-9]$') AS low_serial
+        |FROM customer""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id, len(embedding) AS n_dims,
+        | cast(embedding[1] AS DOUBLE) AS first_v,
+        | cast(embedding[-1] AS DOUBLE) AS last_v,
+        | cast(list_min(embedding) AS DOUBLE) AS min_v,
+        | cast(list_max(embedding) AS DOUBLE) AS max_v
+        |FROM embeddings""".stripMargin,
+    "q_pii_redact" ->
+      """WITH withpii AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || cast(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+        |  lpad(cast(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |  lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        | FROM documents),
+        |red AS (
+        | SELECT doc_id,
+        |  regexp_replace(
+        |   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}', '<PHONE>', 'g') AS clean_text
+        | FROM withpii)
+        |SELECT doc_id, clean_text, contains(clean_text, '@') AS still_has_email FROM red""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
+        |grams AS (
+        | SELECT doc_id, len(tk) AS n_toks,
+        |  list_transform(range(1, greatest(len(tk) - 3 + 1, 1) + 1), i -> array_to_string(tk[i:i+2], ' ')) AS g
+        | FROM toks)
+        |SELECT doc_id,
+        | CASE WHEN len(g) > 0 THEN 1.0 - cast(len(list_distinct(g)) AS DOUBLE) / cast(len(g) AS DOUBLE) ELSE 0.0 END AS rep3,
+        | n_toks AS n_tokens
+        |FROM grams""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 8 + 1, 1) + 1), i -> array_to_string(tk[i:i+7], ' '))) AS gram
+        | FROM toks),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram) WHERE g.doc_id % 97 <> 0)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "q_domain_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE cast(concat('0x', substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 <
+        | (CASE source WHEN 'src0' THEN 0.1 WHEN 'src1' THEN 0.25 WHEN 'src2' THEN 0.5 ELSE 0.75 END)""".stripMargin,
+    "q_events_sliding" ->
+      """WITH w AS (
+        | SELECT event_type, value,
+        |  unnest([time_bucket(INTERVAL '30 minutes', ts), time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+        | FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n,
+        | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "q_events_sliding_stream" ->
+      """WITH w AS (
+        | SELECT event_type, value,
+        |  unnest([time_bucket(INTERVAL '30 minutes', ts), time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+        | FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n,
+        | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin
+  )
+
   /** One per implemented operator from SURVEY.md §2 (+ extensions). */
-  def queries: Map[String, Q] = referenceQueries ++ extensionQueries
+  def queries: Map[String, Q] = referenceQueries ++ extensionQueries ++ round2Queries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
-  def oracleSql: Map[String, String] = referenceOracles ++ extensionOracles
+  def oracleSql: Map[String, String] =
+    referenceOracles ++ extensionOracles ++ round2Oracles
 }

@@ -91,6 +91,32 @@ object TextFunctions {
     size(filter(tokens(lower(text)), t => array_contains(en, t)))
   }
 
+  /** PII redaction patterns — written in the regex subset common to
+    * Java's engine and RE2 (no lookaround, no backrefs) so an external
+    * SQL engine applying the same pattern produces identical output. */
+  private[graft] val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val phonePattern = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}"
+
+  /** Redact email addresses and phone-number-shaped substrings — the
+    * minimum-viable PII scrub for a training-data pipeline (extend the
+    * pattern list for production use). Pure regexp_replace: codegen'd,
+    * scan-speed, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Repeated word-n-gram fraction in [0,1]: 1 − distinct/total grams
+    * (0 for empty text). High values flag boilerplate / degenerate
+    * repetition — a standard training-data quality signal. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val grams = wordNgrams(text, n)
+    val total = size(grams).cast("double")
+    when(total > 0d,
+      lit(1d) - size(array_distinct(grams)).cast("double") / total)
+      .otherwise(lit(0d))
+  }
+
   /** Deterministic quality score in [0,1]:
     *   0.4 · min(nTokens/100, 1)            — enough content
     * + 0.3 · min(stopwordRatio·5, 1)        — natural-language-ness

@@ -135,6 +135,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: remove documents sharing ANY word
+    * n-gram with a benchmark corpus (the standard eval-leakage guard for
+    * training data). Grams are joined as strings so semantics are
+    * engine-exact; the join key is the gram, so only colliding grams
+    * ever shuffle together. At 100 TB, pre-hash grams to longs as a
+    * bloom-style prefilter and verify survivors on the string — the
+    * string join here IS the verify step. */
+  def decontaminate(
+      df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    require(n > 0, "n must be > 0")
+    val benchGrams = benchmark
+      .select(explode(TextFunctions.wordNgrams(col(benchTextCol), n)).as("__gram"))
+      .distinct()
+    val docGrams = df.select(col(idCol),
+      explode(TextFunctions.wordNgrams(col(textCol), n)).as("__gram"))
+    val contaminated = docGrams.join(benchGrams, "__gram")
+      .select(col(idCol)).distinct()
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the hash is the
     * sign of Σ_tokens (±1 depending on bit i of XXH64(token)).
     * Native codegen'd expression (graft.plans.SimHash64). */

@@ -28,6 +28,26 @@ object Sampling {
       .drop(rn)
   }
 
+  /** Deterministic per-domain downsampling (domain mixing): keep each
+    * row with probability `rates(domain)` (else `defaultRate`), decided
+    * by an md5-derived uniform on the row id — no RNG in the plan, so
+    * the kept set is reproducible across runs, engines and cluster
+    * sizes, and is a pure per-row filter (no shuffle at all; the scan
+    * parallelism is the only thing that matters at 100 TB).
+    * The uniform is the first 8 md5 hex digits scaled by 2⁻³²∈[0,1). */
+  def weightedKeep(df: DataFrame, domainCol: String, idCol: String,
+                   rates: Map[String, Double],
+                   defaultRate: Double = 1.0): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0 && r <= 1, s"rate out of [0,1]: $r"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296d)
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (dom, r)) =>
+      when(col(domainCol) === dom, lit(r)).otherwise(acc)
+    }
+    df.filter(u < rate)
+  }
+
   /** Cumulative-weight BANDING of rows into batches: batch_id =
     * exclusive-prefix-sum(weight) div budget, per group in `orderCol`
     * order. This is the scan-friendly (one window, no sequential state)

@@ -36,13 +36,14 @@ object EventStreams {
   def readEventStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(path)
 
-  /** Run [[hourlyTypeCounts]] as a REAL streaming query over the events
+  /** Run a streaming transform as a REAL streaming query over an events
     * parquet (file source → available-now trigger → complete-mode
     * memory sink) and return the materialized result. On bounded input,
     * complete mode recomputes every window, so the result equals the
     * batch twin exactly — which is what lets the driver's DuckDB oracle
     * check a Structured Streaming execution path. */
-  def hourlyTypeCountsStreamed(spark: SparkSession, path: String): DataFrame = {
+  private def runStreamed(spark: SparkSession, path: String, tag: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source requires a DIRECTORY; stage a single-file
     // input into one
@@ -63,13 +64,40 @@ object EventStreams {
       if (batchSchema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
-    val name = "graft_hourly_" + math.abs(path.hashCode)
-    val q = hourlyTypeCounts(events)
+    val name = s"graft_${tag}_" + math.abs(path.hashCode)
+    val q = transform(events)
       .writeStream.outputMode("complete").format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
     spark.table(name)
+  }
+
+  /** [[hourlyTypeCounts]] executed as a real streaming query. */
+  def hourlyTypeCountsStreamed(spark: SparkSession, path: String): DataFrame =
+    runStreamed(spark, path, "hourly")(hourlyTypeCounts)
+
+  /** [[slidingTypeCounts]] executed as a real streaming query. */
+  def slidingTypeCountsStreamed(spark: SparkSession, path: String): DataFrame =
+    runStreamed(spark, path, "sliding")(slidingTypeCounts(_))
+
+  /** Sliding-window counts: 1-hour windows advancing every 30 minutes —
+    * each event lands in exactly two windows (window assignment is a
+    * per-row explode inside codegen; the shuffle key is the window, so
+    * sliding costs `window/slide ×` the tumbling shuffle, the textbook
+    * trade-off). 2-hour watermark bounds state like [[hourlyTypeCounts]].
+    * Works identically over batch input (the batch twin for the oracle). */
+  def slidingTypeCounts(events: DataFrame,
+                        winDur: String = "1 hour",
+                        slide: String = "30 minutes"): DataFrame = {
+    val base = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    base
+      .groupBy(window(col("ts"), winDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
   }
 
   /** Streaming hourly tumbling-window counts with a 2-hour watermark

@@ -18,6 +18,33 @@ class SamplingSpec extends GraftSpec {
     assert(a.size == 30) // 10 names × 3
   }
 
+  test("weightedKeep: rates 0/1 are exact, kept sets nest and are partition-stable") {
+    val domains = people.withColumn("dom", col("name"))
+    val none = Sampling.weightedKeep(domains, "dom", "id", Map.empty, defaultRate = 0.0)
+    val all  = Sampling.weightedKeep(domains, "dom", "id", Map.empty, defaultRate = 1.0)
+    assert(none.count() == 0 && all.count() == 120)
+    // the md5-uniform threshold makes kept sets NESTED across rates
+    def kept(r: Double) = Sampling.weightedKeep(domains, "dom", "id",
+      Map("Amelia" -> r), defaultRate = 1.0)
+      .filter(col("dom") === "Amelia")
+      .collect().map(_.getAs[String]("id")).toSet
+    val k25 = kept(0.25); val k50 = kept(0.5); val k75 = kept(0.75)
+    assert(k25.subsetOf(k50) && k50.subsetOf(k75))
+    assert(k25.size < k75.size)
+    // stable under repartitioning (no RNG in the plan)
+    val again = Sampling.weightedKeep(domains.repartition(7), "dom", "id",
+      Map("Amelia" -> 0.5), defaultRate = 1.0)
+      .filter(col("dom") === "Amelia")
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(again == k50)
+    // non-listed domains use the default rate untouched
+    assert(Sampling.weightedKeep(domains, "dom", "id", Map("Amelia" -> 0.0),
+      defaultRate = 1.0).filter(col("dom") =!= "Amelia").count() == 108)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedKeep(domains, "dom", "id", Map("Amelia" -> 1.5))
+    }
+  }
+
   test("packByBudget: cumulative-weight banding semantics (documented approximation)") {
     val items = Seq(
       ("s1", 1L, 100L), ("s1", 2L, 200L), ("s1", 3L, 250L),

@@ -96,6 +96,55 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding-window agg matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.slidingTypeCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("sliding").start()
+    try {
+      mem.addData(eventRows)
+      q.processAllAvailable()
+      val got = spark.table("sliding")
+        .select("window_start", "event_type", "n", "total_value")
+        .collect().map(_.toSeq).toSet
+      val want = EventStreams.slidingTypeCounts(eventsDf)
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"streaming $got != batch $want")
+      // each event lands in exactly two windows
+      val nTotal = spark.table("sliding").agg(sum("n")).head().getLong(0)
+      assert(nTotal == 2L * eventRows.size)
+    } finally q.stop()
+  }
+
+  test("watermark drops data later than the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    // append mode: finalized windows are emitted once the watermark
+    // (max event time − 2h) passes the window end
+    val q = EventStreams.hourlyTypeCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    try {
+      mem.addData(Seq((0L, ts(0), 1L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      // advance watermark far past hour 0 (t=600min ⇒ wm=8:00)
+      mem.addData(Seq((1L, ts(600), 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // a straggler inside the already-finalized hour-0 window: must be
+      // DROPPED, not re-emitted and not counted
+      mem.addData(Seq((2L, ts(1), 1L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      val hour0 = spark.table("late")
+        .filter(col("hour") === "2024-01-01 00:00:00" && col("event_type") === "click")
+        .collect()
+      assert(hour0.length == 1 && hour0.head.getAs[Long]("n") == 1L,
+        s"late event must not change the finalized window: ${hour0.toSeq}")
+    } finally q.stop()
+  }
+
   test("batch sessionization ground truth") {
     val sessions = EventStreams.sessionizeBatch(eventsDf, gapSec = 1800)
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
