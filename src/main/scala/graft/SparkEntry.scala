@@ -948,6 +948,135 @@ object SparkEntry {
 
     "q_events_sliding_stream" -> { (s, dir) =>
       EventStreams.slidingTypeCountsStreamed(s, s"$dir/events.parquet")
+    },
+
+    // ── stream-stream join (batch twin + real streaming execution) ──
+    "q_stream_join" -> { (s, dir) =>
+      EventStreams.clickPurchaseJoin(
+        EventStreams.readEvents(s, s"$dir/events.parquet"))
+    },
+
+    "q_stream_join_stream" -> { (s, dir) =>
+      EventStreams.clickPurchaseJoinStreamed(s, s"$dir/events.parquet")
+    },
+
+    // ── TPC-H flagship shapes (the multi-join + agg + top-k patterns a
+    // warehouse engine lives on; dims broadcast, fact tables shuffle
+    // once on the join key) ──
+
+    // Q3 shape: shipping-priority — 3-way join, filtered both sides,
+    // grouped revenue, deterministic top-10
+    "q_tpch_q3" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Q5 shape: local-supplier volume — 6-way join where customer and
+    // supplier must share a nation; nation/region/supplier broadcast
+    "q_tpch_q5" -> { (s, dir) =>
+      val asia = t(s, dir, "nation").join(
+          broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+    },
+
+    // Q10 shape: returned-item reporting — revenue per customer over a
+    // quarter, deterministic top-20
+    "q_tpch_q10" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ── custom typed UDAF (§2.11): weighted mean with exact partial
+    // aggregation (quantity-weighted average discount per flag) ──
+    "q_udaf_wavg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.Udafs.wavg(
+            col("l_discount").cast("decimal(18,2)"),
+            col("l_quantity").cast("decimal(18,2)")).as("wavg_discount"),
+          count(lit(1)).as("n"))
+    },
+
+    // map construction + map explode round-trip: per-flag status→count
+    // map, then back out to rows (map_keys size alongside)
+    "q_map_funcs" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      pairs.groupBy(col("l_returnflag"))
+        .agg(map_from_entries(collect_list(struct(col("l_linestatus"), col("n"))))
+          .as("m"))
+        .select(col("l_returnflag"), size(map_keys(col("m"))).as("n_statuses"),
+          explode(col("m")).as(Seq("l_linestatus", "n")))
+    },
+
+    // math scalar suite — restricted to IEEE-exact operations (abs,
+    // sign, floor/ceil, sqrt, mod, greatest/least, squaring) so any
+    // engine produces bit-identical doubles
+    "q_math_funcs" -> { (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - lit(0.04)).as("abs_d"),
+        signum(col("l_discount") - lit(0.04)).as("sign_d"),
+        floor(col("l_extendedprice")).as("floor_p"),
+        ceil(col("l_extendedprice")).as("ceil_p"),
+        sqrt(col("l_quantity")).as("sqrt_q"),
+        pmod(col("l_orderkey"), lit(7)).as("mod7"),
+        greatest(col("l_tax"), col("l_discount")).as("hi_rate"),
+        least(col("l_tax"), col("l_discount")).as("lo_rate"),
+        (col("l_quantity") * col("l_quantity")).as("q_sq"))
     }
   )
 
@@ -1252,7 +1381,79 @@ object SparkEntry {
         | FROM events)
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n,
         | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM w GROUP BY 1, 2""".stripMargin
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "q_stream_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | cast(floor(epoch(p.ts)) AS BIGINT) - cast(floor(epoch(c.ts)) AS BIGINT) AS lag_sec,
+        | cast(cast(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
+        |FROM events c JOIN events p
+        | ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts >= p.ts - INTERVAL 1800 SECOND AND c.ts <= p.ts""".stripMargin,
+    "q_stream_join_stream" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | cast(floor(epoch(p.ts)) AS BIGINT) - cast(floor(epoch(c.ts)) AS BIGINT) AS lag_sec,
+        | cast(cast(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
+        |FROM events c JOIN events p
+        | ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts >= p.ts - INTERVAL 1800 SECOND AND c.ts <= p.ts""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        | cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (cast(1 AS DECIMAL(18,2)) - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-03-15'
+        | AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        | cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (cast(1 AS DECIMAL(18,2)) - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (cast(1 AS DECIMAL(18,2)) - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        | AND o_orderdate >= TIMESTAMP '1997-10-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_udaf_wavg" ->
+      """SELECT l_returnflag,
+        | cast(sum(cast(l_discount AS DECIMAL(18,2)) * cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  / cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_discount,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_map_funcs" ->
+      """WITH p AS (
+        | SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, count(*) OVER (PARTITION BY l_returnflag) AS n_statuses,
+        | l_linestatus, n
+        |FROM p""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_discount - 0.04) AS abs_d,
+        | cast(sign(l_discount - 0.04) AS DOUBLE) AS sign_d,
+        | cast(floor(l_extendedprice) AS BIGINT) AS floor_p,
+        | cast(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        | sqrt(l_quantity) AS sqrt_q,
+        | l_orderkey % 7 AS mod7,
+        | greatest(l_tax, l_discount) AS hi_rate,
+        | least(l_tax, l_discount) AS lo_rate,
+        | l_quantity * l_quantity AS q_sq
+        |FROM lineitem""".stripMargin
   )
 
   /** One per implemented operator from SURVEY.md §2 (+ extensions). */

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.expressions.UserDefinedFunction
+
+/** Typed UDAF surface (SURVEY.md §2.11): custom aggregations as
+  * `Aggregator`s registered through `functions.udaf`. Aggregators get
+  * map-side partial aggregation for free (reduce/merge are the
+  * combiner), so a custom aggregate shuffles one buffer per partition
+  * per group — the same scale shape as a built-in `sum`.
+  *
+  * Accumulation is exact (`BigDecimal`, unlimited precision); only the
+  * final quotient drops to IEEE double, so results are deterministic
+  * across partitionings and cluster sizes — required for the driver's
+  * hash-compare against DuckDB.
+  */
+object Udafs {
+
+  /** Exact-sum buffer: Σ(x·w) and Σw. */
+  case class WSum(sum: BigDecimal, wsum: BigDecimal)
+
+  /** Weighted arithmetic mean Σ(x·w)/Σw; null on zero total weight.
+    * Inputs arrive as decimals (cast upstream) so the per-row product
+    * and both running sums are exact. */
+  object WeightedMean extends Aggregator[(BigDecimal, BigDecimal), WSum, Option[Double]] {
+    override def zero: WSum = WSum(BigDecimal(0), BigDecimal(0))
+    override def reduce(b: WSum, a: (BigDecimal, BigDecimal)): WSum = {
+      val (x, w) = a
+      if (x == null || w == null) b
+      else WSum(b.sum + x * w, b.wsum + w)
+    }
+    override def merge(b1: WSum, b2: WSum): WSum =
+      WSum(b1.sum + b2.sum, b1.wsum + b2.wsum)
+    override def finish(r: WSum): Option[Double] =
+      // IEEE double division of two exactly-accumulated values: any
+      // engine summing the same decimals gets the identical bit pattern
+      if (r.wsum.signum == 0) None else Some(r.sum.toDouble / r.wsum.toDouble)
+    override def bufferEncoder: Encoder[WSum] = Encoders.product[WSum]
+    override def outputEncoder: Encoder[Option[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Column-API handle: `wavg(x, w)` inside `.agg(...)`. */
+  val wavg: UserDefinedFunction = udaf(WeightedMean)
+}

@@ -42,7 +42,8 @@ object EventStreams {
     * complete mode recomputes every window, so the result equals the
     * batch twin exactly — which is what lets the driver's DuckDB oracle
     * check a Structured Streaming execution path. */
-  private def runStreamed(spark: SparkSession, path: String, tag: String)(
+  private def runStreamed(spark: SparkSession, path: String, tag: String,
+      outputMode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source requires a DIRECTORY; stage a single-file
@@ -66,7 +67,7 @@ object EventStreams {
       else raw
     val name = s"graft_${tag}_" + math.abs(path.hashCode)
     val q = transform(events)
-      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .writeStream.outputMode(outputMode).format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
@@ -99,6 +100,39 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
   }
+
+  /** Stream-stream join: attribute each purchase to the clicks the same
+    * user made in the preceding `windowSec` seconds. On streams, both
+    * sides carry watermarks and the join condition carries the time
+    * bound, so Spark keeps only `windowSec + watermark` of each side in
+    * state — bounded memory at any throughput; the shuffle key is
+    * `user_id`, so matching is local after one co-partitioning of each
+    * side. Inner joins emit matches immediately → on bounded input the
+    * result equals the batch twin (same code path, batch inputs). */
+  def clickPurchaseJoin(events: DataFrame, windowSec: Long = 1800): DataFrame = {
+    val streaming = events.isStreaming
+    def side(tpe: String, pfx: String) = {
+      val base = if (streaming) events.withWatermark("ts", "2 hours") else events
+      base.filter(col("event_type") === tpe).select(
+        col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"),
+        col("user_id").as(s"${pfx}_user"), col("value").as(s"${pfx}_value"))
+    }
+    side("click", "c").join(side("purchase", "p"),
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"),
+        unix_timestamp(col("p_ts")).minus(unix_timestamp(col("c_ts")))
+          .as("lag_sec"),
+        col("p_value").cast(DecimalType(18, 2)).cast("double").as("purchase_value"))
+  }
+
+  /** [[clickPurchaseJoin]] executed as a real stream-stream join
+    * (append mode — the only mode stream-stream inner joins support). */
+  def clickPurchaseJoinStreamed(spark: SparkSession, path: String): DataFrame =
+    runStreamed(spark, path, "clickjoin", outputMode = "append")(
+      clickPurchaseJoin(_))
 
   /** Streaming hourly tumbling-window counts with a 2-hour watermark
     * (late data beyond the watermark is dropped). */

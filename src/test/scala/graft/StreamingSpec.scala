@@ -145,6 +145,36 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-stream click→purchase join matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.clickPurchaseJoin(stream)
+      .writeStream.outputMode("append").format("memory").queryName("cpj").start()
+    try {
+      // user 2's click at t=20 is AFTER its purchase at t=5 → no match;
+      // add a purchase for user 1 at t=25 (clicks at 0 within 30 min)
+      // and one at t=95 (clicks at 0,70: only the one at 70 is within 30 min)
+      mem.addData(eventRows ++ Seq(
+        (6L, ts(25), 1L, "purchase", 5.0, "{}"),
+        (7L, ts(95), 1L, "purchase", 6.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("cpj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // (user, click, purchase, lag): click 0 @0→purchase 6 @25 lag 1500;
+      // click 2 @70→purchase 7 @95 lag 1500
+      assert(got == Set((1L, 0L, 6L, 1500L), (1L, 2L, 7L, 1500L)))
+      val batch = EventStreams.clickPurchaseJoin(
+        (eventRows ++ Seq(
+          (6L, ts(25), 1L, "purchase", 5.0, "{}"),
+          (7L, ts(95), 1L, "purchase", 6.0, "{}")))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("batch sessionization ground truth") {
     val sessions = EventStreams.sessionizeBatch(eventsDf, gapSec = 1800)
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),

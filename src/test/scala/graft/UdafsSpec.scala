@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.Udafs
+
+import org.apache.spark.sql.functions._
+
+class UdafsSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  test("wavg: exact weighted mean, null on zero weight, partition-stable") {
+    val df = Seq(
+      ("a", 1.0, 1.0), ("a", 2.0, 3.0),          // (1·1+2·3)/4 = 1.75
+      ("b", 10.0, 0.0), ("b", 20.0, 0.0),        // zero total weight → null
+      ("c", 0.1, 2.0), ("c", 0.3, 2.0)           // 0.2
+    ).toDF("g", "x", "w")
+
+    def run(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy($"g")
+      .agg(Udafs.wavg($"x".cast("decimal(18,2)"), $"w".cast("decimal(18,2)")).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+    val got = run(df)
+    assert(got("a").contains(1.75))
+    assert(got("b").isEmpty, "zero total weight must yield null, not NaN/0")
+    assert(got("c").contains(0.2))
+    // merge path: same result regardless of partitioning (map-side
+    // partials combined associatively)
+    assert(run(df.repartition(7)) == got)
+  }
+
+  test("wavg ignores null inputs") {
+    val df = Seq(
+      (Some(1.0), Some(1.0)), (None, Some(9.0)), (Some(3.0), None), (Some(5.0), Some(1.0))
+    ).toDF("x", "w")
+    val m = df.agg(
+      Udafs.wavg($"x".cast("decimal(18,2)"), $"w".cast("decimal(18,2)")).as("m"))
+      .head().getDouble(0)
+    assert(m == 3.0) // (1+5)/2
+  }
+}
