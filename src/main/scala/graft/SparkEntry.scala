@@ -915,10 +915,11 @@ object SparkEntry {
 
     // repeated-n-gram ratio (boilerplate / degenerate-repetition signal)
     "q_repetition" -> { (s, dir) =>
+      val st = TextFunctions.repetitionStats(col("text"), 3)
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextFunctions.repetitionRatio(col("text"), 3).as("rep3"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        TextFunctions.repetitionRatioFrom(st).as("rep3"),
+        element_at(st, 1).as("n_tokens"))
     },
 
     // benchmark decontamination: docs sharing any 8-gram with the

@@ -26,8 +26,15 @@ object TextFunctions {
       text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
   /** Word n-grams (shingles) as strings. Documents shorter than n
-    * yield their single partial gram. */
-  def wordNgrams(text: Column, n: Int): Column = {
+    * yield their single partial gram. Native one-pass kernel
+    * (graft.plans) — the HOF form (transform/slice/concat_ws) is
+    * interpreted and was the cost center of gram-explode queries. */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.plans.native.wordNgrams(text, n)
+
+  /** Reference HOF formulation of [[wordNgrams]] — kept as the test
+    * oracle for the native kernel. */
+  private[graft] def wordNgramsHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
@@ -106,15 +113,22 @@ object TextFunctions {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** [nTokens, totalGrams, distinctGrams] for word n-grams — one
+    * native codegen'd pass over the text (graft.plans). */
+  def repetitionStats(text: Column, n: Int): Column =
+    graft.plans.native.repetitionStats(text, n)
+
   /** Repeated word-n-gram fraction in [0,1]: 1 − distinct/total grams
     * (0 for empty text). High values flag boilerplate / degenerate
     * repetition — a standard training-data quality signal. */
-  def repetitionRatio(text: Column, n: Int): Column = {
-    val grams = wordNgrams(text, n)
-    val total = size(grams).cast("double")
-    when(total > 0d,
-      lit(1d) - size(array_distinct(grams)).cast("double") / total)
-      .otherwise(lit(0d))
+  def repetitionRatio(text: Column, n: Int): Column =
+    repetitionRatioFrom(repetitionStats(text, n))
+
+  /** Ratio from a precomputed [[repetitionStats]] column (share the
+    * one-pass kernel when the caller also wants the token count). */
+  def repetitionRatioFrom(stats: Column): Column = {
+    val total = element_at(stats, 2).cast("double")
+    lit(1d) - element_at(stats, 3).cast("double") / total
   }
 
   /** Deterministic quality score in [0,1]:

@@ -62,6 +62,31 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** string text → array<string> word n-grams (single-space joined). */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.wordNgramStrings(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.wordNgramStrings($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
+/** string text → array<long> [nTokens, totalGrams, distinctGrams] of
+  * word n-grams (exact distinctness — see VectorKernels.repetitionStats). */
+case class RepetitionStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.repetitionStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.repetitionStats($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
 /** (array<float|double>, array<float|double>) → double cosine. Each
   * side's element accessor is dispatched on ITS OWN static type (mixed
   * float/double pairs are valid); dimension mismatch throws. */
@@ -110,6 +135,10 @@ object native {
   def minhashSig(shingleHashes: Column, numPerm: Int): Column =
     c(MinHashSig(e(shingleHashes), numPerm))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def repetitionStats(text: Column, n: Int): Column =
+    c(RepetitionStatsExpr(e(text), n))
+  def wordNgrams(text: Column, n: Int): Column =
+    c(WordNgramsExpr(e(text), n))
   def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def hyperplaneSig(v: Column, bits: Int): Column = c(HyperplaneSig(e(v), bits))
 }

@@ -116,6 +116,109 @@ object VectorKernels {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
 
+  /** Word n-grams as strings (tokens joined by a single space), one
+    * pass over the raw UTF-8 bytes — the gram bytes are assembled
+    * directly from the token byte ranges, no intermediate Strings.
+    * Contract identical to the HOF form (split/slice/concat_ws):
+    * shorter-than-n documents yield their single partial gram;
+    * whitespace-only text yields one empty gram. */
+  def wordNgramStrings(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTok = 0
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        starts(nTok) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    if (nTok == 0)
+      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    val span = math.min(n, nTok)
+    val nGrams = nTok - span + 1
+    val out = new Array[Any](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      var size = span - 1 // separators
+      var k = 0
+      while (k < span) { size += ends(g + k) - starts(g + k); k += 1 }
+      val buf = new Array[Byte](size)
+      var pos = 0
+      k = 0
+      while (k < span) {
+        if (k > 0) { buf(pos) = ' '; pos += 1 }
+        val tl = ends(g + k) - starts(g + k)
+        System.arraycopy(bytes, starts(g + k), buf, pos, tl)
+        pos += tl
+        k += 1
+      }
+      out(g) = UTF8String.fromBytes(buf)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass repetition stats: [nTokens, totalGrams, distinctGrams]
+    * for word n-grams, with EXACT string distinctness (tokens are
+    * interned to ids via a hash map — no hash-collision false merges,
+    * unlike [[shingleHashes]]). Matches the `tokens`/`wordNgrams`
+    * contract: whitespace-only text yields the single empty gram.
+    * Replaces transform + slice + concat_ws + array_distinct (the
+    * interpreted-HOF form was ~10× slower at sf0.1). */
+  def repetitionStats(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTok = 0
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        starts(nTok) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    if (nTok == 0) return new GenericArrayData(Array(0L, 1L, 1L))
+    val span = math.min(n, nTok)
+    val nGrams = nTok - span + 1
+    if (nGrams == 1) return new GenericArrayData(Array(nTok.toLong, 1L, 1L))
+    // intern tokens: equal byte sequences → equal ids (exact, not hashed)
+    val ids = new Array[Int](nTok)
+    val intern = new java.util.HashMap[String, Integer](nTok * 2)
+    var t = 0
+    while (t < nTok) {
+      val s = new String(bytes, starts(t), ends(t) - starts(t),
+        java.nio.charset.StandardCharsets.UTF_8)
+      var id = intern.get(s)
+      if (id == null) { id = intern.size(); intern.put(s, id) }
+      ids(t) = id
+      t += 1
+    }
+    // distinct id-sequences == distinct gram strings (tokens contain no
+    // whitespace, so the " "-join is injective)
+    val seen = new java.util.HashSet[String](nGrams * 2)
+    val sb = new java.lang.StringBuilder(span * 7)
+    var g = 0
+    var distinct = 0L
+    while (g < nGrams) {
+      sb.setLength(0)
+      var k = 0
+      while (k < span) { sb.append(ids(g + k)).append(','); k += 1 }
+      if (seen.add(sb.toString)) distinct += 1
+      g += 1
+    }
+    new GenericArrayData(Array(nTok.toLong, nGrams.toLong, distinct))
+  }
+
   /** MinHash signature: out[i] = min over shingles of XXH64(h, seed=i). */
   def minhash(shingles: ArrayData, numPerm: Int): ArrayData = {
     val out = new Array[Long](numPerm)

@@ -66,11 +66,20 @@ object EventStreams {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     val name = s"graft_${tag}_" + math.abs(path.hashCode)
-    val q = transform(events)
-      .writeStream.outputMode(outputMode).format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    // stateful operators allocate one state store per shuffle partition
+    // per stateful op (a stream-stream join has four) — at this input
+    // size the per-store setup dominates, so run the streaming query on
+    // few partitions and restore the session setting after. On a real
+    // cluster this knob is sized to the key cardinality instead.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = transform(events)
+        .writeStream.outputMode(outputMode).format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
 

@@ -125,4 +125,39 @@ class TextDedupSpec extends GraftSpec {
       Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 16)
     }
   }
+
+  test("repetitionStats kernel == HOF wordNgrams formula (incl. edge cases)") {
+    import spark.implicits._
+    val texts = Seq(
+      "a b c a b c a b c",           // heavy 3-gram repetition
+      "the quick brown fox",          // all distinct
+      "x",                            // fewer tokens than n → 1 partial gram
+      "  \t \n ",                     // whitespace only → single empty gram
+      "",                             // empty
+      "a a a a a a a a",              // one distinct gram
+      "α β γ α β γ α β",              // multi-byte UTF-8
+      "a aa a aa a"                   // interning must not merge 'a'/'aa'
+    ).toDF("text")
+    val n = 3
+    val grams = TextFunctions.wordNgramsHof(col("text"), n)
+    // native gram strings == HOF gram strings, element for element
+    texts.select(TextFunctions.wordNgrams(col("text"), n).as("k"), grams.as("h"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"kernel ${r.getSeq[String](0)} != hof ${r.getSeq[String](1)}")
+      }
+    val rows = texts.select(
+      TextFunctions.repetitionStats(col("text"), n).as("st"),
+      TextFunctions.tokenCount(col("text")).as("nt"),
+      size(grams).as("total"),
+      size(array_distinct(grams)).as("dist"),
+      TextFunctions.repetitionRatio(col("text"), n).as("ratio")).collect()
+    rows.foreach { r =>
+      val st = r.getSeq[Long](0)
+      assert(st(0) == r.getInt(1).toLong, s"nTokens: $st vs ${r.getInt(1)}")
+      assert(st(1) == r.getInt(2).toLong, s"total: $st vs ${r.getInt(2)}")
+      assert(st(2) == r.getInt(3).toLong, s"distinct: $st vs ${r.getInt(3)}")
+      assert(r.getDouble(4) == 1d - st(2).toDouble / st(1).toDouble)
+    }
+  }
 }
