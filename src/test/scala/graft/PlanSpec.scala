@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guards: the properties that make these
+  * queries survive a 100×–1000× scale-up (broadcasts on dimension
+  * sides, predicate pushdown into the parquet scan, column pruning,
+  * map-side partial aggregation, no cartesian products). A correct
+  * result with the wrong plan is a latent outage at 100 TB — these
+  * tests pin the plan shape, not just the answer. */
+class PlanSpec extends GraftSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("TPC-H Q3/Q5/Q10: dims broadcast, no cartesian product") {
+    Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10").foreach { q =>
+      val p = formatted(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q must broadcast its dim side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian:\n$p")
+    }
+  }
+
+  test("TPC-H Q3: date filters pushed into the parquet scans") {
+    val p = formatted("q_tpch_q3")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"orders scan must push the date predicate:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem scan must push the shipdate predicate:\n$p")
+  }
+
+  test("column pruning reaches the scan (projection-only query)") {
+    val p = formatted("q_select_columns")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("l_comment") && !readSchemas.contains("l_tax"),
+      s"unused columns must not be read:\n$readSchemas")
+  }
+
+  test("aggregations run map-side partials (two HashAggregate stages)") {
+    val p = formatted("q_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
+  test("range join stays a broadcast nested-loop (ranges side tiny), not a cartesian") {
+    val p = formatted("q_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"ranges side must be broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("flagship entry: unique-index join broadcasts the index side") {
+    val p = SparkEntry.entry(spark)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), s"index join must broadcast:\n$p")
+  }
+
+  test("native text kernels stay inside whole-stage codegen") {
+    val p = formatted("q_repetition")
+    // formatted mode marks whole-stage-codegen'd operators with
+    // "[codegen id : N]" (and a leading `*`)
+    assert(p.contains("codegen id"), p)
+    // the kernel is a codegen'd expression, not an interpreted HOF node
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      s"no interpreted lambda nodes expected:\n$p")
+  }
+}
