@@ -1063,6 +1063,53 @@ object SparkEntry {
           explode(col("m")).as(Seq("l_linestatus", "n")))
     },
 
+    // ── stream-static join (batch twin + real streaming execution):
+    // events enriched with a broadcast customer dim ──
+    "q_stream_static" -> { (s, dir) =>
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      EventStreams.enrichWithDim(
+          EventStreams.readEvents(s, s"$dir/events.parquet"),
+          dim, "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_mktsegment"))
+    },
+
+    "q_stream_static_stream" -> { (s, dir) =>
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      EventStreams.enrichWithDimStreamed(s, s"$dir/events.parquet",
+        dim, "user_id", "c_custkey",
+        _.select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_mktsegment")))
+    },
+
+    // edit-distance probe: scan-only Levenshtein against a fixed
+    // pattern (the scale-safe shape — pairwise edit distance is a
+    // cross join and is deliberately NOT offered as a primitive)
+    "q_edit_distance" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          levenshtein(col("c_name"), lit("Customer#000000999")).as("edit_dist"))
+        .filter(col("edit_dist") <= 3)
+    },
+
+    // quantile sketch (KLL-style approx percentiles — the distributed
+    // one-pass answer to exact order statistics; see q_percentile_disc
+    // for the exact-window form). Algorithm-specific → rows-only check.
+    "q_approx_quantile" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile_approx(col("o_totalprice"),
+            array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("approx_p"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          element_at(col("approx_p"), 1).as("p25"),
+          element_at(col("approx_p"), 2).as("p50"),
+          element_at(col("approx_p"), 3).as("p90"),
+          col("n"))
+    },
+
     // math scalar suite — restricted to IEEE-exact operations (abs,
     // sign, floor/ceil, sqrt, mod, greatest/least, squaring) so any
     // engine produces bit-identical doubles
@@ -1443,6 +1490,17 @@ object SparkEntry {
         |SELECT l_returnflag, count(*) OVER (PARTITION BY l_returnflag) AS n_statuses,
         | l_linestatus, n
         |FROM p""".stripMargin,
+    "q_stream_static" ->
+      """SELECT event_id, user_id, event_type, c_name, c_mktsegment
+        |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin,
+    "q_stream_static_stream" ->
+      """SELECT event_id, user_id, event_type, c_name, c_mktsegment
+        |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin,
+    "q_edit_distance" ->
+      """SELECT c_custkey, c_name,
+        | levenshtein(c_name, 'Customer#000000999') AS edit_dist
+        |FROM customer
+        |WHERE levenshtein(c_name, 'Customer#000000999') <= 3""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         | abs(l_discount - 0.04) AS abs_d,

@@ -143,6 +143,22 @@ object EventStreams {
     runStreamed(spark, path, "clickjoin", outputMode = "append")(
       clickPurchaseJoin(_))
 
+  /** Stream-static join: enrich each event with a (small) static
+    * dimension — the dim side is broadcast, so the stream never
+    * shuffles and no state store is needed; the static side is
+    * re-planned per micro-batch (picking up dim updates between
+    * batches). Identical code path works for batch input (the twin). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
+
+  /** [[enrichWithDim]] executed as a real streaming query. */
+  def enrichWithDimStreamed(spark: SparkSession, path: String, dim: DataFrame,
+                            eventKey: String, dimKey: String,
+                            project: DataFrame => DataFrame): DataFrame =
+    runStreamed(spark, path, "enrich", outputMode = "append")(ev =>
+      project(enrichWithDim(ev, dim, eventKey, dimKey)))
+
   /** Streaming hourly tumbling-window counts with a 2-hour watermark
     * (late data beyond the watermark is dropped). */
   def hourlyTypeCounts(events: DataFrame): DataFrame =
