@@ -1110,6 +1110,50 @@ object SparkEntry {
           col("n"))
     },
 
+    // ORC round-trip (second columnar format next to parquet; same
+    // pushdown/pruning machinery via the datasource API)
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val out = s"/tmp/graft_orc_${math.abs(dir.hashCode)}"
+      t(s, dir, "nation").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    },
+
+    // raw text-line source → structured rows (the ingest shape for
+    // line-oriented logs; split is codegen'd, no UDF)
+    "q_text_source" -> { (s, dir) =>
+      val out = s"/tmp/graft_textsrc_${math.abs(dir.hashCode)}"
+      t(s, dir, "region")
+        .select(concat_ws(",", col("r_regionkey"), col("r_name")))
+        .coalesce(1).write.mode("overwrite").text(out)
+      s.read.text(out).select(
+        split(col("value"), ",").getItem(0).as("r_key"),
+        split(col("value"), ",").getItem(1).as("r_name"))
+    },
+
+    // union by NAME with missing columns (schema-evolution union —
+    // positional union is q_union)
+    "q_union_by_name" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("lang"))
+      val b = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("lang"), col("doc_id")) // reordered + missing 'source'
+      a.unionByName(b, allowMissingColumns = true)
+    },
+
+    // null-handling suite: coalesce / nullif / fill / drop semantics
+    "q_null_funcs" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        when(col("c_acctbal") < 0, null).otherwise(col("c_acctbal")).as("pos_bal"))
+      c.select(
+        col("c_custkey"),
+        coalesce(col("seg_or_null"), lit("<none>")).as("seg_filled"),
+        col("seg_or_null").isNull.as("was_building"),
+        coalesce(col("pos_bal"), lit(0.0)).as("bal_filled"))
+    },
+
     // math scalar suite — restricted to IEEE-exact operations (abs,
     // sign, floor/ceil, sqrt, mod, greatest/least, squaring) so any
     // engine produces bit-identical doubles
@@ -1496,6 +1540,20 @@ object SparkEntry {
     "q_stream_static_stream" ->
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
         |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin,
+    "q_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_union_by_name" ->
+      """SELECT doc_id, source, lang FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT lang, doc_id, NULL AS source FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT c_custkey,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg_filled,
+        | nullif(c_mktsegment, 'BUILDING') IS NULL AS was_building,
+        | coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_filled
+        |FROM customer""".stripMargin,
+    "q_text_source" ->
+      """SELECT cast(r_regionkey AS VARCHAR) AS r_key, r_name FROM region""",
     "q_edit_distance" ->
       """SELECT c_custkey, c_name,
         | levenshtein(c_name, 'Customer#000000999') AS edit_dist
