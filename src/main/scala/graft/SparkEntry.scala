@@ -1154,6 +1154,20 @@ object SparkEntry {
         coalesce(col("pos_bal"), lit(0.0)).as("bal_filled"))
     },
 
+    // SQL surface over the native kernels (registered through
+    // SparkSessionExtensions.injectFunction — same codegen'd
+    // expressions as the Column API, now reachable from spark.sql)
+    "q_sql_kernels" -> { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""
+        SELECT doc_id,
+          element_at(graft_repetition_stats(text, 3), 1) AS n_tokens,
+          1.0d - cast(element_at(graft_repetition_stats(text, 3), 3) AS DOUBLE)
+               / cast(element_at(graft_repetition_stats(text, 3), 2) AS DOUBLE) AS rep3,
+          size(graft_word_ngrams(text, 5)) AS n_grams5
+        FROM graft_docs""")
+    },
+
     // math scalar suite — restricted to IEEE-exact operations (abs,
     // sign, floor/ceil, sqrt, mod, greatest/least, squaring) so any
     // engine produces bit-identical doubles
@@ -1546,6 +1560,18 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents WHERE doc_id % 2 = 0
         |UNION ALL BY NAME
         |SELECT lang, doc_id, NULL AS source FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+    "q_sql_kernels" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
+        |grams AS (
+        | SELECT doc_id, len(tk) AS n_toks,
+        |  list_transform(range(1, greatest(len(tk) - 3 + 1, 1) + 1), i -> array_to_string(tk[i:i+2], ' ')) AS g,
+        |  greatest(len(tk) - 5 + 1, 1) AS n_grams5
+        | FROM toks)
+        |SELECT doc_id, n_toks AS n_tokens,
+        | 1.0 - cast(len(list_distinct(g)) AS DOUBLE) / cast(len(g) AS DOUBLE) AS rep3,
+        | n_grams5
+        |FROM grams""".stripMargin,
     "q_null_funcs" ->
       """SELECT c_custkey,
         | coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg_filled,

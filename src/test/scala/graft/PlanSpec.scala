@@ -58,6 +58,25 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"), s"index join must broadcast:\n$p")
   }
 
+  test("LevenshteinBandPrefilter injects the O(1) length band before the O(n·m) filter") {
+    val df = SparkEntry.queries("q_edit_distance")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("abs((length(") || opt.contains("abs(length("),
+      s"length band must be added by the injected rule:\n$opt")
+    // and it must not change results: band is implied by the filter
+    val n = df.count()
+    val raw = spark.read.parquet(s"$dir/customer.parquet")
+      .where("levenshtein(c_name, 'Customer#000000999') <= 3").count()
+    assert(n == raw)
+  }
+
+  test("native kernels are callable from SQL (injectFunction)") {
+    val r = spark.sql(
+      "SELECT graft_simhash(array('a','b')) = graft_simhash(array('a','b')) AS eq, " +
+      "size(graft_word_ngrams('a b c', 2)) AS n").head()
+    assert(r.getBoolean(0) && r.getInt(1) == 2)
+  }
+
   test("native text kernels stay inside whole-stage codegen") {
     val p = formatted("q_repetition")
     // formatted mode marks whole-stage-codegen'd operators with
