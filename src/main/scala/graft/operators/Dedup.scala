@@ -81,10 +81,13 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("sh"), numPerm))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // candidate generation over (id, band, bucket) ONLY — the 64-long
+    // signature stays out of the band explode and bucket self-join
+    // (shuffling it per-band would multiply the shuffle volume by
+    // `bands`); it is fetched back once per surviving candidate.
     val buckets = docs
-      .select(col("id"), col("sig"),
-        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     // skew guard: drop degenerate buckets before the self-join
     val sized = buckets
@@ -94,21 +97,20 @@ object Dedup {
       .filter(col("__graft_bsz") <= maxBucketSize)
       .drop("__graft_bsz")
 
-    val a = sized.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sized.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    val candidates = a.join(b,
-        Seq("band", "bucket"))
+    val a = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val matches = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-      v => v === 1))
+    val sigs = docs.select(col("id"), col("sig"))
     candidates
-      .withColumn("est_jaccard", matches.cast("double") / lit(numPerm.toDouble))
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        graft.plans.native.sigEqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / lit(numPerm.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }

@@ -87,6 +87,18 @@ case class RepetitionStatsExpr(child: Expression, n: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** (array<long>, array<long>) → int count of agreeing positions. */
+case class SigEqCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernels.eqCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigEqCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** (array<float|double>, array<float|double>) → double cosine. Each
   * side's element accessor is dispatched on ITS OWN static type (mixed
   * float/double pairs are valid); dimension mismatch throws. */
@@ -139,6 +151,8 @@ object native {
     c(RepetitionStatsExpr(e(text), n))
   def wordNgrams(text: Column, n: Int): Column =
     c(WordNgramsExpr(e(text), n))
+  def sigEqCount(a: Column, b: Column): Column =
+    c(SigEqCount(e(a), e(b)))
   def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def hyperplaneSig(v: Column, bits: Int): Column = c(HyperplaneSig(e(v), bits))
 }

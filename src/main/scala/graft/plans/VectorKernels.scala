@@ -219,6 +219,21 @@ object VectorKernels {
     new GenericArrayData(Array(nTok.toLong, nGrams.toLong, distinct))
   }
 
+  /** Positions where two equal-length long arrays agree (MinHash
+    * signature agreement count). */
+  def eqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"signature length mismatch: $n vs ${b.numElements()}")
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** MinHash signature: out[i] = min over shingles of XXH64(h, seed=i). */
   def minhash(shingles: ArrayData, numPerm: Int): ArrayData = {
     val out = new Array[Long](numPerm)
