@@ -23,12 +23,19 @@ object Udafs {
 
   /** Weighted arithmetic mean Σ(x·w)/Σw; null on zero total weight.
     * Inputs arrive as decimals (cast upstream) so the per-row product
-    * and both running sums are exact. */
+    * and both running sums are exact.
+    *
+    * Null semantics mirror the SQL composition `sum(x*w)/sum(w)`: a
+    * null x drops the product from the numerator but its (non-null)
+    * weight still counts in the denominator; a null w drops the row
+    * entirely. This keeps the aggregate bit-identical to any engine
+    * evaluating the SQL form on data with nulls. */
   object WeightedMean extends Aggregator[(BigDecimal, BigDecimal), WSum, Option[Double]] {
     override def zero: WSum = WSum(BigDecimal(0), BigDecimal(0))
     override def reduce(b: WSum, a: (BigDecimal, BigDecimal)): WSum = {
       val (x, w) = a
-      if (x == null || w == null) b
+      if (w == null) b
+      else if (x == null) WSum(b.sum, b.wsum + w)
       else WSum(b.sum + x * w, b.wsum + w)
     }
     override def merge(b1: WSum, b2: WSum): WSum =

@@ -156,10 +156,16 @@ object Similarity {
       val scored = cents.map { case (cid, cv) =>
         struct(cosine(col("v"), typedLit(cv)).as("c"), lit(-cid).as("nid"))
       }
-      -greatest(scored: _*).getField("nid")
+      // greatest() needs >= 2 args; a single seed centroid (input had
+      // fewer rows than nCentroids) assigns everything to it
+      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+      -best.getField("nid")
     }
     def assign(cents: IndexedSeq[(Int, Seq[Double])]): DataFrame =
-      d.withColumn("centroid_id", nearest(cents))
+      // empty input → no seed centroids; emit the (empty) frame with
+      // the contract schema instead of calling nearest() on no args
+      if (cents.isEmpty) d.withColumn("centroid_id", lit(0))
+      else d.withColumn("centroid_id", nearest(cents))
 
     for (_ <- 0 until iters) {
       // per-dimension means: scalar-only shuffle (centroid_id, pos, x),

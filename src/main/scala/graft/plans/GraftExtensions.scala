@@ -64,39 +64,45 @@ object GraftSqlFunctions {
   private type FB = Seq[Expression] => Expression
 
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
-    case Literal(i: Int, IntegerType) => i
+    case Literal(i: Int, IntegerType) if i > 0 => i
+    case Literal(i: Int, IntegerType) => throw new IllegalArgumentException(
+      s"$fn: $arg must be positive, got $i")
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }
 
-  private def f(name: String, usage: String)(b: FB) = (
+  private def f(name: String, usage: String, arity: Int)(b: FB) = (
     FunctionIdentifier(name),
     new ExpressionInfo("graft.plans.GraftSqlFunctions", null, name, usage, ""),
-    b)
+    (args: Seq[Expression]) => {
+      require(args.length == arity,
+        s"$name expects $arity arguments, got ${args.length}")
+      b(args)
+    })
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, FB)] = Seq(
     f("graft_word_ngrams",
-      "graft_word_ngrams(text, n) - word n-grams as strings") { args =>
+      "graft_word_ngrams(text, n) - word n-grams as strings", arity = 2) { args =>
       WordNgramsExpr(args(0), intLit(args(1), "graft_word_ngrams", "n"))
     },
     f("graft_repetition_stats",
-      "graft_repetition_stats(text, n) - [nTokens, totalGrams, distinctGrams]") { args =>
+      "graft_repetition_stats(text, n) - [nTokens, totalGrams, distinctGrams]", arity = 2) { args =>
       RepetitionStatsExpr(args(0), intLit(args(1), "graft_repetition_stats", "n"))
     },
     f("graft_shingle_hashes",
-      "graft_shingle_hashes(text, n) - distinct xxh64 word-n-gram hashes") { args =>
+      "graft_shingle_hashes(text, n) - distinct xxh64 word-n-gram hashes", arity = 2) { args =>
       ShingleHashesExpr(args(0), intLit(args(1), "graft_shingle_hashes", "n"))
     },
     f("graft_minhash",
-      "graft_minhash(shingleHashes, numPerm) - MinHash signature") { args =>
+      "graft_minhash(shingleHashes, numPerm) - MinHash signature", arity = 2) { args =>
       MinHashSig(args(0), intLit(args(1), "graft_minhash", "numPerm"))
     },
     f("graft_simhash",
-      "graft_simhash(tokens) - 64-bit SimHash of a token array") { args =>
+      "graft_simhash(tokens) - 64-bit SimHash of a token array", arity = 1) { args =>
       SimHash64(args(0))
     },
     f("graft_cosine",
-      "graft_cosine(a, b) - cosine similarity of two float/double arrays") { args =>
+      "graft_cosine(a, b) - cosine similarity of two float/double arrays", arity = 2) { args =>
       CosineSim(args(0), args(1))
     })
 }

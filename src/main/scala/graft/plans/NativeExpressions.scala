@@ -19,6 +19,7 @@ import org.apache.spark.sql.types._
 
 /** string text → array<long> distinct word n-gram shingle hashes. */
 case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"ShingleHashesExpr: n must be positive, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     VectorKernels.shingleHashes(
@@ -64,6 +65,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 /** string text → array<string> word n-grams (single-space joined). */
 case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"WordNgramsExpr: n must be positive, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     VectorKernels.wordNgramStrings(
@@ -77,6 +79,7 @@ case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
 /** string text → array<long> [nTokens, totalGrams, distinctGrams] of
   * word n-grams (exact distinctness — see VectorKernels.repetitionStats). */
 case class RepetitionStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"RepetitionStatsExpr: n must be positive, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     VectorKernels.repetitionStats(

@@ -31,13 +31,21 @@ class UdafsSpec extends GraftSpec {
     assert(run(df.repartition(7)) == got)
   }
 
-  test("wavg ignores null inputs") {
+  test("wavg nulls follow the SQL sum(x*w)/sum(w) composition") {
     val df = Seq(
       (Some(1.0), Some(1.0)), (None, Some(9.0)), (Some(3.0), None), (Some(5.0), Some(1.0))
     ).toDF("x", "w")
     val m = df.agg(
       Udafs.wavg($"x".cast("decimal(18,2)"), $"w".cast("decimal(18,2)")).as("m"))
       .head().getDouble(0)
-    assert(m == 3.0) // (1+5)/2
+    // null x keeps its weight in the denominator (like sum(w));
+    // null w drops the row: (1·1 + 5·1) / (1 + 9 + 1)
+    assert(m == 6.0 / 11.0)
+    // and that equals the SQL composition evaluated by Spark itself
+    val sql = df.agg(
+      (sum($"x".cast("decimal(18,2)") * $"w".cast("decimal(18,2)")).cast("double")
+        / sum($"w".cast("decimal(18,2)")).cast("double")).as("m"))
+      .head().getDouble(0)
+    assert(m == sql)
   }
 }
