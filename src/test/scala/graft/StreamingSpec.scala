@@ -175,6 +175,39 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("file sink + checkpoint: exactly-once across restarts, incremental on new input") {
+    val base = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    val (src, out, chk) = (s"$base/src", s"$base/out", s"$base/chk")
+    eventsDf.coalesce(1).write.mode("append").parquet(src)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(eventsDf.schema).parquet(src)
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "value")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    val nClicks = eventRows.count(_._4 == "click")
+    runOnce()
+    assert(spark.read.parquet(out).count() == nClicks)
+    // restart with the same checkpoint and no new input: nothing re-emitted
+    runOnce()
+    assert(spark.read.parquet(out).count() == nClicks,
+      "restart must not reprocess already-committed input")
+    // new input file: only the delta is processed
+    Seq((100L, ts(200), 5L, "click", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val finalRows = spark.read.parquet(out)
+    assert(finalRows.count() == nClicks + 1)
+    assert(finalRows.filter(col("event_id") === 100L).count() == 1)
+  }
+
   test("batch sessionization ground truth") {
     val sessions = EventStreams.sessionizeBatch(eventsDf, gapSec = 1800)
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
