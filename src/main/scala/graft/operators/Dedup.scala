@@ -139,21 +139,45 @@ object Dedup {
 
   /** Benchmark decontamination: remove documents sharing ANY word
     * n-gram with a benchmark corpus (the standard eval-leakage guard for
-    * training data). Grams are joined as strings so semantics are
-    * engine-exact; the join key is the gram, so only colliding grams
-    * ever shuffle together. At 100 TB, pre-hash grams to longs as a
-    * bloom-style prefilter and verify survivors on the string — the
-    * string join here IS the verify step. */
+    * training data). Two exact passes, shaped for 100 TB:
+    *
+    *  1. PREFILTER — both sides' grams reduced to xxhash64 longs; a
+    *     semi-join on the 8-byte hash finds candidate documents. The
+    *     corpus-sized shuffle moves only (id, hash) — never gram
+    *     strings.
+    *  2. VERIFY — only the (tiny) candidate set re-explodes its gram
+    *     STRINGS and joins the benchmark grams on string equality, so
+    *     hash collisions cannot false-positively drop a document.
+    *
+    * Result is byte-for-byte the single-pass string join, at a fraction
+    * of the shuffle volume. */
   def decontaminate(
       df: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
     require(n > 0, "n must be > 0")
+    // pass 1: hash-only candidate detection (shingleHashes = distinct
+    // xxhash64 of exactly the wordNgrams strings' token sequences)
+    val benchHashes = benchmark
+      .select(explode(shingleHashes(col(benchTextCol), n)).as("__gh"))
+      .distinct()
+    val hashCandidates = df
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__gh"))
+      .join(benchHashes, Seq("__gh"), "left_semi")
+      .select(col(idCol)).distinct()
+    // token-free text has NO shingle hashes but DOES have the single
+    // empty gram in string semantics — send those straight to verify
+    val tokenless = df.filter(
+      element_at(graft.plans.native.repetitionStats(col(textCol), n), 1) === 0L)
+      .select(col(idCol))
+    val candidates = hashCandidates.union(tokenless).distinct()
+
+    // pass 2: exact string verification, candidates only
     val benchGrams = benchmark
       .select(explode(TextFunctions.wordNgrams(col(benchTextCol), n)).as("__gram"))
       .distinct()
-    val docGrams = df.select(col(idCol),
-      explode(TextFunctions.wordNgrams(col(textCol), n)).as("__gram"))
-    val contaminated = docGrams.join(benchGrams, "__gram")
+    val candGrams = df.join(candidates, Seq(idCol), "left_semi")
+      .select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), n)).as("__gram"))
+    val contaminated = candGrams.join(benchGrams, Seq("__gram"), "left_semi")
       .select(col(idCol)).distinct()
     df.join(contaminated, Seq(idCol), "left_anti")
   }

@@ -126,6 +126,26 @@ class TextDedupSpec extends GraftSpec {
     }
   }
 
+  test("decontaminate: hash-prefiltered result == plain string-join semantics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated content with no overlap here at all"),
+      (3L, "said the quick brown fox jumps over the lazy dog again"),
+      (4L, "   \t  "), // token-free: shares the empty gram with bench doc 102
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (101L, "xx the quick brown fox jumps over the lazy dog yy"),
+      (102L, " ")
+    ).toDF("bench_id", "text")
+    val got = Dedup.decontaminate(docs, "doc_id", "text", bench, "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 and 3 share the 8-gram 'the quick ... dog'; 4 shares the empty
+    // gram of the whitespace-only benchmark doc; 2 and 5 survive
+    assert(got == Set(2L, 5L))
+  }
+
   test("repetitionStats kernel == HOF wordNgrams formula (incl. edge cases)") {
     import spark.implicits._
     val texts = Seq(
