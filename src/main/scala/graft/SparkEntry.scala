@@ -46,7 +46,7 @@ object SparkEntry {
   private val referenceQueries: Map[String, Q] = Map(
     // §2.1 scans: CSV sink → CsvSource round-trip (all-string schema)
     "q_csv_roundtrip" -> { (s, dir) =>
-      val out = s"/tmp/graft_csv_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val out = Scratch.path(s"csv_${math.abs(dir.hashCode)}")
       Pipe(t(s, dir, "region"))
         .toCsv(out, Seq("r_regionkey", "r_name"), singleFile = true)
       Pipe(CsvSource.fromFile(out).selectColumns("r_regionkey", "r_name").read(s))
@@ -65,7 +65,7 @@ object SparkEntry {
     // §2.12 error/ordering currency: exact physical line numbers
     // (file order fixed by a sorted single-partition write)
     "q_csv_numbered" -> { (s, dir) =>
-      val out = s"/tmp/graft_csvnum_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val out = Scratch.path(s"csvnum_${math.abs(dir.hashCode)}")
       t(s, dir, "region")
         .select(col("r_regionkey").cast(StringType), col("r_name"))
         .repartition(1).sortWithinPartitions(col("r_regionkey").cast("int"))
@@ -75,7 +75,7 @@ object SparkEntry {
 
     // §2.1 AssumeHeader: headerless CSV with caller-declared layout
     "q_csv_headerless" -> { (s, dir) =>
-      val out = s"/tmp/graft_csvnh_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val out = Scratch.path(s"csvnh_${math.abs(dir.hashCode)}")
       t(s, dir, "region").select(col("r_regionkey").cast(StringType), col("r_name"))
         .coalesce(1).write.mode("overwrite").option("header", "false").csv(out)
       CsvSource.fromFile(out)
@@ -85,7 +85,7 @@ object SparkEntry {
 
     // §2.1 ExpectHeader: header verified (position + find-by-name)
     "q_csv_expect_header" -> { (s, dir) =>
-      val out = s"/tmp/graft_csv_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}" // reuse roundtrip output
+      val out = Scratch.path(s"csv_${math.abs(dir.hashCode)}") // reuse roundtrip output
       Pipe(t(s, dir, "region"))
         .toCsv(out, Seq("r_regionkey", "r_name"), singleFile = true)
       CsvSource.fromFile(out)
@@ -102,7 +102,7 @@ object SparkEntry {
 
     // §2.2 ToJSON: JSONL sink → read-back round-trip
     "q_jsonl_roundtrip" -> { (s, dir) =>
-      val out = s"/tmp/graft_jsonl_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val out = Scratch.path(s"jsonl_${math.abs(dir.hashCode)}")
       Pipe(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"), col("s_nationkey")))
         .toJsonl(out)
       s.read.schema("s_suppkey LONG, s_name STRING, s_nationkey INT").json(out)
@@ -111,7 +111,7 @@ object SparkEntry {
 
     // §2.2 Index.WriteTo / LoadIndex: parquet persistence round-trip
     "q_index_persist" -> { (s, dir) =>
-      val out = s"/tmp/graft_idx_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val out = Scratch.path(s"idx_${math.abs(dir.hashCode)}")
       Index.indexOn(t(s, dir, "supplier"), "s_nationkey", "s_suppkey").writeTo(out)
       Index.load(s, out, "s_nationkey", "s_suppkey")
         .iterate.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
@@ -552,7 +552,7 @@ object SparkEntry {
 
     // partitioned parquet write → partition-pruned read-back
     "q_partitioned_write" -> { (s, dir) =>
-      val out = s"/tmp/graft_part_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val out = Scratch.path(s"part_${math.abs(dir.hashCode)}")
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
@@ -1113,7 +1113,7 @@ object SparkEntry {
     // ORC round-trip (second columnar format next to parquet; same
     // pushdown/pruning machinery via the datasource API)
     "q_orc_roundtrip" -> { (s, dir) =>
-      val out = s"/tmp/graft_orc_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val out = Scratch.path(s"orc_${math.abs(dir.hashCode)}")
       t(s, dir, "nation").write.mode("overwrite").orc(out)
       s.read.orc(out)
     },
@@ -1121,7 +1121,7 @@ object SparkEntry {
     // raw text-line source → structured rows (the ingest shape for
     // line-oriented logs; split is codegen'd, no UDF)
     "q_text_source" -> { (s, dir) =>
-      val out = s"/tmp/graft_textsrc_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val out = Scratch.path(s"textsrc_${math.abs(dir.hashCode)}")
       t(s, dir, "region")
         .select(concat_ws(",", col("r_regionkey"), col("r_name")))
         .coalesce(1).write.mode("overwrite").text(out)

@@ -18,8 +18,10 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
   */
 object Udafs {
 
-  /** Exact-sum buffer: Σ(x·w) and Σw. */
-  case class WSum(sum: BigDecimal, wsum: BigDecimal)
+  /** Exact-sum buffer: Σ(x·w), Σw, and the count of non-null products
+    * (SQL `sum` over zero non-null terms is NULL, not 0 — the count
+    * lets finish() reproduce that). */
+  case class WSum(sum: BigDecimal, wsum: BigDecimal, nx: Long)
 
   /** Weighted arithmetic mean Σ(x·w)/Σw; null on zero total weight.
     * Inputs arrive as decimals (cast upstream) so the per-row product
@@ -31,19 +33,22 @@ object Udafs {
     * entirely. This keeps the aggregate bit-identical to any engine
     * evaluating the SQL form on data with nulls. */
   object WeightedMean extends Aggregator[(BigDecimal, BigDecimal), WSum, Option[Double]] {
-    override def zero: WSum = WSum(BigDecimal(0), BigDecimal(0))
+    override def zero: WSum = WSum(BigDecimal(0), BigDecimal(0), 0L)
     override def reduce(b: WSum, a: (BigDecimal, BigDecimal)): WSum = {
       val (x, w) = a
       if (w == null) b
-      else if (x == null) WSum(b.sum, b.wsum + w)
-      else WSum(b.sum + x * w, b.wsum + w)
+      else if (x == null) WSum(b.sum, b.wsum + w, b.nx)
+      else WSum(b.sum + x * w, b.wsum + w, b.nx + 1)
     }
     override def merge(b1: WSum, b2: WSum): WSum =
-      WSum(b1.sum + b2.sum, b1.wsum + b2.wsum)
+      WSum(b1.sum + b2.sum, b1.wsum + b2.wsum, b1.nx + b2.nx)
     override def finish(r: WSum): Option[Double] =
-      // IEEE double division of two exactly-accumulated values: any
-      // engine summing the same decimals gets the identical bit pattern
-      if (r.wsum.signum == 0) None else Some(r.sum.toDouble / r.wsum.toDouble)
+      // nx == 0 → SQL sum(x*w) is NULL → NULL result (not 0/Σw);
+      // otherwise IEEE double division of two exactly-accumulated
+      // values: any engine summing the same decimals gets the
+      // identical bit pattern
+      if (r.wsum.signum == 0 || r.nx == 0) None
+      else Some(r.sum.toDouble / r.wsum.toDouble)
     override def bufferEncoder: Encoder[WSum] = Encoders.product[WSum]
     override def outputEncoder: Encoder[Option[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -165,9 +165,11 @@ object Dedup {
       .join(benchHashes, Seq("__gh"), "left_semi")
       .select(col(idCol)).distinct()
     // token-free text has NO shingle hashes but DOES have the single
-    // empty gram in string semantics — send those straight to verify
+    // empty gram in string semantics — send those straight to verify.
+    // \S is java-regex non-whitespace, the same class the tokenizer
+    // splits on; O(len) scan, no kernel pass.
     val tokenless = df.filter(
-      element_at(graft.plans.native.repetitionStats(col(textCol), n), 1) === 0L)
+      col(textCol).isNotNull && !col(textCol).rlike("\\S"))
       .select(col(idCol))
     val candidates = hashCandidates.union(tokenless).distinct()
 

@@ -32,6 +32,10 @@ object LevenshteinBandPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
   private def bandFor(conjunct: Expression): Option[Expression] = {
     def mk(lev: Levenshtein, k: Expression): Option[Expression] = {
+      // the 3-arg levenshtein(a, b, threshold) form returns -1 when the
+      // distance exceeds the threshold — `-1 <= k` keeps rows the band
+      // would drop, so the rewrite is only sound for the 2-arg form
+      if (lev.threshold.isDefined) return None
       val (strLit, other) = (lev.left, lev.right) match {
         case (l @ Literal(_: UTF8String, StringType), o) => (l, o)
         case (o, l @ Literal(_: UTF8String, StringType)) => (l, o)
@@ -43,6 +47,7 @@ object LevenshteinBandPrefilter extends Rule[LogicalPlan] with PredicateHelper {
       case LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType)) => mk(lev, k)
       case LessThan(lev: Levenshtein, k @ Literal(_, IntegerType))        => mk(lev, k)
       case GreaterThanOrEqual(k @ Literal(_, IntegerType), lev: Levenshtein) => mk(lev, k)
+      case GreaterThan(k @ Literal(_, IntegerType), lev: Levenshtein)        => mk(lev, k)
       case _ => None
     }
   }

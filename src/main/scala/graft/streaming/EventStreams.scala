@@ -53,7 +53,7 @@ object EventStreams {
       if (java.nio.file.Files.isDirectory(src)) path
       else {
         val dir = java.nio.file.Paths.get(
-          s"/tmp/graft_stream_${spark.sparkContext.applicationId}_${math.abs(path.hashCode)}")
+          graft.Scratch.path(s"stream_${math.abs(path.hashCode)}"))
         java.nio.file.Files.createDirectories(dir)
         java.nio.file.Files.copy(src, dir.resolve(src.getFileName),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

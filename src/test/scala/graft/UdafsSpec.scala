@@ -47,5 +47,11 @@ class UdafsSpec extends GraftSpec {
         / sum($"w".cast("decimal(18,2)")).cast("double")).as("m"))
       .head().getDouble(0)
     assert(m == sql)
+    // all-null x: SQL sum(x*w) is NULL → NULL result, not 0/Σw
+    val allNull = Seq((Option.empty[Double], Some(2.0)), (None, Some(3.0)))
+      .toDF("x", "w")
+      .agg(Udafs.wavg($"x".cast("decimal(18,2)"), $"w".cast("decimal(18,2)")).as("m"))
+      .head()
+    assert(allNull.isNullAt(0), "all-null x must yield null like SQL")
   }
 }
