@@ -99,6 +99,14 @@ final case class Pipe(df: DataFrame, order: Seq[Column] = Nil) {
     copy(df = df.as[Row].map { r => vf(r); r }(enc).toDF(df.columns: _*))
   }
 
+  /** Attach named runtime metrics (Spark `Observation`): the aggregates
+    * are computed DURING the next action on this pipe — no second pass
+    * over the data — and read from `obs.get` afterwards. The pipeline
+    * row-accounting primitive (rows kept, value totals) at any scale. */
+  def observe(obs: org.apache.spark.sql.Observation,
+              metric: Column, metrics: Column*): Pipe =
+    copy(df = df.observe(obs, metric, metrics: _*))
+
   // ─── order-dependent prefix ops (require .orderBy) ────────────────
 
   /** Reference `Top(n)` (csvplus.go:312-326): first n rows in stream

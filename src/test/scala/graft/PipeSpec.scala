@@ -112,4 +112,17 @@ class PipeSpec extends GraftSpec {
     val b = Pipe(people).filter(col("name") === "Olivia")
     assert(a.union(b).df.count() == 24)
   }
+
+  test("observe: metrics are computed during the action, no second pass") {
+    val obs = new org.apache.spark.sql.Observation("kept")
+    val rows = Pipe(people)
+      .filter(col("name") === "Amelia")
+      .observe(obs, count(lit(1)).as("n_kept"),
+        max(col("surname")).as("max_surname"))
+      .toRows
+    val m = obs.get
+    assert(rows.size == 12)
+    assert(m("n_kept") == 12L)
+    assert(m("max_surname") == rows.map(_.getAs[String]("surname")).max)
+  }
 }

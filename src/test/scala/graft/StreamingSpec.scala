@@ -208,6 +208,29 @@ class StreamingSpec extends GraftSpec {
     assert(finalRows.filter(col("event_id") === 100L).count() == 1)
   }
 
+  test("foreachBatch sink: custom logic runs once per micro-batch over all data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Seq[Long]]
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // arbitrary sink logic with full batch-DataFrame power
+        seen(id) = batch.filter(col("value") > 1.0)
+          .collect().map(_.getAs[Long]("event_id")).toSeq.sorted
+      }
+      .start()
+    try {
+      mem.addData(eventRows.take(3)); q.processAllAvailable()
+      mem.addData(eventRows.drop(3)); q.processAllAvailable()
+      val all = seen.values.flatten.toSeq.sorted
+      val want = eventRows.filter(_._5 > 1.0).map(_._1).sorted
+      assert(all == want, s"$seen")
+      assert(seen.size == 2, "one invocation per non-empty micro-batch")
+    } finally q.stop()
+  }
+
   test("batch sessionization ground truth") {
     val sessions = EventStreams.sessionizeBatch(eventsDf, gapSec = 1800)
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
