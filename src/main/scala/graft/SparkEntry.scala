@@ -1063,6 +1063,22 @@ object SparkEntry {
           explode(col("m")).as(Seq("l_linestatus", "n")))
     },
 
+    // native session windows (declarative twin of the
+    // flatMapGroupsWithState sessionization in q_events_sessionize —
+    // the built-in merges events closer than the gap; state is managed
+    // by the engine, so this shape also runs streaming unchanged)
+    "q_session_window" -> { (s, dir) =>
+      EventStreams.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start"),
+          unix_micros(col("sw.end")).as("session_end"),
+          col("n"), col("total_value"))
+    },
+
     // ── stream-static join (batch twin + real streaming execution):
     // events enriched with a broadcast customer dim ──
     "q_stream_static" -> { (s, dir) =>
@@ -1548,6 +1564,15 @@ object SparkEntry {
         |SELECT l_returnflag, count(*) OVER (PARTITION BY l_returnflag) AS n_statuses,
         | l_linestatus, n
         |FROM p""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |s AS (SELECT user_id, us, value,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, min(us) AS session_start, max(us) + 1800000000 AS session_end,
+        | count(*) AS n, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "q_stream_static" ->
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
         |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin,
