@@ -1063,6 +1063,22 @@ object SparkEntry {
           explode(col("m")).as(Seq("l_linestatus", "n")))
     },
 
+    // ranking-function suite: ntile / percent_rank / cume_dist /
+    // nth_value over a fully-deterministic ordering (total tiebreak →
+    // identical values on any engine; the divisions are IEEE-exact)
+    "q_window_ntile" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_totalprice"), 2).over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)).as("second_price"))
+    },
+
     // native session windows (declarative twin of the
     // flatMapGroupsWithState sessionization in q_events_sessionize —
     // the built-in merges events closer than the gap; state is managed
@@ -1564,6 +1580,14 @@ object SparkEntry {
         |SELECT l_returnflag, count(*) OVER (PARTITION BY l_returnflag) AS n_statuses,
         | l_linestatus, n
         |FROM p""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume,
+        | nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
         |s AS (SELECT user_id, us, value,
