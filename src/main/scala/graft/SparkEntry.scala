@@ -1063,6 +1063,17 @@ object SparkEntry {
           explode(col("m")).as(Seq("l_linestatus", "n")))
     },
 
+    // unpivot (melt): wide numeric columns → (metric, value) long form,
+    // the inverse of q_pivot; per-row fan-out inside codegen, no shuffle
+    "q_unpivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+    },
+
     // ranking-function suite: ntile / percent_rank / cume_dist /
     // nth_value over a fully-deterministic ordering (total tiebreak →
     // identical values on any engine; the divisions are IEEE-exact)
@@ -1580,6 +1591,15 @@ object SparkEntry {
         |SELECT l_returnflag, count(*) OVER (PARTITION BY l_returnflag) AS n_statuses,
         | l_linestatus, n
         |FROM p""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
     "q_window_ntile" ->
       """SELECT o_orderkey, o_orderpriority,
         | ntile(4) OVER w AS quartile,
