@@ -1063,6 +1063,21 @@ object SparkEntry {
           explode(col("m")).as(Seq("l_linestatus", "n")))
     },
 
+    // forward as-of join: each click attached to the user's NEXT
+    // view at-or-after the click (same merge-based one-shuffle plan
+    // as q_asof_join, traversed in descending time)
+    "q_asof_forward" -> { (s, dir) =>
+      val ev = EventStreams.readEvents(s, s"$dir/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_event_id"), col("user_id"), col("ts"))
+      graft.operators.Temporal.asofJoin(clicks, views,
+        "user_id", "user_id", "ts", "ts",
+        Map("view_event_id" -> "view_event_id"), direction = "forward")
+        .select(col("event_id"), col("view_event_id"))
+    },
+
     // unpivot (melt): wide numeric columns → (metric, value) long form,
     // the inverse of q_pivot; per-row fan-out inside codegen, no shuffle
     "q_unpivot" -> { (s, dir) =>
@@ -1591,6 +1606,11 @@ object SparkEntry {
         |SELECT l_returnflag, count(*) OVER (PARTITION BY l_returnflag) AS n_statuses,
         | l_linestatus, n
         |FROM p""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT c.event_id, v.event_id AS view_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts <= v.ts""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
         |FROM lineitem WHERE l_orderkey % 100 = 0

@@ -9,7 +9,8 @@ object Temporal {
 
   /** As-of join: for every left row, attach the single right row with
     * the greatest `rightTime` ≤ `leftTime` within the same key ("most
-    * recent prior observation").
+    * recent prior observation"); `direction = "forward"` flips it to
+    * the smallest `rightTime` ≥ `leftTime` ("next observation").
     *
     * Spark-first plan: NOT an inequality join (which Catalyst can only
     * execute as a broadcast-nested-loop / cartesian at scale). Instead
@@ -30,7 +31,10 @@ object Temporal {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightCols: Map[String, String]): DataFrame = {
+      rightCols: Map[String, String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
 
     Seq("__k", "__t", "__side", "__r", "__c").foreach { n =>
       require(!left.columns.contains(n),
@@ -57,9 +61,13 @@ object Temporal {
     // the carried row is always the struct-greatest of the tied set
     val rOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
       .isOrderable(right.select(rStruct).schema.head.dataType)
+    // forward = "earliest right row with rightTime >= leftTime": the
+    // SAME carry-last-right-forward plan traversed in descending time
+    // (right still sorts before left on ties -> equality stays inclusive)
+    val tOrd = if (direction == "backward") col("__t").asc else col("__t").desc
     val ordering =
-      if (rOrderable) Seq(col("__t").asc, col("__side").asc, col("__r").asc_nulls_first)
-      else Seq(col("__t").asc, col("__side").asc)
+      if (rOrderable) Seq(tOrd, col("__side").asc, col("__r").asc_nulls_first)
+      else Seq(tOrd, col("__side").asc)
     val w = Window.partitionBy(col("__k"))
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, 0)

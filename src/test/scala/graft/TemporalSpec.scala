@@ -29,6 +29,21 @@ class TemporalSpec extends GraftSpec {
     assert(out(4L) == None)      // no quotes for key C
   }
 
+  test("forward asof picks the earliest right row at-or-after each left row") {
+    val out = Temporal.asofJoin(trades, quotes, "sym", "sym", "t", "qt",
+      Map("quote_id" -> "quote_id"), direction = "forward")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Long]("quote_id")).map(_.toLong)).toMap
+    assert(out(1L) == Some(11L)) // tie at t=100 is inclusive
+    assert(out(2L) == None)      // no quote at/after 205
+    assert(out(3L) == Some(13L)) // next quote at 60 >= 50
+    assert(out(4L) == None)      // no quotes for key C
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(trades, quotes, "sym", "sym", "t", "qt",
+        Map("quote_id" -> "quote_id"), direction = "sideways")
+    }
+  }
+
   test("duplicate (key, time) right rows resolve deterministically (struct-greatest)") {
     val dupQuotes = Seq(
       (11L, "A", 100L), (12L, "A", 100L) // same sym, same time
