@@ -1629,11 +1629,11 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q_session_window" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
-        |s AS (SELECT user_id, us, value,
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |s AS (SELECT user_id, event_id, us, value,
         |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
-        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s)
         |SELECT user_id, min(us) AS session_start, max(us) + 1800000000 AS session_end,
         | count(*) AS n, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid""".stripMargin,

@@ -51,7 +51,9 @@ object Temporal {
       (Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
         leftOut.map(col) :+
         lit(null).cast(right.select(rStruct).schema.head.dataType).as("__r")): _*)
-    val rTagged = right.select(
+    // null-time right rows can satisfy neither inequality (SQL
+    // comparison with NULL is never true) — drop them up front
+    val rTagged = right.filter(col(rightTime).isNotNull).select(
       (Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
         leftOut.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         rStruct.as("__r")): _*)
@@ -64,7 +66,12 @@ object Temporal {
     // forward = "earliest right row with rightTime >= leftTime": the
     // SAME carry-last-right-forward plan traversed in descending time
     // (right still sorts before left on ties -> equality stays inclusive)
-    val tOrd = if (direction == "backward") col("__t").asc else col("__t").desc
+    // null-time left rows must sort BEFORE any right row in BOTH
+    // traversals (no carried match for an undefined probe time); a bare
+    // .desc would put nulls last and attach a spurious "next" row
+    val tOrd =
+      if (direction == "backward") col("__t").asc_nulls_first
+      else col("__t").desc_nulls_first
     val ordering =
       if (rOrderable) Seq(tOrd, col("__side").asc, col("__r").asc_nulls_first)
       else Seq(tOrd, col("__side").asc)

@@ -44,6 +44,22 @@ class TemporalSpec extends GraftSpec {
     }
   }
 
+  test("null times: null-time left rows match nothing; null-time right rows are ignored") {
+    val l = Seq((1L, "A", Some(100L)), (2L, "A", Option.empty[Long]))
+      .toDF("trade_id", "sym", "t")
+    val r = Seq((10L, "A", Some(90L)), (11L, "A", Option.empty[Long]))
+      .toDF("quote_id", "sym", "qt")
+    for (d <- Seq("backward", "forward")) {
+      val out = Temporal.asofJoin(l, r, "sym", "sym", "t", "qt",
+        Map("quote_id" -> "quote_id"), direction = d)
+        .collect().map(x => x.getAs[Long]("trade_id") ->
+          Option(x.getAs[java.lang.Long]("quote_id")).map(_.toLong)).toMap
+      assert(out(2L).isEmpty, s"null probe time must match nothing ($d)")
+      // the null-time quote is never attached
+      assert(out(1L) == (if (d == "backward") Some(10L) else None), s"dir=$d: $out")
+    }
+  }
+
   test("duplicate (key, time) right rows resolve deterministically (struct-greatest)") {
     val dupQuotes = Seq(
       (11L, "A", 100L), (12L, "A", 100L) // same sym, same time
