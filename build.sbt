@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the tail of stdout, so the forked
+// program's output must reach stdout verbatim: no "[info] " logger
+// prefix on each line (default LoggedOutput), no stderr folded into
+// stdout as "[error] " lines, and no "[success] Total time ..."
+// epilogue after the final JSON line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

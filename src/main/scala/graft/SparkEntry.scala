@@ -1320,11 +1320,19 @@ object SparkEntry {
         | max(sec) - min(sec) AS duration_sec,
         | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_no""".stripMargin,
+    // tie-explicit as-of emulation (NOT DuckDB's ASOF JOIN, whose pick
+    // among equal-timestamp right rows is unspecified): latest view at
+    // or before the click, ties broken by greatest view_event_id —
+    // exactly asofJoin's carried max-(time, payload-struct) semantics
     "q_asof_join" ->
-      """SELECT c.event_id, v.event_id AS view_event_id
+      """SELECT c.event_id, v.view_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id AS view_event_id
+        |  FROM events e
+        |  WHERE e.event_type = 'view' AND e.user_id = c.user_id AND e.ts <= c.ts
+        |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+        |) v ON TRUE""".stripMargin,
     "q_pipeline_clean" ->
       """WITH toks AS (
         | SELECT doc_id, text, source,
@@ -1606,11 +1614,17 @@ object SparkEntry {
         |SELECT l_returnflag, count(*) OVER (PARTITION BY l_returnflag) AS n_statuses,
         | l_linestatus, n
         |FROM p""".stripMargin,
+    // tie-explicit forward as-of (see q_asof_join): earliest view at or
+    // after the click, ties broken by greatest view_event_id
     "q_asof_forward" ->
-      """SELECT c.event_id, v.event_id AS view_event_id
+      """SELECT c.event_id, v.view_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON c.user_id = v.user_id AND c.ts <= v.ts""".stripMargin,
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id AS view_event_id
+        |  FROM events e
+        |  WHERE e.event_type = 'view' AND e.user_id = c.user_id AND e.ts >= c.ts
+        |  ORDER BY e.ts ASC, e.event_id DESC LIMIT 1
+        |) v ON TRUE""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
         |FROM lineitem WHERE l_orderkey % 100 = 0

@@ -31,7 +31,12 @@ object Udafs {
     * null x drops the product from the numerator but its (non-null)
     * weight still counts in the denominator; a null w drops the row
     * entirely. This keeps the aggregate bit-identical to any engine
-    * evaluating the SQL form on data with nulls. */
+    * evaluating the SQL form on data with nulls — EXCEPT when the
+    * total weight is exactly zero (weights that are zero or cancel):
+    * there this aggregate returns NULL, following DuckDB/standard-SQL
+    * division semantics, whereas Spark's own double division of the
+    * composition would yield ±Infinity or NaN. Callers needing Spark's
+    * IEEE behavior on zero total weight must use the raw composition. */
   object WeightedMean extends Aggregator[(BigDecimal, BigDecimal), WSum, Option[Double]] {
     override def zero: WSum = WSum(BigDecimal(0), BigDecimal(0), 0L)
     override def reduce(b: WSum, a: (BigDecimal, BigDecimal)): WSum = {

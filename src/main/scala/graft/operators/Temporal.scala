@@ -21,7 +21,11 @@ object Temporal {
     * quadratic blow-up on hot keys.
     *
     * Ties (`rightTime == leftTime`) are INCLUSIVE (right sorts before
-    * left at equal time), matching DuckDB's `ASOF JOIN ... ON l.t >= r.t`.
+    * left at equal time). When several right rows share the selected
+    * (key, time), the attached row is the one with the GREATEST payload
+    * struct (field order as given in `rightCols`) — a deterministic,
+    * documented pick; DuckDB's `ASOF JOIN` leaves this case unspecified,
+    * so oracles must emulate with an explicit `ORDER BY time, payload`.
     * Left rows with no prior right row survive with nulls (left outer).
     *
     * @param rightCols right-side payload columns to attach (renamed as

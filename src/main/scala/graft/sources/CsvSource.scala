@@ -123,16 +123,27 @@ final case class CsvSource(
 
   /** Read the raw first line's fields (driver-side pre-flight, used for
     * header resolution/verification — one tiny bounded read, never the
-    * whole file). */
+    * whole file).
+    *
+    * Single-line records are an invariant of this source, not an
+    * assumption: `baseOptions` never sets `multiLine`, `lineSep` or
+    * `encoding` (and the builder exposes no way to), so the data path
+    * splits records on raw newlines exactly as the text scan here does —
+    * a quoted newline inside a header field is malformed input to BOTH
+    * paths, never a silent divergence. This mirrors the reference, whose
+    * Go `encoding/csv` reader is likewise line-oriented.
+    */
   private def firstLineFields(spark: SparkSession): Seq[String] = {
     // Deterministic "line 1": a text scan streamed partition-by-partition
     // in file order (only the first partition is ever computed), NOT
     // `.csv(path).limit(1)` — limit without ordering may surface an
     // arbitrary row of an arbitrary part-file on multi-part directories.
-    // Comment/blank lines are skipped exactly as the csv parser would.
+    // Comment/blank-line skipping matches Spark's non-multiline csv
+    // reader (CSVUtils.filterCommentAndEmpty): lines that are empty
+    // after trimming are skipped, comment detection is on the raw line.
     val lines = spark.sparkContext.textFile(path).toLocalIterator
     val firstLine = lines.find { l =>
-      l.nonEmpty && comment.forall(c => !l.startsWith(c.toString))
+      l.trim.nonEmpty && comment.forall(c => !l.startsWith(c.toString))
     }.getOrElse(throw new DataSourceException(1, "empty header"))
     import spark.implicits._
     val head = spark.read
