@@ -1702,11 +1702,216 @@ object SparkEntry {
         |FROM lineitem""".stripMargin
   )
 
+  // ────────────────────────────────────────────────────────────────
+  // Round-3 queries: duplicate-cluster resolution, corpus statistics,
+  // bloom-pruned join, skew diagnostics, winsorization, frame sampling
+  // ────────────────────────────────────────────────────────────────
+
+  private val round3Queries: Map[String, Q] = Map(
+    // connected components over shared-8-gram edges: near-dup PAIRS →
+    // duplicate CLUSTERS (min-label propagation; the edge relation here
+    // is SQL-expressible on purpose so CC itself is oracle-checked — at
+    // scale the edges come from minHashNearDups instead)
+    "q_dup_clusters" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(TextFunctions.wordNgrams(col("text"), 8)).as("gram"))
+      val ga = grams.select(col("gram"), col("doc_id").as("src"))
+      val gb = grams.select(col("gram"), col("doc_id").as("dst"))
+      val edges = ga.join(gb, "gram").filter(col("src") < col("dst"))
+        .select("src", "dst").dropDuplicates("src", "dst")
+      val comps = Dedup.connectedComponents(edges, "src", "dst")
+      docs.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    },
+
+    // cluster resolution: CC clusters → one canonical survivor each
+    // (longest doc, ties to smallest id), singletons untouched
+    "q_cluster_resolve" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(TextFunctions.wordNgrams(col("text"), 8)).as("gram"))
+      val ga = grams.select(col("gram"), col("doc_id").as("src"))
+      val gb = grams.select(col("gram"), col("doc_id").as("dst"))
+      val edges = ga.join(gb, "gram").filter(col("src") < col("dst"))
+        .select("src", "dst").dropDuplicates("src", "dst")
+      val comps = Dedup.connectedComponents(edges, "src", "dst")
+      Dedup.keepCanonical(docs, "doc_id", comps,
+        pick = Seq(col("n_chars").desc_nulls_last, col("doc_id").asc))
+        .select(col("doc_id"), col("source"))
+    },
+
+    // inverted index: (term, df, doc_id) posting rows, df ≥ 25 to keep
+    // the gate output bounded while exercising the full build
+    "q_inverted_index" -> { (s, dir) =>
+      graft.operators.Corpus.invertedIndex(
+        t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("df") >= 25)
+    },
+
+    // top-5 rarity-weighted terms per doc over a doc slice; the "inv"
+    // scoring is one IEEE division → hash-exact on any engine
+    "q_tfidf_terms" -> { (s, dir) =>
+      graft.operators.Corpus.topTermsByRarity(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 5)
+    },
+
+    // corpus bigram language-model counts, n ≥ 3
+    "q_ngram_counts" -> { (s, dir) =>
+      graft.operators.Corpus.ngramCounts(
+        t(s, dir, "documents"), "text", n = 2, minCount = 3L)
+    },
+
+    // bloom-pruned semi join: lineitems of high-value orders; result
+    // must EQUAL the plain semi join (bloom prunes, exact join decides)
+    "q_bloom_join" -> { (s, dir) =>
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+      graft.operators.BloomJoin.semiJoin(
+        t(s, dir, "lineitem"), hi, "l_orderkey", "o_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    // key histogram / skew diagnostics: top-10 heaviest customers in
+    // orders with exact share-of-total
+    "q_skew_histogram" -> { (s, dir) =>
+      graft.operators.Stats.keyHistogram(
+        t(s, dir, "orders"), Seq("o_custkey"), topN = 10)
+    },
+
+    // winsorize order totals per priority at [p05, p95] discrete bounds
+    "q_winsorize" -> { (s, dir) =>
+      graft.operators.Stats.winsorize(
+        t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+        "o_orderpriority", "price", 0.05, 0.95)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("lo").cast("double").as("lo"),
+          col("hi").cast("double").as("hi"),
+          col("clipped").cast("double").as("clipped"))
+    },
+
+    // multimodal frame sampling: every 4th 256-byte "frame" of the
+    // payload exploded to rows (stub decode, real batched plumbing)
+    "q_frame_sample" -> { (s, dir) =>
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.frameSampled(withBin, "payload", stride = 4)
+        .select(col("doc_id"), col("frame_no"),
+          length(col("frame")).cast("long").as("frame_len"))
+    }
+  )
+
+  private val round3Oracles: Map[String, String] = Map(
+    "q_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 8 + 1, 1) + 1), i -> array_to_string(tk[i:i+7], ' '))) AS gram
+        | FROM toks),
+        |edges AS (
+        | SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        | FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |reach(id, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id)
+        |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q_cluster_resolve" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 8 + 1, 1) + 1), i -> array_to_string(tk[i:i+7], ' '))) AS gram
+        | FROM toks),
+        |edges AS (
+        | SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        | FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |reach(id, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.source FROM documents d JOIN comp c USING (doc_id)
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY c.cluster_id
+        |  ORDER BY d.n_chars DESC NULLS LAST, d.doc_id ASC) = 1""".stripMargin,
+    "q_inverted_index" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS tk
+        | FROM documents),
+        |postings AS (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |SELECT term, count(*) OVER (PARTITION BY term) AS df, doc_id
+        |FROM postings QUALIFY df >= 25""".stripMargin,
+    "q_tfidf_terms" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents WHERE doc_id % 10 = 0),
+        |tf AS (
+        | SELECT doc_id, term, count(*) AS tf
+        | FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, term, tf, df,
+        | cast(tf AS DOUBLE) / cast(df AS DOUBLE) AS score,
+        | rnk
+        |FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY doc_id
+        |   ORDER BY cast(tf AS DOUBLE) / cast(df AS DOUBLE) DESC, term ASC) AS rnk
+        | FROM tf JOIN dfreq USING (term))
+        |WHERE rnk <= 5""".stripMargin,
+    "q_ngram_counts" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
+        |grams AS (
+        | SELECT unnest(list_transform(range(1, greatest(len(tk) - 2 + 1, 1) + 1), i -> array_to_string(tk[i:i+1], ' '))) AS gram
+        | FROM toks)
+        |SELECT gram, count(*) AS n FROM grams GROUP BY gram HAVING count(*) >= 3""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)""".stripMargin,
+    "q_skew_histogram" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT o_custkey, n,
+        | cast(n AS DOUBLE) / cast(sum(n) OVER () AS DOUBLE) AS share,
+        | row_number() OVER (ORDER BY n DESC, o_custkey ASC) AS rnk
+        |FROM c QUALIFY rnk <= 10""".stripMargin,
+    "q_winsorize" ->
+      """WITH p AS (
+        | SELECT o_orderkey, o_orderpriority, cast(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY price ASC) AS r,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        | FROM p),
+        |bounds AS (
+        | SELECT o_orderpriority,
+        |  min(CASE WHEN r = greatest(cast(ceil(0.05 * n) AS BIGINT), 1) THEN price END) AS lo,
+        |  min(CASE WHEN r = greatest(cast(ceil(0.95 * n) AS BIGINT), 1) THEN price END) AS hi
+        | FROM ranked GROUP BY 1)
+        |SELECT p.o_orderkey, p.o_orderpriority,
+        | cast(b.lo AS DOUBLE) AS lo, cast(b.hi AS DOUBLE) AS hi,
+        | cast(least(greatest(p.price, b.lo), b.hi) AS DOUBLE) AS clipped
+        |FROM p JOIN bounds b USING (o_orderpriority)""".stripMargin,
+    "q_frame_sample" ->
+      """WITH d AS (
+        | SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |f AS (
+        | SELECT doc_id, len, unnest(range(0, cast(ceil(len / 256.0) AS BIGINT), 4)) AS frame_no
+        | FROM d WHERE len > 0)
+        |SELECT doc_id, frame_no, least(256, len - frame_no * 256) AS frame_len
+        |FROM f""".stripMargin
+  )
+
   /** One per implemented operator from SURVEY.md §2 (+ extensions). */
-  def queries: Map[String, Q] = referenceQueries ++ extensionQueries ++ round2Queries
+  def queries: Map[String, Q] =
+    referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    referenceOracles ++ extensionOracles ++ round2Oracles
+    referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles
 }

@@ -184,6 +184,100 @@ object Dedup {
     df.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected edge list — the step that
+    * turns near-dup PAIRS (from [[minHashNearDups]] / [[simhashNearDups]]
+    * / [[ngramJaccardNearDups]]) into duplicate CLUSTERS, so "drop all
+    * but one copy" is well-defined even when A~B and B~C but A!~C.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labelled with its own id; each round every node takes the min of
+    * its own label and its neighbours' labels; fixpoint = every node
+    * labelled with the min id of its component. Rounds needed = graph
+    * diameter — near-dup clusters are dense (LSH buckets produce
+    * near-cliques), so 2-4 rounds in practice; `maxIter` bounds
+    * adversarial chains. (For graphs with genuinely large diameters at
+    * scale, the alternating large-star/small-star algorithm [Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14]
+    * converges in O(log^2 n) rounds with the same join-shape per round —
+    * same skeleton, different propagation rule.)
+    *
+    * Scale shape per round: one shuffle-join (labels onto edge sources,
+    * keyed by node id), one partial-aggregated groupBy (min over
+    * neighbour labels, keyed by node id), one join back. No driver-side
+    * data; the only driver action is a scalar convergence count.
+    * Lineage is truncated each round with an eager `localCheckpoint`
+    * (plan analysis would otherwise grow without bound); on a
+    * multi-executor cluster with flaky nodes, switch to a reliable
+    * `checkpoint` directory — localCheckpoint blocks die with their
+    * executor.
+    *
+    * Nulls and self-loops are dropped. Nodes not present in any edge do
+    * not appear in the output (callers left-join + coalesce to keep
+    * singletons).
+    *
+    * @return (`idCol`, component) — component is the min node id of the
+    *         connected component
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, "maxIter must be > 0")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    // undirected: propagate both ways
+    val sym = e.union(e.select(col("__d").as("__s"), col("__s").as("__d")))
+      .dropDuplicates("__s", "__d")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("__s").as("__id")).distinct()
+      .withColumn("__comp", col("__id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min label among neighbours (partial agg → tiny shuffle)
+      val nbrMin = sym
+        .join(labels.select(col("__id").as("__s"), col("__comp").as("__sc")), "__s")
+        .groupBy(col("__d").as("__id"))
+        .agg(min(col("__sc")).as("__nbr"))
+      val stepped = labels
+        .join(nbrMin, Seq("__id"), "left")
+        .select(col("__id"),
+          least(col("__comp"), coalesce(col("__nbr"), col("__comp"))).as("__comp"),
+          col("__comp").as("__prev"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("__comp") < col("__prev")).count()
+      labels = stepped.drop("__prev")
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("__id").as("id"), col("__comp").as("component"))
+  }
+
+  /** Keep one canonical document per duplicate cluster: attach
+    * `components` (from [[connectedComponents]]), pick the best row of
+    * each cluster by `pick` ordering (ties MUST be broken by a unique
+    * column — append the id), keep unclustered rows as-is. The
+    * clusters side is near-dup output — tiny next to the corpus — so
+    * the attach join broadcasts; no full-corpus shuffle. */
+  def keepCanonical(
+      df: DataFrame, idCol: String, components: DataFrame,
+      pick: Seq[Column]): DataFrame = {
+    require(pick.nonEmpty, "pick ordering must not be empty")
+    val comp = broadcast(
+      components.select(col("id").as(idCol), col("component")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cluster")).orderBy(pick: _*)
+    df.join(comp, Seq(idCol), "left")
+      // singletons keep their own id as a degenerate cluster
+      .withColumn("__cluster", coalesce(col("component"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cluster", "component")
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the hash is the
     * sign of Σ_tokens (±1 depending on bit i of XXH64(token)).
     * Native codegen'd expression (graft.plans.SimHash64). */

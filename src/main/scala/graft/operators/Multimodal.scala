@@ -81,6 +81,38 @@ object Multimodal {
     ds.toDF(outSchema.fieldNames: _*)
   }
 
+  /** Explode a (video) binary column into sampled frame rows: one
+    * output row per kept frame, keeping every `stride`-th frame.
+    * `frame_no` is the frame's index in the ORIGINAL frame sequence
+    * (0, stride, 2·stride, …), so downstream ops can reason about
+    * timestamps; `frame` holds the frame payload.
+    *
+    * Row-explosion happens inside mapPartitions (no shuffle); output
+    * cardinality is rows × frames/stride — partition sizing guidance
+    * is the same as for any explode. */
+  def frameSampled(df: DataFrame, binCol: String, stride: Int,
+                   batchSize: Int = 64): DataFrame = {
+    require(stride > 0, "stride must be > 0")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("frame_no", LongType),
+      StructField("frame", BinaryType)))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outEnc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          if (bytes == null) Iterator.empty
+          else frameSampleStub(bytes, stride).iterator.zipWithIndex.map {
+            case (frame, ord) =>
+              Row.fromSeq(r.toSeq ++ Seq(ord.toLong * stride, frame))
+          }
+        }
+      }
+    }(outEnc).toDF(outSchema.fieldNames: _*)
+  }
+
   /** Resize a binary media column (stub transform, real plumbing). */
   def resized(df: DataFrame, binCol: String, w: Int, h: Int,
               outCol: String = "resized", batchSize: Int = 64): DataFrame = {

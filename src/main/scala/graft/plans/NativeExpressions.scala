@@ -139,6 +139,27 @@ case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** long key-hash → boolean bloom membership. The bitset travels inside
+  * the expression (broadcast to executors with the serialized plan, the
+  * same transport a broadcast-hash-join bitmap uses) and is probed via
+  * a codegen'd static call — no per-row allocation, no UDF. */
+case class BloomMightContain(child: Expression, bits: Array[Byte], k: Int)
+    extends UnaryExpression {
+  require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
+    s"BloomMightContain: bitset length must be a power of two, got ${bits.length}")
+  require(k > 0, s"BloomMightContain: k must be positive, got $k")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.bloomMightContain(bits, input.asInstanceOf[Long], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("graftBloomBits", bits, "byte[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.bloomMightContain($bitsRef, $c, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object native {
   private def c(e: Expression): Column = GraftShim.column(e)
@@ -158,4 +179,6 @@ object native {
     c(SigEqCount(e(a), e(b)))
   def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def hyperplaneSig(v: Column, bits: Int): Column = c(HyperplaneSig(e(v), bits))
+  def bloomMightContain(keyHash: Column, bits: Array[Byte], k: Int): Column =
+    c(BloomMightContain(e(keyHash), bits, k))
 }

@@ -324,4 +324,50 @@ object VectorKernels {
     }
     sig
   }
+
+  /** Second bloom hash derived from the first by a finalizer-style
+    * avalanche (splitmix64 tail); forced odd so the double-hashing
+    * probe sequence h1 + i·h2 cycles through all bit positions of the
+    * power-of-two-sized filter. */
+  private def bloomH2(h: Long): Long = {
+    var z = h + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) | 1L
+  }
+
+  /** Set the k double-hashed bit positions of `hash` in a bloom bitset.
+    * `bits.length` MUST be a power of two (the probe index is masked,
+    * not mod'd). Mutates in place — build-side aggregation only. */
+  def bloomSet(bits: Array[Byte], hash: Long, k: Int): Unit = {
+    val mBits = bits.length.toLong * 8L
+    val mask = mBits - 1L
+    val h2 = bloomH2(hash)
+    var i = 0
+    var h = hash
+    while (i < k) {
+      val pos = h & mask
+      bits((pos >>> 3).toInt) = (bits((pos >>> 3).toInt) | (1 << (pos & 7L).toInt)).toByte
+      h += h2
+      i += 1
+    }
+  }
+
+  /** Probe-side bloom membership: false = definitely absent (safe to
+    * prune), true = possibly present (exact join decides). Same probe
+    * sequence as [[bloomSet]]; runs inside whole-stage codegen. */
+  def bloomMightContain(bits: Array[Byte], hash: Long, k: Int): Boolean = {
+    val mBits = bits.length.toLong * 8L
+    val mask = mBits - 1L
+    val h2 = bloomH2(hash)
+    var i = 0
+    var h = hash
+    while (i < k) {
+      val pos = h & mask
+      if ((bits((pos >>> 3).toInt) & (1 << (pos & 7L).toInt)) == 0) return false
+      h += h2
+      i += 1
+    }
+    true
+  }
 }
