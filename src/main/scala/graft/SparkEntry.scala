@@ -1801,6 +1801,18 @@ object SparkEntry {
       Multimodal.frameSampled(withBin, "payload", stride = 4)
         .select(col("doc_id"), col("frame_no"),
           length(col("frame")).cast("long").as("frame_len"))
+    },
+
+    // end-to-end near-dedup: MinHash pairs → components → canonical
+    // survivors (MinHash estimates aren't SQL-expressible → rows-only
+    // check; each stage is separately oracled: q_dedup_minhash has its
+    // ScalaTest oracle, q_dup_clusters/q_cluster_resolve hash-match
+    // DuckDB)
+    "q_near_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.7,
+        pick = Seq(col("n_chars").desc_nulls_last, col("doc_id").asc))
+        .select(col("doc_id"), col("source"))
     }
   )
 

@@ -278,6 +278,27 @@ object Dedup {
       .drop("__rn", "__cluster", "component")
   }
 
+  /** End-to-end near-deduplication: MinHash+LSH candidate pairs →
+    * connected components → one canonical survivor per cluster. The
+    * full production pipeline as one call — [[minHashNearDups]] finds
+    * the pairs (shuffle keyed by LSH bucket), [[connectedComponents]]
+    * closes them transitively (A~B, B~C ⇒ {A,B,C} is ONE cluster even
+    * when A≁C), [[keepCanonical]] picks the survivor.
+    *
+    * @param pick canonical-pick ordering within a cluster (ties MUST
+    *             end with a unique column); default: smallest id
+    */
+  def nearDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, pick: Seq[Column] = Nil): DataFrame = {
+    val pairs = minHashNearDups(df, idCol, textCol, shingleLen, numPerm,
+      bands, threshold)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val ordering = if (pick.nonEmpty) pick else Seq(col(idCol).asc)
+    keepCanonical(df, idCol, comps, ordering)
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the hash is the
     * sign of Σ_tokens (±1 depending on bit i of XXH64(token)).
     * Native codegen'd expression (graft.plans.SimHash64). */

@@ -170,6 +170,24 @@ class ClusterStatsSpec extends GraftSpec {
     intercept[IllegalArgumentException](Stats.winsorize(df, "grp", "v", 0.9, 0.1))
   }
 
+  // ── end-to-end near-dedup ──
+
+  test("nearDedup collapses a planted near-dup cluster to its best survivor") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val docs = Seq(
+      (1L, base + "tail one", 10L),
+      (2L, base + "tail two longer", 99L), // same cluster, longest
+      (3L, base + "tail three", 10L),
+      (50L, "completely unrelated content about spark physical plans", 5L),
+      (60L, "another disjoint document with its own words entirely", 5L)
+    ).toDF("doc_id", "text", "n_chars")
+    val kept = Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.6,
+      pick = Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 50L, 60L),
+      s"cluster {1,2,3} must collapse to 2 (longest); got $kept")
+  }
+
   // ── multimodal frame sampling ──
 
   test("frameSampled explodes every stride-th 256-byte frame with original index") {

@@ -86,4 +86,34 @@ class PlanSpec extends GraftSpec {
     assert(!p.toLowerCase.contains("lambdafunction"),
       s"no interpreted lambda nodes expected:\n$p")
   }
+
+  test("bloom semi join: codegen'd probe filters the fact side before the exact semi join") {
+    val p = formatted("q_bloom_join")
+    assert(p.toLowerCase.contains("bloommightcontain"),
+      s"bloom probe must appear in the physical plan:\n$p")
+    assert(p.contains("LeftSemi"), s"exact semi join must close the result:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the probe sits in a plain Filter directly on the scan output
+    // (AQE's formatted explain of an unexecuted plan shows no codegen
+    // ids, so assert the operator shape, not the codegen marker)
+    assert(p.contains("Filter"), p)
+  }
+
+  test("skew histogram: partial aggregation on the input; global ranking is a top-K, not a full sort") {
+    val p = formatted("q_skew_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation over the input:\n$p")
+    // the rnk <= topN filter over row_number must be optimized into a
+    // window group limit: the global ordering is a TakeOrderedAndProject
+    // over the (small) counts relation, never a whole-relation Sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global ranking must plan as a top-K group limit:\n$p")
+  }
+
+  test("cluster resolution: canonical pick broadcasts the components side") {
+    val p = formatted("q_cluster_resolve")
+    assert(p.contains("BroadcastHashJoin"),
+      s"components attach must broadcast (tiny vs corpus):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
