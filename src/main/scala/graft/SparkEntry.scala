@@ -1803,6 +1803,20 @@ object SparkEntry {
           length(col("frame")).cast("long").as("frame_len"))
     },
 
+    // multimodal retrieval pipeline: binary payloads → stub feature
+    // embeddings → exact ANN against 3 probe docs (float math isn't
+    // SQL-expressible → rows-only; SimilaritySpec pins the semantics)
+    "q_media_features" -> { (s, dir) =>
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val feats = Multimodal.withFeatures(withBin, "payload")
+        .select(col("doc_id"), col("features"))
+      val probes = feats.filter(col("doc_id").isin(0L, 100L, 200L))
+        .select(col("doc_id").as("probe_id"), col("features").as("pvec"))
+      Similarity.bruteForceTopK(feats, "doc_id", "features",
+        probes, "probe_id", "pvec", k = 10)
+    },
+
     // end-to-end near-dedup: MinHash pairs → components → canonical
     // survivors (MinHash estimates aren't SQL-expressible → rows-only
     // check; each stage is separately oracled: q_dedup_minhash has its

@@ -81,6 +81,51 @@ object Multimodal {
     ds.toDF(outSchema.fieldNames: _*)
   }
 
+  /** STUB: fake feature extraction — an L2-normalized `dim`-bin byte
+    * histogram of the payload. Real impl: a vision/audio encoder over
+    * the decoded media. Total, pure and deterministic, so the plumbing
+    * (schema, batching, downstream ANN compatibility) is testable. */
+  def featuresStub(bytes: Array[Byte], dim: Int = 64): Array[Float] = {
+    val h = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      h((bytes(i) & 0xFF) % dim) += 1f
+      i += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += h(j).toDouble * h(j); j += 1 }
+    val inv = if (ss > 0) (1.0 / math.sqrt(ss)).toFloat else 0f
+    j = 0
+    while (j < dim) { h(j) *= inv; j += 1 }
+    h
+  }
+
+  /** Attach an embedding column extracted from a binary media column
+    * (stub encoder, real batched plumbing). The output `Array[Float]`
+    * column is directly consumable by the [[Similarity]] operators —
+    * binary corpus → features → ANN / near-dup is the full multimodal
+    * retrieval pipeline. */
+  def withFeatures(df: DataFrame, binCol: String, dim: Int = 64,
+                   outCol: String = "features", batchSize: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be > 0")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false)))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outEnc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "encoder context" per batch (stub: nothing to init)
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(r.toSeq :+
+            (if (bytes == null) null else featuresStub(bytes, dim).toSeq))
+        }
+      }
+    }(outEnc).toDF(outSchema.fieldNames: _*)
+  }
+
   /** Explode a (video) binary column into sampled frame rows: one
     * output row per kept frame, keeping every `stride`-th frame.
     * `frame_no` is the frame's index in the ORIGINAL frame sequence

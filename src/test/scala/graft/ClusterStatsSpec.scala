@@ -190,6 +190,33 @@ class ClusterStatsSpec extends GraftSpec {
 
   // ── multimodal frame sampling ──
 
+  test("withFeatures attaches unit-norm deterministic embeddings consumable by ANN") {
+    val df = Seq(
+      (1L, "hello world".getBytes("UTF-8")),
+      (2L, "hello world".getBytes("UTF-8")), // identical payload
+      (3L, "something else entirely".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+    val feats = Multimodal.withFeatures(df, "payload", dim = 16)
+    val rows = feats.collect().map(r =>
+      r.getLong(0) -> Option(r.getAs[scala.collection.Seq[Float]]("features"))
+        .map(_.toList)).toMap
+    assert(rows(4L).isEmpty, "null payload → null features")
+    assert(rows(1L).get == rows(2L).get, "deterministic encoder")
+    val norm = math.sqrt(rows(1L).get.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5, s"unit norm, got $norm")
+    assert(rows(1L).get.length == 16)
+    // identical payloads are each other's nearest neighbour at cosine 1
+    val nn = graft.operators.Similarity.bruteForceTopK(
+      feats.filter(col("payload").isNotNull), "id", "features",
+      feats.filter(col("id") === 1L)
+        .select(col("id").as("pid"), col("features").as("pv")),
+      "pid", "pv", k = 1)
+      .head()
+    assert(nn.getAs[Long]("neighbor_id") == 2L &&
+      math.abs(nn.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
   test("frameSampled explodes every stride-th 256-byte frame with original index") {
     val payload = Array.fill[Byte](256 * 9 + 10)(7) // 10 frames, last short
     val df = Seq((1L, payload), (2L, null.asInstanceOf[Array[Byte]]))
