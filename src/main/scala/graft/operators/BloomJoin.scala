@@ -75,15 +75,20 @@ object BloomJoin {
   private[graft] def buildBloom(
       dim: DataFrame, dimKey: String, fpp: Double): (Array[Byte], Int) = {
     // n drives sizing; distinct because duplicate dim keys don't widen
-    // the keyset (count is one partial-aggregated job over key hashes)
+    // the keyset (count is one partial-aggregated job over key hashes).
+    // persist the hash projection: it feeds both the sizing count and
+    // the build pass — without it the dim side is scanned twice
     val keyHashes = dim
       .filter(col(dimKey).isNotNull)
       .select(xxhash64(col(dimKey)).as("__kh"))
-    val n = keyHashes.distinct().count()
-    val (mBytes, k) = parameters(math.max(n, 1L), fpp)
-    val agg = udaf(new BloomAgg(mBytes, k), Encoders.scalaLong)
-    val bits = keyHashes.select(agg(col("__kh"))).head().getAs[Array[Byte]](0)
-    (bits, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = keyHashes.distinct().count()
+      val (mBytes, k) = parameters(math.max(n, 1L), fpp)
+      val agg = udaf(new BloomAgg(mBytes, k), Encoders.scalaLong)
+      val bits = keyHashes.select(agg(col("__kh"))).head().getAs[Array[Byte]](0)
+      (bits, k)
+    } finally keyHashes.unpersist()
   }
 
   /** `fact LEFT SEMI JOIN dim ON fact(factKey) = dim(dimKey)`, bloom-

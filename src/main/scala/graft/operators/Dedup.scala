@@ -259,23 +259,27 @@ object Dedup {
   /** Keep one canonical document per duplicate cluster: attach
     * `components` (from [[connectedComponents]]), pick the best row of
     * each cluster by `pick` ordering (ties MUST be broken by a unique
-    * column — append the id), keep unclustered rows as-is. The
-    * clusters side is near-dup output — tiny next to the corpus — so
-    * the attach join broadcasts; no full-corpus shuffle. */
+    * column — append the id), keep unclustered rows as-is.
+    *
+    * Scale shape: the components side is near-dup output — tiny next
+    * to the corpus — so the attach is a broadcast join, and the
+    * cluster window runs ONLY over the clustered rows (also tiny);
+    * the unclustered bulk of the corpus passes through untouched with
+    * no shuffle at all. */
   def keepCanonical(
       df: DataFrame, idCol: String, components: DataFrame,
       pick: Seq[Column]): DataFrame = {
     require(pick.nonEmpty, "pick ordering must not be empty")
     val comp = broadcast(
       components.select(col("id").as(idCol), col("component")))
+    val untouched = df.join(comp, Seq(idCol), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__cluster")).orderBy(pick: _*)
-    df.join(comp, Seq(idCol), "left")
-      // singletons keep their own id as a degenerate cluster
-      .withColumn("__cluster", coalesce(col("component"), col(idCol)))
+      .partitionBy(col("component")).orderBy(pick: _*)
+    val winners = df.join(comp, Seq(idCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__cluster", "component")
+      .drop("__rn", "component")
+    untouched.unionByName(winners)
   }
 
   /** End-to-end near-deduplication: MinHash+LSH candidate pairs →
