@@ -1817,6 +1817,29 @@ object SparkEntry {
         probes, "probe_id", "pvec", k = 10)
     },
 
+    // deterministic train/val/test split: membership is a pure function
+    // of doc_id (md5-uniform vs cumulative weight boundaries) — no RNG,
+    // no shuffle, leak-proof across re-runs and engines
+    "q_split_assign" -> { (s, dir) =>
+      graft.operators.Sampling.splitByHash(
+        t(s, dir, "documents"), "doc_id",
+        Seq(("train", 3.0), ("val", 1.0), ("test", 1.0)))
+        .select(col("doc_id"), col("split"))
+    },
+
+    // Unicode normalization (native expression): a decomposed combining
+    // sequence appended to each text collapses under NFC — lengths
+    // verify the transform exactly against DuckDB's nfc_normalize
+    "q_unicode_norm" -> { (s, dir) =>
+      // "e" + U+0301 (combining acute) built at runtime — no source
+      // escapes; NFC composes it to a single code point
+      val dec = concat(col("text"), lit("e" + 0x0301.toChar))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(dec).as("len_raw"),
+        length(TextFunctions.normalize(dec, "NFC")).as("len_nfc"))
+    },
+
     // end-to-end near-dedup: MinHash pairs → components → canonical
     // survivors (MinHash estimates aren't SQL-expressible → rows-only
     // check; each stage is separately oracled: q_dedup_minhash has its
@@ -1922,6 +1945,17 @@ object SparkEntry {
         | cast(b.lo AS DOUBLE) AS lo, cast(b.hi AS DOUBLE) AS hi,
         | cast(least(greatest(p.price, b.lo), b.hi) AS DOUBLE) AS clipped
         |FROM p JOIN bounds b USING (o_orderpriority)""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id,
+        | CASE WHEN u < 0.6 THEN 'train' WHEN u < 0.8 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  cast(concat('0x', substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        | FROM documents)""".stripMargin,
+    "q_unicode_norm" ->
+      """SELECT doc_id,
+        | length(text || 'e' || chr(769)) AS len_raw,
+        | length(nfc_normalize(text || 'e' || chr(769))) AS len_nfc
+        |FROM documents""".stripMargin,
     "q_frame_sample" ->
       """WITH d AS (
         | SELECT doc_id, octet_length(encode(text)) AS len FROM documents),

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Unicode normalization (native codegen'd expression; Spark has no
+    * built-in). Run dedup/fingerprint/token pipelines on normalized
+    * text, or visually-identical documents hash apart.
+    * @param form "NFC" (default) | "NFD" | "NFKC" | "NFKD" */
+  def normalize(text: Column, form: String = "NFC"): Column =
+    graft.plans.native.unicodeNormalize(text, form)
+
   /** Whitespace tokens, empties removed. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)

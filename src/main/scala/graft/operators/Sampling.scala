@@ -48,6 +48,41 @@ object Sampling {
     df.filter(u < rate)
   }
 
+  /** Deterministic train/val/test assignment: each row gets a split
+    * label decided by its md5-derived uniform against the cumulative
+    * weight boundaries — the leak-proof way to split training corpora
+    * (membership is a pure function of the id: re-runs, engine changes
+    * and late-arriving data can never move a document across splits,
+    * which WOULD leak eval data into training).
+    *
+    * Pure per-row projection — no shuffle, no RNG; at 100 TB this is
+    * scan-speed. Weights are normalized to sum 1; boundaries are
+    * half-open [lo, hi) so every row gets exactly one label.
+    *
+    * @param splits ordered (label, weight); e.g. Seq(("train", 0.98),
+    *               ("val", 0.01), ("test", 0.01))
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)],
+                  outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must not be empty")
+    splits.foreach { case (_, w) =>
+      require(w > 0, s"split weights must be positive, got $w") }
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split labels must be unique")
+    tempCol(df, outCol)
+    val total = splits.map(_._2).sum
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296d)
+    // fold from the LAST split backwards so earlier boundaries win
+    val cumUpper = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val labelled = splits.zip(cumUpper).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((label, _), hi)) =>
+        when(u < hi, lit(label)).otherwise(acc)
+      }
+    df.withColumn(outCol, labelled)
+  }
+
   /** Cumulative-weight BANDING of rows into batches: batch_id =
     * exclusive-prefix-sum(weight) div budget, per group in `orderCol`
     * order. This is the scan-friendly (one window, no sequential state)

@@ -76,6 +76,13 @@ object GraftSqlFunctions {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
+  private def strLit(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) if s != null =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
+  }
+
   private def f(name: String, usage: String, arity: Int)(b: FB) = (
     FunctionIdentifier(name),
     new ExpressionInfo("graft.plans.GraftSqlFunctions", null, name, usage, ""),
@@ -109,5 +116,10 @@ object GraftSqlFunctions {
     f("graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two float/double arrays", arity = 2) { args =>
       CosineSim(args(0), args(1))
+    },
+    f("graft_normalize",
+      "graft_normalize(text, form) - Unicode normalization, form in NFC|NFD|NFKC|NFKD",
+      arity = 2) { args =>
+      UnicodeNormalize(args(0), strLit(args(1), "graft_normalize", "form"))
     })
 }

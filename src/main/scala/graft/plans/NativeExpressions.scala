@@ -139,6 +139,29 @@ case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** string → Unicode-normalized string. `form`: "NFC" | "NFD" | "NFKC"
+  * | "NFKD". Normalization-sensitive operators (dedup, fingerprinting,
+  * token counting) must run on normalized text or visually-identical
+  * documents hash apart; Spark ships no normalizer built-in. */
+case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+  private val formCode: Int = form match {
+    case "NFC" => 0
+    case "NFD" => 1
+    case "NFKC" => 2
+    case "NFKD" => 3
+    case other => throw new IllegalArgumentException(
+      s"UnicodeNormalize: form must be NFC|NFD|NFKC|NFKD, got '$other'")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.normalize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], formCode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.normalize($c, $formCode)")
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 /** long key-hash → boolean bloom membership. The bitset travels inside
   * the expression (broadcast to executors with the serialized plan, the
   * same transport a broadcast-hash-join bitmap uses) and is probed via
@@ -181,4 +204,6 @@ object native {
   def hyperplaneSig(v: Column, bits: Int): Column = c(HyperplaneSig(e(v), bits))
   def bloomMightContain(keyHash: Column, bits: Array[Byte], k: Int): Column =
     c(BloomMightContain(e(keyHash), bits, k))
+  def unicodeNormalize(text: Column, form: String): Column =
+    c(UnicodeNormalize(e(text), form))
 }

@@ -325,6 +325,23 @@ object VectorKernels {
     sig
   }
 
+  /** Unicode normalization of a UTF8String. `form`: 0=NFC, 1=NFD,
+    * 2=NFKC, 3=NFKD. Fast path: java.text.Normalizer.isNormalized on
+    * the decoded string costs one scan and is true for almost all real
+    * text (ASCII trivially), skipping the allocation-heavy transform. */
+  def normalize(s: UTF8String, form: Int): UTF8String = {
+    val f = form match {
+      case 0 => java.text.Normalizer.Form.NFC
+      case 1 => java.text.Normalizer.Form.NFD
+      case 2 => java.text.Normalizer.Form.NFKC
+      case 3 => java.text.Normalizer.Form.NFKD
+      case _ => throw new IllegalArgumentException(s"bad normalization form code $form")
+    }
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+
   /** Second bloom hash derived from the first by a finalizer-style
     * avalanche (splitmix64 tail); forced odd so the double-hashing
     * probe sequence h1 + i·h2 cycles through all bit positions of the

@@ -170,6 +170,56 @@ class ClusterStatsSpec extends GraftSpec {
     intercept[IllegalArgumentException](Stats.winsorize(df, "grp", "v", 0.9, 0.1))
   }
 
+  // ── deterministic split / unicode normalization ──
+
+  test("splitByHash: total partition, deterministic, roughly weighted") {
+    val docs = (1L to 2000L).toDF("id")
+    val out = graft.operators.Sampling.splitByHash(docs, "id",
+      Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)))
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L, "every row gets exactly one label")
+    assert(counts("train") > 1400 && counts("train") < 1800,
+      s"~80% train, got ${counts("train")}")
+    // deterministic: a second evaluation assigns identically
+    val again = graft.operators.Sampling.splitByHash(docs, "id",
+      Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.splitByHash(docs, "id",
+        Seq(("a", 1.0), ("a", 2.0)))
+    }
+  }
+
+  test("unicode normalization composes/decomposes; SQL surface registered") {
+    val dec = "e" + 0x0301.toChar          // decomposed: e + combining acute
+    val composed = 0x00E9.toChar.toString  // precomposed é
+    val df = Seq((1L, dec), (2L, composed), (3L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val out = df.select(col("id"),
+      length(col("s")).as("raw"),
+      length(graft.functions.TextFunctions.normalize(col("s"), "NFC")).as("nfc"),
+      length(graft.functions.TextFunctions.normalize(col("s"), "NFD")).as("nfd"))
+      .collect().map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.get(3))).toMap
+    assert(out(1L) == ((2, 1, 2)), "decomposed: raw 2, NFC 1, NFD 2")
+    assert(out(2L) == ((1, 1, 2)), "precomposed: raw 1, NFC 1, NFD 2")
+    assert(out(3L) == ((null, null, null)), "null propagates")
+    // NFKC folds compatibility characters (e.g. fullwidth digits)
+    val wide = 0xFF11.toChar.toString // fullwidth '1'
+    val k = Seq(Tuple1(wide)).toDF("s")
+      .select(graft.functions.TextFunctions.normalize(col("s"), "NFKC"))
+      .head().getString(0)
+    assert(k == "1")
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.normalize(col("s"), "NFX")
+    }
+    // SQL registration with literal-form validation
+    val viaSql = spark.sql(
+      s"SELECT length(graft_normalize('$dec', 'NFC')) AS n").head().getInt(0)
+    assert(viaSql == 1)
+  }
+
   // ── end-to-end near-dedup ──
 
   test("nearDedup collapses a planted near-dup cluster to its best survivor") {
