@@ -1817,6 +1817,34 @@ object SparkEntry {
         probes, "probe_id", "pvec", k = 10)
     },
 
+    // upsert / MERGE dataflow: a deterministic "updates" slice replaces
+    // matching customers and appends new keys; target never shuffles
+    "q_upsert" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), concat(col("c_name"), lit("-v2")).as("c_name"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"), col("c_nationkey"))
+      val appended = cust.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey") + 1000000, col("c_name"),
+          col("c_acctbal"), col("c_nationkey"))
+        .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      graft.operators.Merge.upsert(cust, updates.unionByName(appended),
+        Seq("c_custkey"))
+    },
+
+    // SCD-2 validity intervals from the events change log: per-user
+    // value history with [valid_from, valid_to) and NULL on current
+    "q_scd2" -> { (s, dir) =>
+      val ev = EventStreams.readEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.operators.Merge.scd2Intervals(ev, "user_id", "ts",
+        tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("valid_from")).as("vf_us"),
+          unix_micros(col("valid_to")).as("vt_us"))
+    },
+
     // deterministic train/val/test split: membership is a pure function
     // of doc_id (md5-uniform vs cumulative weight boundaries) — no RNG,
     // no shuffle, leak-proof across re-runs and engines
@@ -1945,6 +1973,24 @@ object SparkEntry {
         | cast(b.lo AS DOUBLE) AS lo, cast(b.hi AS DOUBLE) AS hi,
         | cast(least(greatest(p.price, b.lo), b.hi) AS DOUBLE) AS clipped
         |FROM p JOIN bounds b USING (o_orderpriority)""".stripMargin,
+    "q_upsert" ->
+      """WITH cust AS (
+        | SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer),
+        |upd AS (
+        | SELECT c_custkey, c_name || '-v2' AS c_name, c_acctbal + 1000.0 AS c_acctbal, c_nationkey
+        | FROM cust WHERE c_custkey % 7 = 0
+        | UNION ALL
+        | SELECT c_custkey + 1000000, c_name, c_acctbal, c_nationkey
+        | FROM cust WHERE c_custkey % 11 = 0)
+        |SELECT t.* FROM cust t
+        |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = t.c_custkey)
+        |UNION ALL
+        |SELECT * FROM upd""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_id, value,
+        | epoch_us(ts) AS vf_us,
+        | epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS vt_us
+        |FROM events""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id,
         | CASE WHEN u < 0.6 THEN 'train' WHEN u < 0.8 THEN 'val' ELSE 'test' END AS split

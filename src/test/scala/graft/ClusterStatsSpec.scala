@@ -170,6 +170,37 @@ class ClusterStatsSpec extends GraftSpec {
     intercept[IllegalArgumentException](Stats.winsorize(df, "grp", "v", 0.9, 0.1))
   }
 
+  // ── upsert / SCD-2 ──
+
+  test("upsert replaces matched keys, appends new ones, passes the rest through") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val updates = Seq((2L, "b2", 99.0), (9L, "new", 1.0))
+      .toDF("k", "name", "bal")
+    val out = graft.operators.Merge.upsert(target, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      1L -> ("a", 10.0), 2L -> ("b2", 99.0), 3L -> ("c", 30.0), 9L -> ("new", 1.0)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Merge.upsert(target, updates.select("name", "k", "bal"), Seq("k"))
+    }
+  }
+
+  test("scd2Intervals: per-key validity chain, NULL valid_to on current row") {
+    val changes = Seq(
+      ("u1", 1L, 100L, "x"), ("u1", 2L, 200L, "y"), ("u1", 3L, 200L, "z"),
+      ("u2", 4L, 50L, "only")
+    ).toDF("k", "eid", "ts", "v")
+    val out = graft.operators.Merge.scd2Intervals(changes, "k", "ts", Seq("eid"))
+      .collect().map(r => r.getAs[Long]("eid") ->
+        (r.getAs[Long]("valid_from"), Option(r.getAs[java.lang.Long]("valid_to")))).toMap
+    assert(out(1L) == ((100L, Some(200L))))
+    // same-ts tie broken by eid: 2 precedes 3
+    assert(out(2L) == ((200L, Some(200L))))
+    assert(out(3L) == ((200L, None)), "latest change stays open")
+    assert(out(4L) == ((50L, None)), "single change is current")
+  }
+
   // ── deterministic split / unicode normalization ──
 
   test("splitByHash: total partition, deterministic, roughly weighted") {
