@@ -1707,20 +1707,26 @@ object SparkEntry {
   // bloom-pruned join, skew diagnostics, winsorization, frame sampling
   // ────────────────────────────────────────────────────────────────
 
+  /** Shared-8-gram edge relation over documents: SQL-expressible on
+    * purpose so connected components itself is oracle-checked (at
+    * scale the edges come from `Dedup.minHashNearDups` instead). Used
+    * by BOTH q_dup_clusters and q_cluster_resolve — one definition, so
+    * the two oracled queries can never desync. */
+  private def gramEdges(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(TextFunctions.wordNgrams(col("text"), 8)).as("gram"))
+    val ga = grams.select(col("gram"), col("doc_id").as("src"))
+    val gb = grams.select(col("gram"), col("doc_id").as("dst"))
+    ga.join(gb, "gram").filter(col("src") < col("dst"))
+      .select("src", "dst").dropDuplicates("src", "dst")
+  }
+
   private val round3Queries: Map[String, Q] = Map(
     // connected components over shared-8-gram edges: near-dup PAIRS →
-    // duplicate CLUSTERS (min-label propagation; the edge relation here
-    // is SQL-expressible on purpose so CC itself is oracle-checked — at
-    // scale the edges come from minHashNearDups instead)
+    // duplicate CLUSTERS (min-label propagation)
     "q_dup_clusters" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val grams = docs.select(col("doc_id"),
-        explode(TextFunctions.wordNgrams(col("text"), 8)).as("gram"))
-      val ga = grams.select(col("gram"), col("doc_id").as("src"))
-      val gb = grams.select(col("gram"), col("doc_id").as("dst"))
-      val edges = ga.join(gb, "gram").filter(col("src") < col("dst"))
-        .select("src", "dst").dropDuplicates("src", "dst")
-      val comps = Dedup.connectedComponents(edges, "src", "dst")
+      val comps = Dedup.connectedComponents(gramEdges(docs), "src", "dst")
       docs.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("cluster_id"))
@@ -1730,13 +1736,7 @@ object SparkEntry {
     // (longest doc, ties to smallest id), singletons untouched
     "q_cluster_resolve" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val grams = docs.select(col("doc_id"),
-        explode(TextFunctions.wordNgrams(col("text"), 8)).as("gram"))
-      val ga = grams.select(col("gram"), col("doc_id").as("src"))
-      val gb = grams.select(col("gram"), col("doc_id").as("dst"))
-      val edges = ga.join(gb, "gram").filter(col("src") < col("dst"))
-        .select("src", "dst").dropDuplicates("src", "dst")
-      val comps = Dedup.connectedComponents(edges, "src", "dst")
+      val comps = Dedup.connectedComponents(gramEdges(docs), "src", "dst")
       Dedup.keepCanonical(docs, "doc_id", comps,
         pick = Seq(col("n_chars").desc_nulls_last, col("doc_id").asc))
         .select(col("doc_id"), col("source"))

@@ -92,11 +92,22 @@ object BloomJoin {
   }
 
   /** `fact LEFT SEMI JOIN dim ON fact(factKey) = dim(dimKey)`, bloom-
-    * pruned. See class doc for when this beats the plain semi join. */
+    * pruned. See class doc for when this beats the plain semi join.
+    *
+    * Key types must MATCH exactly: the bloom compares xxhash64 of the
+    * raw values, and Spark hashes e.g. INT 5 and BIGINT 5 differently —
+    * a silent type coercion that the exact join would absorb becomes a
+    * false NEGATIVE here (true matches pruned). Cast one side first. */
   def semiJoin(
       fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       fpp: Double = 0.01): DataFrame = {
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    require(ft == dt,
+      s"bloom semi join key types must match exactly (got $factKey: ${ft.sql} " +
+        s"vs $dimKey: ${dt.sql}); xxhash64 is type-sensitive, so a mismatch " +
+        "would prune true matches — cast one side before joining")
     val (bits, k) = buildBloom(dim, dimKey, fpp)
     val pruned = fact.filter(
       col(factKey).isNotNull &&

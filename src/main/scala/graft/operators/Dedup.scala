@@ -253,6 +253,16 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // silently-split components are worse than an error: downstream
+    // dedup would keep several "canonical" copies of one cluster and
+    // an exact oracle (true transitive closure) would diverge with no
+    // hint of the cause
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — the graph has a component " +
+          "with diameter > maxIter; raise maxIter or switch to " +
+          "large-star/small-star propagation for chain-like graphs")
     labels.select(col("__id").as("id"), col("__comp").as("component"))
   }
 
@@ -270,6 +280,10 @@ object Dedup {
       df: DataFrame, idCol: String, components: DataFrame,
       pick: Seq[Column]): DataFrame = {
     require(pick.nonEmpty, "pick ordering must not be empty")
+    Seq("component", "__rn").foreach { n =>
+      require(!df.columns.contains(n),
+        s"input already has a column named $n")
+    }
     val comp = broadcast(
       components.select(col("id").as(idCol), col("component")))
     val untouched = df.join(comp, Seq(idCol), "left_anti")

@@ -14,21 +14,28 @@ object Merge {
     * whose key matches an update are REPLACED by the update row; update
     * rows with new keys are APPENDED; everything else passes through.
     *
-    * Plan shape: one anti join (broadcast when updates are small — the
-    * usual case for incremental loads) + a union; the target is never
-    * shuffled. With a transactional table format this becomes MERGE
-    * INTO; the dataflow here is exactly what those formats execute for
-    * a not-matched-by-source=keep merge.
+    * Plan shape: one anti join + a union. With `broadcastUpdates`
+    * (default — the usual incremental-load case where updates are a
+    * small delta) the update KEYS broadcast and the target is never
+    * shuffled; for full-refresh merges where the updates side is itself
+    * huge, pass `broadcastUpdates = false` to let a shuffle anti join
+    * plan instead of OOMing the driver on the broadcast. With a
+    * transactional table format this becomes MERGE INTO; the dataflow
+    * here is exactly what those formats execute for a
+    * not-matched-by-source=keep merge.
     *
     * Updates must be key-unique (enforce upstream with
     * [[Index.uniqueIndexOn]] / `dropDuplicates`): duplicate update keys
     * would both survive, which is MERGE's own ambiguity error case. */
-  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+             broadcastUpdates: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "keys must not be empty")
     require(target.columns.sameElements(updates.columns),
       s"target and updates must share a schema: " +
         s"${target.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
-    target.join(broadcast(updates.select(keys.map(col): _*)), keys, "left_anti")
+    val updateKeys = updates.select(keys.map(col): _*)
+    val build = if (broadcastUpdates) broadcast(updateKeys) else updateKeys
+    target.join(build, keys, "left_anti")
       .unionByName(updates)
   }
 

@@ -53,33 +53,46 @@ object Multimodal {
       case (frame, i) if i % stride == 0 => frame
     }.toSeq
 
+  /** Shared plumbing for every binary-column operator: extend the
+    * schema with `newFields`, process each partition in bounded batches
+    * (one decoder context per batch — Arrow-batch shape), and append
+    * `perRow(bytes)`'s field values to the input row: zero results drop
+    * the row, several explode it. The payload reaches `perRow` as-is
+    * (possibly null) so each operator states its own null contract. */
+  private def mapBinary(df: DataFrame, binCol: String, batchSize: Int,
+      newFields: Seq[StructField])(
+      perRow: Array[Byte] => Iterator[Seq[Any]]): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ newFields)
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outEnc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "decoder context" per batch (stub: nothing to init)
+        batch.iterator.flatMap { r =>
+          perRow(r.getAs[Array[Byte]](binIdx))
+            .map(vals => Row.fromSeq(r.toSeq ++ vals))
+        }
+      }
+    }(outEnc).toDF(outSchema.fieldNames: _*)
+  }
+
   /** Attach decoded metadata to a binary column. Batched decode inside
     * mapPartitions: the per-partition iterator is processed in bounded
     * batches (`batchSize`), mirroring Arrow-batch shape — a real codec
     * would amortize its decoder/context across each batch. */
   def withMediaMeta(df: DataFrame, binCol: String,
-                    batchSize: Int = 64): DataFrame = {
-    val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields :+ StructField("media", mediaMetaType))
-    val binIdx = inSchema.fieldIndex(binCol)
-    val outEnc = Encoders.row(outSchema)
-    val ds = df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // one "decoder context" per batch (stub: nothing to init)
-        batch.iterator.map { r =>
-          val bytes = r.getAs[Array[Byte]](binIdx)
-          val meta =
-            if (bytes == null) null
-            else {
-              val (l, w, h, f, fmt) = decodeMetaStub(bytes)
-              Row(l, w, h, f, fmt)
-            }
-          Row.fromSeq(r.toSeq :+ meta)
+                    batchSize: Int = 64): DataFrame =
+    mapBinary(df, binCol, batchSize,
+      Seq(StructField("media", mediaMetaType))) { bytes =>
+      val meta =
+        if (bytes == null) null
+        else {
+          val (l, w, h, f, fmt) = decodeMetaStub(bytes)
+          Row(l, w, h, f, fmt)
         }
-      }
-    }(outEnc)
-    ds.toDF(outSchema.fieldNames: _*)
-  }
+      Iterator.single(Seq(meta))
+    }
 
   /** STUB: fake feature extraction — an L2-normalized `dim`-bin byte
     * histogram of the payload. Real impl: a vision/audio encoder over
@@ -109,21 +122,11 @@ object Multimodal {
   def withFeatures(df: DataFrame, binCol: String, dim: Int = 64,
                    outCol: String = "features", batchSize: Int = 64): DataFrame = {
     require(dim > 0, "dim must be > 0")
-    val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields :+
-      StructField(outCol, ArrayType(FloatType, containsNull = false)))
-    val binIdx = inSchema.fieldIndex(binCol)
-    val outEnc = Encoders.row(outSchema)
-    df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // one "encoder context" per batch (stub: nothing to init)
-        batch.iterator.map { r =>
-          val bytes = r.getAs[Array[Byte]](binIdx)
-          Row.fromSeq(r.toSeq :+
-            (if (bytes == null) null else featuresStub(bytes, dim).toSeq))
-        }
-      }
-    }(outEnc).toDF(outSchema.fieldNames: _*)
+    mapBinary(df, binCol, batchSize,
+      Seq(StructField(outCol, ArrayType(FloatType, containsNull = false)))) { bytes =>
+      Iterator.single(Seq(
+        if (bytes == null) null else featuresStub(bytes, dim).toSeq))
+    }
   }
 
   /** Explode a (video) binary column into sampled frame rows: one
@@ -138,40 +141,19 @@ object Multimodal {
   def frameSampled(df: DataFrame, binCol: String, stride: Int,
                    batchSize: Int = 64): DataFrame = {
     require(stride > 0, "stride must be > 0")
-    val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields ++ Seq(
-      StructField("frame_no", LongType),
-      StructField("frame", BinaryType)))
-    val binIdx = inSchema.fieldIndex(binCol)
-    val outEnc = Encoders.row(outSchema)
-    df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](binIdx)
-          if (bytes == null) Iterator.empty
-          else frameSampleStub(bytes, stride).iterator.zipWithIndex.map {
-            case (frame, ord) =>
-              Row.fromSeq(r.toSeq ++ Seq(ord.toLong * stride, frame))
-          }
-        }
+    mapBinary(df, binCol, batchSize,
+      Seq(StructField("frame_no", LongType), StructField("frame", BinaryType))) { bytes =>
+      if (bytes == null) Iterator.empty
+      else frameSampleStub(bytes, stride).iterator.zipWithIndex.map {
+        case (frame, ord) => Seq(ord.toLong * stride, frame)
       }
-    }(outEnc).toDF(outSchema.fieldNames: _*)
+    }
   }
 
   /** Resize a binary media column (stub transform, real plumbing). */
   def resized(df: DataFrame, binCol: String, w: Int, h: Int,
-              outCol: String = "resized", batchSize: Int = 64): DataFrame = {
-    val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields :+ StructField(outCol, BinaryType))
-    val binIdx = inSchema.fieldIndex(binCol)
-    val outEnc = Encoders.row(outSchema)
-    df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val bytes = r.getAs[Array[Byte]](binIdx)
-          Row.fromSeq(r.toSeq :+ (if (bytes == null) null else resizeStub(bytes, w, h)))
-        }
-      }
-    }(outEnc).toDF(outSchema.fieldNames: _*)
-  }
+              outCol: String = "resized", batchSize: Int = 64): DataFrame =
+    mapBinary(df, binCol, batchSize, Seq(StructField(outCol, BinaryType))) { bytes =>
+      Iterator.single(Seq(if (bytes == null) null else resizeStub(bytes, w, h)))
+    }
 }

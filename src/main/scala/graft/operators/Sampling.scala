@@ -57,7 +57,10 @@ object Sampling {
     *
     * Pure per-row projection — no shuffle, no RNG; at 100 TB this is
     * scan-speed. Weights are normalized to sum 1; boundaries are
-    * half-open [lo, hi) so every row gets exactly one label.
+    * half-open [lo, hi) so every non-null id gets exactly one label.
+    * A NULL id gets a NULL label — "no id" must surface as "no split",
+    * never silently land in one bucket (an eval split quietly absorbing
+    * every unkeyed row is a data leak); filter or fail upstream.
     *
     * @param splits ordered (label, weight); e.g. Seq(("train", 0.98),
     *               ("val", 0.01), ("test", 0.01))
@@ -80,7 +83,8 @@ object Sampling {
       .foldLeft(lit(splits.last._1)) { case (acc, ((label, _), hi)) =>
         when(u < hi, lit(label)).otherwise(acc)
       }
-    df.withColumn(outCol, labelled)
+    df.withColumn(outCol,
+      when(col(idCol).isNull, lit(null).cast("string")).otherwise(labelled))
   }
 
   /** Cumulative-weight BANDING of rows into batches: batch_id =

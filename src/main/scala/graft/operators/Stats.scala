@@ -32,6 +32,11 @@ object Stats {
   def keyHistogram(df: DataFrame, keys: Seq[String], topN: Int): DataFrame = {
     require(keys.nonEmpty, "keys must not be empty")
     require(topN > 0, "topN must be > 0")
+    // non-key input columns don't survive the groupBy, so only the key
+    // names can collide with the output columns
+    Seq("n", "share", "rnk", "__total").foreach { c =>
+      require(!keys.contains(c), s"key column may not be named $c")
+    }
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
     val withTotal = counts.crossJoin(
       broadcast(counts.agg(sum(col("n")).as("__total"))))
@@ -65,6 +70,10 @@ object Stats {
       pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pLo <= 1 && pHi >= 0 && pHi <= 1 && pLo <= pHi,
       s"need 0 <= pLo <= pHi <= 1, got ($pLo, $pHi)")
+    Seq("lo", "hi", "clipped", "__g").foreach { n =>
+      require(!df.columns.contains(n),
+        s"input already has a column named $n")
+    }
     val ranked = df
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valueCol).as("__v"))

@@ -220,6 +220,12 @@ class ClusterStatsSpec extends GraftSpec {
       graft.operators.Sampling.splitByHash(docs, "id",
         Seq(("a", 1.0), ("a", 2.0)))
     }
+    // a null id must get a NULL label, never silently land in a split
+    val withNull = Seq(Some(1L), None).toDF("id")
+    val labels = graft.operators.Sampling.splitByHash(withNull, "id",
+      Seq(("train", 1.0), ("test", 1.0)))
+      .collect().map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    assert(labels(None) == null && labels(Some(1L)) != null)
   }
 
   test("unicode normalization composes/decomposes; SQL surface registered") {

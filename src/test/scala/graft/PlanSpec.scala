@@ -116,4 +116,20 @@ class PlanSpec extends GraftSpec {
       s"components attach must broadcast (tiny vs corpus):\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("hash split and unicode normalization are shuffle-free scan projections") {
+    Seq("q_split_assign", "q_unicode_norm").foreach { q =>
+      val p = formatted(q)
+      assert(!p.contains("Exchange"),
+        s"$q must be a pure per-row projection (scan-speed at 100 TB):\n$p")
+    }
+  }
+
+  test("upsert: broadcast anti join, target side never sort-merge shuffled") {
+    val p = formatted("q_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"upsert must anti-join against broadcast update keys:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the target must not be shuffled for the merge:\n$p")
+  }
 }
