@@ -1817,6 +1817,39 @@ object SparkEntry {
         probes, "probe_id", "pvec", k = 10)
     },
 
+    // Misra-Gries top-k sketch in its exact regime (distinct values < k
+    // counters → no evictions → exact deterministic counts, oracled
+    // against plain groupBy; the approximate regime is property-tested)
+    "q_topk_sketch" -> { (s, dir) =>
+      val topk = graft.functions.Udafs.topkSketch(16)
+      t(s, dir, "orders")
+        .agg(topk(col("o_orderpriority")).as("pairs"))
+        .select(explode(col("pairs")).as("p"))
+        .select(col("p._1").as("item"), col("p._2").as("n"))
+    },
+
+    // null-safe equality join (<=>): null keys MATCH null keys, unlike
+    // plain '=' which drops them — the semantics MERGE/dedup pipelines
+    // need for nullable business keys
+    "q_nullsafe_join" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), nullif(col("c_nationkey"), lit(13)).as("ck"))
+      val nat = t(s, dir, "nation")
+        .select(nullif(col("n_nationkey"), lit(13)).as("nk"), col("n_name"))
+      cust.join(nat, col("ck") <=> col("nk"))
+        .select(col("c_custkey"), col("n_name"))
+    },
+
+    // ordered string aggregation (listagg): deterministic via sort
+    // before join — collect_list order is NOT deterministic, array_sort
+    // makes it so
+    "q_string_agg" -> { (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"),
+          count(lit(1)).as("n"))
+    },
+
     // upsert / MERGE dataflow: a deterministic "updates" slice replaces
     // matching customers and appends new keys; target never shuffles
     "q_upsert" -> { (s, dir) =>
@@ -1973,6 +2006,16 @@ object SparkEntry {
         | cast(b.lo AS DOUBLE) AS lo, cast(b.hi AS DOUBLE) AS hi,
         | cast(least(greatest(p.price, b.lo), b.hi) AS DOUBLE) AS clipped
         |FROM p JOIN bounds b USING (o_orderpriority)""".stripMargin,
+    "q_topk_sketch" ->
+      "SELECT o_orderpriority AS item, count(*) AS n FROM orders GROUP BY 1",
+    "q_nullsafe_join" ->
+      """SELECT c.c_custkey, n.n_name
+        |FROM (SELECT c_custkey, nullif(c_nationkey, 13) AS ck FROM customer) c
+        |JOIN (SELECT nullif(n_nationkey, 13) AS nk, n_name FROM nation) n
+        |  ON c.ck IS NOT DISTINCT FROM n.nk""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names, count(*) AS n
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
     "q_upsert" ->
       """WITH cust AS (
         | SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer),

@@ -61,4 +61,59 @@ object Udafs {
 
   /** Column-API handle: `wavg(x, w)` inside `.agg(...)`. */
   val wavg: UserDefinedFunction = udaf(WeightedMean)
+
+  /** Misra-Gries buffer: at most `k` counters. */
+  case class MG(counters: Map[String, Long])
+
+  /** Misra-Gries heavy-hitter sketch over a string column: at most `k`
+    * counters per partial; any item occurring more than n/(k+1) times
+    * is GUARANTEED present in the result, and every reported count is
+    * an under-estimate by at most n/(k+1). One pass, fixed memory,
+    * map-side partials — the sketch answer to "top keys" when the
+    * domain is unbounded and [[graft.operators.Stats.keyHistogram]]'s
+    * exact groupBy would produce more distinct keys than fits.
+    *
+    * EXACT REGIME: with fewer than `k` distinct values the sketch never
+    * evicts, so counts are exact and deterministic (this is what the
+    * correctness gate checks); in the approximate regime the counts
+    * depend on merge order — treat them as lower bounds (property
+    * test: planted heavy hitters are always found).
+    *
+    * Result: (item, count) pairs, count desc / item asc. */
+  final class TopKSketch(k: Int) extends Aggregator[String, MG, Seq[(String, Long)]] {
+    require(k > 0, "k must be > 0")
+    override def zero: MG = MG(Map.empty)
+    override def reduce(b: MG, item: String): MG = {
+      if (item == null) b
+      else b.counters.get(item) match {
+        case Some(c) => MG(b.counters.updated(item, c + 1))
+        case None if b.counters.size < k => MG(b.counters.updated(item, 1L))
+        case None =>
+          // decrement all; drop zeros (the classic MG step)
+          MG(b.counters.collect {
+            case (i, c) if c > 1 => i -> (c - 1)
+          })
+      }
+    }
+    override def merge(a: MG, b: MG): MG = {
+      val sum = b.counters.foldLeft(a.counters) { case (acc, (i, c)) =>
+        acc.updated(i, acc.getOrElse(i, 0L) + c)
+      }
+      if (sum.size <= k) MG(sum)
+      else {
+        // keep the k largest after subtracting the (k+1)-th count
+        // (Agarwal et al.'s mergeable-summaries rule)
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        MG(sum.collect { case (i, c) if c > cut => i -> (c - cut) })
+      }
+    }
+    override def finish(r: MG): Seq[(String, Long)] =
+      r.counters.toSeq.sortBy { case (i, c) => (-c, i) }
+    override def bufferEncoder: Encoder[MG] = Encoders.product[MG]
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** `topk(col)` handle with `k` counters. */
+  def topkSketch(k: Int): UserDefinedFunction = udaf(new TopKSketch(k))
 }

@@ -170,6 +170,30 @@ class ClusterStatsSpec extends GraftSpec {
     intercept[IllegalArgumentException](Stats.winsorize(df, "grp", "v", 0.9, 0.1))
   }
 
+  // ── Misra-Gries top-k sketch ──
+
+  test("topkSketch is exact (and equal to groupBy) below the counter budget") {
+    val rows = (Seq.fill(7)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c")).toDF("v")
+    val got = rows.agg(graft.functions.Udafs.topkSketch(16)(col("v")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got == Seq("a" -> 7L, "b" -> 4L, "c" -> 2L))
+  }
+
+  test("topkSketch guarantees heavy hitters above n/(k+1) in the approximate regime") {
+    // 1000 rows: "hot" occurs 400 times (40%), rest are near-unique noise.
+    // With k=9, any item above n/(k+1) = 10% MUST be reported.
+    val data = (Seq.fill(400)("hot") ++ (1 to 600).map(i => s"noise$i"))
+    val df = spark.sparkContext.parallelize(data, 8).toDF("v")
+    val got = df.agg(graft.functions.Udafs.topkSketch(9)(col("v")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.contains("hot"), s"guaranteed heavy hitter missing: $got")
+    assert(got("hot") <= 400L, "MG counts are lower bounds")
+    assert(got("hot") >= 400L - 1000L / 10, "undercount bounded by n/(k+1)")
+    assert(got.size <= 9, "at most k counters survive")
+  }
+
   // ── upsert / SCD-2 ──
 
   test("upsert replaces matched keys, appends new ones, passes the rest through") {
