@@ -1866,6 +1866,23 @@ object SparkEntry {
         Seq("c_custkey"))
     },
 
+    // snapshot diff (CDC): old customers vs the upserted version —
+    // every key classified added/removed/changed/unchanged
+    "q_table_diff" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), concat(col("c_name"), lit("-v2")).as("c_name"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"), col("c_nationkey"))
+      val appended = cust.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey") + 1000000, col("c_name"),
+          col("c_acctbal"), col("c_nationkey"))
+        .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nextSnap = graft.operators.Merge.upsert(
+        cust, updates.unionByName(appended), Seq("c_custkey"))
+      graft.operators.Merge.diff(cust, nextSnap, Seq("c_custkey"))
+    },
+
     // SCD-2 validity intervals from the events change log: per-user
     // value history with [valid_from, valid_to) and NULL on current
     "q_scd2" -> { (s, dir) =>
@@ -2029,6 +2046,25 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = t.c_custkey)
         |UNION ALL
         |SELECT * FROM upd""".stripMargin,
+    "q_table_diff" ->
+      """WITH cust AS (
+        | SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer),
+        |nxt AS (
+        | SELECT c_custkey, c_name || '-v2' AS c_name, c_acctbal + 1000.0 AS c_acctbal, c_nationkey
+        | FROM cust WHERE c_custkey % 7 = 0
+        | UNION ALL
+        | SELECT c_custkey + 1000000, c_name, c_acctbal, c_nationkey
+        | FROM cust WHERE c_custkey % 11 = 0
+        | UNION ALL
+        | SELECT * FROM cust WHERE c_custkey % 7 <> 0)
+        |SELECT coalesce(p.c_custkey, n.c_custkey) AS c_custkey,
+        | CASE WHEN p.c_custkey IS NULL THEN 'added'
+        |      WHEN n.c_custkey IS NULL THEN 'removed'
+        |      WHEN p.c_name IS NOT DISTINCT FROM n.c_name
+        |       AND p.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+        |       AND p.c_nationkey IS NOT DISTINCT FROM n.c_nationkey THEN 'unchanged'
+        |      ELSE 'changed' END AS change_type
+        |FROM cust p FULL OUTER JOIN nxt n USING (c_custkey)""".stripMargin,
     "q_scd2" ->
       """SELECT user_id, event_id, value,
         | epoch_us(ts) AS vf_us,

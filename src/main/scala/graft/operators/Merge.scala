@@ -39,6 +39,42 @@ object Merge {
       .unionByName(updates)
   }
 
+  /** Table diff (CDC between two snapshots): classify every key as
+    * `added` (only in `next`), `removed` (only in `prev`), `changed`
+    * (in both, any non-key column differs) or `unchanged`. Comparison
+    * is null-safe per column (NULL equals NULL, unlike `=`).
+    *
+    * One full-outer join on the keys — the canonical snapshot-diff
+    * dataflow; both sides shuffle once on the key (co-partitioned
+    * writes/bucketing remove even that). Output: key columns +
+    * `change_type`.
+    *
+    * Keys must be unique per side (it's a snapshot diff, not a bag
+    * diff): duplicate keys would cross-join within the key group. */
+  def diff(prev: DataFrame, next: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "keys must not be empty")
+    require(prev.columns.sameElements(next.columns),
+      s"snapshots must share a schema: " +
+        s"${prev.columns.mkString(",")} vs ${next.columns.mkString(",")}")
+    require(!prev.columns.contains("change_type"),
+      "input already has a column named change_type")
+    val attrs = prev.columns.filterNot(keys.contains)
+    val p = prev.select(
+      keys.map(col) :+ struct(attrs.map(col): _*).as("__pattrs") :+
+        lit(1).as("__pside"): _*)
+    val n = next.select(
+      keys.map(col) :+ struct(attrs.map(col): _*).as("__nattrs") :+
+        lit(1).as("__nside"): _*)
+    // struct <=> struct is a single null-safe comparison of all attrs
+    p.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__pside").isNull, lit("added"))
+          .when(col("__nside").isNull, lit("removed"))
+          .when(col("__pattrs") <=> col("__nattrs"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
   /** SCD-2 interval construction from a change log: (key, ts, attrs…)
     * change events become validity intervals [valid_from, valid_to)
     * per key, with `valid_to` NULL on each key's current row. Interval

@@ -210,6 +210,19 @@ class ClusterStatsSpec extends GraftSpec {
     }
   }
 
+  test("diff classifies added/removed/changed/unchanged with null-safe compares") {
+    val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]),
+      (4L, Some("gone"))).toDF("k", "v")
+    val next = Seq((1L, Some("a")), (2L, Some("B")), (3L, Option.empty[String]),
+      (9L, Some("new"))).toDF("k", "v")
+    val out = graft.operators.Merge.diff(prev, next, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // NULL attr equals NULL attr (null-safe)
+      4L -> "removed", 9L -> "added"))
+  }
+
   test("scd2Intervals: per-key validity chain, NULL valid_to on current row") {
     val changes = Seq(
       ("u1", 1L, 100L, "x"), ("u1", 2L, 200L, "y"), ("u1", 3L, 200L, "z"),
