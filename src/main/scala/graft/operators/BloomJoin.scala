@@ -34,21 +34,37 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Power-of-two bitset size and hash count for n keys at fpp.
     * Classic formulas m = -n·ln p / ln²2, k = (m/n)·ln 2; m rounded UP
-    * to a power of two so the probe masks instead of mod'ing. */
+    * to a power of two so the probe masks instead of mod'ing.
+    *
+    * The bitset is capped at 2^31 bits = 256 MB (beyond that it
+    * shouldn't ride a closure anyway). When the cap binds, the
+    * requested fpp is NOT met — the effective rate (1−e^(−kn/m))^k is
+    * logged so the degradation is visible instead of silently eroding
+    * the pruning; past ~2e8 distinct keys at fpp=0.01, prefer Spark's
+    * AQE runtime bloom or pre-bucket the dim side. */
   private[graft] def parameters(n: Long, fpp: Double): (Int, Int) = {
     require(n > 0, "bloom build side must be non-empty")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val mExact = math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2)))
-    // cap at 2^31 bits = 256 MB; beyond that the bitset shouldn't ride
-    // a closure anyway
+    val capBits = 1L << 31
     val mBits = {
       var m = 64L
-      while (m < mExact && m < (1L << 31)) m <<= 1
+      while (m < mExact && m < capBits) m <<= 1
       m
     }
     val k = math.max(1, math.round(mBits.toDouble / n.toDouble * math.log(2)).toInt)
+    if (mExact > capBits) {
+      val effFpp = math.pow(
+        1.0 - math.exp(-k.toDouble * n.toDouble / mBits.toDouble), k.toDouble)
+      log.warn(
+        s"bloom bitset capped at 256 MB: $n keys want ${mExact.toLong} bits " +
+          f"for fpp=$fpp; effective fpp is ~$effFpp%.4f — pruning degrades " +
+          "accordingly (consider AQE runtime bloom filters at this keyset size)")
+    }
     ((mBits / 8).toInt, k)
   }
 

@@ -32,8 +32,13 @@ object Corpus {
     * consumers re-assemble arrays per term only after their own
     * filtering (e.g. `df <= cap`).
     *
-    * One shuffle, keyed by term: the window count and the postings
-    * share the same partitioning.
+    * Document frequency is a map-side-combined `groupBy(term).count`
+    * joined back onto the postings — NOT `count().over(Window.partitionBy
+    * (term))`, which has no partial aggregation and would funnel every
+    * posting row of a stop-word term through one window task. With the
+    * groupBy, a degenerate term costs one combined count per partition;
+    * the join back is skew-splittable by AQE (and the df relation is
+    * vocabulary-sized, so AQE typically broadcasts it outright).
     *
     * @return (term, df, doc_id) — df = number of distinct documents
     *         containing the term
@@ -42,8 +47,8 @@ object Corpus {
     val postings = df
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(terms(col(textCol)))).as("term"))
-    postings
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings.join(dfreq, "term")
       .select(col("term"), col("df"), col("doc_id"))
   }
 

@@ -218,6 +218,14 @@ object Dedup {
     * @return (`idCol`, component) — component is the min node id of the
     *         connected component
     */
+  /** Free the block-manager storage behind a `localCheckpoint`ed
+    * DataFrame: the checkpointed RDD is the plan's `LogicalRDD` leaf.
+    * Non-blocking — the caller has already materialized its successor. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
@@ -249,6 +257,11 @@ object Dedup {
           col("__comp").as("__prev"))
         .localCheckpoint(true)
       changed = stepped.filter(col("__comp") < col("__prev")).count()
+      // the new checkpoint is materialized (eager + the count above), so
+      // the previous round's blocks are dead — free them NOW instead of
+      // letting checkpointed RDDs pile up until the ContextCleaner GCs
+      // them (storage pressure over many rounds on a large graph)
+      unpersistCheckpoint(labels)
       labels = stepped.drop("__prev")
       iter += 1
     }

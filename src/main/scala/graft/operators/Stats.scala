@@ -87,7 +87,10 @@ object Stats {
       .agg(
         min(when(col("__r") === rankFor(pLo), col("__v"))).as("lo"),
         min(when(col("__r") === rankFor(pHi), col("__v"))).as("hi"))
-    df.join(broadcast(bounds), df(groupCol) === bounds("__g"), "left")
+    // null-safe condition: bounds ARE computed for the NULL group key
+    // (groupBy treats NULL as a group), so its rows must join back too —
+    // with === they would silently pass through unclipped with NULL lo/hi
+    df.join(broadcast(bounds), df(groupCol) <=> bounds("__g"), "left")
       .drop("__g")
       .withColumn("clipped",
         when(col(valueCol).isNull, lit(null))

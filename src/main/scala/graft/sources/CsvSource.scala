@@ -130,8 +130,13 @@ final case class CsvSource(
     * `encoding` (and the builder exposes no way to), so the data path
     * splits records on raw newlines exactly as the text scan here does —
     * a quoted newline inside a header field is malformed input to BOTH
-    * paths, never a silent divergence. This mirrors the reference, whose
-    * Go `encoding/csv` reader is likewise line-oriented.
+    * paths, never a silent divergence between them. This IS a capability
+    * divergence from the reference: Go's `encoding/csv` reader is
+    * record-oriented and accepts quoted embedded newlines
+    * (reference csvplus.go:1078-1146 delegates to it), while this source
+    * rejects them by construction. The trade is deliberate — newline-split
+    * records are what make the scan splittable across executors at scale;
+    * a `multiLine` mode would force one-file-per-task reads.
     */
   private def firstLineFields(spark: SparkSession): Seq[String] = {
     // Deterministic "line 1": a text scan streamed partition-by-partition

@@ -170,6 +170,19 @@ class ClusterStatsSpec extends GraftSpec {
     intercept[IllegalArgumentException](Stats.winsorize(df, "grp", "v", 0.9, 0.1))
   }
 
+  test("winsorize clips rows whose group key is NULL (null-safe bounds join)") {
+    val df = ((1 to 10).map(v => (Option.empty[String], v.toLong)) ++
+      Seq((Some("g"), 100L))).toDF("grp", "v")
+    val out = Stats.winsorize(df, "grp", "v", 0.1, 0.8)
+      .filter(col("grp").isNull)
+      .select("v", "lo", "hi", "clipped")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10)
+    assert(out.forall { case (_, lo, hi, _) => lo == 1L && hi == 8L },
+      "NULL-group rows must receive their own group's bounds, not pass through")
+    assert(out.find(_._1 == 10L).get._4 == 8L, "NULL-group outlier clips down")
+  }
+
   // ── Misra-Gries top-k sketch ──
 
   test("topkSketch is exact (and equal to groupBy) below the counter budget") {
