@@ -2092,11 +2092,167 @@ object SparkEntry {
   )
 
   /** One per implemented operator from SURVEY.md §2 (+ extensions). */
+  private val round4Queries: Map[String, Q] = Map(
+    // one-pass column profile over a 4-column slice; doubles pre-cast
+    // to decimal so the string rendering is engine-independent
+    // ("25.00" — raw double→string formatting differs across engines)
+    "q_col_profile" -> { (s, dir) =>
+      graft.operators.Stats.profile(
+        t(s, dir, "lineitem").select(
+          col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+          col("l_quantity").cast("decimal(12,2)").as("qty")),
+        Seq("l_returnflag", "l_linestatus", "l_orderkey", "qty"))
+    },
+
+    // equi-width histogram of extended price: every float step is one
+    // correctly-rounded IEEE op → bit-identical on any engine
+    "q_histogram" -> { (s, dir) =>
+      graft.operators.Stats.numericHistogram(
+        t(s, dir, "lineitem"), "l_extendedprice", nBins = 10)
+    },
+
+    // MAD outlier flags per priority class (discrete median/mad on
+    // decimal → exact; the k·mad comparison in double on both engines)
+    "q_mad_outliers" -> { (s, dir) =>
+      graft.operators.Stats.madOutliers(
+        t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+        "o_orderpriority", "price", k = 3.0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("price"),
+          col("med"), col("mad"), col("is_outlier"))
+    },
+
+    // paragraph-level corpus dedup: inject deterministic line breaks
+    // (replace a common token with \n — same regexp both engines),
+    // then keep each paragraph's first corpus-wide occurrence
+    "q_para_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "batch", "\n").as("text"))
+      Dedup.paragraphDedup(docs, "doc_id", "text", "\n")
+    },
+
+    // range-clustered write → read back with a range predicate (the
+    // predicate prunes at file/row-group level on the clustered copy);
+    // result must equal the same filter on the original
+    "q_clustered_read" -> { (s, dir) =>
+      val out = Scratch.path(s"clustered_${math.abs(dir.hashCode)}")
+      graft.operators.Layout.writeClustered(
+        t(s, dir, "orders"), out, Seq("o_orderdate"), numFiles = 8)
+      s.read.parquet(out)
+        .filter(col("o_orderdate") >= lit("1996-06-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-09-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+    },
+
+    // length-bucketed batching: equal-size token-count buckets (ntile
+    // with a deterministic tie-break). Gate uses a global ntile; the
+    // 100 TB path precomputes quantile boundaries and assigns by
+    // broadcast comparison instead of a single-partition window.
+    "q_length_buckets" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("bucket", ntile(8).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_tokens"), col("doc_id"))))
+    }
+  )
+
+  private val round4Oracles: Map[String, String] = Map(
+    "q_col_profile" ->
+      """WITH src AS (
+        | SELECT l_returnflag, l_linestatus, l_orderkey,
+        |        CAST(l_quantity AS DECIMAL(12,2)) AS qty FROM lineitem),
+        |stacked AS (
+        | SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS v FROM src
+        | UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM src
+        | UNION ALL SELECT 'l_orderkey', CAST(l_orderkey AS VARCHAR) FROM src
+        | UNION ALL SELECT 'qty', CAST(qty AS VARCHAR) FROM src)
+        |SELECT col_name, count(*) AS n_rows,
+        |       count(*) - count(v) AS n_nulls,
+        |       count(DISTINCT v) AS n_distinct,
+        |       min(v) AS min_v, max(v) AS max_v
+        |FROM stacked GROUP BY col_name""".stripMargin,
+
+    "q_histogram" ->
+      """WITH s AS (
+        | SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        | WHERE l_extendedprice IS NOT NULL),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM s),
+        |binned AS (
+        | SELECT CASE WHEN hi = lo THEN 0
+        |   ELSE CAST(least(floor((v - lo) / ((hi - lo) / 10.0)), 9) AS BIGINT)
+        |   END AS bin, lo, hi
+        | FROM s, mm)
+        |SELECT bin, lo + bin * ((hi - lo) / 10.0) AS bin_lo,
+        |       lo + (bin + 1) * ((hi - lo) / 10.0) AS bin_hi,
+        |       count(*) AS n
+        |FROM binned GROUP BY bin, lo, hi""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH v AS (
+        | SELECT o_orderkey, o_orderpriority AS g,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |r1 AS (
+        | SELECT *, row_number() OVER (PARTITION BY g ORDER BY price ASC) AS r,
+        |        count(*) OVER (PARTITION BY g) AS n FROM v),
+        |med AS (
+        | SELECT g, min(CASE WHEN r = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+        |               THEN price END) AS med
+        | FROM r1 GROUP BY g),
+        |d AS (
+        | SELECT v.o_orderkey, v.g, v.price, med.med,
+        |        abs(v.price - med.med) AS dev
+        | FROM v JOIN med ON v.g = med.g),
+        |r2 AS (
+        | SELECT *, row_number() OVER (PARTITION BY g ORDER BY dev ASC) AS r,
+        |        count(*) OVER (PARTITION BY g) AS n FROM d),
+        |mad AS (
+        | SELECT g, min(CASE WHEN r = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+        |               THEN dev END) AS mad
+        | FROM r2 GROUP BY g)
+        |SELECT d.o_orderkey, d.g AS o_orderpriority, d.price, d.med, mad.mad,
+        |       CAST(d.dev AS DOUBLE) > CAST(3.0 AS DOUBLE) * CAST(mad.mad AS DOUBLE) AS is_outlier
+        |FROM d JOIN mad ON d.g = mad.g""".stripMargin,
+
+    "q_para_dedup" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_replace(text, 'batch', chr(10), 'g') AS t
+        | FROM documents WHERE text IS NOT NULL),
+        |l AS (
+        | SELECT doc_id,
+        |        unnest(string_split(t, chr(10))) AS line,
+        |        unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+        | FROM d),
+        |w AS (
+        | SELECT doc_id, pos, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        | FROM l)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM w WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "q_clustered_read" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+        |  AND o_orderdate < TIMESTAMP '1996-09-01'""".stripMargin,
+
+    "q_length_buckets" ->
+      """SELECT doc_id,
+        |       len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+        |       CAST(ntile(8) OVER (ORDER BY len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)), doc_id) AS INTEGER) AS bucket
+        |FROM documents""".stripMargin
+  )
+
   def queries: Map[String, Q] =
-    referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries
+    referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries ++
+      round4Queries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles
+    referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles ++
+      round4Oracles
 }

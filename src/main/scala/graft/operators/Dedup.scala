@@ -370,4 +370,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Paragraph-level (line-level) deduplication across the corpus, the
+    * CCNet/Gopher preprocessing step: split every document on `sep`,
+    * keep only the FIRST occurrence of each distinct paragraph corpus-
+    * wide (first = smallest (doc id, position) — deterministic), and
+    * re-assemble each document from its surviving paragraphs in
+    * original order. Boilerplate that repeats across pages (nav bars,
+    * cookie banners, license headers) collapses to its single first
+    * occurrence. Documents left with no surviving paragraph are
+    * dropped.
+    *
+    * Scale shape: the first-occurrence pick is `groupBy(paragraph).agg
+    * (min(struct(doc, pos)))` — map-side partial aggregation, so a
+    * paragraph repeated on a billion pages costs one candidate per
+    * partition, never a hot-key window. Reassembly groups by doc id
+    * (each group only as big as one document). Two shuffles total.
+    *
+    * Exact-duplicate paragraphs WITHIN one document also collapse to
+    * their first position, by the same rule.
+    *
+    * @param sep literal (non-regex) paragraph separator, default "\n"
+    * @return (doc_id, text) — only documents with ≥1 surviving paragraph
+    */
+  def paragraphDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must not be empty")
+    val lines = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    val firsts = lines
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .select(col("__first.doc_id").as("doc_id"),
+        col("__first.pos").as("pos"), col("line"))
+    firsts
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")),
+        sep).as("text"))
+  }
 }

@@ -96,4 +96,129 @@ object Stats {
         when(col(valueCol).isNull, lit(null))
           .otherwise(least(greatest(col(valueCol), col("lo")), col("hi"))))
   }
+
+  /** One-pass column profile: for each named column — row count, null
+    * count, exact distinct count, and min/max of the STRING rendering
+    * (one shared output type across heterogeneous columns; the caller
+    * casts to a lexicographic-safe form first if numeric ordering
+    * matters).
+    *
+    * Shape: one generate (array of per-column structs, exploded inside
+    * codegen) followed by one hash-aggregate keyed by column name —
+    * ncols × nrows stacked rows, but the aggregation is map-side
+    * partial so the shuffle carries ~ncols rows per partition (plus
+    * the distinct-count expansion, two-phase like any exact distinct).
+    * Profiling 100 TB is therefore one full scan, no collect.
+    *
+    * @return (col_name, n_rows, n_nulls, n_distinct, min_v, max_v)
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must not be empty")
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+    stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("v"))).as("n_nulls"),
+      countDistinct(col("v")).as("n_distinct"),
+      min(col("v")).as("min_v"),
+      max(col("v")).as("max_v"))
+  }
+
+  /** Equi-width histogram of a numeric column: `nBins` bins spanning
+    * [min, max], each output row = (bin, bin_lo, bin_hi, n). Empty bins
+    * are absent (no row), bin `nBins-1` is closed on the right (the max
+    * value lands in the last bin, not a phantom overflow bin).
+    *
+    * Every float step — width = (hi−lo)/nBins, bin = floor((v−lo)/width),
+    * edges = lo + i·width — is a single correctly-rounded IEEE op, so
+    * the histogram is bit-identical on any engine that evaluates the
+    * same expressions (the hash-compare property). Degenerate all-equal
+    * input (width 0) maps everything to bin 0.
+    *
+    * Shape: one tiny min/max aggregate broadcast back onto the scan,
+    * then one map-side-combined groupBy on the bin id — two passes over
+    * the data, shuffle bounded by nBins.
+    */
+  def numericHistogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be > 0")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val mm = vals.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / lit(nBins.toDouble)
+    vals.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(floor((col("__v") - col("__lo")) / width),
+            lit((nBins - 1).toLong))))
+      .groupBy(col("bin"), col("__lo"), col("__hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("__lo") + col("bin") * width).as("bin_lo"),
+        (col("__lo") + (col("bin") + lit(1L)) * width).as("bin_hi"),
+        col("n"))
+  }
+
+  /** Median-absolute-deviation outlier flags, per group: a row is an
+    * outlier when |v − median| > k·mad, with median and mad both the
+    * DISCRETE per-group order statistic at rank ceil(n/2) (actual data
+    * values — exact on decimal inputs, same bound rule as
+    * [[winsorize]]). The classic robust alternative to z-scores: one
+    * extreme value shifts a mean/stddev fence, but not this one.
+    *
+    * The comparison is evaluated in double (dev > k·mad after one cast
+    * each) — correctly-rounded and engine-independent given the same
+    * expression; with ≤2-decimal inputs the gap between distinct
+    * thresholds (0.01) is astronomically wider than a double ulp, so
+    * the flag is hash-stable.
+    *
+    * Scale shape: two window/aggregate rounds keyed by group (ranks for
+    * the median, then ranks for the deviation median), each bounds-
+    * relation broadcast back — same contract as [[winsorize]].
+    *
+    * @return input columns + (med, mad, is_outlier); NULL values get
+    *         NULL flags
+    */
+  def madOutliers(
+      df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be > 0")
+    Seq("med", "mad", "is_outlier", "__g", "__dev").foreach { n =>
+      require(!df.columns.contains(n),
+        s"input already has a column named $n")
+    }
+    def discreteMedian(in: DataFrame, vCol: String): DataFrame = {
+      val ranked = in
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col("__g")).orderBy(col(vCol).asc)))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      ranked.groupBy(col("__g")).agg(
+        min(when(col("__r") ===
+          greatest(ceil(lit(0.5) * col("__n")).cast("long"), lit(1L)),
+          col(vCol))).as("__m"))
+    }
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+    val med = discreteMedian(vals, "__v")
+      .select(col("__g"), col("__m").as("med"))
+    // every internal group join must be null-safe too — a NULL group
+    // key is a real group (same reasoning as the final bounds join)
+    val devs = vals
+      .join(broadcast(med.withColumnRenamed("__g", "__g2")),
+        col("__g") <=> col("__g2"))
+      .drop("__g2")
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = discreteMedian(devs, "__dev")
+      .select(col("__g"), col("__m").as("mad"))
+    val bounds = med
+      .join(mad.withColumnRenamed("__g", "__g2"), col("__g") <=> col("__g2"))
+      .drop("__g2")
+    df.join(broadcast(bounds), df(groupCol) <=> bounds("__g"), "left")
+      .drop("__g")
+      .withColumn("is_outlier",
+        when(col(valueCol).isNull, lit(null).cast("boolean"))
+          .otherwise(
+            abs(col(valueCol) - col("med")).cast("double") >
+              lit(k) * col("mad").cast("double")))
+  }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{Dedup, Layout, Stats}
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 operators: column profiling, equi-width histograms, MAD
+  * outlier flags, paragraph-level dedup, clustered writes/compaction. */
+class ProfileLayoutSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  // ── column profile ──
+
+  test("profile reports rows, nulls, distincts, min/max per column") {
+    val df = Seq(
+      (Some("b"), Some(1L)), (Some("a"), Some(2L)),
+      (Some("a"), None), (None, Some(2L))
+    ).toDF("s", "n")
+    val p = Stats.profile(df, Seq("s", "n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(p("s") == ((4L, 1L, 2L, Some("a"), Some("b"))))
+    assert(p("n") == ((4L, 1L, 2L, Some("1"), Some("2"))))
+    intercept[IllegalArgumentException](Stats.profile(df, Seq.empty))
+  }
+
+  // ── equi-width histogram ──
+
+  test("numericHistogram bins span [min,max] with the max in the last bin") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val h = Stats.numericHistogram(df, "v", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(h.length == 10)
+    assert(h.head._2 == 0.0 && h.last._3 == 100.0)
+    // bins 0..8 hold 10 values each ([0,10), [10,20)…), bin 9 holds 11
+    // (90..100 — right edge closed on the last bin)
+    assert(h.dropRight(1).forall(_._4 == 10L) && h.last._4 == 11L)
+  }
+
+  test("numericHistogram degenerate all-equal input lands in bin 0") {
+    val h = Seq(5.0, 5.0, 5.0).toDF("v")
+    val out = Stats.numericHistogram(h, "v", 4).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 0L && out.head.getLong(3) == 3L)
+  }
+
+  // ── MAD outliers ──
+
+  test("madOutliers flags far points but not a shifted-median cluster") {
+    // group g: 1..9 plus one wild point. median = 5 (10 values → rank
+    // ceil(5.0)=5), devs are 0..4 and 9995; mad = 3 (rank 5 of
+    // 0,1,1,2,2,3,3,4,4,9995) → fence 9; only 10000 is out
+    val df = ((1 to 9).map(v => ("g", v.toLong)) :+ (("g", 10000L)))
+      .toDF("grp", "v")
+    val out = Stats.madOutliers(df, "grp", "v", k = 3.0)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(out(10000L), "wild point must be flagged")
+    assert((1 to 9).forall(v => !out(v.toLong)), "cluster points are inliers")
+  }
+
+  test("madOutliers handles NULL group keys and NULL values") {
+    val df = Seq((Option.empty[String], Some(1L)), (None, Some(2L)),
+      (None, Some(1000L)), (Some("g"), None)).toDF("grp", "v")
+    val rows = Stats.madOutliers(df, "grp", "v", k = 3.0).collect()
+    val nullGrp = rows.filter(_.isNullAt(0)).map(r =>
+      r.getAs[Long]("v") -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(nullGrp(1000L), "NULL-group rows get their own group's fence")
+    assert(!nullGrp(1L) && !nullGrp(2L))
+    assert(rows.filter(r => !r.isNullAt(0)).forall(_.isNullAt(rows.head.length - 1)),
+      "NULL value rows have NULL flag")
+  }
+
+  // ── paragraph dedup ──
+
+  test("paragraphDedup keeps first corpus-wide occurrence and reassembles in order") {
+    val docs = Seq(
+      (1L, "intro\nshared-banner\nbody one"),
+      (2L, "shared-banner\nbody two"),
+      (3L, "shared-banner") // loses its only paragraph → dropped
+    ).toDF("id", "txt")
+    val out = Dedup.paragraphDedup(docs, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "intro\nshared-banner\nbody one", "first doc intact")
+    assert(out(2L) == "body two", "repeated banner removed")
+    assert(!out.contains(3L), "fully-deduplicated doc is dropped")
+  }
+
+  test("paragraphDedup collapses duplicate paragraphs within one document") {
+    val docs = Seq((7L, "x\ny\nx\nz")).toDF("id", "txt")
+    val out = Dedup.paragraphDedup(docs, "id", "txt").collect()
+    assert(out.head.getString(1) == "x\ny\nz")
+  }
+
+  // ── layout ──
+
+  test("writeClustered round-trips content and produces range-disjoint files") {
+    val df = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    val out = Scratch.path("layout_clustered")
+    Layout.writeClustered(df, out, Seq("k"), numFiles = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000)
+    assert(back.agg(sum(col("k"))).head().getLong(0) == 500500L)
+    // each file owns a disjoint k-range (clustering actually happened):
+    // per-file [min,max] intervals must not overlap
+    val ranges = back
+      .select(col("k"), input_file_name().as("f"))
+      .groupBy(col("f")).agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 < lo2
+      case _                         => true
+    }, s"file ranges overlap: ${ranges.mkString(",")}")
+  }
+
+  test("compact merges small files without losing rows") {
+    val df = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    val manyOut = Scratch.path("layout_many")
+    df.repartition(20).write.mode("overwrite").parquet(manyOut)
+    val compactOut = Scratch.path("layout_compact")
+    Layout.compact(spark.read.parquet(manyOut), compactOut, numFiles = 2)
+    val files = new java.io.File(compactOut).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 2, s"expected 2 files, got ${files.length}")
+    assert(spark.read.parquet(compactOut).count() == 100)
+  }
+}
