@@ -82,13 +82,19 @@ object Bench {
     // on (rerunning immediately would likely land inside it again).
     val okTimes = twoPass.collect { case (_, t) if t >= 0 => t }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
-    // floor at 5 s: the slowest legitimate queries (stateful streaming
-    // restarts) sit at ~3.5 s and must not trigger pointless reruns
-    val outlierCut = math.max(5.0, 8.0 * median)
+    // Floor at 2 s: isolated runs show every legitimate query except the
+    // iterative/streaming handful under ~1.5 s; queries inflated 2-4×
+    // by an interference window covering both passes (observed in the
+    // round-3 numbers: 1.0 s → 2.8 s, 1.5 s → 4.1 s) must be re-run.
+    // The few genuinely-slow queries (~3 s CC propagation, streaming
+    // restarts) get one redundant re-run each — a few seconds of wall
+    // clock buys per-query numbers that reflect the engine, not the
+    // host. min() keeps their honest time either way.
+    val outlierCut = math.max(2.0, 5.0 * median)
     if (twoPass.exists { case (_, t) => t > outlierCut }) {
-      System.err.println("[bench] outliers detected; pausing 90 s to let " +
+      System.err.println("[bench] outliers detected; pausing 60 s to let " +
         "the interference window pass before rerunning")
-      Thread.sleep(90000L)
+      Thread.sleep(60000L)
     }
     val results = twoPass.map { case (name, best) =>
       if (best > outlierCut) {

@@ -2156,6 +2156,18 @@ object SparkEntry {
         .withColumn("bucket", ntile(8).over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("n_tokens"), col("doc_id"))))
+    },
+
+    // per-group Pearson correlation: exact decimal moments, IEEE-exact
+    // closing formula — deterministic under any partitioning (unlike
+    // built-in corr(), whose float accumulation order varies)
+    "q_pearson" -> { (s, dir) =>
+      graft.operators.Stats.pearson(
+        t(s, dir, "lineitem").select(
+          col("l_returnflag"),
+          col("l_quantity").cast("decimal(12,2)").as("x"),
+          col("l_extendedprice").cast("decimal(12,2)").as("y")),
+        "l_returnflag", "x", "y")
     }
   )
 
@@ -2243,7 +2255,25 @@ object SparkEntry {
       """SELECT doc_id,
         |       len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
         |       CAST(ntile(8) OVER (ORDER BY len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)), doc_id) AS INTEGER) AS bucket
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_pearson" ->
+      """WITH s AS (
+        | SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,2)) AS x,
+        |        CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+        | FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (
+        | SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        | FROM s GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+        |       AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0
+        | THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |         * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+        | ELSE NULL END AS corr
+        |FROM m""".stripMargin
   )
 
   def queries: Map[String, Q] =

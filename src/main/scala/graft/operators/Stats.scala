@@ -221,4 +221,50 @@ object Stats {
             abs(col(valueCol) - col("med")).cast("double") >
               lit(k) * col("mad").cast("double")))
   }
+
+  /** Per-group Pearson correlation with EXACT distributed moments: the
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are decimal
+    * sums — associative, overflow-checked, and independent of partition
+    * count or merge order — and only the closing formula
+    * (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+    * drops to double, where every step is one correctly-rounded IEEE
+    * op. The result is therefore bit-identical on ANY engine given the
+    * same inputs — unlike a running-covariance implementation (Welford/
+    * `corr()`), whose float accumulation order varies with partitioning.
+    *
+    * Inputs should be decimal (or exactly-representable) — the moment
+    * products square the scale, so give the cast headroom:
+    * decimal(s,2) inputs need Σx² precision ≥ 2s+rows-digits.
+    *
+    * Rows where either value is NULL are excluded (pairwise-complete,
+    * same as SQL `corr`). Groups with zero variance on either side
+    * return NULL (division by zero → NULL in both Spark and DuckDB
+    * non-ANSI... here guarded explicitly with `when`).
+    *
+    * One map-side-combined shuffle keyed by group; output is one row
+    * per group.
+    *
+    * @return (`groupCol`, n, corr)
+    */
+  def pearson(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val m = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col(groupCol), col("n"),
+      when(vx > 0d && vy > 0d, cov / (sqrt(vx) * sqrt(vy)))
+        .otherwise(lit(null).cast("double")).as("corr"))
+  }
 }

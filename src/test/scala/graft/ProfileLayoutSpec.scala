@@ -72,6 +72,24 @@ class ProfileLayoutSpec extends GraftSpec {
       "NULL value rows have NULL flag")
   }
 
+  // ── pearson ──
+
+  test("pearson: perfect, inverse, and degenerate correlations") {
+    val df = Seq(
+      ("up", 1.0, 2.0), ("up", 2.0, 4.0), ("up", 3.0, 6.0),
+      ("down", 1.0, 3.0), ("down", 2.0, 2.0), ("down", 3.0, 1.0),
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0)
+    ).toDF("g", "x", "y")
+      .select(col("g"), col("x").cast("decimal(10,2)").as("x"),
+        col("y").cast("decimal(10,2)").as("y"))
+    val out = Stats.pearson(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("up")._2.exists(c => math.abs(c - 1.0) < 1e-12))
+    assert(out("down")._2.exists(c => math.abs(c + 1.0) < 1e-12))
+    assert(out("flat")._2.isEmpty, "zero y-variance must be NULL, not NaN")
+  }
+
   // ── paragraph dedup ──
 
   test("paragraphDedup keeps first corpus-wide occurrence and reassembles in order") {
