@@ -93,6 +93,22 @@ object SparkEntry {
         .read(s)
     },
 
+    // §2.1 multiLine(): RFC-4180 quoted embedded newlines — the
+    // reference's Go encoding/csv accepts these record-wise
+    // (csvplus.go:1078-1146); opt-in here because it costs scan
+    // splittability (one file per task). Spark's csv writer quotes the
+    // embedded newline on the way out; multiLine() parses it back as
+    // ONE record — 25 rows in, 25 rows out, field content intact.
+    "q_csv_multiline" -> { (s, dir) =>
+      val out = Scratch.path(s"csvml_${math.abs(dir.hashCode)}")
+      t(s, dir, "nation")
+        .select(col("n_nationkey").cast(StringType).as("n_nationkey"),
+          concat(col("n_name"), lit("\n"), lit("region "),
+            col("n_regionkey").cast(StringType)).as("n_text"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+      CsvSource.fromFile(out).multiLine().read(s)
+    },
+
     // §2.11 typed Filter (arbitrary-Scala predicate over the row)
     "q_filter_typed" -> { (s, dir) =>
       Pipe(t(s, dir, "customer"))
@@ -367,6 +383,8 @@ object SparkEntry {
       "SELECT cast(r_regionkey AS varchar) AS r_regionkey, r_name, 1 + row_number() OVER (ORDER BY r_regionkey) AS _lineno FROM region",
     "q_csv_expect_header" ->
       "SELECT cast(r_regionkey AS varchar) AS r_regionkey, r_name FROM region",
+    "q_csv_multiline" ->
+      "SELECT cast(n_nationkey AS varchar) AS n_nationkey, n_name || chr(10) || 'region ' || cast(n_regionkey AS varchar) AS n_text FROM nation",
     "q_filter_typed" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
     "q_jsonl_roundtrip" ->
@@ -699,16 +717,39 @@ object SparkEntry {
         TextFunctions.subTokenCount(col("text")).as("n_subtokens"))
     },
 
-    // ── multimodal: binary column + batched stub decode ──
+    // ── multimodal: binary column + batched decode (stub double here —
+    //    text payloads aren't images; the REAL header parser is
+    //    exercised end-to-end by q_media_headers below) ──
     "q_multimodal_meta" -> { (s, dir) =>
       val withBin = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      Multimodal.withMediaMeta(withBin, "payload")
+      Multimodal.withMediaMeta(withBin, "payload",
+          decoder = Multimodal.decodeMetaStub)
         .select(col("doc_id"),
           col("media.byte_len").as("byte_len"),
           col("media.width").as("width"),
           col("media.height").as("height"),
           col("media.n_frames").as("n_frames"),
+          col("media.format").as("format"))
+    },
+
+    // REAL header decode, oracled: synthesize a valid PNG signature +
+    // IHDR per row (width/height derived from doc_id, assembled with
+    // hex/unhex — no UDF), parse it back with the real parser, and let
+    // the oracle recompute the expected dimensions arithmetically. If
+    // the parser mis-reads any byte offset, every row diverges.
+    "q_media_headers" -> { (s, dir) =>
+      val w = (col("doc_id") % 512 + 1).cast("int")
+      val h = (col("doc_id") % 384 + 1).cast("int")
+      val png = unhex(concat(
+        lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000")))
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), png.as("payload"))
+      Multimodal.withMediaMeta(withBin, "payload")
+        .select(col("doc_id"),
+          col("media.width").as("width"),
+          col("media.height").as("height"),
           col("media.format").as("format"))
     },
 
@@ -1152,14 +1193,17 @@ object SparkEntry {
         .filter(col("edit_dist") <= 3)
     },
 
-    // quantile sketch (KLL-style approx percentiles — the distributed
-    // one-pass answer to exact order statistics; see q_percentile_disc
-    // for the exact-window form). Algorithm-specific → rows-only check.
+    // quantile sketch (GK approx percentiles — the distributed one-pass
+    // answer to exact order statistics; see q_percentile_disc for the
+    // exact-window form). accuracy > n means the sketch never merges
+    // samples, so it returns the EXACT discrete value at rank ceil(p·n)
+    // — oracle-able. At 100 TB you trade back: accuracy ~1e5 bounds the
+    // sketch at O(accuracy) memory for 0.001% rank error.
     "q_approx_quantile" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(percentile_approx(col("o_totalprice"),
-            array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("approx_p"),
+            array(lit(0.25), lit(0.5), lit(0.9)), lit(1000000)).as("approx_p"),
           count(lit(1)).as("n"))
         .select(col("o_orderpriority"),
           element_at(col("approx_p"), 1).as("p25"),
@@ -1301,6 +1345,12 @@ object SparkEntry {
         | cast(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames,
         | CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents""".stripMargin,
+    "q_media_headers" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 512 + 1 AS INTEGER) AS width,
+        | CAST(doc_id % 384 + 1 AS INTEGER) AS height,
+        | 'png' AS format
+        |FROM documents""".stripMargin,
     "q_events_hourly" ->
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type, count(*) AS n, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2",
     "q_events_hourly_stream" ->
@@ -1416,9 +1466,42 @@ object SparkEntry {
         |FROM feats""".stripMargin,
     // q_fingerprint / q_dedup_minhash /
     // q_dedup_ngram / q_dedup_simhash / q_dedup_embedding /
-    // q_ann_bruteforce / q_ann_ivf: Spark-specific hashing/heuristics —
+    // q_ann_ivf: Spark-specific hashing/heuristics —
     // no SQL-expressible oracle → driver rows-only check; semantics are
     // asserted in the ScalaTest suites instead.
+
+    // exact brute-force ANN is deterministic: both engines score in
+    // double over the same float inputs, so ranks agree (ties are
+    // exact-duplicate vectors, broken by id in both engines)
+    "q_ann_bruteforce" ->
+      """WITH probes AS (
+        | SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
+        | FROM embeddings ORDER BY vec_id LIMIT 5),
+        |scored AS (
+        | SELECT p.probe_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.probe_vec) AS cosine
+        | FROM embeddings e, probes p WHERE e.vec_id <> p.probe_id),
+        |r AS (
+        | SELECT probe_id, neighbor_id,
+        |        CAST(row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        | FROM scored)
+        |SELECT probe_id, neighbor_id, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // with accuracy > n the GK sketch is exact: value at rank ceil(p·n)
+    "q_approx_quantile" ->
+      """WITH r AS (
+        | SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS price,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY CAST(o_totalprice AS DOUBLE) ASC) AS r,
+        |        count(*) OVER (PARTITION BY o_orderpriority) AS n
+        | FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT g AS o_orderpriority,
+        | min(CASE WHEN r = greatest(CAST(ceil(0.25 * n) AS BIGINT), 1) THEN price END) AS p25,
+        | min(CASE WHEN r = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1) THEN price END) AS p50,
+        | min(CASE WHEN r = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1) THEN price END) AS p90,
+        | max(n) AS n
+        |FROM r GROUP BY g""".stripMargin
   )
 
   private val round2Oracles: Map[String, String] = Map(
@@ -2112,7 +2195,11 @@ object SparkEntry {
     },
 
     // MAD outlier flags per priority class (discrete median/mad on
-    // decimal → exact; the k·mad comparison in double on both engines)
+    // decimal → exact; the k·mad comparison in double on both engines).
+    // med/mad surface as DOUBLE: the internal decimal(19,2) derived
+    // type renders differently across engines (r4 hash failure), and a
+    // shared explicit cast of the same exact decimal value is
+    // bit-identical everywhere.
     "q_mad_outliers" -> { (s, dir) =>
       graft.operators.Stats.madOutliers(
         t(s, dir, "orders").select(
@@ -2120,7 +2207,8 @@ object SparkEntry {
           col("o_totalprice").cast("decimal(18,2)").as("price")),
         "o_orderpriority", "price", k = 3.0)
         .select(col("o_orderkey"), col("o_orderpriority"), col("price"),
-          col("med"), col("mad"), col("is_outlier"))
+          col("med").cast("double").as("med"),
+          col("mad").cast("double").as("mad"), col("is_outlier"))
     },
 
     // paragraph-level corpus dedup: inject deterministic line breaks
@@ -2142,20 +2230,27 @@ object SparkEntry {
       s.read.parquet(out)
         .filter(col("o_orderdate") >= lit("1996-06-01").cast("timestamp") &&
           col("o_orderdate") < lit("1996-09-01").cast("timestamp"))
-        .select(col("o_orderkey"), col("o_orderdate"),
+        // surface the timestamp as a formatted string (driver contract,
+        // same as q_tpch_q3): the writer round-trip changes the parquet
+        // timestamp unit (millis→micros), which hash-diverges even when
+        // the instant is identical (r4 hash failure)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
           col("o_totalprice").cast("decimal(18,2)").as("price"))
     },
 
-    // length-bucketed batching: equal-size token-count buckets (ntile
-    // with a deterministic tie-break). Gate uses a global ntile; the
-    // 100 TB path precomputes quantile boundaries and assigns by
-    // broadcast comparison instead of a single-partition window.
+    // length-bucketed batching: equal-size token-count buckets with
+    // exact ntile semantics but NO global window — per-value counts +
+    // broadcast offsets + within-value rank (Sampling.ntileBuckets),
+    // the form that survives 100 TB. NULL text is filtered on both
+    // sides (Spark sorts NULLs first, DuckDB last — an unfiltered NULL
+    // row would shift every bucket).
     "q_length_buckets" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("bucket", ntile(8).over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("n_tokens"), col("doc_id"))))
+      graft.operators.Sampling.ntileBuckets(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", "doc_id", n = 8)
     },
 
     // per-group Pearson correlation: exact decimal moments, IEEE-exact
@@ -2224,7 +2319,8 @@ object SparkEntry {
         | SELECT g, min(CASE WHEN r = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
         |               THEN dev END) AS mad
         | FROM r2 GROUP BY g)
-        |SELECT d.o_orderkey, d.g AS o_orderpriority, d.price, d.med, mad.mad,
+        |SELECT d.o_orderkey, d.g AS o_orderpriority, d.price,
+        |       CAST(d.med AS DOUBLE) AS med, CAST(mad.mad AS DOUBLE) AS mad,
         |       CAST(d.dev AS DOUBLE) > CAST(3.0 AS DOUBLE) * CAST(mad.mad AS DOUBLE) AS is_outlier
         |FROM d JOIN mad ON d.g = mad.g""".stripMargin,
 
@@ -2245,7 +2341,7 @@ object SparkEntry {
         |FROM w WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
     "q_clustered_read" ->
-      """SELECT o_orderkey, o_orderdate,
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |       CAST(o_totalprice AS DECIMAL(18,2)) AS price
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-06-01'
@@ -2255,7 +2351,7 @@ object SparkEntry {
       """SELECT doc_id,
         |       len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
         |       CAST(ntile(8) OVER (ORDER BY len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)), doc_id) AS INTEGER) AS bucket
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "q_pearson" ->
       """WITH s AS (

@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   *  - oversized buckets (degenerate content) are capped to keep any
   *    single key from dominating a partition (skew guard).
   *
-  * Caching note: the near-dup operators `persist()` their signature
-  * intermediates (consumed by several plan branches) and do NOT
-  * unpersist — the caller owns the lifecycle. In a long-running app,
-  * call `spark.catalog.clearCache()` (or unpersist the returned plan's
-  * sources) between batches; at warehouse scale you would materialize
-  * signatures to a table instead.
+  * Caching note: the SINGLE-operator near-dup entry points
+  * ([[minHashNearDups]]/[[simhashNearDups]]) `persist()` their
+  * signature intermediates (consumed by several plan branches) and do
+  * NOT unpersist — their return value still reads the cache lazily, so
+  * the caller owns the lifecycle (clearCache between batches; at
+  * warehouse scale, a materialized signature table). The COMPOSED
+  * pipeline [[nearDedup]] scopes it instead: its downstream consumer
+  * materializes eagerly, so it unpersists the signature cache before
+  * returning.
   */
 object Dedup {
 
@@ -65,7 +68,18 @@ object Dedup {
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame =
+    minHashNearDupsCached(df, idCol, textCol, shingleLen, numPerm, bands,
+      threshold, maxBucketSize)._1
+
+  /** [[minHashNearDups]] + the persisted signature intermediate, so a
+    * COMPOSING pipeline ([[nearDedup]]) can unpersist it as soon as the
+    * downstream consumer has materialized — the public single-operator
+    * form stays caller-owned (see the object scaladoc). */
+  private def minHashNearDupsCached(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, numPerm: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int): (DataFrame, DataFrame) = {
     val rowsPerBand = numPerm / bands
     require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
 
@@ -105,7 +119,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     val sigs = docs.select(col("id"), col("sig"))
-    candidates
+    val pairs = candidates
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
@@ -113,6 +127,7 @@ object Dedup {
           .cast("double") / lit(numPerm.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    (pairs, docs)
   }
 
   /** Exact n-gram Jaccard over LSH candidates: MinHash proposes,
@@ -184,6 +199,26 @@ object Dedup {
     df.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Eagerly localCheckpoint `df` and return BOTH the checkpointed
+    * frame and an explicit handle to its backing RDD, captured from the
+    * checkpoint RESULT (whose plan is by construction a single
+    * `LogicalRDD` leaf) — never by pattern-matching an arbitrary
+    * caller plan, which could free blocks the caller still owns if an
+    * RDD-backed DataFrame ever entered the loop. The handle lets the
+    * propagation loop free the PREVIOUS round's blocks the moment its
+    * successor is materialized, instead of letting checkpoints pile up
+    * until the ContextCleaner GCs them. */
+  private def eagerCheckpoint(
+      df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val cp = df.localCheckpoint(eager = true)
+    val rdds = cp.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(rdds.size == 1,
+      s"eager localCheckpoint plan should be one LogicalRDD leaf, got ${rdds.size}")
+    (cp, rdds.head)
+  }
+
   /** Connected components over an undirected edge list — the step that
     * turns near-dup PAIRS (from [[minHashNearDups]] / [[simhashNearDups]]
     * / [[ngramJaccardNearDups]]) into duplicate CLUSTERS, so "drop all
@@ -218,14 +253,6 @@ object Dedup {
     * @return (`idCol`, component) — component is the min node id of the
     *         connected component
     */
-  /** Free the block-manager storage behind a `localCheckpoint`ed
-    * DataFrame: the checkpointed RDD is the plan's `LogicalRDD` leaf.
-    * Non-blocking — the caller has already materialized its successor. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
-
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
@@ -239,9 +266,9 @@ object Dedup {
       .dropDuplicates("__s", "__d")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var labels = sym.select(col("__s").as("__id")).distinct()
-      .withColumn("__comp", col("__id"))
-      .localCheckpoint(true)
+    var (labels, labelsRdd) = eagerCheckpoint(
+      sym.select(col("__s").as("__id")).distinct()
+        .withColumn("__comp", col("__id")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -250,19 +277,18 @@ object Dedup {
         .join(labels.select(col("__id").as("__s"), col("__comp").as("__sc")), "__s")
         .groupBy(col("__d").as("__id"))
         .agg(min(col("__sc")).as("__nbr"))
-      val stepped = labels
+      val (stepped, steppedRdd) = eagerCheckpoint(labels
         .join(nbrMin, Seq("__id"), "left")
         .select(col("__id"),
           least(col("__comp"), coalesce(col("__nbr"), col("__comp"))).as("__comp"),
-          col("__comp").as("__prev"))
-        .localCheckpoint(true)
+          col("__comp").as("__prev")))
       changed = stepped.filter(col("__comp") < col("__prev")).count()
       // the new checkpoint is materialized (eager + the count above), so
-      // the previous round's blocks are dead — free them NOW instead of
-      // letting checkpointed RDDs pile up until the ContextCleaner GCs
-      // them (storage pressure over many rounds on a large graph)
-      unpersistCheckpoint(labels)
+      // the previous round's blocks are dead — free exactly that
+      // tracked RDD now (non-blocking; its successor no longer reads it)
+      labelsRdd.unpersist(blocking = false)
       labels = stepped.drop("__prev")
+      labelsRdd = steppedRdd
       iter += 1
     }
     sym.unpersist()
@@ -323,9 +349,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, pick: Seq[Column] = Nil): DataFrame = {
-    val pairs = minHashNearDups(df, idCol, textCol, shingleLen, numPerm,
-      bands, threshold)
+    val (pairs, sigCache) = minHashNearDupsCached(df, idCol, textCol,
+      shingleLen, numPerm, bands, threshold, maxBucketSize = 1000)
+    // connectedComponents materializes eagerly (checkpoint + count per
+    // round) and returns a projection over its own checkpoint, so the
+    // signature cache is dead the moment it returns — free it HERE
+    // (scoped), instead of leaking it for the session
     val comps = connectedComponents(pairs, "id_a", "id_b")
+    sigCache.unpersist(blocking = false)
     val ordering = if (pick.nonEmpty) pick else Seq(col(idCol).asc)
     keepCanonical(df, idCol, comps, ordering)
   }

@@ -10,17 +10,23 @@ import org.apache.spark.sql.types._
   * batches, columnar-ish access, one decode context per batch instead
   * of per row).
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
-  * so `decodeMetaStub` / `resizeStub` / `frameSampleStub` compute
-  * deterministic fakes from the raw bytes. The Spark-side plumbing —
-  * schema, batch shape, partition-level processing, null handling — is
-  * real and is what these operators exercise. A production build swaps
-  * the stub bodies for javax.imageio / ffmpeg bindings without touching
-  * any Spark code.
+  * HEADER DECODE IS REAL: [[parseImageHeader]] reads width/height/
+  * format straight from the public container formats' magic bytes
+  * (PNG IHDR, JPEG SOFn, GIF logical screen, BMP info header) — pure
+  * JVM, no codec library. PIXEL-LEVEL steps remain stubs (this
+  * container has no image/audio codecs): `resizeStub` /
+  * `frameSampleStub` / `featuresStub` compute deterministic fakes from
+  * the raw bytes, and `decodeMetaStub` is kept as the deterministic
+  * test double for plumbing tests over non-image payloads. The
+  * Spark-side plumbing — schema, batch shape, partition-level
+  * processing, null handling — is identical either way; a production
+  * build swaps the stub bodies for javax.imageio / ffmpeg bindings
+  * without touching any Spark code.
   */
 object Multimodal {
 
-  /** Typed metadata produced by "decoding" a media payload. */
+  /** Typed metadata produced by decoding a media payload. width/height
+    * are null for payloads no header parser recognizes. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("byte_len", LongType),
     StructField("width", IntegerType),
@@ -28,14 +34,83 @@ object Multimodal {
     StructField("n_frames", IntegerType),
     StructField("format", StringType)))
 
-  /** STUB: deterministic fake decode. Real impl: ImageIO.read /
-    * ffprobe over `bytes`. Kept total and pure so plumbing tests are
-    * reproducible. */
-  def decodeMetaStub(bytes: Array[Byte]): (Long, Int, Int, Int, String) = {
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  /** REAL image-header parse — (width, height, format) from magic
+    * bytes, None for unrecognized/truncated payloads. Public formats:
+    *  - PNG: 8-byte signature, then the IHDR chunk is mandatory-first —
+    *    width/height are the two big-endian u32 at offsets 16/20.
+    *  - JPEG: FF D8 then marker segments; dimensions live in the first
+    *    SOFn frame header (C0-CF except C4/C8/CC): precision u8, then
+    *    height/width big-endian u16.
+    *  - GIF: "GIF87a"/"GIF89a", logical screen w/h little-endian u16.
+    *  - BMP: "BM", BITMAPINFOHEADER width/height little-endian i32 at
+    *    18/22 (height may be negative = top-down rows).
+    * Malformed inner structure parses defensively to None — a data
+    * pipeline must never throw on a corrupt payload row. */
+  def parseImageHeader(b: Array[Byte]): Option[(Int, Int, String)] = {
+    if (b == null) return None
+    if (b.length >= 24 &&
+      (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A)
+      return Some((be32(b, 16), be32(b, 20), "png"))
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return Some((le16(b, 6), le16(b, 8), "gif"))
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      return Some((le32(b, 18), math.abs(le32(b, 22)), "bmp"))
+    if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xFF) != 0xFF) return None
+        var j = i + 1 // skip fill bytes (FF padding before a marker)
+        while (j < b.length && (b(j) & 0xFF) == 0xFF) j += 1
+        if (j >= b.length) return None
+        val marker = b(j) & 0xFF
+        if (marker >= 0xD0 && marker <= 0xD9) i = j + 1 // standalone
+        else {
+          if (j + 2 >= b.length) return None
+          val segLen = be16(b, j + 1)
+          if (segLen < 2) return None
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) {
+            if (j + 7 >= b.length) return None
+            return Some((be16(b, j + 6), be16(b, j + 4), "jpeg"))
+          }
+          i = j + 1 + segLen
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Real metadata decode in [[mediaMetaType]] shape: header-parsed
+    * width/height/format (nulls + "unknown" for unrecognized payloads),
+    * n_frames = 1 for still-image containers. */
+  def decodeMeta(bytes: Array[Byte]): (Long, Integer, Integer, Int, String) =
+    parseImageHeader(bytes) match {
+      case Some((w, h, fmt)) => (bytes.length.toLong, w, h, 1, fmt)
+      case None => (bytes.length.toLong, null, null, 1, "unknown")
+    }
+
+  /** STUB test double: deterministic fake decode derived from byte
+    * length — exercises the plumbing over arbitrary (non-image)
+    * payloads with an engine-independent, oracle-able output. */
+  def decodeMetaStub(bytes: Array[Byte]): (Long, Integer, Integer, Int, String) = {
     val len = bytes.length.toLong
     (len,
-      1 + (len % 1024).toInt,
-      1 + (len % 768).toInt,
+      Int.box(1 + (len % 1024).toInt),
+      Int.box(1 + (len % 768).toInt),
       1 + (len % 30).toInt,
       if (len % 2 == 0) "png" else "jpeg")
   }
@@ -80,15 +155,19 @@ object Multimodal {
   /** Attach decoded metadata to a binary column. Batched decode inside
     * mapPartitions: the per-partition iterator is processed in bounded
     * batches (`batchSize`), mirroring Arrow-batch shape — a real codec
-    * would amortize its decoder/context across each batch. */
+    * would amortize its decoder/context across each batch. The default
+    * `decoder` is the REAL header parse ([[decodeMeta]]); pass
+    * [[decodeMetaStub]] for deterministic fakes over non-image bytes. */
   def withMediaMeta(df: DataFrame, binCol: String,
-                    batchSize: Int = 64): DataFrame =
+                    batchSize: Int = 64,
+                    decoder: Array[Byte] => (Long, Integer, Integer, Int, String)
+                      = decodeMeta): DataFrame =
     mapBinary(df, binCol, batchSize,
       Seq(StructField("media", mediaMetaType))) { bytes =>
       val meta =
         if (bytes == null) null
         else {
-          val (l, w, h, f, fmt) = decodeMetaStub(bytes)
+          val (l, w, h, f, fmt) = decoder(bytes)
           Row(l, w, h, f, fmt)
         }
       Iterator.single(Seq(meta))

@@ -275,7 +275,11 @@ final case class Pipe(df: DataFrame, order: Seq[Column] = Nil) {
     val out = df.select(columns.map(col): _*)
     val sized = if (singleFile) out.coalesce(1) else out
     sized.write.mode(SaveMode.Overwrite)
-      .option("header", "true").option("emptyValue", "").csv(path)
+      .option("header", "true").option("emptyValue", "")
+      // RFC-4180 quote doubling (Go csv.Writer dialect), matching
+      // CsvSource's read side — not Spark's backslash default
+      .option("escape", "\"")
+      .csv(path)
   }
 
   /** Scalable JSON sink: JSONL (one object per line), the Spark-native

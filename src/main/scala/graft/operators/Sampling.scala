@@ -87,6 +87,66 @@ object Sampling {
       when(col(idCol).isNull, lit(null).cast("string")).otherwise(labelled))
   }
 
+  /** Equal-size length buckets — SQL `ntile(n) OVER (ORDER BY orderCol,
+    * tieCol)` semantics WITHOUT the global single-partition window
+    * (which funnels every row through one task — the classic 100 TB
+    * scale-killer).
+    *
+    * Shape: (1) per-value counts (`groupBy(orderCol)` — map-side
+    * combined, output is |distinct values| rows, not |rows|);
+    * (2) exclusive prefix-sum + grand total over that SMALL table (its
+    * windows are single-partition, but over the aggregate, which for a
+    * length distribution is thousands of rows at any corpus size);
+    * (3) broadcast the offsets back and rank WITHIN each value group by
+    * `tieCol` — a window partitioned by the value, so it distributes;
+    * (4) global rank = offset + within-rank, bucket = closed-form ntile
+    * arithmetic (first N mod n buckets get one extra row).
+    *
+    * Exactly matches `ntile` output for non-null `orderCol` values (the
+    * driver oracle pins this). A pathologically hot single value still
+    * concentrates its within-value ranking on one key; if that is a
+    * real risk, bucket ties don't matter and the tie rank can be salted.
+    *
+    * @return input columns + (`outCol`: int in [1, n])
+    */
+  def ntileBuckets(df: DataFrame, orderCol: String, tieCol: String,
+                   n: Int, outCol: String = "bucket"): DataFrame = {
+    require(n > 0, "n must be > 0")
+    tempCol(df, outCol)
+    val counts = df.groupBy(col(orderCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val wPre = Window.orderBy(col("__k").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wPre), lit(0L)))
+      .withColumn("__N", sum(col("__c")).over(wAll))
+      .select(col("__k"), col("__off"), col("__N"))
+    val rn = tempCol(df, "__graft_rn")
+    val wIn = Window.partitionBy(col(orderCol)).orderBy(col(tieCol).asc)
+    val ranked = df
+      .withColumn(rn, row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), col(orderCol) <=> col("__k"))
+      .withColumn(rn, col("__off") + col(rn))
+    // ntile(n) over N rows: q = N div n, rem = N mod n; the first rem
+    // buckets hold q+1 rows, the rest q. All-integer (`div`, not `/` —
+    // Spark's `/` is fractional) → engine-exact at any N. The ELSE
+    // branch's `div q` is only reached when r > rem·(q+1), which
+    // requires q ≥ 1, so the q=0 (N < n) case never divides by zero
+    // (CASE evaluates lazily).
+    val bucket = expr(
+      s"""CASE WHEN `$rn` <= (__N % ${n}L) * ((__N div ${n}L) + 1L)
+         |  THEN (`$rn` - 1L) div ((__N div ${n}L) + 1L) + 1L
+         |  ELSE (__N % ${n}L)
+         |       + (`$rn` - (__N % ${n}L) * ((__N div ${n}L) + 1L) - 1L)
+         |         div (__N div ${n}L) + 1L
+         |END""".stripMargin)
+    ranked
+      .withColumn(outCol, bucket.cast("int"))
+      .drop(rn, "__k", "__off", "__N")
+  }
+
   /** Cumulative-weight BANDING of rows into batches: batch_id =
     * exclusive-prefix-sum(weight) div budget, per group in `orderCol`
     * order. This is the scan-friendly (one window, no sequential state)

@@ -47,7 +47,8 @@ final case class CsvSource(
     trimLeadingSpaceOn: Boolean = false,
     headerMode: HeaderMode = HeaderFromFirstRow,
     selected: Seq[String] = Nil,
-    fieldMode: FieldCountMode = NumFieldsAuto
+    fieldMode: FieldCountMode = NumFieldsAuto,
+    multiLineOn: Boolean = false
 ) {
 
   /** csvplus.go:970-974 */
@@ -62,6 +63,17 @@ final case class CsvSource(
 
   /** csvplus.go:989-993 */
   def trimLeadingSpace(): CsvSource = copy(trimLeadingSpaceOn = true)
+
+  /** Opt-in RFC-4180 quoted-embedded-newline records — the one place
+    * Go's record-oriented `encoding/csv` (which the reference delegates
+    * to, csvplus.go:1078-1146) accepts input the default newline-split
+    * scan cannot: `"a\nb"` as a single field. The COST is explicit and
+    * why it is not the default: a multi-line file cannot be split at
+    * arbitrary byte offsets, so Spark reads each FILE as one task —
+    * parallelism becomes #files, not #splits. Use for the (typically
+    * small, many-file) inputs that actually contain quoted newlines;
+    * leave off for the 100 TB scan path. */
+  def multiLine(): CsvSource = copy(multiLineOn = true)
 
   /** csvplus.go:995-1012 — headerless input, caller-specified layout. */
   def assumeHeader(spec: Map[String, Int]): CsvSource = {
@@ -107,6 +119,12 @@ final case class CsvSource(
 
   private def baseOptions: Map[String, String] = Map(
     "sep" -> delim.toString,
+    // RFC-4180 / Go encoding/csv dialect: a quote inside a quoted field
+    // is escaped by DOUBLING it (""), not by backslash (Spark's
+    // default). The reference reader/writer both speak this dialect
+    // (csvplus.go:1078-1146 delegate to encoding/csv), as does
+    // Pipe.toCsv on the write side.
+    "escape" -> "\"",
     "inferSchema" -> "false",
     "enforceSchema" -> "false",
     "ignoreLeadingWhiteSpace" -> trimLeadingSpaceOn.toString,
@@ -119,26 +137,33 @@ final case class CsvSource(
   ) ++ comment.map(c => "comment" -> c.toString) ++
     (if (lazyQuotesOn)
        Map("unescapedQuoteHandling" -> "STOP_AT_CLOSING_QUOTE")
-     else Map.empty)
+     else Map.empty) ++
+    (if (multiLineOn) Map("multiLine" -> "true") else Map.empty)
 
   /** Read the raw first line's fields (driver-side pre-flight, used for
     * header resolution/verification — one tiny bounded read, never the
     * whole file).
     *
-    * Single-line records are an invariant of this source, not an
-    * assumption: `baseOptions` never sets `multiLine`, `lineSep` or
-    * `encoding` (and the builder exposes no way to), so the data path
-    * splits records on raw newlines exactly as the text scan here does —
-    * a quoted newline inside a header field is malformed input to BOTH
-    * paths, never a silent divergence between them. This IS a capability
-    * divergence from the reference: Go's `encoding/csv` reader is
-    * record-oriented and accepts quoted embedded newlines
-    * (reference csvplus.go:1078-1146 delegates to it), while this source
-    * rejects them by construction. The trade is deliberate — newline-split
-    * records are what make the scan splittable across executors at scale;
-    * a `multiLine` mode would force one-file-per-task reads.
-    */
+    * Single-line records are an invariant of the DEFAULT mode:
+    * without [[multiLine]], `baseOptions` never sets `multiLine`,
+    * `lineSep` or `encoding`, so the data path splits records on raw
+    * newlines exactly as the text scan here does — a quoted newline
+    * inside a header field is malformed input to BOTH paths, never a
+    * silent divergence between them. Newline-split records are what
+    * make the scan splittable across executors at scale; the reference
+    * parity gap (Go's `encoding/csv` accepts quoted embedded newlines,
+    * csvplus.go:1078-1146) is closed by the opt-in [[multiLine]] mode,
+    * whose header pre-flight below instead takes the first RECORD as
+    * parsed by the csv datasource itself (same dialect options), so a
+    * header field may itself contain a quoted newline. */
   private def firstLineFields(spark: SparkSession): Seq[String] = {
+    if (multiLineOn) {
+      val head = spark.read.options(baseOptions)
+        .option("header", "false").option("mode", "PERMISSIVE")
+        .csv(path).limit(1).collect()
+      if (head.isEmpty) throw new DataSourceException(1, "empty header")
+      return head.head.toSeq.map(v => if (v == null) "" else v.toString)
+    }
     // Deterministic "line 1": a text scan streamed partition-by-partition
     // in file order (only the first partition is ever computed), NOT
     // `.csv(path).limit(1)` — limit without ordering may surface an

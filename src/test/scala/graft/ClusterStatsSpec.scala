@@ -325,6 +325,29 @@ class ClusterStatsSpec extends GraftSpec {
       s"cluster {1,2,3} must collapse to 2 (longest); got $kept")
   }
 
+  test("nearDedup leaves no signature cache behind (scoped unpersist)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta " * 4 + "tail"),
+      (3L, "totally different words live in this document here")
+    ).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.5).collect()
+    // unpersist is non-blocking; block removal is async
+    val deadline = System.nanoTime() + 10_000_000_000L
+    def leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, rdd) =>
+        // new non-checkpoint persistent RDDs = leaked operator caches;
+        // the final labels localCheckpoint may legitimately remain
+        // (the returned frame reads it) — everything else must be gone
+        !before.contains(id) && !rdd.isCheckpointed
+      }
+    while (leaked.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(leaked.isEmpty,
+      s"signature/sym caches left persisted: ${leaked.keys.toSeq.sorted}")
+  }
+
   // ── multimodal frame sampling ──
 
   test("withFeatures attaches unit-norm deterministic embeddings consumable by ANN") {

@@ -191,6 +191,64 @@ class CsvSourceSpec extends GraftSpec {
     assert(got.length == 1 && got.head.getString(1) == "Ann")
   }
 
+  test("multiLine parses quoted embedded newlines as one record (Go encoding/csv parity)") {
+    // Go's record-oriented reader accepts "line one\nline two" as ONE
+    // field (reference csvplus.go:1078-1146 delegates to it); default
+    // newline-split mode cannot. multiLine() closes the gap, opt-in.
+    val f = tmpCsv("id,text\n1,\"line one\nline two\"\n2,plain\n")
+    val df = CsvSource.fromFile(f).multiLine().read(spark)
+    assert(df.columns.toSeq == Seq("id", "text"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size == 2)
+    assert(rows("1") == "line one\nline two")
+    assert(rows("2") == "plain")
+  }
+
+  test("multiLine handles doubled-quote escapes inside multi-line fields") {
+    val f = tmpCsv("id,text\n1,\"say \"\"hi\"\"\nbye\"\n")
+    val row = CsvSource.fromFile(f).multiLine().read(spark).collect().head
+    assert(row.getString(1) == "say \"hi\"\nbye")
+  }
+
+  test("multiLine composes with header modes and projection") {
+    val f = tmpCsv("id,text,extra\n1,\"a\nb\",x\n")
+    val df = CsvSource.fromFile(f).multiLine()
+      .expectHeader(Map("id" -> 0, "text" -> -1))
+      .selectColumns("text")
+      .read(spark)
+    assert(df.columns.toSeq == Seq("text"))
+    assert(df.collect().head.getString(0) == "a\nb")
+  }
+
+  test("lazyQuotes divergence pins (Go LazyQuotes vs STOP_AT_CLOSING_QUOTE)") {
+    // The approximation is a TESTED contract, not a comment: these
+    // inputs pin exactly where univocity's STOP_AT_CLOSING_QUOTE
+    // agrees with or diverges from Go encoding/csv LazyQuotes
+    // (reference csvplus.go:982-987).
+    // (a) stray quote in an UNQUOTED field — Go: literal `b"c`.
+    val fa = tmpCsv("id,v\n1,b\"c\n")
+    val va = CsvSource.fromFile(fa).lazyQuotes().read(spark)
+      .collect().head.getString(1)
+    assert(va == "b\"c") // agrees with Go
+    // (b) bare quote INSIDE a quoted field — Go keeps it literally and
+    // ends the field at the quote before EOL: `b"c`.
+    val fb = tmpCsv("id,v\n1,\"b\"c\"\n")
+    val vb = CsvSource.fromFile(fb).lazyQuotes().read(spark)
+      .collect().head.getString(1)
+    assert(vb == "b\"c") // agrees with Go
+    // (c) bare quote mid-field then a delimiter — both engines treat
+    // the bare quote as literal and STAY in quoted mode, so the
+    // delimiter is field content and the unterminated quote at EOL is
+    // tolerated: the whole tail is one field, `b"x,2`.
+    val fc = tmpCsv("id,v\n1,\"b\"x,2\n")
+    val vc = CsvSource.fromFile(fc).lazyQuotes().read(spark)
+      .collect().head
+    assert(vc.getString(1) == "b\"x,2") // agrees with Go
+    // No divergence on any of these pinned inputs — the approximation
+    // contract is "agrees with Go on (a)/(b)/(c); inputs beyond these
+    // patterns are unspecified" (SURVEY flags no exact twin exists).
+  }
+
   test("JSON array sink writes a single parseable array of objects") {
     val f = Files.createTempFile("graft_json", ".json").toString
     Pipe(stock).toJsonArrayFile(f)

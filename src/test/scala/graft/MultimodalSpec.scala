@@ -4,8 +4,9 @@ import graft.operators.Multimodal
 
 import org.apache.spark.sql.functions._
 
-/** Multimodal binary-column plumbing (decode is a documented stub;
-  * the schema/batching/null-handling is what's under test). */
+/** Multimodal binary-column plumbing (header decode is REAL —
+  * PNG/JPEG/GIF/BMP magic bytes; pixel-level steps are documented
+  * stubs; the schema/batching/null-handling is under test too). */
 class MultimodalSpec extends GraftSpec {
 
   import spark.implicits._
@@ -17,8 +18,84 @@ class MultimodalSpec extends GraftSpec {
     (4L, Array.emptyByteArray)
   ).toDF("media_id", "payload")
 
+  // ── real header parsing ──
+
+  /** Minimal valid PNG prefix: signature + IHDR with the given dims. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(29)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(Array[Byte](8, 6, 0, 0, 0))
+    bb.array()
+  }
+
+  /** Minimal JPEG: SOI, an APP0 segment to skip, then SOF0. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 + 4 + 2 + 2 + 2 + 1 + 2 + 2)
+    bb.put(Array(0xFF, 0xD8).map(_.toByte))            // SOI
+    bb.put(Array(0xFF, 0xE0).map(_.toByte)).putShort(4) // APP0 len 4
+      .putShort(0)                                      // APP0 payload
+    bb.put(Array(0xFF, 0xC0).map(_.toByte)).putShort(9) // SOF0
+    bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    bb.array()
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.putShort(w.toShort).putShort(h.toShort)
+    bb.put(Array[Byte](0, 0, 0))
+    bb.array()
+  }
+
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("BM".getBytes("US-ASCII")).putInt(26).putInt(0).putInt(26)
+    bb.putInt(40).putInt(w).putInt(-h) // negative height = top-down
+    bb.array()
+  }
+
+  test("parseImageHeader reads real PNG/JPEG/GIF/BMP dimensions") {
+    assert(Multimodal.parseImageHeader(pngBytes(640, 480))
+      .contains((640, 480, "png")))
+    assert(Multimodal.parseImageHeader(jpegBytes(1920, 1080))
+      .contains((1920, 1080, "jpeg")))
+    assert(Multimodal.parseImageHeader(gifBytes(320, 200))
+      .contains((320, 200, "gif")))
+    assert(Multimodal.parseImageHeader(bmpBytes(800, 600))
+      .contains((800, 600, "bmp")))
+    // corrupt/non-image payloads parse to None, never throw
+    assert(Multimodal.parseImageHeader("not an image".getBytes).isEmpty)
+    assert(Multimodal.parseImageHeader(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseImageHeader(pngBytes(1, 1).take(20)).isEmpty)
+    assert(Multimodal.parseImageHeader(
+      Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00).map(_.toByte)).isEmpty) // truncated SOF
+  }
+
+  test("withMediaMeta default decoder reads real dimensions from PNG bytes") {
+    val imgs = Seq(
+      (1L, pngBytes(123, 45)),
+      (2L, jpegBytes(77, 88)),
+      (3L, "plain text".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.withMediaMeta(imgs, "payload")
+      .select(col("media_id"), col("media.width").as("w"),
+        col("media.height").as("h"), col("media.format").as("fmt"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getString(3))).toMap
+    assert(out(1L) == ((Some(123), Some(45), "png")))
+    assert(out(2L) == ((Some(77), Some(88), "jpeg")))
+    assert(out(3L) == ((None, None, "unknown"))) // nulls, not a crash
+  }
+
+  // ── stub double + plumbing ──
+
   test("withMediaMeta appends a typed metadata struct per row") {
-    val out = Multimodal.withMediaMeta(media, "payload")
+    val out = Multimodal.withMediaMeta(media, "payload",
+      decoder = Multimodal.decodeMetaStub)
     assert(out.schema("media").dataType == Multimodal.mediaMetaType)
     val byId = out.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
     val m1 = byId(1L).getAs[org.apache.spark.sql.Row]("media")

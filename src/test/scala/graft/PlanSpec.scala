@@ -125,6 +125,22 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("length buckets: per-row ranking distributes by value — no global ntile window") {
+    val p = formatted("q_length_buckets")
+    // the only per-ROW window must be partitioned by the token count
+    // (hash exchange), never a single-partition ntile over the corpus
+    assert(p.contains("hashpartitioning(n_tokens"),
+      s"within-value rank must shuffle by n_tokens:\n$p")
+    assert(!p.contains("ntile("),
+      s"global ntile window must not appear (single-partition at 100 TB):\n$p")
+    // the offsets side is the aggregated per-value table (partial+final
+    // HashAggregate) — its tiny single-partition prefix-sum is fine
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-value counts must aggregate map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must broadcast back onto the corpus:\n$p")
+  }
+
   test("upsert: broadcast anti join, target side never sort-merge shuffled") {
     val p = formatted("q_upsert")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
