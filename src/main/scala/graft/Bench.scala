@@ -48,9 +48,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // two passes, per-query min: one pass absorbs JIT/codegen warmup and
-    // transient host interference without hiding real per-query cost
-    val passes = (1 to 2).map { pass =>
+    // three passes, per-query min: pass 1 absorbs JIT/codegen warmup;
+    // the host shows 60-90 s CPU-interference windows that can inflate a
+    // query 3-10× (round-5 investigation: code byte-identical across
+    // rounds 3/4 yet per-query times moved ±2×, and entry_sec varied
+    // 0.78→2.08 s across VMs), so a single extra pass is cheap insurance
+    // that at least one run of each query lands outside a window
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    val passes = (1 to nPasses).map { pass =>
       selected.map { case (name, fn) =>
         var failed = false
         val measured = time {

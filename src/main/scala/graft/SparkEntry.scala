@@ -2372,13 +2372,202 @@ object SparkEntry {
         |FROM m""".stripMargin
   )
 
+  // ────────────────────────────────────────────────────────────────
+  // Round-5 widening: BM25 retrieval scoring, collocation mining
+  // (bigram PMI lift), REAL WAV/PCM audio decode, and exactly-once
+  // streaming dedup over a redelivered input.
+
+  /** Little-endian hex rendering of an integral column (`nBytes`
+    * bytes) — builds binary WAV payloads with pure column algebra (no
+    * UDF), mirroring q_media_headers' hex/unhex PNG synthesis. */
+  private def leHex(c: org.apache.spark.sql.Column, nBytes: Int) =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+
+  private val round5Queries: Map[String, Q] = Map(
+
+    // BM25 document ranking for a 3-term probe query (k1=1.5, b=0.75 —
+    // both exactly representable doubles, so the saturation constants
+    // are literal-identical across engines). Per-term contributions are
+    // pivoted to fixed columns and summed in EXPLICIT order — never a
+    // float `sum()` whose accumulation order is partitioning-dependent.
+    // Global top-k plans as TakeOrderedAndProject.
+    "q_bm25" -> { (s, dir) =>
+      val per = graft.operators.Corpus.bm25PerTerm(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "vector"), k1 = 1.5, b = 0.75)
+      per.groupBy(col("doc_id"))
+        .agg(
+          max(when(col("term") === "spark", col("score_t"))).as("s_spark"),
+          max(when(col("term") === "join", col("score_t"))).as("s_join"),
+          max(when(col("term") === "vector", col("score_t"))).as("s_vector"))
+        .select(col("doc_id"),
+          (coalesce(col("s_spark"), lit(0.0)) +
+            coalesce(col("s_join"), lit(0.0)) +
+            coalesce(col("s_vector"), lit(0.0))).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(50)
+    },
+
+    // collocation mining: adjacent-token PMI lift (ratio form — exact
+    // integer counts + correctly-rounded divisions, engine-exact),
+    // top-100 pairs seen ≥5 times
+    "q_cooccur" -> { (s, dir) =>
+      graft.operators.Corpus.bigramLift(
+        t(s, dir, "documents"), "text", minCount = 5L)
+        .orderBy(col("lift").desc, col("x").asc, col("y").asc)
+        .limit(100)
+    },
+
+    // REAL WAV decode, oracled end-to-end: synthesize a valid RIFF/WAVE
+    // container per row (16 16-bit PCM samples + doc-dependent sample
+    // rate, assembled with hex/unhex column algebra — no UDF), decode
+    // with the real chunk-walking parser, and let the oracle recompute
+    // header fields AND sample statistics (rms, zero crossings)
+    // arithmetically. A mis-read byte offset or endianness error
+    // diverges every row.
+    "q_audio_meta" -> { (s, dir) =>
+      val rate = (col("doc_id") % 100) * 80 + 8000
+      val sampleHex = concat((0 until 16).map { i =>
+        val v = pmod(col("doc_id") * 31 + lit(i) * 97, lit(4096)) - 2048
+        leHex(pmod(v, lit(65536)), 2)
+      }: _*)
+      val wav = unhex(concat(
+        lit("52494646"), leHex(lit(68L), 4),            // "RIFF" + chunk size 36+32
+        lit("57415645666D7420"), leHex(lit(16L), 4),    // "WAVE" + "fmt " + 16
+        lit("01000100"),                                // PCM, 1 channel
+        leHex(rate, 4), leHex(rate * 2, 4),             // sample rate, byte rate
+        lit("02001000"),                                // block align 2, 16 bits
+        lit("64617461"), leHex(lit(32L), 4),            // "data" + 32 bytes
+        sampleHex))
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), wav.as("payload"))
+      Multimodal.withAudioMeta(withBin, "payload")
+        .select(col("doc_id"),
+          col("audio.channels").as("channels"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.bits").as("bits"),
+          col("audio.n_samples").as("n_samples"),
+          col("audio.duration_ms").as("duration_ms"),
+          col("audio.rms").as("rms"),
+          col("audio.zcr").as("zcr"))
+    },
+
+    // exactly-once dedup of a redelivered event feed (batch twin:
+    // the doubled delivery expressed as union-with-self)
+    "q_stream_dedup" -> { (s, dir) =>
+      EventStreams.dedupBatch(
+        EventStreams.readEvents(s, s"$dir/events.parquet"))
+    },
+
+    // …and the same semantics executed as a REAL stateful streaming
+    // query: the events file staged twice into the stream directory,
+    // dropDuplicatesWithinWatermark emitting each event once
+    "q_stream_dedup_stream" -> { (s, dir) =>
+      EventStreams.dedupStreamed(s, s"$dir/events.parquet")
+    }
+  )
+
+  private val round5Oracles: Map[String, String] = {
+    val dedupSql =
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       user_id, event_type,
+        |       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |FROM events""".stripMargin
+    Map(
+      "q_bm25" ->
+        """WITH d AS (
+          | SELECT doc_id,
+          |        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS ts
+          | FROM documents WHERE text IS NOT NULL),
+          |stats AS (SELECT count(*) AS n_docs, sum(len(ts)) AS sum_dl FROM d),
+          |tfs AS (
+          | SELECT doc_id, term, count(*) AS n_tf, max(dl) AS dl
+          | FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM d)
+          | WHERE term IN ('spark', 'join', 'vector')
+          | GROUP BY doc_id, term),
+          |dfreq AS (SELECT term, count(*) AS df_t FROM tfs GROUP BY term),
+          |scored AS (
+          | SELECT tfs.doc_id, tfs.term,
+          |   ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+          |     / (CAST(df_t AS DOUBLE) + 0.5))
+          |   * (CAST(n_tf AS DOUBLE) * (1.5 + 1.0)
+          |      / (CAST(n_tf AS DOUBLE)
+          |         + 1.5 * ((1.0 - 0.75)
+          |                  + 0.75 * (CAST(dl AS DOUBLE)
+          |                            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+          |   AS score_t
+          | FROM tfs JOIN dfreq USING (term), stats),
+          |pivoted AS (
+          | SELECT doc_id,
+          |   max(CASE WHEN term = 'spark' THEN score_t END) AS s_spark,
+          |   max(CASE WHEN term = 'join' THEN score_t END) AS s_join,
+          |   max(CASE WHEN term = 'vector' THEN score_t END) AS s_vector
+          | FROM scored GROUP BY doc_id)
+          |SELECT doc_id,
+          |  coalesce(s_spark, 0.0) + coalesce(s_join, 0.0) + coalesce(s_vector, 0.0) AS score
+          |FROM pivoted
+          |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+      "q_cooccur" ->
+        """WITH d AS (
+          | SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS ts
+          | FROM documents WHERE text IS NOT NULL),
+          |p AS (
+          | SELECT ts[i] AS x, ts[i + 1] AS y, count(*) AS n_xy
+          | FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM d WHERE len(ts) >= 2)
+          | GROUP BY 1, 2 HAVING count(*) >= 5),
+          |uni AS (
+          | SELECT t, count(*) AS n_t
+          | FROM (SELECT unnest(ts) AS t FROM d) GROUP BY t),
+          |tot AS (SELECT sum(n_t) AS n_tok FROM uni),
+          |np AS (SELECT sum(greatest(len(ts) - 1, 0)) AS n_pair FROM d)
+          |SELECT x, y, n_xy, ux.n_t AS n_x, uy.n_t AS n_y,
+          |  (CAST(n_xy AS DOUBLE) / CAST(n_pair AS DOUBLE))
+          |  / ((CAST(ux.n_t AS DOUBLE) / CAST(n_tok AS DOUBLE))
+          |     * (CAST(uy.n_t AS DOUBLE) / CAST(n_tok AS DOUBLE))) AS lift
+          |FROM p JOIN uni ux ON p.x = ux.t JOIN uni uy ON p.y = uy.t, tot, np
+          |ORDER BY lift DESC, x ASC, y ASC LIMIT 100""".stripMargin,
+
+      "q_audio_meta" ->
+        """WITH base AS (
+          | SELECT doc_id, CAST(doc_id % 100 * 80 + 8000 AS BIGINT) AS rate
+          | FROM documents),
+          |s AS (
+          | SELECT doc_id, i, (doc_id * 31 + i * 97) % 4096 - 2048 AS v
+          | FROM base, range(0, 16) t(i)),
+          |s2 AS (
+          | SELECT doc_id, v,
+          |        lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+          | FROM s),
+          |st AS (
+          | SELECT doc_id, sum(v * v) AS sumsq,
+          |        sum(CASE WHEN pv IS NOT NULL
+          |                  AND ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0))
+          |                 THEN 1 ELSE 0 END) AS zcr
+          | FROM s2 GROUP BY doc_id)
+          |SELECT b.doc_id,
+          |  CAST(1 AS INTEGER) AS channels,
+          |  CAST(b.rate AS INTEGER) AS sample_rate,
+          |  CAST(16 AS INTEGER) AS bits,
+          |  CAST(16 AS BIGINT) AS n_samples,
+          |  CAST(16000 // b.rate AS BIGINT) AS duration_ms,
+          |  sqrt(CAST(st.sumsq AS DOUBLE) / CAST(16 AS DOUBLE)) AS rms,
+          |  CAST(st.zcr AS BIGINT) AS zcr
+          |FROM base b JOIN st USING (doc_id)""".stripMargin,
+
+      "q_stream_dedup" -> dedupSql,
+      "q_stream_dedup_stream" -> dedupSql
+    )
+  }
+
   def queries: Map[String, Q] =
     referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries ++
-      round4Queries
+      round4Queries ++ round5Queries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] =
     referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles ++
-      round4Oracles
+      round4Oracles ++ round5Oracles
 }

@@ -123,4 +123,138 @@ object Corpus {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }
+
+  /** Per-(document, query-term) BM25 contributions — the retrieval
+    * scoring function behind search-based corpus curation (select the
+    * documents most relevant to a probe query before expensive
+    * processing).
+    *
+    * `score_t = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    *
+    * `idf = "rational"` (default) uses the Robertson–Spärck-Jones ratio
+    * WITHOUT the log: `(N − df + 0.5)/(df + 0.5)` — one IEEE division,
+    * correctly rounded, so scores are bit-identical on any engine (the
+    * property the correctness gate hashes on; same contract as
+    * [[topTermsByRarity]]'s "inv"). `idf = "log"` is classic BM25
+    * (`ln` of the same ratio + 1) — use it for real ranking, don't
+    * hash-compare it across engines. Both are monotone in rarity, so
+    * per-term rankings are identical.
+    *
+    * Scale shape: the term filter lands INSIDE the explode (only query
+    * terms survive into the aggregation, so shuffle volume is
+    * docs × |query|, not docs × tokens); `dl` rides along into the
+    * same hash-aggregate (`max(dl)` — constant per doc) instead of a
+    * second join; `df` and the corpus stats (N, Σdl) are ≤|query|-row
+    * and 1-row relations broadcast back. One real shuffle total.
+    *
+    * @param queryTerms query as a bag of lower-cased terms
+    * @return (doc_id, term, tf, df_t, dl, score_t) — one row per doc ×
+    *         query term with tf > 0
+    */
+  def bm25PerTerm(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      idf: String = "rational"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    require(idf == "rational" || idf == "log",
+      s"idf must be 'rational' or 'log', got '$idf'")
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), terms(col(textCol)).as("__terms"))
+    // 1-row corpus stats, broadcast: N and Σdl are exact integers, so
+    // avgdl = Σdl/N is ONE correctly-rounded division on every engine
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("__terms"))).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), size(col("__terms")).as("dl"),
+        explode(col("__terms")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val joined = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val ratio = (col("n_docs").cast("double") - col("df_t").cast("double") + lit(0.5)) /
+      (col("df_t").cast("double") + lit(0.5))
+    val idfCol = if (idf == "rational") ratio else log(ratio) + lit(1.0)
+    val norm = lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
+    val sat = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") + lit(k1) * norm)
+    joined
+      .select(col("doc_id"), col("term"), col("tf"), col("df_t"), col("dl"),
+        (idfCol * sat).as("score_t"))
+  }
+
+  /** Total BM25 score per document for a term query: per-term
+    * contributions summed in SORTED TERM ORDER via an explicit
+    * array-fold, so the double summation order — normally
+    * partitioning-dependent under `sum()` — is deterministic and
+    * engine-exact. Global ranking plans as TakeOrderedAndProject when
+    * followed by `.orderBy(...).limit(k)` (never a full sort). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           idf: String = "rational"): DataFrame =
+    bm25PerTerm(df, idCol, textCol, queryTerms, k1, b, idf)
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("score_t")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("score_t")).as("score"))
+
+  /** Adjacent-token co-occurrence strength (collocation mining):
+    * for every bigram `x y` seen at least `minCount` times, the PMI
+    * lift `P(x,y) / (P(x)·P(y))` — >1 means the pair co-occurs more
+    * than independence predicts ("new york", "machine learning").
+    *
+    * Emits the RATIO, not `log(ratio)` (true PMI): `ln` is not
+    * correctly rounded and differs between libm implementations by
+    * ulps, while the ratio is a fixed dag of exact integer counts and
+    * correctly-rounded IEEE divisions — bit-identical on any engine,
+    * and monotone to PMI so rankings agree.
+    *
+    * Scale shape: two explode→hash-aggregate passes (pairs, unigrams),
+    * both map-side combined, so shuffle volume is bounded by DISTINCT
+    * grams; the unigram relation joins back keyed by term (AQE
+    * broadcasts it when the vocabulary is small); totals are a 1-row
+    * broadcast. The `minCount` filter lands on the aggregated pair
+    * counts BEFORE the joins, so rare-pair noise never reaches them.
+    *
+    * @return (x, y, n_xy, n_x, n_y, lift)
+    */
+  def bigramLift(
+      df: DataFrame, textCol: String, minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(terms(col(textCol)).as("__terms"))
+    // word bigrams only — wordNgrams yields a partial gram for 1-token
+    // docs, which a `contains space` filter on the gram would misparse;
+    // slicing here keeps x/y as clean columns. The size≥2 filter is
+    // load-bearing: Spark's sequence(0, size−2) DESCENDS to [0, −1]
+    // when size < 2 instead of being empty.
+    val pairs = toks
+      .filter(size(col("__terms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__terms) - 2), " +
+          "i -> struct(__terms[i] AS x, __terms[i+1] AS y))")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    val uni = toks.select(explode(col("__terms")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val totals = uni.agg(sum(col("n_t")).as("n_tok"))
+    // total pair count must include sub-minCount pairs: Σ per-doc
+    // max(len − 1, 0), NOT the sum of surviving n_xy
+    val nPairTotal = toks
+      .agg(sum(greatest(size(col("__terms")) - 1, lit(0))).as("n_pair"))
+    pairs
+      .join(uni.withColumnRenamed("t", "x").withColumnRenamed("n_t", "n_x"), "x")
+      .join(uni.withColumnRenamed("t", "y").withColumnRenamed("n_t", "n_y"), "y")
+      .crossJoin(broadcast(nPairTotal))
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        ((col("n_xy").cast("double") / col("n_pair").cast("double")) /
+          ((col("n_x").cast("double") / col("n_tok").cast("double")) *
+            (col("n_y").cast("double") / col("n_tok").cast("double")))).as("lift"))
+  }
 }

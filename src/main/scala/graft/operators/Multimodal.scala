@@ -94,6 +94,84 @@ object Multimodal {
     } else None
   }
 
+  /** Typed metadata produced by decoding an audio payload. Fields are
+    * null when no WAV header parses. `rms`/`zcr` come from the decoded
+    * 16-bit PCM frames themselves — real sample-level decode, not a
+    * header skim: `rms = sqrt(Σs²/n)` (exact integer sum of squares,
+    * then one correctly-rounded division and sqrt — engine-exact),
+    * `zcr` = count of consecutive-sample sign changes (integer). */
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("byte_len", LongType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType),
+    StructField("rms", DoubleType),
+    StructField("zcr", LongType)))
+
+  /** REAL WAV (RIFF/WAVE) container parse: walks the chunk list
+    * (public format: "RIFF" + size + "WAVE", then tagged chunks; the
+    * "fmt " chunk carries PCM format u16, channels u16, sample rate
+    * u32, bits-per-sample u16 — all little-endian; the "data" chunk
+    * carries the frames). Chunks are padded to even offsets per the
+    * spec. Returns (channels, sampleRate, bits, dataOffset, dataLen),
+    * or None for anything that isn't a well-formed PCM WAV — a corrupt
+    * payload row must never throw. */
+  def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (b == null || b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var channels, rate, bits = -1
+    var fmtSeen = false
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val len = le32(b, i + 4)
+      if (len < 0 || i + 8 + len > b.length) return None
+      if (id == "fmt " && len >= 16) {
+        if (le16(b, i + 8) != 1) return None // PCM only
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+        fmtSeen = true
+      } else if (id == "data") {
+        if (!fmtSeen || channels <= 0 || rate <= 0 || bits <= 0) return None
+        return Some((channels, rate, bits, i + 8, len))
+      }
+      i += 8 + len + (len & 1) // chunks pad to even boundaries
+    }
+    None
+  }
+
+  /** Real audio decode in [[audioMetaType]] shape: header fields plus
+    * sample-level statistics over the 16-bit little-endian PCM frames
+    * (multi-channel payloads use channel 0). Non-WAV/non-16-bit
+    * payloads yield nulls for every field except byte_len. */
+  def decodeAudioMeta(b: Array[Byte]): Seq[Any] =
+    parseWavHeader(b) match {
+      case Some((ch, rate, bits, off, len)) if bits == 16 && ch > 0 =>
+        val frameBytes = 2 * ch
+        val n = len / frameBytes
+        var sumSq = 0L
+        var zcr = 0L
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val s = (le16(b, off + i * frameBytes).toShort).toInt
+          sumSq += s.toLong * s
+          if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zcr += 1
+          prev = s
+          i += 1
+        }
+        val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
+        Seq(b.length.toLong, ch, rate, bits, n.toLong,
+          n.toLong * 1000L / rate, rms, zcr)
+      case _ =>
+        Seq(if (b == null) null else b.length.toLong,
+          null, null, null, null, null, null, null)
+    }
+
   /** Real metadata decode in [[mediaMetaType]] shape: header-parsed
     * width/height/format (nulls + "unknown" for unrecognized payloads),
     * n_frames = 1 for still-image containers. */
@@ -171,6 +249,18 @@ object Multimodal {
           Row(l, w, h, f, fmt)
         }
       Iterator.single(Seq(meta))
+    }
+
+  /** Attach decoded audio metadata + PCM sample statistics to a binary
+    * column (REAL RIFF/WAV decode — [[decodeAudioMeta]]), same batched
+    * mapPartitions plumbing as [[withMediaMeta]]. Null payloads carry a
+    * null struct. */
+  def withAudioMeta(df: DataFrame, binCol: String,
+                    batchSize: Int = 64): DataFrame =
+    mapBinary(df, binCol, batchSize,
+      Seq(StructField("audio", audioMetaType))) { bytes =>
+      Iterator.single(Seq(
+        if (bytes == null) null else Row.fromSeq(decodeAudioMeta(bytes))))
     }
 
   /** STUB: fake feature extraction — an L2-normalized `dim`-bin byte

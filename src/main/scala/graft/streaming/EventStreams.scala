@@ -189,6 +189,44 @@ object EventStreams {
                   tsCol: String = "ts"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCol)
 
+  /** Exactly-once projection shared by the streamed dedup and its batch
+    * twin (ts formatted, value decimal-normalized — the driver-contract
+    * surface types). */
+  private def dedupProjection(df: DataFrame): DataFrame =
+    df.select(col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+      col("user_id"), col("event_type"),
+      col("value").cast(DecimalType(18, 2)).cast("double").as("value"))
+
+  /** [[dedupStream]] executed as a REAL streaming query over a
+    * REDELIVERED input: the events file is staged twice into the stream
+    * directory (the at-least-once ingestion failure mode — a source
+    * re-delivers a whole file), and the query must emit every event
+    * exactly once. Whether the copies land in one micro-batch (state
+    * dedups inside the batch) or two (the second copy is either matched
+    * in state or dropped as sub-watermark late data), the emitted set
+    * is the distinct events — which is what lets the batch twin / the
+    * DuckDB oracle check a stateful streaming path. */
+  def dedupStreamed(spark: SparkSession, path: String): DataFrame = {
+    val src = java.nio.file.Paths.get(path)
+    val dir = java.nio.file.Paths.get(
+      graft.Scratch.path(s"dedup_redelivery_${math.abs(path.hashCode)}"))
+    java.nio.file.Files.createDirectories(dir)
+    Seq("redelivery_1.parquet", "redelivery_2.parquet").foreach { n =>
+      java.nio.file.Files.copy(src, dir.resolve(n),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    runStreamed(spark, dir.toString, "dedup", outputMode = "append")(ev =>
+      dedupProjection(dedupStream(ev, "event_id")))
+  }
+
+  /** Batch twin of [[dedupStreamed]]: the same doubled delivery
+    * (union with itself), deduplicated by key. Rows of a redelivered
+    * event are byte-identical, so any survivor is THE row — the result
+    * is engine-exact without an ordering tie-break. */
+  def dedupBatch(events: DataFrame): DataFrame =
+    dedupProjection(events.union(events).dropDuplicates("event_id"))
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp,
                       user_id: Long, value: Double)
   final case class SessionAcc(start: Long, last: Long, n: Long, sum: Double)
