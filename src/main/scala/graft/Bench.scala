@@ -36,25 +36,35 @@ object Bench {
     // measure the engine, not classloading.
     try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
 
-    var entryFailed = false
-    val entryMeasured = time(
-      try force(SparkEntry.entry(spark))
-      catch { case e: Throwable =>
-        entryFailed = true
-        System.err.println(s"[bench] entry failed: ${e.getMessage}")
-      })
-    val entrySec = if (entryFailed) -1.0 else entryMeasured
-
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
     // three passes, per-query min: pass 1 absorbs JIT/codegen warmup;
     // the host shows 60-90 s CPU-interference windows that can inflate a
     // query 3-10× (round-5 investigation: code byte-identical across
     // rounds 3/4 yet per-query times moved ±2×, and entry_sec varied
     // 0.78→2.08 s across VMs), so a single extra pass is cheap insurance
-    // that at least one run of each query lands outside a window
-    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    // that at least one run of each query lands outside a window.
+    // Guarded parse: a malformed/non-positive SPARK_GRAFT_PASSES must
+    // not crash the bench or silently yield zero passes.
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+
+    // entry gets the same min-of-N treatment as the query loop: its
+    // single-shot number showed documented 0.78↔2.08 s cross-VM variance
+    val entryTimes = (1 to nPasses).map { _ =>
+      var entryFailed = false
+      val measured = time(
+        try force(SparkEntry.entry(spark))
+        catch { case e: Throwable =>
+          entryFailed = true
+          System.err.println(s"[bench] entry failed: ${e.getMessage}")
+        })
+      if (entryFailed) -1.0 else measured
+    }
+    val entrySec =
+      if (entryTimes.exists(_ < 0)) -1.0 else entryTimes.min
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val passes = (1 to nPasses).map { pass =>
       selected.map { case (name, fn) =>
         var failed = false

@@ -1794,14 +1794,44 @@ object SparkEntry {
     * purpose so connected components itself is oracle-checked (at
     * scale the edges come from `Dedup.minHashNearDups` instead). Used
     * by BOTH q_dup_clusters and q_cluster_resolve — one definition, so
-    * the two oracled queries can never desync. */
+    * the two oracled queries can never desync.
+    *
+    * Two exact passes in the `Dedup.decontaminate` shape — the naive
+    * single-pass string self-join shuffles every ~50-byte gram string
+    * twice and was the most expensive plan in the suite (r5: 11 s per
+    * gate at sf0.1; the string-keyed gram shuffle is the 100 TB risk):
+    *  1. PREFILTER — self-join on 8-byte xxh64 shingle hashes
+    *     (`Dedup.shingleHashes` chains exactly the wordNgrams token
+    *     sequences), so the wide shuffle moves (doc_id, long) only.
+    *  2. VERIFY — gram STRINGS re-derived for candidate docs only;
+    *     `arrays_overlap` keeps the pairs sharing an actual gram, so a
+    *     hash collision cannot fabricate an edge.
+    * Token-free docs carry NO shingle hashes but DO share the single
+    * empty gram in string semantics — their (tiny) pair set goes
+    * straight to verify, mirroring decontaminate's tokenless path. */
   private def gramEdges(docs: DataFrame): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-      explode(TextFunctions.wordNgrams(col("text"), 8)).as("gram"))
-    val ga = grams.select(col("gram"), col("doc_id").as("src"))
-    val gb = grams.select(col("gram"), col("doc_id").as("dst"))
-    ga.join(gb, "gram").filter(col("src") < col("dst"))
-      .select("src", "dst").dropDuplicates("src", "dst")
+    val hashes = docs.select(col("doc_id"),
+      explode(Dedup.shingleHashes(col("text"), 8)).as("gh"))
+    val ha = hashes.select(col("gh"), col("doc_id").as("src"))
+    val hb = hashes.select(col("gh"), col("doc_id").as("dst"))
+    val tokenless = docs
+      .filter(col("text").isNotNull && !col("text").rlike("\\S"))
+      .select(col("doc_id"))
+    val candidates = ha.join(hb, "gh").filter(col("src") < col("dst"))
+      .select("src", "dst")
+      .union(tokenless.select(col("doc_id").as("src"))
+        .crossJoin(broadcast(tokenless.select(col("doc_id").as("dst"))))
+        .filter(col("src") < col("dst")))
+      .dropDuplicates("src", "dst")
+    val candDocs = candidates.select(col("src").as("doc_id"))
+      .union(candidates.select(col("dst").as("doc_id"))).distinct()
+    val grams = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextFunctions.wordNgrams(col("text"), 8).as("grams"))
+    candidates
+      .join(grams.select(col("doc_id").as("src"), col("grams").as("g_src")), "src")
+      .join(grams.select(col("doc_id").as("dst"), col("grams").as("g_dst")), "dst")
+      .filter(arrays_overlap(col("g_src"), col("g_dst")))
+      .select("src", "dst")
   }
 
   private val round3Queries: Map[String, Q] = Map(
@@ -2206,7 +2236,13 @@ object SparkEntry {
           col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice").cast("decimal(18,2)").as("price")),
         "o_orderpriority", "price", k = 3.0)
-        .select(col("o_orderkey"), col("o_orderpriority"), col("price"),
+        // price surfaces as DOUBLE like med/mad: the internal math stays
+        // exact decimal, but a raw DECIMAL(18,2) output column hashes
+        // differently (arrow decimal128 vs DuckDB DECIMAL) even when the
+        // values are identical (r5 hash failure — the only two queries
+        // emitting raw decimal were the only two hash-red)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("price").cast("double").as("price"),
           col("med").cast("double").as("med"),
           col("mad").cast("double").as("mad"), col("is_outlier"))
     },
@@ -2234,9 +2270,11 @@ object SparkEntry {
         // same as q_tpch_q3): the writer round-trip changes the parquet
         // timestamp unit (millis→micros), which hash-diverges even when
         // the instant is identical (r4 hash failure)
+        // price as DOUBLE for the same reason (exact decimal quantize,
+        // then a shared bit-identical double surface on both engines)
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"))
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
     },
 
     // length-bucketed batching: equal-size token-count buckets with
@@ -2319,7 +2357,8 @@ object SparkEntry {
         | SELECT g, min(CASE WHEN r = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
         |               THEN dev END) AS mad
         | FROM r2 GROUP BY g)
-        |SELECT d.o_orderkey, d.g AS o_orderpriority, d.price,
+        |SELECT d.o_orderkey, d.g AS o_orderpriority,
+        |       CAST(d.price AS DOUBLE) AS price,
         |       CAST(d.med AS DOUBLE) AS med, CAST(mad.mad AS DOUBLE) AS mad,
         |       CAST(d.dev AS DOUBLE) > CAST(3.0 AS DOUBLE) * CAST(mad.mad AS DOUBLE) AS is_outlier
         |FROM d JOIN mad ON d.g = mad.g""".stripMargin,
@@ -2342,7 +2381,7 @@ object SparkEntry {
 
     "q_clustered_read" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |       CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-06-01'
         |  AND o_orderdate < TIMESTAMP '1996-09-01'""".stripMargin,

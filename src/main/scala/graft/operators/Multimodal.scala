@@ -128,7 +128,9 @@ object Multimodal {
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val len = le32(b, i + 4)
-      if (len < 0 || i + 8 + len > b.length) return None
+      // Long arithmetic: a crafted chunk length near Int.MaxValue would
+      // overflow an Int bounds check and let an out-of-range len through
+      if (len < 0 || i.toLong + 8L + len > b.length) return None
       if (id == "fmt " && len >= 16) {
         if (le16(b, i + 8) != 1) return None // PCM only
         channels = le16(b, i + 10)
@@ -165,8 +167,13 @@ object Multimodal {
           i += 1
         }
         val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
-        Seq(b.length.toLong, ch, rate, bits, n.toLong,
-          n.toLong * 1000L / rate, rms, zcr)
+        // Seq[Any] with explicit boxing: a bare Seq(long, int, …, double)
+        // undergoes Scala numeric widening to Seq[Double], and a
+        // java.lang.Double arriving at an IntegerType struct field makes
+        // the Row encoder throw INVALID_EXTERNAL_TYPE at runtime.
+        Seq[Any](Long.box(b.length.toLong), Int.box(ch), Int.box(rate),
+          Int.box(bits), Long.box(n.toLong),
+          Long.box(n.toLong * 1000L / rate), Double.box(rms), Long.box(zcr))
       case _ =>
         Seq(if (b == null) null else b.length.toLong,
           null, null, null, null, null, null, null)

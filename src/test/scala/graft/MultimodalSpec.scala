@@ -119,6 +119,80 @@ class MultimodalSpec extends GraftSpec {
     assert(out.filter(col("media.byte_len") <= 0).count() == 0)
   }
 
+  // ── real WAV decode ──
+
+  /** Minimal valid PCM WAV: mono 16-bit, given rate, given samples. */
+  private def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1)          // PCM, 1 channel
+    bb.putInt(rate).putInt(rate * 2)    // sample rate, byte rate
+    bb.putShort(2).putShort(16)         // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodeAudioMeta: header fields, rms/zcr from real PCM frames") {
+    val samples = Array[Short](100, -100, 200, -200, 0, 300)
+    val res = Multimodal.decodeAudioMeta(wavBytes(8000, samples))
+    assert(res(1) == 1)      // channels
+    assert(res(2) == 8000)   // sample_rate
+    assert(res(3) == 16)     // bits
+    assert(res(4) == 6L)     // n_samples
+    val sumSq = samples.map(s => s.toLong * s).sum
+    assert(res(6) == math.sqrt(sumSq.toDouble / 6))
+    assert(res(7) == 4L)     // sign changes: +→-→+→-→+(0 counts as >=0)
+  }
+
+  test("decodeAudioMeta elements carry the EXACT JVM classes the Row encoder needs") {
+    // Pin classes, not values: Seq(1L, 2, 3.0) numeric-widens to
+    // Seq[Double] and 1.0 == 1 in Scala, so a value-only assertion
+    // passes while the encoder throws INVALID_EXTERNAL_TYPE at runtime.
+    val res = Multimodal.decodeAudioMeta(wavBytes(8000, Array[Short](1, -1)))
+    assert(res(0).getClass == classOf[java.lang.Long],    "byte_len")
+    assert(res(1).getClass == classOf[java.lang.Integer], "channels")
+    assert(res(2).getClass == classOf[java.lang.Integer], "sample_rate")
+    assert(res(3).getClass == classOf[java.lang.Integer], "bits")
+    assert(res(4).getClass == classOf[java.lang.Long],    "n_samples")
+    assert(res(5).getClass == classOf[java.lang.Long],    "duration_ms")
+    assert(res(6).getClass == classOf[java.lang.Double],  "rms")
+    assert(res(7).getClass == classOf[java.lang.Long],    "zcr")
+  }
+
+  test("withAudioMeta survives the Row encoder end-to-end (the widening trap)") {
+    val df = Seq(
+      (1L, wavBytes(16000, Array[Short](5, -5, 5, -5))),
+      (2L, "not audio".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val out = Multimodal.withAudioMeta(df, "payload")
+      .select(col("media_id"), col("audio.channels").as("ch"),
+        col("audio.sample_rate").as("rate"), col("audio.n_samples").as("n"),
+        col("audio.zcr").as("zcr"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("ch") == 1)
+    assert(out(1L).getAs[Int]("rate") == 16000)
+    assert(out(1L).getAs[Long]("n") == 4L)
+    assert(out(1L).getAs[Long]("zcr") == 3L)
+    assert(out(2L).get(1) == null) // non-WAV: null fields, no crash
+    assert(out(3L).get(1) == null)
+  }
+
+  test("parseWavHeader rejects crafted chunk lengths without overflow") {
+    val b = wavBytes(8000, Array[Short](1, 2))
+    // corrupt the fmt chunk length to Int.MaxValue - 4: an Int bounds
+    // check (i + 8 + len) would overflow negative and pass
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, Int.MaxValue - 4)
+    assert(Multimodal.parseWavHeader(b).isEmpty) // no throw, no wrap-around
+    assert(Multimodal.decodeAudioMeta(b)(1) == null)
+  }
+
   test("frameSampleStub takes every stride-th 256-byte window") {
     val bytes = Array.tabulate[Byte](1024)(i => (i % 127).toByte)
     val frames = Multimodal.frameSampleStub(bytes, stride = 2)
