@@ -2600,13 +2600,47 @@ object SparkEntry {
     )
   }
 
+  // ────────────────────────────────────────────────────────────────
+  // Round-6 queries: exact-Jaccard audit gate for the dedup stack
+  // ────────────────────────────────────────────────────────────────
+
+  private val round6Queries: Map[String, Q] = Map(
+    // exact 3-gram Jaccard near-dup pairs, posting-join form (no
+    // crossJoin): the first TRUE DuckDB oracle on the dedup similarity
+    // math itself — the LSH stack's stages were previously only
+    // property-tested because MinHash estimates aren't SQL-expressible
+    "q_jaccard_exact" -> { (s, dir) =>
+      Dedup.exactNgramJaccard(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+    }
+  )
+
+  private val round6Oracles: Map[String, String] = Map(
+    "q_jaccard_exact" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1), i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+        | FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id),
+        |shared AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        | FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(n_shared AS DOUBLE) / CAST(sa.n_g + sb.n_g - n_shared AS DOUBLE) AS jaccard
+        |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n_g + sb.n_g - n_shared AS DOUBLE) >= 0.5""".stripMargin
+  )
+
   def queries: Map[String, Q] =
     referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries ++
-      round4Queries ++ round5Queries
+      round4Queries ++ round5Queries ++ round6Queries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] =
     referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles ++
-      round4Oracles ++ round5Oracles
+      round4Oracles ++ round5Oracles ++ round6Oracles
 }

@@ -152,6 +152,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact all-pairs n-gram Jaccard in the posting-join form: pairs
+    * are enumerated by joining on shared gram strings (only pairs with
+    * a non-empty intersection ever materialize — a pair sharing zero
+    * grams has Jaccard 0 and can't pass any positive threshold), the
+    * intersection size is a per-pair count, and the union size is
+    * |A| + |B| − |A∩B| from per-doc gram counts joined back. No
+    * crossJoin anywhere; every aggregation is map-side partial.
+    *
+    * This is the SQL-expressible exact baseline for the LSH stack
+    * ([[ngramJaccardNearDups]] must agree with it above the threshold
+    * wherever LSH recall holds). The string-keyed gram join is
+    * inherently hot-gram quadratic — at 100 TB use the LSH path and
+    * keep this as the audit gate over bounded slices. */
+  def exactNgramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(n > 0, "n must be > 0")
+    val grams = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n)))
+          .as("gram"))
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n_g"))
+    val shared = grams.select(col("gram"), col("id").as("id_a"))
+      .join(grams.select(col("gram"), col("id").as("id_b")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_g").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_g").as("n_b")), "id_b")
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Benchmark decontamination: remove documents sharing ANY word
     * n-gram with a benchmark corpus (the standard eval-leakage guard for
     * training data). Two exact passes, shaped for 100 TB:

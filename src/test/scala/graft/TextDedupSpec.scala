@@ -94,6 +94,25 @@ class TextDedupSpec extends GraftSpec {
     assert(pairs.get((0L, 1L)).exists(j => j > 0.8 && j < 1.0))
   }
 
+  test("exactNgramJaccard (posting-join, no crossJoin) agrees with the LSH-confirmed pairs") {
+    val exact = Dedup.exactNgramJaccard(docs, "doc_id", "text",
+      n = 2, threshold = 0.5)
+      .collect().map(r =>
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    // exact baseline must contain everything the LSH+verify path found
+    // at the same threshold, with identical jaccard values
+    val lsh = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+      shingleLen = 2, threshold = 0.5)
+      .collect().map(r =>
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    lsh.foreach { case (pair, j) => assert(exact.get(pair).contains(j), pair) }
+    assert(exact((0L, 3L)) == 1.0)
+    // no pair below the threshold leaks through
+    assert(exact.values.forall(_ >= 0.5))
+    // unrelated doc 2 shares no 2-gram with the dup cluster
+    assert(!exact.keySet.exists { case (a, b) => Set(a, b).contains(2L) })
+  }
+
   test("simhash: identical docs hamming 0; near-dups within 3; unrelated far") {
     val sig = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
