@@ -2612,6 +2612,35 @@ object SparkEntry {
     "q_jaccard_exact" -> { (s, dir) =>
       Dedup.exactNgramJaccard(
         t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+    },
+
+    // REAL pixel decode, oracled end-to-end: synthesize a valid 4×4
+    // 24-bpp BMP per row (54-byte header + 48 BGR pixel bytes from a
+    // doc_id-dependent formula, assembled with hex/unhex column
+    // algebra — no UDF), decode with the real BMP pixel parser, and
+    // let the oracle recompute channel means and the integer-luma
+    // bright count arithmetically. A wrong row order, padding, or
+    // BGR/RGB swap diverges every row.
+    "q_media_pixels" -> { (s, dir) =>
+      val pixelHex = concat((0 until 48).map { i =>
+        leHex(pmod(col("doc_id") * 7 + lit(i) * 13, lit(256)), 1)
+      }: _*)
+      val bmp = unhex(concat(
+        lit("424D"), leHex(lit(102L), 4),      // "BM" + file size 54+48
+        lit("00000000"), leHex(lit(54L), 4),   // reserved + data offset
+        leHex(lit(40L), 4),                    // BITMAPINFOHEADER size
+        leHex(lit(4L), 4), leHex(lit(4L), 4),  // width 4, height 4 (bottom-up)
+        lit("01001800"),                       // planes 1, 24 bpp
+        leHex(lit(0L), 4), leHex(lit(48L), 4), // BI_RGB, image size
+        lit("00000000000000000000000000000000"),  // ppm/palette fields
+        pixelHex))
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), bmp.as("payload"))
+      Multimodal.withPixelStats(withBin, "payload")
+        .select(col("doc_id"),
+          col("pix.width").as("w"), col("pix.height").as("h"),
+          col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
+          col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
     }
   )
 
@@ -2631,7 +2660,30 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |  CAST(n_shared AS DOUBLE) / CAST(sa.n_g + sb.n_g - n_shared AS DOUBLE) AS jaccard
         |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n_g + sb.n_g - n_shared AS DOUBLE) >= 0.5""".stripMargin
+        |WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n_g + sb.n_g - n_shared AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q_media_pixels" ->
+      """WITH px AS (
+        | SELECT doc_id, i // 3 AS j, i % 3 AS c,
+        |        (doc_id * 7 + i * 13) % 256 AS v
+        | FROM documents, range(0, 48) t(i)),
+        |tri AS (
+        | SELECT doc_id, j,
+        |   max(CASE WHEN c = 2 THEN v END) AS r,
+        |   max(CASE WHEN c = 1 THEN v END) AS g,
+        |   max(CASE WHEN c = 0 THEN v END) AS b
+        | FROM px GROUP BY doc_id, j),
+        |agg AS (
+        | SELECT doc_id, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+        |        sum(CASE WHEN 299*r + 587*g + 114*b >= 128000
+        |                 THEN 1 ELSE 0 END) AS nb
+        | FROM tri GROUP BY doc_id)
+        |SELECT doc_id, CAST(4 AS INTEGER) AS w, CAST(4 AS INTEGER) AS h,
+        |  CAST(sr AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_r,
+        |  CAST(sg AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_g,
+        |  CAST(sb AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_b,
+        |  CAST(nb AS BIGINT) AS n_bright
+        |FROM agg""".stripMargin
   )
 
   def queries: Map[String, Q] =

@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * HEADER DECODE IS REAL: [[parseImageHeader]] reads width/height/
   * format straight from the public container formats' magic bytes
   * (PNG IHDR, JPEG SOFn, GIF logical screen, BMP info header) — pure
-  * JVM, no codec library. PIXEL-LEVEL steps remain stubs (this
-  * container has no image/audio codecs): `resizeStub` /
-  * `frameSampleStub` / `featuresStub` compute deterministic fakes from
-  * the raw bytes, and `decodeMetaStub` is kept as the deterministic
-  * test double for plumbing tests over non-image payloads. The
+  * JVM, no codec library. PIXEL-LEVEL decode is REAL for uncompressed
+  * 24-bpp BMP ([[decodeBmpPixels]] → real stats/resize/luma-histogram
+  * features); compressed formats (PNG/JPEG/GIF pixels, audio beyond
+  * PCM) remain stubs because this container ships no codecs:
+  * `resizeStub` / `frameSampleStub` / `featuresStub` compute
+  * deterministic fakes from the raw bytes, and `decodeMetaStub` is
+  * kept as the deterministic test double for plumbing tests. The
   * Spark-side plumbing — schema, batch shape, partition-level
   * processing, null handling — is identical either way; a production
   * build swaps the stub bodies for javax.imageio / ffmpeg bindings
@@ -188,6 +190,145 @@ object Multimodal {
       case None => (bytes.length.toLong, null, null, 1, "unknown")
     }
 
+  /** REAL pixel-level BMP decode — 24-bpp uncompressed BI_RGB, the
+    * public format simple enough to decode exactly in pure JVM (no
+    * codec library in this container; compressed formats stay stubbed).
+    * Returns (width, height, pixels) with pixels as BGR byte triples in
+    * TOP-DOWN row-major order regardless of storage orientation (BMP
+    * stores rows bottom-up unless height is negative) and with the
+    * 4-byte row padding stripped. Anything else — other bit depths,
+    * RLE compression, truncated payloads, crafted offsets — decodes
+    * defensively to None: a corrupt payload row must never throw. */
+  def decodeBmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 54) return None
+    if (!(b(0) == 'B' && b(1) == 'M')) return None
+    val dataOff = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    if (hdrSize < 40) return None // BITMAPINFOHEADER or later
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = if (hRaw == Int.MinValue) return None else math.abs(hRaw)
+    val planes = le16(b, 26)
+    val bpp = le16(b, 28)
+    val comp = le32(b, 30)
+    if (w <= 0 || h <= 0 || planes != 1 || bpp != 24 || comp != 0) return None
+    if (w.toLong * h.toLong * 3L > 64L * 1024 * 1024) return None // sanity cap
+    val rowBytes = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    if (dataOff < 54 ||
+      dataOff.toLong + rowBytes.toLong * h > b.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      System.arraycopy(b, dataOff + srcRow * rowBytes, out, y * w * 3, w * 3)
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Typed pixel statistics produced by a REAL decode. All fields null
+    * for payloads [[decodeBmpPixels]] rejects. */
+  val pixelStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("n_bright", LongType)))
+
+  /** REAL pixel statistics over a decoded BMP: per-channel means (exact
+    * integer sums, one correctly-rounded division each — engine-exact)
+    * and the count of bright pixels by integer BT.601 luma
+    * (299·R + 587·G + 114·B ≥ 128·1000, all-integer so no rounding
+    * ambiguity). Explicit boxing — see [[decodeAudioMeta]]. */
+  def bmpPixelStats(b: Array[Byte]): Seq[Any] =
+    decodeBmpPixels(b) match {
+      case Some((w, h, px)) =>
+        val n = w * h
+        var sr, sg, sb, nBright = 0L
+        var j = 0
+        while (j < n) {
+          val blue = px(3 * j) & 0xFF
+          val green = px(3 * j + 1) & 0xFF
+          val red = px(3 * j + 2) & 0xFF
+          sr += red; sg += green; sb += blue
+          if (299 * red + 587 * green + 114 * blue >= 128000) nBright += 1
+          j += 1
+        }
+        Seq[Any](Int.box(w), Int.box(h),
+          Double.box(sr.toDouble / n), Double.box(sg.toDouble / n),
+          Double.box(sb.toDouble / n), Long.box(nBright))
+      case None => Seq[Any](null, null, null, null, null, null)
+    }
+
+  /** Attach REAL pixel statistics for a BMP binary column (nulls for
+    * payloads that aren't decodable 24-bpp BMPs) — same batched
+    * mapPartitions plumbing as [[withMediaMeta]]. */
+  def withPixelStats(df: DataFrame, binCol: String,
+                     batchSize: Int = 64): DataFrame =
+    mapBinary(df, binCol, batchSize,
+      Seq(StructField("pix", pixelStatsType))) { bytes =>
+      Iterator.single(Seq(
+        if (bytes == null) null else Row.fromSeq(bmpPixelStats(bytes))))
+    }
+
+  /** REAL nearest-neighbor resize of a 24-bpp BMP, re-encoded as a
+    * minimal top-down 24-bpp BMP. Source pixel for destination (x,y) is
+    * (x·srcW/dstW, y·srcH/dstH) — integer floor, the standard
+    * nearest-neighbor map. */
+  def resizeBmpNearest(b: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    require(dstW > 0 && dstH > 0, "target dims must be > 0")
+    decodeBmpPixels(b).map { case (srcW, srcH, px) =>
+      val rowBytes = (dstW * 3 + 3) & ~3
+      val out = java.nio.ByteBuffer.allocate(54 + rowBytes * dstH)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * dstH)
+        .putInt(0).putInt(54)
+      out.putInt(40).putInt(dstW).putInt(-dstH) // negative = top-down
+        .putShort(1).putShort(24).putInt(0).putInt(rowBytes * dstH)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      var y = 0
+      while (y < dstH) {
+        val sy = y * srcH / dstH
+        var x = 0
+        while (x < dstW) {
+          val sx = x * srcW / dstW
+          val s = 3 * (sy * srcW + sx)
+          out.position(54 + y * rowBytes + 3 * x)
+          out.put(px(s)).put(px(s + 1)).put(px(s + 2))
+          x += 1
+        }
+        y += 1
+      }
+      out.array()
+    }
+  }
+
+  /** REAL luminance histogram feature for a decodable BMP: `dim` equal
+    * bins over integer BT.601 luma (0..255·1000), L2-normalized — the
+    * pixel-level analogue of [[featuresStub]]'s byte histogram, and
+    * directly consumable by the [[Similarity]] operators. */
+  def lumaHistogram(b: Array[Byte], dim: Int = 64): Option[Array[Float]] =
+    decodeBmpPixels(b).map { case (w, h, px) =>
+      val hist = new Array[Float](dim)
+      val n = w * h
+      var j = 0
+      while (j < n) {
+        val luma = 299 * (px(3 * j + 2) & 0xFF) +
+          587 * (px(3 * j + 1) & 0xFF) + 114 * (px(3 * j) & 0xFF)
+        hist(math.min(dim - 1, luma * dim / 255001)) += 1f
+        j += 1
+      }
+      var ss = 0.0
+      var k = 0
+      while (k < dim) { ss += hist(k).toDouble * hist(k); k += 1 }
+      val inv = if (ss > 0) (1.0 / math.sqrt(ss)).toFloat else 0f
+      k = 0
+      while (k < dim) { hist(k) *= inv; k += 1 }
+      hist
+    }
+
   /** STUB test double: deterministic fake decode derived from byte
     * length — exercises the plumbing over arbitrary (non-image)
     * payloads with an engine-independent, oracle-able output. */
@@ -301,7 +442,9 @@ object Multimodal {
     mapBinary(df, binCol, batchSize,
       Seq(StructField(outCol, ArrayType(FloatType, containsNull = false)))) { bytes =>
       Iterator.single(Seq(
-        if (bytes == null) null else featuresStub(bytes, dim).toSeq))
+        if (bytes == null) null
+        // REAL pixel-level feature for decodable BMPs; stub otherwise
+        else lumaHistogram(bytes, dim).getOrElse(featuresStub(bytes, dim)).toSeq))
     }
   }
 
@@ -326,10 +469,15 @@ object Multimodal {
     }
   }
 
-  /** Resize a binary media column (stub transform, real plumbing). */
+  /** Resize a binary media column: REAL nearest-neighbor resample +
+    * re-encode for decodable 24-bpp BMPs ([[resizeBmpNearest]]), stub
+    * transform for everything else (compressed formats need codecs this
+    * container doesn't ship). */
   def resized(df: DataFrame, binCol: String, w: Int, h: Int,
               outCol: String = "resized", batchSize: Int = 64): DataFrame =
     mapBinary(df, binCol, batchSize, Seq(StructField(outCol, BinaryType))) { bytes =>
-      Iterator.single(Seq(if (bytes == null) null else resizeStub(bytes, w, h)))
+      Iterator.single(Seq(
+        if (bytes == null) null
+        else resizeBmpNearest(bytes, w, h).getOrElse(resizeStub(bytes, w, h))))
     }
 }

