@@ -36,6 +36,25 @@ object Bench {
     // measure the engine, not classloading.
     try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
 
+    // Host-noise calibration probe: fixed pure-CPU work (a codegen'd
+    // xxhash64+sum over an in-memory range — no IO, no data-dependent
+    // shuffle) timed at the start of every pass and once at the very
+    // end. The host shows sustained interference (r6: untouched trivial
+    // queries uniformly ~1.66× slower than r5, which took real forensics
+    // to separate from engine regressions); identical fixed work timed
+    // across the suite makes host-vs-engine attribution one glance —
+    // flat calib + slow queries = engine, inflated calib = host.
+    val calib = scala.collection.mutable.ArrayBuffer[Double]()
+    def calibrate(label: String): Unit = {
+      val c = time(force(spark.range(0L, 192L << 20, 1L, 32)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id"))))))
+      calib += c
+      System.err.println(f"[bench] calib $label: $c%.3f s")
+    }
+    calibrate("start")
+
     // three passes, per-query min: pass 1 absorbs JIT/codegen warmup;
     // the host shows 60-90 s CPU-interference windows that can inflate a
     // query 3-10× (round-5 investigation: code byte-identical across
@@ -66,6 +85,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val passes = (1 to nPasses).map { pass =>
+      if (pass > 1) calibrate(s"pass$pass")
       selected.map { case (name, fn) =>
         var failed = false
         val measured = time {
@@ -126,9 +146,11 @@ object Bench {
         name -> rerun
       } else name -> best
     }
+    calibrate("end")
     def jsonMap(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val calibJson = calib.map(c => f"$c%.3f").mkString("[", ",", "]")
     // failed queries carry a -1 sentinel: exclude them from the total
     // (a failure must not make the suite look FASTER) and report the
     // count explicitly so the harness can flag it
@@ -147,7 +169,7 @@ object Bench {
       "q_window_rank")
     val headlineResults = results.filter { case (n, _) => headline.contains(n) }
     val fullLine =
-      s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedCount,"queries":${jsonMap(results)},"entry_sec":$entry,"sf":"$sfDir"}"""
+      s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedCount,"queries":${jsonMap(results)},"entry_sec":$entry,"calib_sec":$calibJson,"sf":"$sfDir"}"""
     System.err.println("[bench] full: " + fullLine)
     try {
       val p = java.nio.file.Paths.get("target", "bench_full.json")
@@ -155,7 +177,7 @@ object Bench {
       java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedCount,"queries":${jsonMap(headlineResults)},"entry_sec":$entry,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedCount,"queries":${jsonMap(headlineResults)},"entry_sec":$entry,"calib_sec":$calibJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -164,11 +164,18 @@ object Dedup {
     * ([[ngramJaccardNearDups]] must agree with it above the threshold
     * wherever LSH recall holds). The string-keyed gram join is
     * inherently hot-gram quadratic — at 100 TB use the LSH path and
-    * keep this as the audit gate over bounded slices. */
+    * keep this as the audit gate over bounded slices.
+    *
+    * `threshold` must be positive: a pair sharing zero grams never
+    * materializes in the posting join, so a non-positive threshold
+    * could not return the (Jaccard-0) pairs it promises. */
   def exactNgramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(n > 0, "n must be > 0")
+    require(threshold > 0,
+      "threshold must be > 0: zero-overlap pairs never materialize in " +
+        "the posting join, so threshold <= 0 would silently omit them")
     val grams = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n)))
@@ -307,6 +314,7 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      val roundT0 = System.nanoTime()
       // min label among neighbours (partial agg → tiny shuffle)
       val nbrMin = sym
         .join(labels.select(col("__id").as("__s"), col("__comp").as("__sc")), "__s")
@@ -325,6 +333,12 @@ object Dedup {
       labels = stepped.drop("__prev")
       labelsRdd = steppedRdd
       iter += 1
+      // per-round wall time + convergence progress: iterative queries
+      // are the most exposed to host-interference windows, so bench
+      // forensics need to see WHERE the time went (round count vs
+      // per-round cost) without re-running under a profiler
+      System.err.println(f"[cc] round $iter: changed=$changed " +
+        f"wall=${(System.nanoTime() - roundT0) / 1e9}%.2f s")
     }
     sym.unpersist()
     // silently-split components are worse than an error: downstream

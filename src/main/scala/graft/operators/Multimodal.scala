@@ -14,16 +14,18 @@ import org.apache.spark.sql.types._
   * format straight from the public container formats' magic bytes
   * (PNG IHDR, JPEG SOFn, GIF logical screen, BMP info header) — pure
   * JVM, no codec library. PIXEL-LEVEL decode is REAL for uncompressed
-  * 24-bpp BMP ([[decodeBmpPixels]] → real stats/resize/luma-histogram
-  * features); compressed formats (PNG/JPEG/GIF pixels, audio beyond
-  * PCM) remain stubs because this container ships no codecs:
-  * `resizeStub` / `frameSampleStub` / `featuresStub` compute
-  * deterministic fakes from the raw bytes, and `decodeMetaStub` is
-  * kept as the deterministic test double for plumbing tests. The
-  * Spark-side plumbing — schema, batch shape, partition-level
-  * processing, null handling — is identical either way; a production
-  * build swaps the stub bodies for javax.imageio / ffmpeg bindings
-  * without touching any Spark code.
+  * 24-bpp BMP ([[decodeBmpPixels]]) and for non-interlaced 8-bit
+  * RGB/RGBA PNG ([[decodePngPixels]] — stdlib zlib inflate + the five
+  * scanline filters), feeding real stats/resize/luma-histogram
+  * features via [[decodePixelsRgb]]; the formats that genuinely need
+  * codecs this container doesn't ship (JPEG/GIF pixels, audio beyond
+  * PCM) remain stubs: `resizeStub` / `frameSampleStub` /
+  * `featuresStub` compute deterministic fakes from the raw bytes, and
+  * `decodeMetaStub` is kept as the deterministic test double for
+  * plumbing tests. The Spark-side plumbing — schema, batch shape,
+  * partition-level processing, null handling — is identical either
+  * way; a production build swaps the stub bodies for javax.imageio /
+  * ffmpeg bindings without touching any Spark code.
   */
 object Multimodal {
 
@@ -227,8 +229,135 @@ object Multimodal {
     Some((w, h, out))
   }
 
+  /** REAL pixel-level PNG decode — non-interlaced 8-bit truecolor
+    * (color type 2, RGB) and truecolor+alpha (color type 6, RGBA),
+    * pure JVM with stdlib only: IDAT chunk payloads concatenated,
+    * zlib-inflated via `java.util.zip.Inflater` in raw mode (the 2-byte
+    * zlib header is skipped; chunk CRCs and the adler32 trailer are NOT
+    * verified — a pipeline decode tolerates bad checksums rather than
+    * throwing), then the five PNG scanline filters (None/Sub/Up/
+    * Average/Paeth) inverted per row. Returns (width, height, pixels)
+    * as RGB byte triples in top-down row-major order, alpha dropped.
+    * Anything else — other bit depths, palette/grayscale color types,
+    * Adam7 interlace, truncated or corrupt streams, undefined filter
+    * types — decodes defensively to None: a corrupt payload row must
+    * never throw. */
+  def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 45) return None // sig + IHDR + IEND minimum
+    if (!((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A)) return None
+    var w, h = 0
+    var bitDepth, colorType = -1
+    var seenIHDR, seenIEND = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    while (!seenIEND && i + 8 <= b.length) {
+      val len = be32(b, i)
+      // Long bounds: a crafted chunk length near Int.MaxValue must not
+      // wrap the cursor (same guard as parseWavHeader)
+      if (len < 0 || i.toLong + 12L + len > b.length) return None
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13 || seenIHDR) return None
+          w = be32(b, i + 8); h = be32(b, i + 12)
+          bitDepth = b(i + 16) & 0xFF
+          colorType = b(i + 17) & 0xFF
+          // compression 0 / filter method 0 / interlace 0 only
+          if (b(i + 18) != 0 || b(i + 19) != 0 || b(i + 20) != 0) return None
+          seenIHDR = true
+        case "IDAT" => if (!seenIHDR) return None else idat.write(b, i + 8, len)
+        case "IEND" => seenIEND = true
+        case _ => () // ancillary chunks skipped
+      }
+      i += 12 + len // length + type + data + CRC (CRC deliberately unchecked)
+    }
+    if (!seenIHDR || bitDepth != 8 || (colorType != 2 && colorType != 6)) return None
+    if (w <= 0 || h <= 0) return None
+    if (w.toLong * h.toLong * 3L > 64L * 1024 * 1024) return None // sanity cap
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = w * bpp // filtered bytes per scanline, filter byte excluded
+    val rawLen = (stride + 1).toLong * h // cap above bounds this under ~90 MB
+    val z = idat.toByteArray
+    if (z.length < 3) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater(true) // raw deflate: skip zlib header,
+    try {                                      // never verify the adler trailer
+      inf.setInput(z, 2, z.length - 2)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // invert the scanline filters; recon holds fully-decoded rows so
+    // Up/Average/Paeth can reference the row above
+    val recon = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (stride + 1)
+      val ft = raw(rowOff) & 0xFF
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val f = raw(rowOff + 1 + x) & 0xFF
+        val a = if (x >= bpp) recon(y * stride + x - bpp) & 0xFF else 0 // left
+        val u = if (y > 0) recon((y - 1) * stride + x) & 0xFF else 0 // up
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + u
+          case 3 => f + ((a + u) >> 1)
+          case _ => // Paeth
+            val c = if (x >= bpp && y > 0) recon((y - 1) * stride + x - bpp) & 0xFF else 0
+            val p = a + u - c
+            val pa = math.abs(p - a); val pb = math.abs(p - u); val pc = math.abs(p - c)
+            f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+        }
+        recon(y * stride + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    if (bpp == 3) Some((w, h, recon))
+    else { // RGBA → drop alpha
+      val rgb = new Array[Byte](w * h * 3)
+      var j = 0
+      while (j < w * h) {
+        rgb(3 * j) = recon(4 * j)
+        rgb(3 * j + 1) = recon(4 * j + 1)
+        rgb(3 * j + 2) = recon(4 * j + 2)
+        j += 1
+      }
+      Some((w, h, rgb))
+    }
+  }
+
+  /** Unified REAL pixel decode: (width, height, RGB triples top-down)
+    * for any payload a real parser handles — 24-bpp BMP (BGR storage
+    * converted to RGB) or 8-bit RGB/RGBA PNG. None for everything else
+    * (JPEG/GIF pixels need codecs this container doesn't ship). */
+  def decodePixelsRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeBmpPixels(b) match {
+      case Some((w, h, bgr)) =>
+        val rgb = new Array[Byte](bgr.length)
+        var j = 0
+        while (j < w * h) {
+          rgb(3 * j) = bgr(3 * j + 2)
+          rgb(3 * j + 1) = bgr(3 * j + 1)
+          rgb(3 * j + 2) = bgr(3 * j)
+          j += 1
+        }
+        Some((w, h, rgb))
+      case None => decodePngPixels(b)
+    }
+
   /** Typed pixel statistics produced by a REAL decode. All fields null
-    * for payloads [[decodeBmpPixels]] rejects. */
+    * for payloads [[decodePixelsRgb]] rejects. */
   val pixelStatsType: StructType = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),
@@ -237,21 +366,22 @@ object Multimodal {
     StructField("mean_b", DoubleType),
     StructField("n_bright", LongType)))
 
-  /** REAL pixel statistics over a decoded BMP: per-channel means (exact
-    * integer sums, one correctly-rounded division each — engine-exact)
-    * and the count of bright pixels by integer BT.601 luma
-    * (299·R + 587·G + 114·B ≥ 128·1000, all-integer so no rounding
-    * ambiguity). Explicit boxing — see [[decodeAudioMeta]]. */
-  def bmpPixelStats(b: Array[Byte]): Seq[Any] =
-    decodeBmpPixels(b) match {
+  /** REAL pixel statistics over any decodable payload (24-bpp BMP or
+    * 8-bit RGB/RGBA PNG): per-channel means (exact integer sums, one
+    * correctly-rounded division each — engine-exact) and the count of
+    * bright pixels by integer BT.601 luma (299·R + 587·G + 114·B ≥
+    * 128·1000, all-integer so no rounding ambiguity). Explicit
+    * boxing — see [[decodeAudioMeta]]. */
+  def pixelStats(b: Array[Byte]): Seq[Any] =
+    decodePixelsRgb(b) match {
       case Some((w, h, px)) =>
         val n = w * h
         var sr, sg, sb, nBright = 0L
         var j = 0
         while (j < n) {
-          val blue = px(3 * j) & 0xFF
+          val red = px(3 * j) & 0xFF
           val green = px(3 * j + 1) & 0xFF
-          val red = px(3 * j + 2) & 0xFF
+          val blue = px(3 * j + 2) & 0xFF
           sr += red; sg += green; sb += blue
           if (299 * red + 587 * green + 114 * blue >= 128000) nBright += 1
           j += 1
@@ -262,23 +392,27 @@ object Multimodal {
       case None => Seq[Any](null, null, null, null, null, null)
     }
 
-  /** Attach REAL pixel statistics for a BMP binary column (nulls for
-    * payloads that aren't decodable 24-bpp BMPs) — same batched
-    * mapPartitions plumbing as [[withMediaMeta]]. */
+  /** Attach REAL pixel statistics for a binary media column (nulls for
+    * payloads no pixel decoder handles) — same batched mapPartitions
+    * plumbing as [[withMediaMeta]]. */
   def withPixelStats(df: DataFrame, binCol: String,
                      batchSize: Int = 64): DataFrame =
     mapBinary(df, binCol, batchSize,
       Seq(StructField("pix", pixelStatsType))) { bytes =>
       Iterator.single(Seq(
-        if (bytes == null) null else Row.fromSeq(bmpPixelStats(bytes))))
+        if (bytes == null) null else Row.fromSeq(pixelStats(bytes))))
     }
 
   /** REAL nearest-neighbor resize of a 24-bpp BMP, re-encoded as a
     * minimal top-down 24-bpp BMP. Source pixel for destination (x,y) is
     * (x·srcW/dstW, y·srcH/dstH) — integer floor, the standard
-    * nearest-neighbor map. */
+    * nearest-neighbor map. Target dimensions whose pixel buffer would
+    * exceed the decode path's 64 MB sanity cap yield None (same
+    * defensive contract as [[decodeBmpPixels]] — the Int arithmetic in
+    * the row stride and header size would otherwise overflow). */
   def resizeBmpNearest(b: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
     require(dstW > 0 && dstH > 0, "target dims must be > 0")
+    if (dstW.toLong * dstH.toLong * 3L > 64L * 1024 * 1024) return None
     decodeBmpPixels(b).map { case (srcW, srcH, px) =>
       val rowBytes = (dstW * 3 + 3) & ~3
       val out = java.nio.ByteBuffer.allocate(54 + rowBytes * dstH)
@@ -305,18 +439,19 @@ object Multimodal {
     }
   }
 
-  /** REAL luminance histogram feature for a decodable BMP: `dim` equal
-    * bins over integer BT.601 luma (0..255·1000), L2-normalized — the
-    * pixel-level analogue of [[featuresStub]]'s byte histogram, and
-    * directly consumable by the [[Similarity]] operators. */
+  /** REAL luminance histogram feature for any decodable payload (BMP
+    * or PNG — [[decodePixelsRgb]]): `dim` equal bins over integer
+    * BT.601 luma (0..255·1000), L2-normalized — the pixel-level
+    * analogue of [[featuresStub]]'s byte histogram, and directly
+    * consumable by the [[Similarity]] operators. */
   def lumaHistogram(b: Array[Byte], dim: Int = 64): Option[Array[Float]] =
-    decodeBmpPixels(b).map { case (w, h, px) =>
+    decodePixelsRgb(b).map { case (w, h, px) =>
       val hist = new Array[Float](dim)
       val n = w * h
       var j = 0
       while (j < n) {
-        val luma = 299 * (px(3 * j + 2) & 0xFF) +
-          587 * (px(3 * j + 1) & 0xFF) + 114 * (px(3 * j) & 0xFF)
+        val luma = 299 * (px(3 * j) & 0xFF) +
+          587 * (px(3 * j + 1) & 0xFF) + 114 * (px(3 * j + 2) & 0xFF)
         hist(math.min(dim - 1, luma * dim / 255001)) += 1f
         j += 1
       }
@@ -443,7 +578,8 @@ object Multimodal {
       Seq(StructField(outCol, ArrayType(FloatType, containsNull = false)))) { bytes =>
       Iterator.single(Seq(
         if (bytes == null) null
-        // REAL pixel-level feature for decodable BMPs; stub otherwise
+        // REAL pixel-level feature for decodable BMPs/PNGs; stub for
+        // formats that need codecs this container doesn't ship
         else lumaHistogram(bytes, dim).getOrElse(featuresStub(bytes, dim)).toSeq))
     }
   }

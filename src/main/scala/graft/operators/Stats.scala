@@ -115,6 +115,20 @@ object Stats {
     * also the form that survives 100 TB — no row ever crosses the wire
     * twice, and a hot value collapses map-side.
     *
+    * Two deliberate consequences of the per-column form:
+    *  - EMPTY input yields one row per profiled column (n_rows = 0,
+    *    null min/max) — the global aggregate always emits its row —
+    *    where the earlier stacked form returned zero rows; a profile
+    *    that names every requested column even on empty input is the
+    *    more useful contract and is pinned by ProfileLayoutSpec.
+    *  - each column is its own scan/job, so profiling hundreds of
+    *    columns pays linear job-launch overhead even though total bytes
+    *    read stay one-full-scan-equivalent; if very wide profiles become
+    *    a real workload, batch a handful of columns per scan (stacked
+    *    via Expand within the batch) to trade a bounded Expand factor
+    *    for fewer jobs. Do NOT revert to the single all-columns Expand —
+    *    that shape doubled the ncols × nrows stack through the shuffle.
+    *
     * @return (col_name, n_rows, n_nulls, n_distinct, min_v, max_v)
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -173,10 +173,10 @@ class MultimodalSpec extends GraftSpec {
     assert(Multimodal.decodeBmpPixels(bpp8).isEmpty)          // palette depth
   }
 
-  test("bmpPixelStats: exact channel means + integer-luma bright count, boxed classes") {
+  test("pixelStats: exact channel means + integer-luma bright count, boxed classes") {
     // two bright pixels (white-ish), two dark
     val px = Seq((255, 255, 255), (200, 200, 200), (10, 20, 30), (0, 0, 0))
-    val res = Multimodal.bmpPixelStats(bmp24(2, 2, topDown = false, px))
+    val res = Multimodal.pixelStats(bmp24(2, 2, topDown = false, px))
     assert(res(0) == 2 && res(1) == 2)
     assert(res(2) == (255 + 200 + 10 + 0).toDouble / 4)  // mean_r
     assert(res(3) == (255 + 200 + 20 + 0).toDouble / 4)  // mean_g
@@ -185,8 +185,8 @@ class MultimodalSpec extends GraftSpec {
     assert(res(0).getClass == classOf[java.lang.Integer])
     assert(res(2).getClass == classOf[java.lang.Double])
     assert(res(5).getClass == classOf[java.lang.Long])
-    // non-BMP payloads: all-null fields, never a throw
-    assert(Multimodal.bmpPixelStats("nope".getBytes).forall(_ == null))
+    // undecodable payloads: all-null fields, never a throw
+    assert(Multimodal.pixelStats("nope".getBytes).forall(_ == null))
   }
 
   test("resizeBmpNearest 4×4 → 2×2 keeps the nearest-neighbor source pixels") {
@@ -211,6 +211,124 @@ class MultimodalSpec extends GraftSpec {
     val hb = Multimodal.lumaHistogram(black, dim = 16).get
     assert(hb(0) == 1f)
     assert(Multimodal.lumaHistogram("nope".getBytes).isEmpty)
+  }
+
+  test("resizeBmpNearest: targets past the 64 MB pixel cap yield None, not overflow") {
+    val good = bmp24(2, 2, topDown = false, Seq.fill(4)((1, 2, 3)))
+    // 46341² ≈ Int.MaxValue/3: (dstW*3+3) and 54+rowBytes*dstH would both
+    // wrap Int without the guard
+    assert(Multimodal.resizeBmpNearest(good, 46341, 46341).isEmpty)
+    assert(Multimodal.resizeBmpNearest(good, 1 << 16, 1 << 16).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.resizeBmpNearest(good, 0, 4))
+  }
+
+  // ── real PNG pixel decode ──
+
+  /** PNG chunk with a REAL CRC32 (the decoder deliberately ignores
+    * CRCs, but well-formed fixtures keep the tests honest). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val tb = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(tb).put(data).putInt(crc.getValue.toInt)
+      .array()
+  }
+
+  /** Real PNG encoder for fixtures: forward-applies the requested
+    * per-row scanline filter (independent implementation of the filter
+    * math the decoder must invert) and compresses with the stdlib
+    * Deflater — a genuine zlib stream, not a stored block. `px` is h
+    * rows of w*bpp channel values, top-down. */
+  private def pngEncode(w: Int, h: Int, colorType: Int,
+                        px: Seq[Seq[Int]], filters: Seq[Int]): Array[Byte] = {
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      raw(y * (stride + 1)) = filters(y).toByte
+      for (x <- 0 until stride) {
+        val left = if (x >= bpp) px(y)(x - bpp) else 0
+        val up = if (y > 0) px(y - 1)(x) else 0
+        val ul = if (x >= bpp && y > 0) px(y - 1)(x - bpp) else 0
+        val pred = filters(y) match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          case _ => 0 // out-of-spec filter id: raw bytes, for corrupt fixtures
+        }
+        raw(y * (stride + 1) + 1 + x) = ((px(y)(x) - pred) & 0xFF).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", zout.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  test("decodePngPixels inverts all five scanline filters on a real zlib stream") {
+    // 4×5 RGB, one row per filter type; value pattern exercises carries
+    val px = (0 until 5).map(y => (0 until 12).map(x => (y * 53 + x * 29) % 256))
+    val bytes = pngEncode(4, 5, colorType = 2, px, filters = Seq(0, 1, 2, 3, 4))
+    val Some((w, h, out)) = Multimodal.decodePngPixels(bytes)
+    assert((w, h) == ((4, 5)))
+    assert(out.map(_ & 0xFF).toSeq == px.flatten)
+    // header parse agrees (q_media_headers path unaffected by pixels)
+    assert(Multimodal.parseImageHeader(bytes).contains((4, 5, "png")))
+  }
+
+  test("decodePngPixels drops alpha for RGBA and rejects undecodable forms") {
+    val rgba = (0 until 3).map(y => (0 until 8).map(x => (y * 91 + x * 37) % 256))
+    val bytes = pngEncode(2, 3, colorType = 6, rgba, filters = Seq(0, 4, 2))
+    val Some((w, h, out)) = Multimodal.decodePngPixels(bytes)
+    assert((w, h) == ((2, 3)))
+    val expected = rgba.flatMap(_.grouped(4).flatMap(_.take(3)))
+    assert(out.map(_ & 0xFF).toSeq == expected)
+
+    val good = pngEncode(2, 2, 2, Seq.fill(2)(Seq.fill(6)(7)), Seq(0, 0))
+    assert(Multimodal.decodePngPixels(good).isDefined)
+    def mut(off: Int, v: Byte): Array[Byte] = {
+      val c = good.clone(); c(off) = v; c
+    }
+    assert(Multimodal.decodePngPixels(mut(24, 16)).isEmpty) // 16-bit depth
+    assert(Multimodal.decodePngPixels(mut(25, 3)).isEmpty)  // palette type
+    assert(Multimodal.decodePngPixels(mut(28, 1)).isEmpty)  // Adam7 interlace
+    assert(Multimodal.decodePngPixels(mut(0, 'X'.toByte)).isEmpty) // bad signature
+    assert(Multimodal.decodePngPixels(good.take(40)).isEmpty) // truncated IHDR
+    assert(Multimodal.decodePngPixels(good.dropRight(20)).isEmpty) // truncated IDAT/IEND
+    // undefined filter type 5 on the first scanline: corrupt, not a throw
+    val badFilter = pngEncode(2, 2, 2, Seq.fill(2)(Seq.fill(6)(7)), Seq(5, 0))
+    assert(Multimodal.decodePngPixels(badFilter).isEmpty)
+  }
+
+  test("pixelStats and lumaHistogram see PNG pixels through decodePixelsRgb") {
+    // 2×2 RGB PNG: two bright, two dark — same fixture as the BMP test,
+    // so the two container formats must produce identical stats
+    val px = Seq(Seq(255, 255, 255, 200, 200, 200), Seq(10, 20, 30, 0, 0, 0))
+    val bytes = pngEncode(2, 2, 2, px, filters = Seq(1, 2))
+    val res = Multimodal.pixelStats(bytes)
+    assert(res(0) == 2 && res(1) == 2)
+    assert(res(2) == (255 + 200 + 10 + 0).toDouble / 4)
+    assert(res(3) == (255 + 200 + 20 + 0).toDouble / 4)
+    assert(res(4) == (255 + 200 + 30 + 0).toDouble / 4)
+    assert(res(5) == 2L)
+    val white = pngEncode(2, 2, 2, Seq.fill(2)(Seq.fill(6)(255)), Seq(0, 0))
+    val hist = Multimodal.lumaHistogram(white, dim = 16).get
+    assert(hist(15) == 1f && hist.take(15).forall(_ == 0f))
   }
 
   test("withPixelStats end-to-end: real stats for BMP rows, nulls otherwise") {

@@ -26,6 +26,16 @@ class ProfileLayoutSpec extends GraftSpec {
     intercept[IllegalArgumentException](Stats.profile(df, Seq.empty))
   }
 
+  test("profile of an empty input still names every column (n_rows=0)") {
+    val df = Seq.empty[(String, Option[Long])].toDF("s", "n")
+    val p = Stats.profile(df, Seq("s", "n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(p.keySet == Set("s", "n"))
+    assert(p.values.forall(_ == ((0L, 0L, 0L, None, None))))
+  }
+
   // ── equi-width histogram ──
 
   test("numericHistogram bins span [min,max] with the max in the last bin") {
