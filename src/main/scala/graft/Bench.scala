@@ -46,10 +46,13 @@ object Bench {
     // flat calib + slow queries = engine, inflated calib = host.
     val calib = scala.collection.mutable.ArrayBuffer[Double]()
     def calibrate(label: String): Unit = {
+      // mask the hash to 16 bits before summing: full-range xxhash64
+      // values overflow the ANSI Long sum after ~2^27 rows
       val c = time(force(spark.range(0L, 192L << 20, 1L, 32)
         .select(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.xxhash64(
-            org.apache.spark.sql.functions.col("id"))))))
+            org.apache.spark.sql.functions.col("id"))
+            .bitwiseAND(org.apache.spark.sql.functions.lit(0xFFFFL))))))
       calib += c
       System.err.println(f"[bench] calib $label: $c%.3f s")
     }
