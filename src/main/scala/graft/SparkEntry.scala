@@ -2812,6 +2812,93 @@ object SparkEntry {
           col("pix.width").as("w"), col("pix.height").as("h"),
           col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
           col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
+    },
+
+    // exact all-pairs embedding similarity on a bounded half slice —
+    // the TRUE DuckDB oracle on the vector-similarity threshold math
+    // (broadcast nested-loop by design: the exact baseline is O(n²),
+    // the LSH path below is the scale answer; the slice keeps it an
+    // audit gate). ids only, not the cosine value: the native kernel
+    // computes sqrt(na)·sqrt(nb) while DuckDB computes its own
+    // denominator shape, identical ordering but ulp-divergent values —
+    // the nearest pair sits 4.6e-6 from the 0.35 threshold at sf0.1, so
+    // membership is engine-independent even though the last bits are not
+    // (same reasoning as q_ann_bruteforce's rank-only compare).
+    "q_embedding_pairs_exact" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("id_a"), col("id_b"))
+    },
+
+    // hyperplane-LSH soundness as a gate: every pair cosineNearDups
+    // confirms on the slice must appear in the exact all-pairs relation
+    // with the IDENTICAL cosine (both sides use the native kernel, so
+    // values must match bit-for-bit); violations + sentinel, oracle is
+    // the sentinel row — the same promotion q_lsh_containment gives the
+    // text-LSH stack, here for the embedding stack (q_dedup_embedding's
+    // pipeline becomes driver-audited by proxy).
+    "q_embedding_containment" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+      val lsh = Similarity.cosineNearDups(emb, "vec_id", "embedding",
+        threshold = 0.35, bits = 16, bands = 4)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cosine_exact", Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine_exact") >= 0.35)
+        .select(col("id_a"), col("id_b"), col("cosine_exact"))
+      val violations = lsh
+        .join(exact, Seq("id_a", "id_b"), "left")
+        .filter(col("cosine_exact").isNull ||
+          col("cosine") =!= col("cosine_exact"))
+        .select(col("id_a"), col("id_b"))
+      violations.unionByName(
+        s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b")))
+    },
+
+    // REAL GIF pixel decode, oracled end-to-end: synthesize a valid 4×4
+    // GIF87a per row with hex/unhex column algebra. The LZW stream is
+    // the literal-only encoding (clear + 16 pixel codes + end, all
+    // 9-bit — the dictionary grows 258..273, below the 512 width bump),
+    // bit-packed LSB-first BY COLUMN ALGEBRA: output byte j overlaps at
+    // most two 9-bit codes, so byte_j = (c_i >> o | c_{i+1} << 9-o) & FF
+    // with i = 8j/9, o = 8j-9i. A 256-entry grayscale color table maps
+    // index → (v,v,v), so the oracle recomputes the stats straight from
+    // the index formula; a wrong bit order, width handling, or palette
+    // mapping in the LZW decoder diverges every row.
+    "q_media_pixels_gif" -> { (s, dir) =>
+      def pix(k: Int) = pmod(col("doc_id") * 13 + lit(k * 23), lit(256))
+      def code(i: Int): org.apache.spark.sql.Column =
+        if (i == 0) lit(256L) // clear
+        else if (i == 17) lit(257L) // end
+        else if (i >= 18) lit(0L) // past the stream: zero padding
+        else pix(i - 1)
+      val lzwBytes = concat((0 until 21).map { j =>
+        val i = (8 * j) / 9
+        val o = 8 * j - 9 * i
+        leHex(shiftright(code(i), o)
+          .bitwiseOR(shiftleft(code(i + 1), 9 - o)), 1)
+      }: _*)
+      val palette = (0 until 256).map(c => f"$c%02X" * 3).mkString
+      val gif = unhex(concat(
+        lit("474946383761"), // "GIF87a"
+        lit("04000400"), lit("87"), lit("0000"), // LSD: 4×4, 256-entry GCT
+        lit(palette), // grayscale global color table
+        lit("2C"), lit("00000000"), lit("04000400"), lit("00"), // frame 4×4
+        lit("08"), // LZW min code size
+        lit("15"), lzwBytes, lit("00"), // one 21-byte sub-block + terminator
+        lit("3B"))) // trailer
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), gif.as("payload"))
+      Multimodal.withPixelStats(withBin, "payload")
+        .select(col("doc_id"),
+          col("pix.width").as("w"), col("pix.height").as("h"),
+          col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
+          col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
     }
   )
 
@@ -2845,6 +2932,36 @@ object SparkEntry {
         |  CAST(sr AS DOUBLE) / CAST(20 AS DOUBLE) AS mean_r,
         |  CAST(sg AS DOUBLE) / CAST(20 AS DOUBLE) AS mean_g,
         |  CAST(sb AS DOUBLE) / CAST(20 AS DOUBLE) AS mean_b,
+        |  CAST(nb AS BIGINT) AS n_bright
+        |FROM agg""".stripMargin,
+
+    // threshold membership is engine-independent (nearest pair 4.6e-6
+    // from the cut at sf0.1) even though last-bit cosine values are not
+    "q_embedding_pairs_exact" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        | FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
+
+    "q_embedding_containment" ->
+      """SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b""",
+
+    // grayscale palette: r = g = b = the index formula, luma = 1000·v,
+    // bright ⟺ v ≥ 128
+    "q_media_pixels_gif" ->
+      """WITH px AS (
+        | SELECT doc_id, (doc_id * 13 + i * 23) % 256 AS v
+        | FROM documents, range(0, 16) t(i)),
+        |agg AS (
+        | SELECT doc_id, sum(v) AS sv,
+        |        sum(CASE WHEN v >= 128 THEN 1 ELSE 0 END) AS nb
+        | FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(4 AS INTEGER) AS w, CAST(4 AS INTEGER) AS h,
+        |  CAST(sv AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_r,
+        |  CAST(sv AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_g,
+        |  CAST(sv AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_b,
         |  CAST(nb AS BIGINT) AS n_bright
         |FROM agg""".stripMargin
   )

@@ -14,18 +14,20 @@ import org.apache.spark.sql.types._
   * format straight from the public container formats' magic bytes
   * (PNG IHDR, JPEG SOFn, GIF logical screen, BMP info header) — pure
   * JVM, no codec library. PIXEL-LEVEL decode is REAL for uncompressed
-  * 24-bpp BMP ([[decodeBmpPixels]]) and for non-interlaced 8-bit
-  * RGB/RGBA PNG ([[decodePngPixels]] — stdlib zlib inflate + the five
-  * scanline filters), feeding real stats/resize/luma-histogram
-  * features via [[decodePixelsRgb]]; the formats that genuinely need
-  * codecs this container doesn't ship (JPEG/GIF pixels, audio beyond
-  * PCM) remain stubs: `resizeStub` / `frameSampleStub` /
-  * `featuresStub` compute deterministic fakes from the raw bytes, and
-  * `decodeMetaStub` is kept as the deterministic test double for
-  * plumbing tests. The Spark-side plumbing — schema, batch shape,
-  * partition-level processing, null handling — is identical either
-  * way; a production build swaps the stub bodies for javax.imageio /
-  * ffmpeg bindings without touching any Spark code.
+  * 24-bpp BMP ([[decodeBmpPixels]]), for non-interlaced 8-bit RGB/RGBA
+  * PNG ([[decodePngPixels]] — stdlib zlib inflate + the five scanline
+  * filters), and for non-interlaced GIF ([[decodeGifPixels]] — a full
+  * hand-rolled GIF-LZW decompressor + color-table mapping), feeding
+  * real stats/resize/luma-histogram features via [[decodePixelsRgb]];
+  * the formats that genuinely need codecs this container doesn't ship
+  * (JPEG pixels, video frames, audio beyond PCM) remain stubs:
+  * `resizeStub` / `frameSampleStub` / `featuresStub` compute
+  * deterministic fakes from the raw bytes, and `decodeMetaStub` is
+  * kept as the deterministic test double for plumbing tests. The
+  * Spark-side plumbing — schema, batch shape, partition-level
+  * processing, null handling — is identical either way; a production
+  * build swaps the stub bodies for javax.imageio / ffmpeg bindings
+  * without touching any Spark code.
   */
 object Multimodal {
 
@@ -337,10 +339,181 @@ object Multimodal {
     }
   }
 
+  /** GIF-variant LZW decompression (the public GIF87a/89a scheme):
+    * variable-width codes packed LSB-first, literal codes below the
+    * clear code, clear/end control codes, dictionary growth to the
+    * 12-bit cap, and the KwKwK special case (a code referencing the
+    * entry being defined). Returns exactly `nExpected` color indices or
+    * None for any corruption — truncated bitstream, code beyond the
+    * dictionary, control code inside a chain, length mismatch. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        nExpected: Int): Option[Array[Byte]] = {
+    if (minCode < 1 || minCode > 11) return None
+    val clear = 1 << minCode
+    val endCode = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    val out = new Array[Byte](nExpected)
+    var outLen = 0
+    var nextCode = endCode + 1
+    var codeSize = minCode + 1
+    var prevCode = -1
+    var bitPos = 0
+    val totalBits = data.length * 8
+    // first byte of a code's expansion: follow the prefix chain down to
+    // a literal (dynamic codes start at clear + 2)
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= clear + 2) c = prefix(c)
+      if (c >= clear) -1 else c // clear/end inside a chain: corrupt
+    }
+    // append a code's full expansion to out; -1 on corruption/overflow
+    def emit(code: Int): Int = {
+      var c = code
+      var sp = 0
+      while (c >= clear + 2) {
+        if (sp >= stack.length) return -1
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      if (c >= clear) return -1
+      if (outLen + sp + 1 > nExpected) return -1 // more pixels than the frame
+      val first = c
+      out(outLen) = c.toByte; outLen += 1
+      var k = sp - 1
+      while (k >= 0) { out(outLen) = stack(k); outLen += 1; k -= 1 }
+      first
+    }
+    var done = false
+    while (!done) {
+      if (bitPos + codeSize > totalBits) return None // no end code seen
+      val byteIdx = bitPos >> 3
+      var acc = 0L
+      var bi = 0
+      while (bi < 3 && byteIdx + bi < data.length) {
+        acc |= (data(byteIdx + bi) & 0xFFL) << (8 * bi); bi += 1
+      }
+      val code = ((acc >> (bitPos & 7)) & ((1 << codeSize) - 1)).toInt
+      bitPos += codeSize
+      if (code == clear) {
+        nextCode = endCode + 1; codeSize = minCode + 1; prevCode = -1
+      } else if (code == endCode) {
+        done = true
+      } else if (prevCode < 0) {
+        if (code >= clear || emit(code) < 0) return None
+        prevCode = code
+      } else {
+        if (code < nextCode) {
+          val first = emit(code)
+          if (first < 0) return None
+          if (nextCode < 4096) {
+            prefix(nextCode) = prevCode; suffix(nextCode) = first.toByte
+            nextCode += 1
+          }
+        } else if (code == nextCode && nextCode < 4096) {
+          // KwKwK: the entry being defined is prev + firstByte(prev)
+          val fb = firstByte(prevCode)
+          if (fb < 0) return None
+          prefix(nextCode) = prevCode; suffix(nextCode) = fb.toByte
+          nextCode += 1
+          if (emit(code) < 0) return None
+        } else return None // beyond the dictionary: corrupt
+        prevCode = code
+        if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+    }
+    if (outLen != nExpected) return None
+    Some(out)
+  }
+
+  /** REAL pixel-level GIF decode — GIF87a/89a, first image frame,
+    * non-interlaced, pure JVM: walks the logical screen descriptor +
+    * global color table, skips extension blocks, concatenates the image
+    * data sub-blocks, [[lzwDecode]]s the color indices, and maps them
+    * through the active (local-else-global) color table. Returns
+    * (width, height, pixels) as RGB triples top-down (GIF stores rows
+    * top-down already). Interlaced images, missing color tables,
+    * out-of-range indices, and any truncation decode defensively to
+    * None — a corrupt payload row must never throw. */
+  def decodeGifPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 15) return None
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    var i = 6
+    if (i + 7 > b.length) return None
+    val packed = b(i + 4) & 0xFF
+    i += 7
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (i + 3 * n > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+      i += 3 * n
+    }
+    while (i < b.length) {
+      (b(i) & 0xFF) match {
+        case 0x21 => // extension: label byte then 0-terminated sub-blocks
+          i += 2
+          var done = false
+          while (!done) {
+            if (i >= b.length) return None
+            val len = b(i) & 0xFF; i += 1
+            if (len == 0) done = true
+            else { if (i + len > b.length) return None; i += len }
+          }
+        case 0x2C => // image descriptor
+          if (i + 10 > b.length) return None
+          val w = le16(b, i + 5); val h = le16(b, i + 7)
+          val ipacked = b(i + 9) & 0xFF
+          i += 10
+          if ((ipacked & 0x40) != 0) return None // Adam-style interlace
+          var table = gct
+          if ((ipacked & 0x80) != 0) { // local color table wins
+            val n = 2 << (ipacked & 7)
+            if (i + 3 * n > b.length) return None
+            table = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+            i += 3 * n
+          }
+          if (table == null || w <= 0 || h <= 0) return None
+          if (w.toLong * h.toLong * 3L > 64L * 1024 * 1024) return None
+          if (i >= b.length) return None
+          val minCode = b(i) & 0xFF; i += 1
+          val data = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (i >= b.length) return None
+            val len = b(i) & 0xFF; i += 1
+            if (len == 0) done = true
+            else { if (i + len > b.length) return None; data.write(b, i, len); i += len }
+          }
+          val indices = lzwDecode(data.toByteArray, minCode, w * h) match {
+            case Some(ix) => ix
+            case None => return None
+          }
+          val nColors = table.length / 3
+          val out = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < w * h) {
+            val idx = indices(j) & 0xFF
+            if (idx >= nColors) return None
+            out(3 * j) = table(3 * idx)
+            out(3 * j + 1) = table(3 * idx + 1)
+            out(3 * j + 2) = table(3 * idx + 2)
+            j += 1
+          }
+          return Some((w, h, out))
+        case 0x3B => return None // trailer before any image frame
+        case _ => return None
+      }
+    }
+    None
+  }
+
   /** Unified REAL pixel decode: (width, height, RGB triples top-down)
     * for any payload a real parser handles — 24-bpp BMP (BGR storage
-    * converted to RGB) or 8-bit RGB/RGBA PNG. None for everything else
-    * (JPEG/GIF pixels need codecs this container doesn't ship). */
+    * converted to RGB), 8-bit RGB/RGBA PNG, or non-interlaced GIF.
+    * None for everything else (JPEG pixels need codecs this container
+    * doesn't ship). */
   def decodePixelsRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     decodeBmpPixels(b) match {
       case Some((w, h, bgr)) =>
@@ -353,7 +526,7 @@ object Multimodal {
           j += 1
         }
         Some((w, h, rgb))
-      case None => decodePngPixels(b)
+      case None => decodePngPixels(b).orElse(decodeGifPixels(b))
     }
 
   /** Typed pixel statistics produced by a REAL decode. All fields null
@@ -578,8 +751,8 @@ object Multimodal {
       Seq(StructField(outCol, ArrayType(FloatType, containsNull = false)))) { bytes =>
       Iterator.single(Seq(
         if (bytes == null) null
-        // REAL pixel-level feature for decodable BMPs/PNGs; stub for
-        // formats that need codecs this container doesn't ship
+        // REAL pixel-level feature for decodable BMPs/PNGs/GIFs; stub
+        // for formats that need codecs this container doesn't ship
         else lumaHistogram(bytes, dim).getOrElse(featuresStub(bytes, dim)).toSeq))
     }
   }

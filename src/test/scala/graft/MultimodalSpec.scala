@@ -315,6 +315,119 @@ class MultimodalSpec extends GraftSpec {
     assert(Multimodal.decodePngPixels(badFilter).isEmpty)
   }
 
+  // ── real GIF pixel decode ──
+
+  /** LSB-first variable-width code packer — independent implementation
+    * of the bit layout the LZW decoder must read. Codes are (value,
+    * width) pairs; widths vary per code exactly as an encoder's would. */
+  private def packLsb(codes: Seq[(Int, Int)]): Array[Byte] = {
+    val bits = codes.map(_._2).sum
+    val out = new Array[Byte]((bits + 7) / 8)
+    var pos = 0
+    for ((v, width) <- codes; k <- 0 until width) {
+      if (((v >> k) & 1) != 0) out((pos >> 3)) = (out(pos >> 3) | (1 << (pos & 7))).toByte
+      pos += 1
+    }
+    out
+  }
+
+  /** Minimal GIF87a fixture: grayscale 256-entry global color table
+    * (palette i = (i,i,i)), one non-interlaced frame, caller-supplied
+    * already-packed LZW data split into sub-blocks. */
+  private def gifBytes(w: Int, h: Int, minCode: Int,
+                       lzw: Array[Byte], paletteBits: Int = 7): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write("GIF87a".getBytes("US-ASCII"))
+    bb.write(Array[Byte](
+      (w & 0xFF).toByte, (w >> 8).toByte, (h & 0xFF).toByte, (h >> 8).toByte,
+      (0x80 | paletteBits).toByte, 0, 0)) // GCT present, 2^(bits+1) entries
+    val n = 2 << paletteBits
+    for (c <- 0 until n) { bb.write(c); bb.write(c); bb.write(c) }
+    bb.write(0x2C)
+    bb.write(Array[Byte](0, 0, 0, 0,
+      (w & 0xFF).toByte, (w >> 8).toByte, (h & 0xFF).toByte, (h >> 8).toByte, 0))
+    bb.write(minCode)
+    lzw.grouped(255).foreach { blk => bb.write(blk.length); bb.write(blk) }
+    bb.write(0) // sub-block terminator
+    bb.write(0x3B)
+    bb.toByteArray
+  }
+
+  test("decodeGifPixels: literal LZW stream through a grayscale palette") {
+    // 4×2 frame, indices 0..7·17 (grayscale levels); minCode 8 → 9-bit
+    // codes: clear, eight literals, end — no dictionary growth
+    val idx = (0 until 8).map(_ * 17)
+    val codes = (256, 9) +: idx.map(v => (v, 9)) :+ (257, 9)
+    val Some((w, h, px)) = Multimodal.decodeGifPixels(
+      gifBytes(4, 2, 8, packLsb(codes)))
+    assert((w, h) == ((4, 2)))
+    assert(px.grouped(3).map(_(0) & 0xFF).toSeq == idx) // r channel = gray
+    assert(px.grouped(3).forall(t => t(0) == t(1) && t(1) == t(2)))
+  }
+
+  test("decodeGifPixels: dictionary reuse and the KwKwK special case") {
+    // [0,1,0,1]: clear, 0, 1, then code 6 = the just-defined "0 1".
+    // Reading code 6 defines entry 7 → nextCode hits 8 → the END code
+    // must arrive at the grown 4-bit width
+    val reuse = packLsb(Seq((4, 3), (0, 3), (1, 3), (6, 3), (5, 4)))
+    val Some((_, _, px1)) = Multimodal.decodeGifPixels(
+      gifBytes(4, 1, 2, reuse, paletteBits = 1))
+    assert(px1.grouped(3).map(_(0) & 0xFF).toSeq == Seq(0, 1, 0, 1))
+    // [0,0,0]: clear, 0, then code 6 BEFORE it is defined (KwKwK) = "0 0"
+    val kwk = packLsb(Seq((4, 3), (0, 3), (6, 3), (5, 3)))
+    val Some((_, _, px2)) = Multimodal.decodeGifPixels(
+      gifBytes(3, 1, 2, kwk, paletteBits = 1))
+    assert(px2.grouped(3).map(_(0) & 0xFF).toSeq == Seq(0, 0, 0))
+  }
+
+  test("decodeGifPixels: code width grows with the dictionary") {
+    // minCode 2 → 3-bit codes; after the third literal the dictionary
+    // reaches code 8 and width must bump to 4 bits mid-stream. Encoder
+    // mirror: each code AFTER the first defines one entry, the width
+    // grows when nextCode reaches 2^width — the decoder must track it.
+    val lits = Seq(0, 1, 2, 3, 0, 2)
+    val codes = scala.collection.mutable.ArrayBuffer((4, 3)) // clear
+    var next = 6; var width = 3
+    var first = true
+    for (v <- lits) {
+      codes += ((v, width))
+      if (!first) {
+        if (next < 4096) next += 1
+        if (next == (1 << width) && width < 12) width += 1
+      }
+      first = false
+    }
+    codes += ((5, width)) // end
+    val Some((_, _, px)) = Multimodal.decodeGifPixels(
+      gifBytes(6, 1, 2, packLsb(codes.toSeq), paletteBits = 1))
+    assert(px.grouped(3).map(_(0) & 0xFF).toSeq == lits)
+  }
+
+  test("decodeGifPixels rejects corrupt and unsupported forms") {
+    val idx = (0 until 8).map(_ * 17)
+    val codes = (256, 9) +: idx.map(v => (v, 9)) :+ (257, 9)
+    val good = gifBytes(4, 2, 8, packLsb(codes))
+    assert(Multimodal.decodeGifPixels(good).isDefined)
+    val interlaced = good.clone()
+    // image-descriptor packed byte: 6 (header) + 7 (LSD) + 768 (GCT) + 9
+    interlaced(6 + 7 + 768 + 9) = 0x40.toByte
+    assert(Multimodal.decodeGifPixels(interlaced).isEmpty)
+    assert(Multimodal.decodeGifPixels(good.dropRight(5)).isEmpty) // truncated
+    assert(Multimodal.decodeGifPixels("GIF89a".getBytes).isEmpty)
+    // end code missing: bitstream exhausts without terminating
+    val noEnd = gifBytes(4, 2, 8, packLsb((256, 9) +: idx.map(v => (v, 9))))
+    assert(Multimodal.decodeGifPixels(noEnd).isEmpty)
+    // code beyond the dictionary
+    val wild = gifBytes(2, 1, 2, packLsb(Seq((4, 3), (0, 3), (7, 3), (5, 3))),
+      paletteBits = 1)
+    assert(Multimodal.decodeGifPixels(wild).isEmpty)
+    // palette overrun: index 3 with a 2-entry local... (2-color palette,
+    // literal 3 is within code space but beyond the table)
+    val overrun = gifBytes(2, 1, 2, packLsb(Seq((4, 3), (3, 3), (0, 3), (5, 3))),
+      paletteBits = 0)
+    assert(Multimodal.decodeGifPixels(overrun).isEmpty)
+  }
+
   test("pixelStats and lumaHistogram see PNG pixels through decodePixelsRgb") {
     // 2×2 RGB PNG: two bright, two dark — same fixture as the BMP test,
     // so the two container formats must produce identical stats
