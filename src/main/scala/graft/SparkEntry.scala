@@ -2899,6 +2899,111 @@ object SparkEntry {
           col("pix.width").as("w"), col("pix.height").as("h"),
           col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
           col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
+    },
+
+    // END-TO-END near-dedup invariants as a gate (q_near_dedup itself
+    // is rows-only: MinHash estimates aren't SQL-expressible, but the
+    // pipeline's CONTRACT is): (A) every duplicate cluster keeps
+    // exactly one survivor, (B) every unclustered document passes
+    // through untouched. Violations + sentinel; oracle = the sentinel.
+    // Same LSH/CC/pick parameters as q_near_dedup, recomputed here
+    // stage-by-stage so the invariant check sees the components.
+    "q_near_dedup_inv" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.7)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val surv = Dedup.keepCanonical(docs, "doc_id", comps,
+        pick = Seq(col("n_chars").desc_nulls_last, col("doc_id").asc))
+        .select(col("doc_id"))
+      val violA = comps
+        .join(surv.withColumnRenamed("doc_id", "id")
+          .withColumn("is_surv", lit(1L)), Seq("id"), "left")
+        .groupBy(col("component"))
+        .agg(sum(coalesce(col("is_surv"), lit(0L))).as("n_surv"))
+        .filter(col("n_surv") =!= 1L)
+        .select(col("component").as("viol_id"),
+          lit("cluster_survivors").as("kind"))
+      val violB = docs.select(col("doc_id"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+        .join(surv, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("viol_id"), lit("singleton_dropped").as("kind"))
+      violA.unionByName(violB).unionByName(
+        s.range(1).select(lit(-1L).as("viol_id"), lit("sentinel").as("kind")))
+    },
+
+    // IVF quality floor as a gate: recall@10 vs the exact brute-force
+    // baseline must reach 0.5 for every probe (measured: 8-10/10 at
+    // sf0.01, 10/10 at sf0.1 — the bound is a floor against
+    // regressions in centroid seeding/assignment/shortlisting, not a
+    // tight target). Violations + sentinel.
+    "q_ivf_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.orderBy(col("vec_id")).limit(5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val (assign, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, iters = 2)
+      val ivf = Similarity.ivfSearch(assign, cents, probes, "probe_id", "probe_vec",
+        k = 10, nprobe = 4)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = ivf.join(bf, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      val violations = probes.select(col("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .filter(coalesce(col("n_hit"), lit(0L)) < 5L)
+        .select(col("probe_id").as("viol_id"))
+      violations.unionByName(s.range(1).select(lit(-1L).as("viol_id")))
+    },
+
+    // HLL++ error bound as a gate: q_agg_sketch's approx distinct must
+    // land within 10% of the exact distinct per group (5× the 2% rsd —
+    // a regression floor for the sketch plumbing, not a tightness
+    // claim). Violations + sentinel.
+    "q_sketch_error" -> { (s, dir) =>
+      val violations = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .filter(abs(col("approx") - col("exact")).cast("double") /
+          col("exact").cast("double") > 0.1)
+        .select(col("l_returnflag").as("viol_id"))
+      violations.unionByName(
+        s.range(1).select(lit("__sentinel__").as("viol_id")))
+    },
+
+    // REAL baseline-JPEG decode, oracled end-to-end: synthesize a valid
+    // 8×8 grayscale JPEG per row with hex/unhex column algebra. The
+    // trick that keeps the entropy segment column-expressible: minimal
+    // one-code Huffman tables (DC table = the single symbol "category
+    // 7", AC table = the single symbol EOB, each the 1-bit code "0")
+    // and a DC value pinned into [64,127] so its magnitude is ALWAYS 7
+    // bits — the scan is exactly two fixed-layout bytes, 0vvvvvvv and
+    // 0111_1111 (EOB + pad), and never needs 0xFF stuffing. With an
+    // all-8s quant table the decode is the exact flat level v + 128, so
+    // the oracle is pure arithmetic; the gate proves the marker walk,
+    // canonical-Huffman build, magnitude/EXTEND decode, dequant, IDCT
+    // DC path, level shift, and grayscale replication.
+    "q_media_pixels_jpeg" -> { (s, dir) =>
+      val v = lit(64) + pmod(col("doc_id") * 19, lit(64))
+      val jpeg = unhex(concat(
+        lit("FFD8"), // SOI
+        lit("FFDB0043" + "00" + "08" * 64), // DQT: table 0, all 8s
+        lit("FFC0000B" + "08" + "0008" + "0008" + "01" + "011100"), // SOF0 8×8 gray
+        lit("FFC40014" + "00" + "01" + "00" * 15 + "07"), // DHT DC: one code → cat 7
+        lit("FFC40014" + "10" + "01" + "00" * 15 + "00"), // DHT AC: one code → EOB
+        lit("FFDA0008" + "01" + "0100" + "003F00"), // SOS
+        leHex(v, 1), lit("7F"), // entropy: DC code+magnitude, EOB+padding
+        lit("FFD9"))) // EOI
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), jpeg.as("payload"))
+      Multimodal.withPixelStats(withBin, "payload")
+        .select(col("doc_id"),
+          col("pix.width").as("w"), col("pix.height").as("h"),
+          col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
+          col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
     }
   )
 
@@ -2963,7 +3068,26 @@ object SparkEntry {
         |  CAST(sv AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_g,
         |  CAST(sv AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_b,
         |  CAST(nb AS BIGINT) AS n_bright
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "q_near_dedup_inv" ->
+      """SELECT CAST(-1 AS BIGINT) AS viol_id, 'sentinel' AS kind""",
+
+    "q_ivf_recall" ->
+      """SELECT CAST(-1 AS BIGINT) AS viol_id""",
+
+    "q_sketch_error" ->
+      """SELECT '__sentinel__' AS viol_id""",
+
+    // flat decode level = 128 + 64 + (doc_id·19 mod 64) ∈ [192,255]:
+    // every pixel is bright and the channel means equal the level
+    "q_media_pixels_jpeg" ->
+      """SELECT doc_id, CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
+        |  CAST(192 + (doc_id * 19) % 64 AS DOUBLE) AS mean_r,
+        |  CAST(192 + (doc_id * 19) % 64 AS DOUBLE) AS mean_g,
+        |  CAST(192 + (doc_id * 19) % 64 AS DOUBLE) AS mean_b,
+        |  CAST(64 AS BIGINT) AS n_bright
+        |FROM documents""".stripMargin
   )
 
   def queries: Map[String, Q] =

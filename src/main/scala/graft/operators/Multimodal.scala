@@ -13,21 +13,23 @@ import org.apache.spark.sql.types._
   * HEADER DECODE IS REAL: [[parseImageHeader]] reads width/height/
   * format straight from the public container formats' magic bytes
   * (PNG IHDR, JPEG SOFn, GIF logical screen, BMP info header) — pure
-  * JVM, no codec library. PIXEL-LEVEL decode is REAL for uncompressed
-  * 24-bpp BMP ([[decodeBmpPixels]]), for non-interlaced 8-bit RGB/RGBA
-  * PNG ([[decodePngPixels]] — stdlib zlib inflate + the five scanline
-  * filters), and for non-interlaced GIF ([[decodeGifPixels]] — a full
-  * hand-rolled GIF-LZW decompressor + color-table mapping), feeding
-  * real stats/resize/luma-histogram features via [[decodePixelsRgb]];
-  * the formats that genuinely need codecs this container doesn't ship
-  * (JPEG pixels, video frames, audio beyond PCM) remain stubs:
-  * `resizeStub` / `frameSampleStub` / `featuresStub` compute
-  * deterministic fakes from the raw bytes, and `decodeMetaStub` is
-  * kept as the deterministic test double for plumbing tests. The
-  * Spark-side plumbing — schema, batch shape, partition-level
-  * processing, null handling — is identical either way; a production
-  * build swaps the stub bodies for javax.imageio / ffmpeg bindings
-  * without touching any Spark code.
+  * JVM, no codec library. PIXEL-LEVEL decode is REAL for all four
+  * still-image container formats: uncompressed 24-bpp BMP
+  * ([[decodeBmpPixels]]), non-interlaced 8-bit RGB/RGBA PNG
+  * ([[decodePngPixels]] — stdlib zlib inflate + the five scanline
+  * filters), non-interlaced GIF ([[decodeGifPixels]] — a full
+  * hand-rolled GIF-LZW decompressor + color-table mapping), and
+  * baseline 4:4:4/grayscale JPEG ([[decodeJpegPixels]] — canonical
+  * Huffman from DHT, dequant, IDCT, YCbCr→RGB), feeding real stats/
+  * resize/luma-histogram features via [[decodePixelsRgb]]. Only the
+  * genuinely codec-bound media remain stubs (video frame extraction,
+  * audio beyond PCM, progressive/subsampled JPEG): `resizeStub` /
+  * `frameSampleStub` / `featuresStub` compute deterministic fakes from
+  * the raw bytes, and `decodeMetaStub` is kept as the deterministic
+  * test double for plumbing tests. The Spark-side plumbing — schema,
+  * batch shape, partition-level processing, null handling — is
+  * identical either way; a production build swaps the stub bodies for
+  * javax.imageio / ffmpeg bindings without touching any Spark code.
   */
 object Multimodal {
 
@@ -509,11 +511,352 @@ object Multimodal {
     None
   }
 
+  /** Canonical Huffman table from a DHT segment's (counts-per-length,
+    * symbols) — decoded bit-by-bit via the standard (code, length) →
+    * symbol map. JPEG Huffman codes are ≤ 16 bits. */
+  private final class JpegHuffTable(counts: Array[Int], symbols: Array[Int]) {
+    // mincode/maxcode/valptr per length, the canonical layout from the
+    // JPEG spec's DECODE procedure
+    private val maxcode = Array.fill(17)(-1)
+    private val mincode = new Array[Int](17)
+    private val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += counts(l - 1)
+          k += counts(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Decode one symbol; -1 on an invalid code / exhausted stream. */
+    def decode(in: JpegBitReader): Int = {
+      var code = 0
+      var l = 0
+      while (l < 16) {
+        val bit = in.nextBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        l += 1
+        if (maxcode(l) >= 0 && code <= maxcode(l) && code >= mincode(l))
+          return symbols(valptr(l) + (code - mincode(l)))
+      }
+      -1
+    }
+  }
+
+  /** MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    * byte-unstuffing; stops (returns -1) at any non-stuffing marker. */
+  private final class JpegBitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nBits = 0
+    def nextBit(): Int = {
+      if (nBits == 0) {
+        if (pos >= b.length) return -1
+        var v = b(pos) & 0xFF
+        pos += 1
+        if (v == 0xFF) {
+          if (pos >= b.length) return -1
+          val m = b(pos) & 0xFF
+          if (m == 0x00) pos += 1 // stuffed 0xFF data byte
+          else return -1 // a real marker: entropy data ends here
+          v = 0xFF
+        }
+        cur = v
+        nBits = 8
+      }
+      nBits -= 1
+      (cur >> nBits) & 1
+    }
+    /** `n`-bit magnitude value; -1 on exhaustion (n ≤ 16). */
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bit = nextBit()
+        if (bit < 0) return -1
+        v = (v << 1) | bit
+        i += 1
+      }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker; false if absent. */
+    def restart(): Boolean = {
+      nBits = 0
+      if (pos + 1 >= b.length) return false
+      if ((b(pos) & 0xFF) != 0xFF) return false
+      val m = b(pos + 1) & 0xFF
+      if (m < 0xD0 || m > 0xD7) return false
+      pos += 2
+      true
+    }
+  }
+
+  /** EXTEND from the JPEG spec: an n-bit magnitude v to a signed DCT
+    * coefficient difference. */
+  private def jpegExtend(v: Int, n: Int): Int =
+    if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+
+  private val jpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // separable 2-D inverse DCT basis: cosTab(u)(x) = C(u)·cos((2x+1)uπ/16)/2
+  private val jpegCosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c * math.cos((2 * x + 1) * u * math.Pi / 16.0) / 2.0
+  }
+
+  /** 8×8 inverse DCT (direct separable double-precision form), output
+    * level-shifted (+128) and clamped to 0..255. */
+  private def jpegIdctBlock(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows: tmp = coef · cosTabᵀ over v
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += jpegCosTab(v)(x) * coef(y * 8 + v); v += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) { // columns
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += jpegCosTab(u)(yy) * tmp(u * 8 + x); u += 1 }
+        val v = math.round(s).toInt + 128
+        out(yy * 8 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** REAL pixel-level baseline JPEG decode — pure JVM, no codec
+    * library: marker walk (SOI/DQT/DHT/SOF0/DRI/SOS, APPn/COM skipped),
+    * canonical Huffman tables built from DHT, entropy decode with
+    * 0xFF00 unstuffing and RSTn restart handling, dequantization in
+    * zig-zag order, direct separable double-precision IDCT, level
+    * shift + clamp, and JFIF YCbCr→RGB for color images. Supported:
+    * 8-bit baseline (SOF0), 1 component (grayscale → replicated RGB)
+    * or 3 components all with 1×1 sampling (4:4:4). Everything else —
+    * progressive, 12-bit, subsampled chroma, arithmetic coding,
+    * truncation, invalid codes — decodes defensively to None: a
+    * corrupt payload row must never throw. */
+  def decodeJpegPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 4) return None
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuffTable](4)
+    val acTabs = new Array[JpegHuffTable](4)
+    var w, h = 0
+    var nComp = 0
+    // per component: id, quant-table id, DC table id, AC table id
+    val compId = new Array[Int](3)
+    val compQ = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    var restartInterval = 0
+    var sofSeen = false
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { i += 2 }
+      else if (marker == 0xD9) return None // EOI before any scan
+      else {
+        val segLen = be16(b, i + 2)
+        if (segLen < 2 || i + 2 + segLen > b.length) return None
+        val segEnd = i + 2 + segLen
+        marker match {
+          case 0xDB => // DQT: one or more (precision/id, 64 values)
+            var p = i + 4
+            while (p < segEnd) {
+              val pq = (b(p) & 0xFF) >> 4
+              val tq = b(p) & 0x0F
+              if (pq != 0 || tq > 3) return None // 8-bit tables only
+              if (p + 65 > segEnd) return None
+              quant(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xFF)
+              p += 65
+            }
+          case 0xC4 => // DHT: one or more canonical tables
+            var p = i + 4
+            while (p < segEnd) {
+              val tc = (b(p) & 0xFF) >> 4
+              val th = b(p) & 0x0F
+              if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+              val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xFF)
+              val n = counts.sum
+              if (n == 0 || n > 256 || p + 17 + n > segEnd) return None
+              val syms = Array.tabulate(n)(k => b(p + 17 + k) & 0xFF)
+              val tab = new JpegHuffTable(counts, syms)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + n
+            }
+          case 0xC0 => // SOF0 baseline
+            if (sofSeen || segLen < 8) return None
+            if ((b(i + 4) & 0xFF) != 8) return None // 8-bit precision
+            h = be16(b, i + 5); w = be16(b, i + 7)
+            nComp = b(i + 9) & 0xFF
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            if (w.toLong * h.toLong * 3L > 64L * 1024 * 1024) return None
+            if (segLen < 8 + 3 * nComp) return None
+            var c = 0
+            while (c < nComp) {
+              compId(c) = b(i + 10 + 3 * c) & 0xFF
+              if ((b(i + 11 + 3 * c) & 0xFF) != 0x11) return None // 1×1 only
+              compQ(c) = b(i + 12 + 3 * c) & 0xFF
+              if (compQ(c) > 3) return None
+              c += 1
+            }
+            sofSeen = true
+          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // non-baseline frame types
+          case 0xDD => // DRI
+            if (segLen != 4) return None
+            restartInterval = be16(b, i + 4)
+          case 0xDA => // SOS: decode the scan
+            if (!sofSeen || segLen < 6) return None
+            val ns = b(i + 4) & 0xFF
+            if (ns != nComp || segLen != 6 + 2 * ns) return None
+            var c = 0
+            while (c < ns) {
+              val cid = b(i + 5 + 2 * c) & 0xFF
+              val ci = compId.indexWhere(_ == cid)
+              if (ci < 0 || ci >= nComp) return None
+              compDc(ci) = (b(i + 6 + 2 * c) & 0xFF) >> 4
+              compAc(ci) = b(i + 6 + 2 * c) & 0x0F
+              if (compDc(ci) > 3 || compAc(ci) > 3) return None
+              c += 1
+            }
+            c = 0
+            while (c < nComp) {
+              if (quant(compQ(c)) == null || dcTabs(compDc(c)) == null ||
+                acTabs(compAc(c)) == null) return None
+              c += 1
+            }
+            val in = new JpegBitReader(b, segEnd)
+            val bw = (w + 7) / 8
+            val bh = (h + 7) / 8
+            val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+            val dcPred = new Array[Int](nComp)
+            val coef = new Array[Int](64)
+            val px = new Array[Int](64)
+            var mcu = 0
+            var by = 0
+            while (by < bh) {
+              var bx = 0
+              while (bx < bw) {
+                if (restartInterval > 0 && mcu > 0 &&
+                  mcu % restartInterval == 0) {
+                  if (!in.restart()) return None
+                  java.util.Arrays.fill(dcPred, 0)
+                }
+                var c = 0
+                while (c < nComp) {
+                  java.util.Arrays.fill(coef, 0)
+                  val q = quant(compQ(c))
+                  val t = dcTabs(compDc(c)).decode(in)
+                  if (t < 0 || t > 15) return None
+                  val diffBits = if (t == 0) 0 else in.receive(t)
+                  if (diffBits < 0) return None
+                  dcPred(c) += jpegExtend(diffBits, t)
+                  coef(0) = dcPred(c) * q(0)
+                  var k = 1
+                  var eob = false
+                  while (k < 64 && !eob) {
+                    val rs = acTabs(compAc(c)).decode(in)
+                    if (rs < 0) return None
+                    val r = rs >> 4
+                    val s = rs & 0x0F
+                    if (s == 0) {
+                      if (r == 15) k += 16 // ZRL
+                      else eob = true
+                    } else {
+                      k += r
+                      if (k > 63) return None
+                      val mag = in.receive(s)
+                      if (mag < 0) return None
+                      // DQT values arrive in zig-zag order, like the
+                      // coefficients: pair by zig-zag index k, scatter
+                      // the product to natural order
+                      coef(jpegZigzag(k)) = jpegExtend(mag, s) * q(k)
+                      k += 1
+                    }
+                  }
+                  jpegIdctBlock(coef, px)
+                  val plane = planes(c)
+                  var yy = 0
+                  while (yy < 8) {
+                    var xx = 0
+                    while (xx < 8) {
+                      plane((by * 8 + yy) * bw * 8 + bx * 8 + xx) = px(yy * 8 + xx)
+                      xx += 1
+                    }
+                    yy += 1
+                  }
+                  c += 1
+                }
+                mcu += 1
+                bx += 1
+              }
+              by += 1
+            }
+            val out = new Array[Byte](w * h * 3)
+            val stride = bw * 8
+            var yy = 0
+            while (yy < h) {
+              var xx = 0
+              while (xx < w) {
+                val o = 3 * (yy * w + xx)
+                if (nComp == 1) {
+                  val g = planes(0)(yy * stride + xx)
+                  out(o) = g.toByte; out(o + 1) = g.toByte; out(o + 2) = g.toByte
+                } else { // JFIF YCbCr → RGB
+                  val yv = planes(0)(yy * stride + xx).toDouble
+                  val cb = planes(1)(yy * stride + xx) - 128.0
+                  val cr = planes(2)(yy * stride + xx) - 128.0
+                  def clamp(d: Double): Byte = {
+                    val v = math.round(d).toInt
+                    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                  }
+                  out(o) = clamp(yv + 1.402 * cr)
+                  out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+                  out(o + 2) = clamp(yv + 1.772 * cb)
+                }
+                xx += 1
+              }
+              yy += 1
+            }
+            return Some((w, h, out))
+          case _ => () // APPn, COM, others: skip
+        }
+        i = segEnd
+      }
+    }
+    None
+  }
+
   /** Unified REAL pixel decode: (width, height, RGB triples top-down)
     * for any payload a real parser handles — 24-bpp BMP (BGR storage
-    * converted to RGB), 8-bit RGB/RGBA PNG, or non-interlaced GIF.
-    * None for everything else (JPEG pixels need codecs this container
-    * doesn't ship). */
+    * converted to RGB), 8-bit RGB/RGBA PNG, non-interlaced GIF, or
+    * baseline 4:4:4/grayscale JPEG. None for everything else. */
   def decodePixelsRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     decodeBmpPixels(b) match {
       case Some((w, h, bgr)) =>
@@ -526,7 +869,9 @@ object Multimodal {
           j += 1
         }
         Some((w, h, rgb))
-      case None => decodePngPixels(b).orElse(decodeGifPixels(b))
+      case None =>
+        decodePngPixels(b).orElse(decodeGifPixels(b))
+          .orElse(decodeJpegPixels(b))
     }
 
   /** Typed pixel statistics produced by a REAL decode. All fields null

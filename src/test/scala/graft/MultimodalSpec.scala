@@ -428,6 +428,203 @@ class MultimodalSpec extends GraftSpec {
     assert(Multimodal.decodeGifPixels(overrun).isEmpty)
   }
 
+  // ── real JPEG pixel decode ──
+
+  /** Canonical-Huffman code assignment (symbol → (code, length)) —
+    * independent implementation of the layout the decoder must invert. */
+  private def huffCodes(counts: Array[Int], syms: Seq[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+    for (l <- 1 to 16) {
+      for (_ <- 0 until counts(l - 1)) { m(syms(k)) = (code, l); code += 1; k += 1 }
+      code <<= 1
+    }
+    m.toMap
+  }
+
+  /** MSB-first bit writer with JPEG 0xFF byte stuffing; pads the final
+    * byte with 1-bits as the spec prescribes. */
+  private final class JpegBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var n = 0
+    def put(code: Int, len: Int): Unit =
+      for (i <- (len - 1) to 0 by -1) {
+        acc = (acc << 1) | ((code >> i) & 1); n += 1
+        if (n == 8) { out.write(acc); if (acc == 0xFF) out.write(0); acc = 0; n = 0 }
+      }
+    def flush(): Array[Byte] = {
+      if (n > 0) { while (n < 8) { acc = (acc << 1) | 1; n += 1 }
+        out.write(acc); if (acc == 0xFF) out.write(0); acc = 0; n = 0 }
+      val r = out.toByteArray; out.reset(); r // drain: flush may be called per restart
+    }
+  }
+
+  // multi-length tables so the canonical build is genuinely exercised
+  // (layouts chosen to be canonically exact: each length's codes fit)
+  private val dcCounts = Array(0, 2, 2, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val dcSyms = Seq(0, 1, 2, 3, 4, 5, 6, 7)
+  private val acCounts = Array(0, 2, 2, 3, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val acSyms = Seq(0x00, 0x01, 0x02, 0x11, 0x03, 0x21, 0xF0, 0x04, 0x31)
+
+  private def cat(v: Int): Int = { var n = 0; var a = math.abs(v); while (a > 0) { n += 1; a >>= 1 }; n }
+  private def magBits(v: Int, n: Int): Int = if (v >= 0) v else v + (1 << n) - 1
+
+  /** Encode blocks of QUANTIZED coefficients (zig-zag order, one 64-long
+    * array per block per component, MCU-interleaved) into a baseline
+    * JPEG. Grayscale (1 comp) or 4:4:4 color (3 comps). `q` is the
+    * quant table in zig-zag order. */
+  private def jpegEncode(w: Int, h: Int, nComp: Int, q: Array[Int],
+                         mcus: Seq[Seq[Array[Int]]],
+                         restartInterval: Int = 0): Array[Byte] = {
+    val dc = huffCodes(dcCounts, dcSyms)
+    val ac = huffCodes(acCounts, acSyms)
+    val bw = new JpegBitWriter
+    val dcPred = new Array[Int](nComp)
+    var mcuIdx = 0
+    val entropy = new java.io.ByteArrayOutputStream()
+    for (mcu <- mcus) {
+      if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+        entropy.write(bw.flush()) // byte-align, then RSTn
+        entropy.write(0xFF); entropy.write(0xD0 + ((mcuIdx / restartInterval - 1) % 8))
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      for (c <- 0 until nComp) {
+        val blk = mcu(c)
+        val diff = blk(0) - dcPred(c); dcPred(c) = blk(0)
+        val t = cat(diff)
+        val (dcode, dlen) = dc(t)
+        bw.put(dcode, dlen); if (t > 0) bw.put(magBits(diff, t), t)
+        var k = 1
+        var lastNz = 63
+        while (lastNz > 0 && blk(lastNz) == 0) lastNz -= 1
+        while (k <= lastNz) {
+          var run = 0
+          while (blk(k) == 0) { run += 1; k += 1 }
+          while (run >= 16) { val (zc, zl) = ac(0xF0); bw.put(zc, zl); run -= 16 }
+          val s = cat(blk(k))
+          val (acode, alen) = ac((run << 4) | s)
+          bw.put(acode, alen); bw.put(magBits(blk(k), s), s)
+          k += 1
+        }
+        if (lastNz < 63) { val (ec, el) = ac(0x00); bw.put(ec, el) }
+      }
+      mcuIdx += 1
+    }
+    entropy.write(bw.flush())
+    def seg(marker: Int, payload: Array[Int]): Array[Byte] =
+      (Seq(0xFF, marker, (payload.length + 2) >> 8, (payload.length + 2) & 0xFF)
+        ++ payload.toSeq).map(_.toByte).toArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8)
+    out.write(seg(0xDB, Array(0x00) ++ q))
+    if (restartInterval > 0)
+      out.write(seg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF)))
+    val comps = (0 until nComp).flatMap(c => Seq(c + 1, 0x11, 0))
+    out.write(seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nComp) ++ comps))
+    out.write(seg(0xC4, Array(0x00) ++ dcCounts ++ dcSyms))
+    out.write(seg(0xC4, Array(0x10) ++ acCounts ++ acSyms))
+    val sos = (0 until nComp).flatMap(c => Seq(c + 1, 0x00))
+    out.write(seg(0xDA, Array(nComp) ++ sos ++ Seq(0, 63, 0)))
+    out.write(entropy.toByteArray)
+    out.write(0xFF); out.write(0xD9)
+    out.toByteArray
+  }
+
+  /** Reference IDCT: the direct quadruple-sum definition (independent
+    * of the decoder's separable form), same rounding/level-shift. */
+  private def refIdct(coefNatural: Array[Int]): Array[Int] =
+    Array.tabulate(64) { i =>
+      val x = i % 8; val y = i / 8
+      var s = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        s += cu * cv * coefNatural(v * 8 + u) / 4.0 *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      }
+      val r = math.round(s).toInt + 128
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+
+  private val jpegZigzag = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  test("decodeJpegPixels: grayscale blocks with AC coefficients match the reference IDCT") {
+    // 16×8: two blocks, DC prediction across them (negative diff), AC
+    // terms with short runs and a ZRL-spanning 18-zero run
+    // values avoid exact .5 IDCT sums: the decoder's separable form and
+    // the reference's direct sum agree to ~1e-13, which only matters if
+    // a pixel lands exactly on a rounding boundary
+    val q = Array.fill(64)(0) // zig-zag quant table
+    q(0) = 8; q(1) = 4; q(2) = 5; q(5) = 2; q(21) = 5
+    val b1 = new Array[Int](64); b1(0) = 90; b1(1) = 5; b1(5) = -1
+    val b2 = new Array[Int](64); b2(0) = 70; b2(2) = -1; b2(21) = 1 // run 18 → ZRL + (2,1)
+    val bytes = jpegEncode(16, 8, 1, q.map(v => if (v == 0) 1 else v),
+      Seq(Seq(b1), Seq(b2)))
+    val Some((w, h, px)) = Multimodal.decodeJpegPixels(bytes)
+    assert((w, h) == ((16, 8)))
+    // expected: dequantize in zig-zag, scatter to natural order, ref IDCT
+    def expectBlock(zz: Array[Int]): Array[Int] = {
+      val nat = new Array[Int](64)
+      for (k <- 0 until 64)
+        nat(jpegZigzag(k)) = zz(k) * (if (q(k) == 0) 1 else q(k))
+      refIdct(nat)
+    }
+    val e1 = expectBlock(b1); val e2 = expectBlock(b2)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      assert((px(3 * (y * 16 + x)) & 0xFF) == e1(y * 8 + x), s"blk1 ($x,$y)")
+      assert((px(3 * (y * 16 + 8 + x)) & 0xFF) == e2(y * 8 + x), s"blk2 ($x,$y)")
+    }
+    assert(px.grouped(3).forall(t => t(0) == t(1) && t(1) == t(2)))
+  }
+
+  test("decodeJpegPixels: 4:4:4 color converts YCbCr to RGB; DRI restarts reset predictors") {
+    val q = Array.fill(64)(1); q(0) = 8
+    // DC-only planes with q(0)=8: a DC coefficient c dequantizes to 8c,
+    // the IDCT spreads it flat as c, level shift gives 128 + c exactly
+    def dcBlock(v: Int) = { val a = new Array[Int](64); a(0) = v; a }
+    val y = dcBlock(11); val cb = dcBlock(2); val cr = dcBlock(-2)
+    val bytes = jpegEncode(8, 8, 3, q, Seq(Seq(y, cb, cr)))
+    val Some((_, _, px)) = Multimodal.decodeJpegPixels(bytes)
+    val yv = 128 + 11; val cbv = 128 + 2 - 128; val crv = 128 - 2 - 128
+    val er = math.round(yv + 1.402 * crv).toInt
+    val eg = math.round(yv - 0.344136 * cbv - 0.714136 * crv).toInt
+    val eb = math.round(yv + 1.772 * cbv).toInt
+    assert(px.grouped(3).forall(t =>
+      (t(0) & 0xFF) == er && (t(1) & 0xFF) == eg && (t(2) & 0xFF) == eb))
+    // DRI: two grayscale MCUs with a restart between; second block's DC
+    // is absolute again (predictor reset) — wrong reset → wrong level
+    val g1 = dcBlock(40); val g2 = dcBlock(40)
+    val rbytes = jpegEncode(16, 8, 1, q, Seq(Seq(g1), Seq(g2)), restartInterval = 1)
+    val Some((_, _, rpx)) = Multimodal.decodeJpegPixels(rbytes)
+    assert(rpx.grouped(3).forall(t => (t(0) & 0xFF) == 128 + 40))
+  }
+
+  test("decodeJpegPixels rejects non-baseline and corrupt forms") {
+    val q = Array.fill(64)(1)
+    def dcBlock(v: Int) = { val a = new Array[Int](64); a(0) = v; a }
+    val good = jpegEncode(8, 8, 1, q, Seq(Seq(dcBlock(10))))
+    assert(Multimodal.decodeJpegPixels(good).isDefined)
+    val progressive = good.clone()
+    // find the SOF0 marker and flip it to SOF2
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC0).get
+    progressive(sofAt + 1) = 0xC2.toByte
+    assert(Multimodal.decodeJpegPixels(progressive).isEmpty)
+    val subsampled = good.clone()
+    subsampled(sofAt + 11) = 0x22.toByte // 2×2 sampling: unsupported
+    assert(Multimodal.decodeJpegPixels(subsampled).isEmpty)
+    val deep = good.clone()
+    deep(sofAt + 4) = 12.toByte // 12-bit precision
+    assert(Multimodal.decodeJpegPixels(deep).isEmpty)
+    assert(Multimodal.decodeJpegPixels(good.dropRight(6)).isEmpty) // truncated scan
+    assert(Multimodal.decodeJpegPixels(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
+  }
+
   test("pixelStats and lumaHistogram see PNG pixels through decodePixelsRgb") {
     // 2×2 RGB PNG: two bright, two dark — same fixture as the BMP test,
     // so the two container formats must produce identical stats
