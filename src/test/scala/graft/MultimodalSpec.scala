@@ -625,6 +625,39 @@ class MultimodalSpec extends GraftSpec {
     assert(Multimodal.decodeJpegPixels(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
   }
 
+  test("pixel decoders never throw: mutation fuzz over valid fixtures") {
+    // the defensive-None contract is the load-bearing property for a
+    // pipeline decode: seeded byte-level mutations of VALID files reach
+    // deep decoder states (mid-Huffman, mid-LZW, mid-inflate) that
+    // random bytes never would — every outcome must be a clean Option
+    val rnd = new scala.util.Random(20260813L)
+    val png = pngEncode(4, 5, 2,
+      (0 until 5).map(y => (0 until 12).map(x => (y * 53 + x * 29) % 256)),
+      Seq(0, 1, 2, 3, 4))
+    val gif = gifBytes(4, 2, 8,
+      packLsb((256, 9) +: (0 until 8).map(v => (v * 17, 9)) :+ (257, 9)))
+    val q = Array.fill(64)(1); q(0) = 8
+    def dcBlock(v: Int) = { val a = new Array[Int](64); a(0) = v; a }
+    val jpg = jpegEncode(16, 8, 1, q, Seq(Seq(dcBlock(40)), Seq(dcBlock(90))))
+    val bmp = bmp24(2, 2, topDown = false, Seq.fill(4)((9, 8, 7)))
+    for (fixture <- Seq(png, gif, jpg, bmp); _ <- 0 until 400) {
+      val m = fixture.clone()
+      // 1-3 random byte corruptions, occasionally a truncation
+      for (_ <- 0 to rnd.nextInt(3))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      val payload = if (rnd.nextInt(4) == 0) m.take(rnd.nextInt(m.length)) else m
+      Multimodal.decodePixelsRgb(payload) match {
+        case Some((w, h, px)) => assert(px.length == w * h * 3)
+        case None => ()
+      }
+    }
+    // pure-noise payloads, varied lengths
+    for (_ <- 0 until 400) {
+      val noise = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Multimodal.decodePixelsRgb(noise)
+    }
+  }
+
   test("pixelStats and lumaHistogram see PNG pixels through decodePixelsRgb") {
     // 2×2 RGB PNG: two bright, two dark — same fixture as the BMP test,
     // so the two container formats must produce identical stats
