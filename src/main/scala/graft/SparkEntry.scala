@@ -2974,6 +2974,42 @@ object SparkEntry {
         s.range(1).select(lit("__sentinel__").as("viol_id")))
     },
 
+    // REAL IEEE-float WAV decode (format 3), oracled end-to-end: each
+    // row's samples alternate ±v with v one of four exactly-
+    // representable magnitudes selected by doc_id (float bit patterns
+    // as hex literals — 0.5/1.0/1.5/2.0 → 3F00/3F80/3FC0/4000 0000),
+    // so rms is EXACTLY v (mean of equal exact squares, correctly-
+    // rounded sqrt of an exact square) and zcr is 7. Exercises the
+    // format-3 branch end-to-end: format/bits dispatch, float bit
+    // reassembly, double accumulation.
+    "q_audio_meta_f32" -> { (s, dir) =>
+      val idx = pmod(col("doc_id"), lit(4))
+      val pos = when(idx === 0, lit("0000003F")).when(idx === 1, lit("0000803F"))
+        .when(idx === 2, lit("0000C03F")).otherwise(lit("00000040"))
+      val neg = when(idx === 0, lit("000000BF")).when(idx === 1, lit("000080BF"))
+        .when(idx === 2, lit("0000C0BF")).otherwise(lit("000000C0"))
+      val sampleHex = concat((0 until 8).map(i => if (i % 2 == 0) pos else neg): _*)
+      val wav = unhex(concat(
+        lit("52494646"), leHex(lit(68L), 4),            // "RIFF" + 36+32
+        lit("57415645666D7420"), leHex(lit(16L), 4),    // "WAVE" + "fmt " + 16
+        lit("03000100"),                                // IEEE float, 1 channel
+        leHex(lit(8000L), 4), leHex(lit(32000L), 4),    // sample rate, byte rate
+        lit("04002000"),                                // block align 4, 32 bits
+        lit("64617461"), leHex(lit(32L), 4),            // "data" + 32 bytes
+        sampleHex))
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), wav.as("payload"))
+      Multimodal.withAudioMeta(withBin, "payload")
+        .select(col("doc_id"),
+          col("audio.channels").as("channels"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.bits").as("bits"),
+          col("audio.n_samples").as("n_samples"),
+          col("audio.duration_ms").as("duration_ms"),
+          col("audio.rms").as("rms"),
+          col("audio.zcr").as("zcr"))
+    },
+
     // REAL baseline-JPEG decode, oracled end-to-end: synthesize a valid
     // 8×8 grayscale JPEG per row with hex/unhex column algebra. The
     // trick that keeps the entropy segment column-expressible: minimal
@@ -3078,6 +3114,20 @@ object SparkEntry {
 
     "q_sketch_error" ->
       """SELECT '__sentinel__' AS viol_id""",
+
+    // fixed bit patterns: the float sample magnitude is one of four
+    // exactly-representable values selected by doc_id, so rms is that
+    // value exactly (sqrt of the exact mean of equal squares)
+    "q_audio_meta_f32" ->
+      """SELECT doc_id,
+        | CAST(1 AS INTEGER) AS channels,
+        | CAST(8000 AS INTEGER) AS sample_rate,
+        | CAST(32 AS INTEGER) AS bits,
+        | CAST(8 AS BIGINT) AS n_samples,
+        | CAST(1 AS BIGINT) AS duration_ms,
+        | CAST(0.5 + (doc_id % 4) * 0.5 AS DOUBLE) AS rms,
+        | CAST(7 AS BIGINT) AS zcr
+        |FROM documents""".stripMargin,
 
     // flat decode level = 128 + 64 + (doc_id·19 mod 64) ∈ [192,255]:
     // every pixel is bright and the channel means equal the level

@@ -120,17 +120,18 @@ object Multimodal {
 
   /** REAL WAV (RIFF/WAVE) container parse: walks the chunk list
     * (public format: "RIFF" + size + "WAVE", then tagged chunks; the
-    * "fmt " chunk carries PCM format u16, channels u16, sample rate
-    * u32, bits-per-sample u16 — all little-endian; the "data" chunk
-    * carries the frames). Chunks are padded to even offsets per the
-    * spec. Returns (channels, sampleRate, bits, dataOffset, dataLen),
-    * or None for anything that isn't a well-formed PCM WAV — a corrupt
+    * "fmt " chunk carries the format code u16 — 1 = integer PCM, 3 =
+    * IEEE float — channels u16, sample rate u32, bits-per-sample u16,
+    * all little-endian; the "data" chunk carries the frames). Chunks
+    * are padded to even offsets per the spec. Returns (formatCode,
+    * channels, sampleRate, bits, dataOffset, dataLen), or None for
+    * anything that isn't a well-formed PCM/float WAV — a corrupt
     * payload row must never throw. */
-  def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+  def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
     if (b == null || b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    var channels, rate, bits = -1
+    var fmt, channels, rate, bits = -1
     var fmtSeen = false
     var i = 12
     while (i + 8 <= b.length) {
@@ -140,14 +141,15 @@ object Multimodal {
       // overflow an Int bounds check and let an out-of-range len through
       if (len < 0 || i.toLong + 8L + len > b.length) return None
       if (id == "fmt " && len >= 16) {
-        if (le16(b, i + 8) != 1) return None // PCM only
+        fmt = le16(b, i + 8)
+        if (fmt != 1 && fmt != 3) return None // integer PCM or IEEE float
         channels = le16(b, i + 10)
         rate = le32(b, i + 12)
         bits = le16(b, i + 22)
         fmtSeen = true
       } else if (id == "data") {
         if (!fmtSeen || channels <= 0 || rate <= 0 || bits <= 0) return None
-        return Some((channels, rate, bits, i + 8, len))
+        return Some((fmt, channels, rate, bits, i + 8, len))
       }
       i += 8 + len + (len & 1) // chunks pad to even boundaries
     }
@@ -155,12 +157,13 @@ object Multimodal {
   }
 
   /** Real audio decode in [[audioMetaType]] shape: header fields plus
-    * sample-level statistics over the 16-bit little-endian PCM frames
-    * (multi-channel payloads use channel 0). Non-WAV/non-16-bit
-    * payloads yield nulls for every field except byte_len. */
+    * sample-level statistics over the frames — 16-bit integer PCM
+    * (format 1) or 32-bit IEEE-float PCM (format 3), both little-
+    * endian; multi-channel payloads use channel 0. Other formats/
+    * depths yield nulls for every field except byte_len. */
   def decodeAudioMeta(b: Array[Byte]): Seq[Any] =
     parseWavHeader(b) match {
-      case Some((ch, rate, bits, off, len)) if bits == 16 && ch > 0 =>
+      case Some((1, ch, rate, 16, off, len)) if ch > 0 =>
         val frameBytes = 2 * ch
         val n = len / frameBytes
         var sumSq = 0L
@@ -180,7 +183,25 @@ object Multimodal {
         // java.lang.Double arriving at an IntegerType struct field makes
         // the Row encoder throw INVALID_EXTERNAL_TYPE at runtime.
         Seq[Any](Long.box(b.length.toLong), Int.box(ch), Int.box(rate),
-          Int.box(bits), Long.box(n.toLong),
+          Int.box(16), Long.box(n.toLong),
+          Long.box(n.toLong * 1000L / rate), Double.box(rms), Long.box(zcr))
+      case Some((3, ch, rate, 32, off, len)) if ch > 0 =>
+        val frameBytes = 4 * ch
+        val n = len / frameBytes
+        var sumSq = 0.0
+        var zcr = 0L
+        var prev = 0f
+        var i = 0
+        while (i < n) {
+          val s = java.lang.Float.intBitsToFloat(le32(b, off + i * frameBytes))
+          sumSq += s.toDouble * s
+          if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zcr += 1
+          prev = s
+          i += 1
+        }
+        val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+        Seq[Any](Long.box(b.length.toLong), Int.box(ch), Int.box(rate),
+          Int.box(32), Long.box(n.toLong),
           Long.box(n.toLong * 1000L / rate), Double.box(rms), Long.box(zcr))
       case _ =>
         Seq(if (b == null) null else b.length.toLong,
@@ -921,17 +942,19 @@ object Multimodal {
         if (bytes == null) null else Row.fromSeq(pixelStats(bytes))))
     }
 
-  /** REAL nearest-neighbor resize of a 24-bpp BMP, re-encoded as a
-    * minimal top-down 24-bpp BMP. Source pixel for destination (x,y) is
-    * (x·srcW/dstW, y·srcH/dstH) — integer floor, the standard
-    * nearest-neighbor map. Target dimensions whose pixel buffer would
-    * exceed the decode path's 64 MB sanity cap yield None (same
-    * defensive contract as [[decodeBmpPixels]] — the Int arithmetic in
-    * the row stride and header size would otherwise overflow). */
-  def resizeBmpNearest(b: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+  /** REAL nearest-neighbor resize of any decodable image (BMP/PNG/GIF/
+    * JPEG — [[decodePixelsRgb]]), re-encoded as a minimal top-down
+    * 24-bpp BMP (the one format writable exactly with no compressor).
+    * Source pixel for destination (x,y) is (x·srcW/dstW, y·srcH/dstH) —
+    * integer floor, the standard nearest-neighbor map. Target
+    * dimensions whose pixel buffer would exceed the decode path's
+    * 64 MB sanity cap yield None (same defensive contract as the
+    * decoders — the Int arithmetic in the row stride and header size
+    * would otherwise overflow). */
+  def resizeNearest(b: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
     require(dstW > 0 && dstH > 0, "target dims must be > 0")
     if (dstW.toLong * dstH.toLong * 3L > 64L * 1024 * 1024) return None
-    decodeBmpPixels(b).map { case (srcW, srcH, px) =>
+    decodePixelsRgb(b).map { case (srcW, srcH, px) =>
       val rowBytes = (dstW * 3 + 3) & ~3
       val out = java.nio.ByteBuffer.allocate(54 + rowBytes * dstH)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -948,7 +971,8 @@ object Multimodal {
           val sx = x * srcW / dstW
           val s = 3 * (sy * srcW + sx)
           out.position(54 + y * rowBytes + 3 * x)
-          out.put(px(s)).put(px(s + 1)).put(px(s + 2))
+          // BMP stores BGR; the unified decode is RGB
+          out.put(px(s + 2)).put(px(s + 1)).put(px(s))
           x += 1
         }
         y += 1
@@ -1124,14 +1148,14 @@ object Multimodal {
   }
 
   /** Resize a binary media column: REAL nearest-neighbor resample +
-    * re-encode for decodable 24-bpp BMPs ([[resizeBmpNearest]]), stub
-    * transform for everything else (compressed formats need codecs this
-    * container doesn't ship). */
+    * BMP re-encode for any decodable image (BMP/PNG/GIF/JPEG —
+    * [[resizeNearest]]), stub transform for payloads no decoder
+    * handles. */
   def resized(df: DataFrame, binCol: String, w: Int, h: Int,
               outCol: String = "resized", batchSize: Int = 64): DataFrame =
     mapBinary(df, binCol, batchSize, Seq(StructField(outCol, BinaryType))) { bytes =>
       Iterator.single(Seq(
         if (bytes == null) null
-        else resizeBmpNearest(bytes, w, h).getOrElse(resizeStub(bytes, w, h))))
+        else resizeNearest(bytes, w, h).getOrElse(resizeStub(bytes, w, h))))
     }
 }

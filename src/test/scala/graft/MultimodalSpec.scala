@@ -189,9 +189,9 @@ class MultimodalSpec extends GraftSpec {
     assert(Multimodal.pixelStats("nope".getBytes).forall(_ == null))
   }
 
-  test("resizeBmpNearest 4×4 → 2×2 keeps the nearest-neighbor source pixels") {
+  test("resizeNearest 4×4 → 2×2 keeps the nearest-neighbor source pixels") {
     val px = (0 until 16).map(i => (i * 10, i * 10 + 1, i * 10 + 2))
-    val resized = Multimodal.resizeBmpNearest(
+    val resized = Multimodal.resizeNearest(
       bmp24(4, 4, topDown = false, px), 2, 2).get
     val Some((w, h, out)) = Multimodal.decodeBmpPixels(resized)
     assert((w, h) == ((2, 2)))
@@ -199,8 +199,20 @@ class MultimodalSpec extends GraftSpec {
       ((t(2) & 0xFF), (t(1) & 0xFF), (t(0) & 0xFF))).toSeq
     // dst (x,y) ← src (x·4/2, y·4/2): pixels 0, 2, 8, 10
     assert(got == Seq(px(0), px(2), px(8), px(10)))
-    // non-BMP falls back to None (resized() then uses the stub)
-    assert(Multimodal.resizeBmpNearest("nope".getBytes, 2, 2).isEmpty)
+    // non-image falls back to None (resized() then uses the stub)
+    assert(Multimodal.resizeNearest("nope".getBytes, 2, 2).isEmpty)
+  }
+
+  test("resizeNearest also consumes PNG/GIF input via the unified decode") {
+    // 4×4 PNG checkerboard downsampled to 2×2 picks pixels 0, 2, 8, 10
+    val rows = (0 until 4).map(y => (0 until 12).map(x => (y * 40 + (x / 3) * 10)))
+    val png = pngEncode(4, 4, 2, rows, Seq(0, 0, 0, 0))
+    val resized = Multimodal.resizeNearest(png, 2, 2).get
+    val Some((w, h, out)) = Multimodal.decodeBmpPixels(resized)
+    assert((w, h) == ((2, 2)))
+    // source pixel (x,y) has all channels = y·40 + x·10
+    val exp = Seq(0, 20, 80, 100)
+    assert(out.grouped(3).map(_(0) & 0xFF).toSeq == exp)
   }
 
   test("lumaHistogram: all-white mass lands in the last bin, L2-normalized") {
@@ -213,13 +225,13 @@ class MultimodalSpec extends GraftSpec {
     assert(Multimodal.lumaHistogram("nope".getBytes).isEmpty)
   }
 
-  test("resizeBmpNearest: targets past the 64 MB pixel cap yield None, not overflow") {
+  test("resizeNearest: targets past the 64 MB pixel cap yield None, not overflow") {
     val good = bmp24(2, 2, topDown = false, Seq.fill(4)((1, 2, 3)))
     // 46341² ≈ Int.MaxValue/3: (dstW*3+3) and 54+rowBytes*dstH would both
     // wrap Int without the guard
-    assert(Multimodal.resizeBmpNearest(good, 46341, 46341).isEmpty)
-    assert(Multimodal.resizeBmpNearest(good, 1 << 16, 1 << 16).isEmpty)
-    intercept[IllegalArgumentException](Multimodal.resizeBmpNearest(good, 0, 4))
+    assert(Multimodal.resizeNearest(good, 46341, 46341).isEmpty)
+    assert(Multimodal.resizeNearest(good, 1 << 16, 1 << 16).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.resizeNearest(good, 0, 4))
   }
 
   // ── real PNG pixel decode ──
@@ -754,6 +766,35 @@ class MultimodalSpec extends GraftSpec {
     assert(out(1L).getAs[Long]("zcr") == 3L)
     assert(out(2L).get(1) == null) // non-WAV: null fields, no crash
     assert(out(3L).get(1) == null)
+  }
+
+  /** Minimal valid IEEE-float WAV: mono 32-bit float (format 3). */
+  private def wavF32Bytes(rate: Int, samples: Array[Float]): Array[Byte] = {
+    val dataLen = samples.length * 4
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(3).putShort(1)          // IEEE float, 1 channel
+    bb.putInt(rate).putInt(rate * 4)    // sample rate, byte rate
+    bb.putShort(4).putShort(32)         // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putFloat)
+    bb.array()
+  }
+
+  test("decodeAudioMeta: IEEE-float WAV (format 3) decodes sample statistics") {
+    // ±0.5 alternating: rms exactly 0.5, one sign change per step
+    val res = Multimodal.decodeAudioMeta(
+      wavF32Bytes(8000, Array(0.5f, -0.5f, 0.5f, -0.5f)))
+    assert(res(1) == 1 && res(2) == 8000 && res(3) == 32)
+    assert(res(4) == 4L && res(6) == 0.5 && res(7) == 3L)
+    assert(res(6).getClass == classOf[java.lang.Double])
+    // unsupported float depth (format 3 but 64-bit) → nulls, no throw
+    val b64 = wavF32Bytes(8000, Array(1f, -1f))
+    b64(34) = 64 // bits-per-sample field
+    assert(Multimodal.decodeAudioMeta(b64)(1) == null)
   }
 
   test("parseWavHeader rejects crafted chunk lengths without overflow") {
