@@ -2974,6 +2974,50 @@ object SparkEntry {
         s.range(1).select(lit("__sentinel__").as("viol_id")))
     },
 
+    // SimHash completeness as a TRUE-oracle gate: plant an exact copy
+    // of every sliced document at doc_id + 100000 and require
+    // simhashNearDups to report every (original, copy) pair at Hamming
+    // distance 0 — identical token streams hash identically, and the
+    // pigeonhole banding MUST surface an h=0 pair in every band. The
+    // id_b = id_a + 100000 restriction keeps organic near-dup pairs
+    // out (original ids are far below 100000 at every SF), so the
+    // expected relation is exactly the slice — SQL-expressible, a true
+    // DuckDB oracle over the simhash pipeline's plumbing.
+    "q_simhash_planted" -> { (s, dir) =>
+      val slice = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      val aug = slice.select(col("doc_id"), col("text"))
+        .unionByName(slice.select(
+          (col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Dedup.simhashNearDups(aug, "doc_id", "text", maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    },
+
+    // Fingerprint normalization-invariance as a TRUE-oracle gate: the
+    // content fingerprint (xxhash64 over whitespace-normalized,
+    // lower-cased text) must be IDENTICAL for an upper-cased copy with
+    // injected leading/trailing/doubled whitespace. The gate emits the
+    // (original, mutated) id pairs whose fingerprints match — the
+    // expected relation is every sliced document, SQL-expressible
+    // without knowing any hash value. (The upper-case mutation assumes
+    // lower∘upper = lower on the corpus — verified true at every SF;
+    // chars like ß would break the roundtrip, and a corpus that gains
+    // them should drop the upper() leg, keeping the whitespace legs.)
+    "q_fingerprint_invariant" -> { (s, dir) =>
+      val slice = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      val orig = slice.select(col("doc_id").as("id_a"),
+        TextFunctions.fingerprint(col("text")).as("fp_a"))
+      val mutated = slice.select((col("doc_id") + 100000L).as("id_b"),
+        TextFunctions.fingerprint(
+          concat(lit("  "), upper(regexp_replace(col("text"), " ", "   ")), lit("\t")))
+          .as("fp_b"))
+      orig.join(mutated, col("id_b") === col("id_a") + 100000L)
+        .filter(col("fp_a") === col("fp_b"))
+        .select(col("id_a"), col("id_b"))
+    },
+
     // REAL IEEE-float WAV decode (format 3), oracled end-to-end: each
     // row's samples alternate ±v with v one of four exactly-
     // representable magnitudes selected by doc_id (float bit patterns
@@ -3114,6 +3158,19 @@ object SparkEntry {
 
     "q_sketch_error" ->
       """SELECT '__sentinel__' AS viol_id""",
+
+    // every sliced doc must appear: identical token streams give
+    // identical simhash, Hamming 0
+    "q_simhash_planted" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL""".stripMargin,
+
+    // every sliced doc must appear: the fingerprint is invariant under
+    // case and whitespace mutations by construction
+    "q_fingerprint_invariant" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+        |FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL""".stripMargin,
 
     // fixed bit patterns: the float sample magnitude is one of four
     // exactly-representable values selected by doc_id, so rms is that
