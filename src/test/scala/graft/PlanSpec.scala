@@ -148,4 +148,29 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the target must not be shuffled for the merge:\n$p")
   }
+
+  test("exact embedding pairs: broadcast nested-loop (bounded audit slice), never a shuffled cartesian") {
+    val p = formatted("q_embedding_pairs_exact")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the O(n²) exact baseline must broadcast its build side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a shuffled cartesian would not survive any scale-up:\n$p")
+  }
+
+  test("pixel gates: one shuffle-free MapPartitions over the synthesized payloads") {
+    Seq("q_media_pixels_png", "q_media_pixels_gif", "q_media_pixels_jpeg")
+      .foreach { q =>
+        val p = formatted(q)
+        assert(p.contains("MapPartitions"), s"$q must decode in mapPartitions:\n$p")
+        assert(!p.contains("Exchange"),
+          s"$q is a pure per-row decode — no shuffle belongs in the plan:\n$p")
+      }
+  }
+
+  test("simhash planted gate: bucket joins broadcast or hash, no cartesian") {
+    val p = formatted("q_simhash_planted")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pair dedup must partial-aggregate map-side:\n$p")
+  }
 }
