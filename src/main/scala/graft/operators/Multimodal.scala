@@ -673,12 +673,15 @@ object Multimodal {
     * canonical Huffman tables built from DHT, entropy decode with
     * 0xFF00 unstuffing and RSTn restart handling, dequantization in
     * zig-zag order, direct separable double-precision IDCT, level
-    * shift + clamp, and JFIF YCbCr→RGB for color images. Supported:
-    * 8-bit baseline (SOF0), 1 component (grayscale → replicated RGB)
-    * or 3 components all with 1×1 sampling (4:4:4). Everything else —
-    * progressive, 12-bit, subsampled chroma, arithmetic coding,
-    * truncation, invalid codes — decodes defensively to None: a
-    * corrupt payload row must never throw. */
+    * shift + clamp, nearest-neighbor chroma upsampling, and JFIF
+    * YCbCr→RGB for color images. Supported: 8-bit baseline (SOF0),
+    * 1 component (grayscale → replicated RGB, decoded non-interleaved
+    * per the spec) or 3 components with sampling factors in {1, 2} —
+    * 4:4:4, 4:2:0 (the dominant real-world layout), and 4:2:2, decoded
+    * MCU-interleaved. Everything else — progressive, 12-bit,
+    * arithmetic coding, factors > 2, truncation, invalid codes —
+    * decodes defensively to None: a corrupt payload row must never
+    * throw. */
   def decodeJpegPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b == null || b.length < 4) return None
     if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
@@ -687,8 +690,10 @@ object Multimodal {
     val acTabs = new Array[JpegHuffTable](4)
     var w, h = 0
     var nComp = 0
-    // per component: id, quant-table id, DC table id, AC table id
+    // per component: id, sampling factors, quant/DC/AC table ids
     val compId = new Array[Int](3)
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
     val compQ = new Array[Int](3)
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
@@ -740,11 +745,18 @@ object Multimodal {
             var c = 0
             while (c < nComp) {
               compId(c) = b(i + 10 + 3 * c) & 0xFF
-              if ((b(i + 11 + 3 * c) & 0xFF) != 0x11) return None // 1×1 only
+              val samp = b(i + 11 + 3 * c) & 0xFF
+              compH(c) = samp >> 4
+              compV(c) = samp & 0x0F
+              if (compH(c) < 1 || compH(c) > 2 ||
+                compV(c) < 1 || compV(c) > 2) return None
               compQ(c) = b(i + 12 + 3 * c) & 0xFF
               if (compQ(c) > 3) return None
               c += 1
             }
+            // a single-component scan is non-interleaved: the MCU is one
+            // data unit regardless of declared factors (JPEG A.2.2)
+            if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
             sofSeen = true
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
@@ -773,86 +785,111 @@ object Multimodal {
               c += 1
             }
             val in = new JpegBitReader(b, segEnd)
-            val bw = (w + 7) / 8
-            val bh = (h + 7) / 8
-            val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+            var maxH = 1
+            var maxV = 1
+            c = 0
+            while (c < nComp) {
+              maxH = math.max(maxH, compH(c)); maxV = math.max(maxV, compV(c))
+              c += 1
+            }
+            val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+            val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+            // per-component sample plane, padded to whole MCUs
+            val planeW = Array.tabulate(nComp)(c => mcusX * 8 * compH(c))
+            val planes = Array.tabulate(nComp)(c =>
+              new Array[Int](planeW(c) * mcusY * 8 * compV(c)))
             val dcPred = new Array[Int](nComp)
             val coef = new Array[Int](64)
             val px = new Array[Int](64)
             var mcu = 0
-            var by = 0
-            while (by < bh) {
-              var bx = 0
-              while (bx < bw) {
+            var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
                 if (restartInterval > 0 && mcu > 0 &&
                   mcu % restartInterval == 0) {
                   if (!in.restart()) return None
                   java.util.Arrays.fill(dcPred, 0)
                 }
-                var c = 0
+                c = 0
                 while (c < nComp) {
-                  java.util.Arrays.fill(coef, 0)
-                  val q = quant(compQ(c))
-                  val t = dcTabs(compDc(c)).decode(in)
-                  if (t < 0 || t > 15) return None
-                  val diffBits = if (t == 0) 0 else in.receive(t)
-                  if (diffBits < 0) return None
-                  dcPred(c) += jpegExtend(diffBits, t)
-                  coef(0) = dcPred(c) * q(0)
-                  var k = 1
-                  var eob = false
-                  while (k < 64 && !eob) {
-                    val rs = acTabs(compAc(c)).decode(in)
-                    if (rs < 0) return None
-                    val r = rs >> 4
-                    val s = rs & 0x0F
-                    if (s == 0) {
-                      if (r == 15) k += 16 // ZRL
-                      else eob = true
-                    } else {
-                      k += r
-                      if (k > 63) return None
-                      val mag = in.receive(s)
-                      if (mag < 0) return None
-                      // DQT values arrive in zig-zag order, like the
-                      // coefficients: pair by zig-zag index k, scatter
-                      // the product to natural order
-                      coef(jpegZigzag(k)) = jpegExtend(mag, s) * q(k)
-                      k += 1
+                  // compH×compV data units per MCU, raster order (A.2.3)
+                  var v0 = 0
+                  while (v0 < compV(c)) {
+                    var h0 = 0
+                    while (h0 < compH(c)) {
+                      java.util.Arrays.fill(coef, 0)
+                      val q = quant(compQ(c))
+                      val t = dcTabs(compDc(c)).decode(in)
+                      if (t < 0 || t > 15) return None
+                      val diffBits = if (t == 0) 0 else in.receive(t)
+                      if (diffBits < 0) return None
+                      dcPred(c) += jpegExtend(diffBits, t)
+                      coef(0) = dcPred(c) * q(0)
+                      var k = 1
+                      var eob = false
+                      while (k < 64 && !eob) {
+                        val rs = acTabs(compAc(c)).decode(in)
+                        if (rs < 0) return None
+                        val r = rs >> 4
+                        val s = rs & 0x0F
+                        if (s == 0) {
+                          if (r == 15) k += 16 // ZRL
+                          else eob = true
+                        } else {
+                          k += r
+                          if (k > 63) return None
+                          val mag = in.receive(s)
+                          if (mag < 0) return None
+                          // DQT values arrive in zig-zag order, like the
+                          // coefficients: pair by zig-zag index k, scatter
+                          // the product to natural order
+                          coef(jpegZigzag(k)) = jpegExtend(mag, s) * q(k)
+                          k += 1
+                        }
+                      }
+                      jpegIdctBlock(coef, px)
+                      val plane = planes(c)
+                      val x0 = (mx * compH(c) + h0) * 8
+                      val y0 = (my * compV(c) + v0) * 8
+                      var yy = 0
+                      while (yy < 8) {
+                        var xx = 0
+                        while (xx < 8) {
+                          plane((y0 + yy) * planeW(c) + x0 + xx) = px(yy * 8 + xx)
+                          xx += 1
+                        }
+                        yy += 1
+                      }
+                      h0 += 1
                     }
-                  }
-                  jpegIdctBlock(coef, px)
-                  val plane = planes(c)
-                  var yy = 0
-                  while (yy < 8) {
-                    var xx = 0
-                    while (xx < 8) {
-                      plane((by * 8 + yy) * bw * 8 + bx * 8 + xx) = px(yy * 8 + xx)
-                      xx += 1
-                    }
-                    yy += 1
+                    v0 += 1
                   }
                   c += 1
                 }
                 mcu += 1
-                bx += 1
+                mx += 1
               }
-              by += 1
+              my += 1
             }
             val out = new Array[Byte](w * h * 3)
-            val stride = bw * 8
+            // component sample for pixel (x,y): nearest-neighbor map
+            // (x·hi/maxH, y·vi/maxV) — identity for full-resolution
+            // components, 2× upsample for subsampled chroma
+            def sampleAt(c: Int, x: Int, y: Int): Int =
+              planes(c)((y * compV(c) / maxV) * planeW(c) + x * compH(c) / maxH)
             var yy = 0
             while (yy < h) {
               var xx = 0
               while (xx < w) {
                 val o = 3 * (yy * w + xx)
                 if (nComp == 1) {
-                  val g = planes(0)(yy * stride + xx)
+                  val g = sampleAt(0, xx, yy)
                   out(o) = g.toByte; out(o + 1) = g.toByte; out(o + 2) = g.toByte
                 } else { // JFIF YCbCr → RGB
-                  val yv = planes(0)(yy * stride + xx).toDouble
-                  val cb = planes(1)(yy * stride + xx) - 128.0
-                  val cr = planes(2)(yy * stride + xx) - 128.0
+                  val yv = sampleAt(0, xx, yy).toDouble
+                  val cb = sampleAt(1, xx, yy) - 128.0
+                  val cr = sampleAt(2, xx, yy) - 128.0
                   def clamp(d: Double): Byte = {
                     val v = math.round(d).toInt
                     (if (v < 0) 0 else if (v > 255) 255 else v).toByte

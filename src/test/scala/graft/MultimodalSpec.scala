@@ -482,12 +482,18 @@ class MultimodalSpec extends GraftSpec {
   private def magBits(v: Int, n: Int): Int = if (v >= 0) v else v + (1 << n) - 1
 
   /** Encode blocks of QUANTIZED coefficients (zig-zag order, one 64-long
-    * array per block per component, MCU-interleaved) into a baseline
-    * JPEG. Grayscale (1 comp) or 4:4:4 color (3 comps). `q` is the
-    * quant table in zig-zag order. */
+    * array per data unit, MCU-interleaved) into a baseline JPEG.
+    * Grayscale (1 comp) or color (3 comps), with per-component sampling
+    * factors (default all 1×1 = 4:4:4); each MCU's blocks arrive in the
+    * spec's component-then-raster order. `q` is the quant table in
+    * zig-zag order. */
   private def jpegEncode(w: Int, h: Int, nComp: Int, q: Array[Int],
                          mcus: Seq[Seq[Array[Int]]],
-                         restartInterval: Int = 0): Array[Byte] = {
+                         restartInterval: Int = 0,
+                         sampling: Seq[(Int, Int)] = Nil): Array[Byte] = {
+    val samp = if (sampling.nonEmpty) sampling else Seq.fill(nComp)((1, 1))
+    val mcuCompOrder =
+      (0 until nComp).flatMap(c => Seq.fill(samp(c)._1 * samp(c)._2)(c))
     val dc = huffCodes(dcCounts, dcSyms)
     val ac = huffCodes(acCounts, acSyms)
     val bw = new JpegBitWriter
@@ -500,8 +506,7 @@ class MultimodalSpec extends GraftSpec {
         entropy.write(0xFF); entropy.write(0xD0 + ((mcuIdx / restartInterval - 1) % 8))
         java.util.Arrays.fill(dcPred, 0)
       }
-      for (c <- 0 until nComp) {
-        val blk = mcu(c)
+      for ((blk, c) <- mcu.zip(mcuCompOrder)) {
         val diff = blk(0) - dcPred(c); dcPred(c) = blk(0)
         val t = cat(diff)
         val (dcode, dlen) = dc(t)
@@ -531,7 +536,8 @@ class MultimodalSpec extends GraftSpec {
     out.write(seg(0xDB, Array(0x00) ++ q))
     if (restartInterval > 0)
       out.write(seg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF)))
-    val comps = (0 until nComp).flatMap(c => Seq(c + 1, 0x11, 0))
+    val comps = (0 until nComp).flatMap(c =>
+      Seq(c + 1, (samp(c)._1 << 4) | samp(c)._2, 0))
     out.write(seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nComp) ++ comps))
     out.write(seg(0xC4, Array(0x00) ++ dcCounts ++ dcSyms))
     out.write(seg(0xC4, Array(0x10) ++ acCounts ++ acSyms))
@@ -616,6 +622,39 @@ class MultimodalSpec extends GraftSpec {
     assert(rpx.grouped(3).forall(t => (t(0) & 0xFF) == 128 + 40))
   }
 
+  test("decodeJpegPixels: 4:2:0 subsampled color — quadrant luma, upsampled chroma") {
+    // one 16×16 MCU: 4 Y blocks (DC 10/20/30/40 → quadrant levels
+    // 138..168), 1 Cb (DC +4), 1 Cr (DC −4); q(0)=8 makes every level
+    // exact. Chroma covers the whole MCU via 2× nearest upsampling.
+    val q = Array.fill(64)(1); q(0) = 8
+    def dcBlock(v: Int) = { val a = new Array[Int](64); a(0) = v; a }
+    val bytes = jpegEncode(16, 16, 3, q,
+      Seq(Seq(dcBlock(10), dcBlock(20), dcBlock(30), dcBlock(40),
+        dcBlock(4), dcBlock(-4))),
+      sampling = Seq((2, 2), (1, 1), (1, 1)))
+    val Some((w, h, px)) = Multimodal.decodeJpegPixels(bytes)
+    assert((w, h) == ((16, 16)))
+    def expected(yLevel: Int): (Int, Int, Int) = {
+      val yv = 128 + yLevel; val cb = 4.0; val cr = -4.0
+      (math.round(yv + 1.402 * cr).toInt,
+        math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt,
+        math.round(yv + 1.772 * cb).toInt)
+    }
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val quadrant = (y / 8) * 2 + (x / 8) // raster order of the Y blocks
+      val (er, eg, eb) = expected(Seq(10, 20, 30, 40)(quadrant))
+      val o = 3 * (y * 16 + x)
+      assert((px(o) & 0xFF) == er && (px(o + 1) & 0xFF) == eg &&
+        (px(o + 2) & 0xFF) == eb, s"($x,$y)")
+    }
+    // 4:2:2 (2×1 luma): two Y blocks side by side, chroma row-stretched
+    val b422 = jpegEncode(16, 8, 3, q,
+      Seq(Seq(dcBlock(10), dcBlock(20), dcBlock(0), dcBlock(0))),
+      sampling = Seq((2, 1), (1, 1), (1, 1)))
+    val Some((_, _, p422)) = Multimodal.decodeJpegPixels(b422)
+    assert((p422(3 * 4) & 0xFF) == 138 && (p422(3 * 12) & 0xFF) == 148)
+  }
+
   test("decodeJpegPixels rejects non-baseline and corrupt forms") {
     val q = Array.fill(64)(1)
     def dcBlock(v: Int) = { val a = new Array[Int](64); a(0) = v; a }
@@ -628,7 +667,7 @@ class MultimodalSpec extends GraftSpec {
     progressive(sofAt + 1) = 0xC2.toByte
     assert(Multimodal.decodeJpegPixels(progressive).isEmpty)
     val subsampled = good.clone()
-    subsampled(sofAt + 11) = 0x22.toByte // 2×2 sampling: unsupported
+    subsampled(sofAt + 11) = 0x33.toByte // sampling factor 3: unsupported
     assert(Multimodal.decodeJpegPixels(subsampled).isEmpty)
     val deep = good.clone()
     deep(sofAt + 4) = 12.toByte // 12-bit precision
