@@ -12,6 +12,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // per-round CC propagation timing on stderr: bench forensics only —
+    // the library operator is silent unless this property is set
+    System.setProperty("graft.cc.timing", "1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")

@@ -18,6 +18,29 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Planted-copy offset guard (r7 ADVICE): the planted-copy gates
+    * assume every organic doc_id sits below the 100000 plant offset —
+    * a collision would put duplicate ids in the augmented frame and
+    * silently corrupt the oracle. A future SF bump must fail loudly
+    * instead. One max() scan per gate construction (cheap: answered
+    * from parquet column statistics). */
+  private def assertPlantOffset(docs: DataFrame): Unit = {
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 100000L,
+      s"planted-copy gates assume doc_id < 100000; corpus max is $maxId " +
+        "— raise the plant offset")
+  }
+
+  /** Corpus ∪ an exact copy of every mod-5 TOKEN-FUL document at
+    * doc_id + 100000 (token-free docs carry no shingles, so their
+    * copies could never surface in a shingle-based pipeline — the
+    * simhash gate builds its own slice without the token filter). */
+  private def plantCopies(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 5 === 0 && col("text").isNotNull &&
+        col("text").rlike("\\S"))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
   /** Flagship query (reference README.md:53-65 shape — stream joined
     * through two indices, filtered, derived column, top-k) on sf=0.001;
     * driver smoke-checks rows>0. */
@@ -580,14 +603,23 @@ object SparkEntry {
           col("l_returnflag").cast(StringType).as("l_returnflag"))
     },
 
-    // sketch aggregation: HLL++ approximate distinct (driver rows-only
-    // check; exactness asserted against countDistinct in tests/bench)
+    // sketch aggregation, SELF-AUDITING (r7 verdict item #5): the
+    // HLL++ estimate itself isn't SQL-expressible, so emit the oracled
+    // part — group + row count — plus sketch_ok = [estimate within 10%
+    // of the exact distinct] (5× the 2% rsd: a regression floor for
+    // the sketch plumbing, not a tightness claim). This folds the
+    // former q_sketch_error audit twin INTO the production query: one
+    // scan, one ledger entry, true oracle instead of rows-only.
     "q_agg_sketch" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("approx") - col("exact")).cast("double") /
+            col("exact").cast("double") <= 0.1).cast("long").as("sketch_ok"))
     },
 
     // distinct (exact dedup of a projection)
@@ -607,22 +639,57 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // MinHash+LSH near-dup pairs, PLANTED-copy true oracle (r7 verdict
+    // item #5 — was rows-only): plant an exact copy of every mod-5
+    // token-ful document at doc_id + 100000 and run the FULL production
+    // pipeline over corpus ∪ copies. Identical texts have identical
+    // shingle sets, hence identical 64-perm signatures: every
+    // (original, copy) pair collides in every band and estimates
+    // Jaccard at exactly 64/64 = 1.0 — so the planted slice of the
+    // output IS SQL-expressible even though MinHash estimates in
+    // general are not. The id_b = id_a + 100000 restriction keeps
+    // organic pairs out of the compare: organic ids sit below 100000
+    // (asserted — see assertPlantOffset), so only (original, its copy)
+    // pairs have that exact difference.
     "q_dedup_minhash" -> { (s, dir) =>
-      Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      Dedup.minHashNearDups(plantCopies(docs), "doc_id", "text",
         shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
     },
 
+    // LSH-candidates → exact-verify pipeline, same planted-copy true
+    // oracle: identical shingle ARRAYS make the verify stage's
+    // intersect/union ratio exactly n/n = 1.0 in IEEE, so the planted
+    // slice is hash-exact. (Soundness vs the exact relation on a
+    // bounded slice is separately gated by q_lsh_containment.)
     "q_dedup_ngram" -> { (s, dir) =>
-      Dedup.ngramJaccardNearDups(t(s, dir, "documents"), "doc_id", "text",
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      Dedup.ngramJaccardNearDups(plantCopies(docs), "doc_id", "text",
         shingleLen = 3, threshold = 0.8)
-        .orderBy(col("id_a"), col("id_b"))
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     },
 
+    // SimHash near-dup pairs, planted-copy true oracle (absorbs the
+    // former q_simhash_planted twin — the audit now runs INSIDE the
+    // production query, over the full corpus ∪ copies rather than the
+    // slice alone): identical token streams hash identically, and the
+    // pigeonhole banding MUST surface every (original, copy) pair at
+    // Hamming 0. Tokenless copies pair too (empty token stream hashes
+    // deterministically), so the slice keeps text IS NOT NULL only.
     "q_dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val aug = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Dedup.simhashNearDups(aug, "doc_id", "text", maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"), col("hamming"))
     },
 
     // threshold 0.35: the synthetic embeddings have no true near-dups
@@ -710,11 +777,29 @@ object SparkEntry {
           col("c.chunk_text").as("chunk_text"))
     },
 
+    // Document fingerprint + BPE-ish sub-token count, SELF-AUDITING
+    // (r7 verdict item #5 — was rows-only): the raw xxhash64 value
+    // isn't SQL-expressible, so emit its CONTRACT instead — fp_ok =
+    // [fingerprint is invariant under case + whitespace mutation],
+    // checked per-row over the FULL corpus (the former mod-5
+    // q_fingerprint_invariant twin, absorbed and widened). n_subtokens
+    // IS directly oracle-able: the deterministic letter-run/digit-run/
+    // punctuation regex count, recomputed by DuckDB (the [\s\x0B]
+    // widening keeps RE2's \s aligned with java's — same corpus-
+    // verified trick as q_jaccard_exact's tokenizer). The upper()
+    // mutation leg assumes lower∘upper = lower on the corpus —
+    // ASCII-verified at every SF; a corpus gaining ß-like chars should
+    // drop that leg, keeping the whitespace legs.
     "q_fingerprint" -> { (s, dir) =>
+      val mutated = concat(lit("  "),
+        upper(regexp_replace(col("text"), " ", "   ")), lit("\t"))
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextFunctions.fingerprint(col("text")).as("fp"),
-        TextFunctions.subTokenCount(col("text")).as("n_subtokens"))
+        TextFunctions.subTokenCount(col("text")).cast("long").as("n_subtokens"),
+        when(col("text").isNull, lit(null).cast("long"))
+          .otherwise((TextFunctions.fingerprint(col("text")) ===
+            TextFunctions.fingerprint(mutated)).cast("long"))
+          .as("fp_ok"))
     },
 
     // ── multimodal: binary column + batched decode (stub double here —
@@ -1464,11 +1549,47 @@ object SparkEntry {
         | least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
         | (CASE WHEN (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality
         |FROM feats""".stripMargin,
-    // q_fingerprint / q_dedup_minhash /
-    // q_dedup_ngram / q_dedup_simhash / q_dedup_embedding /
-    // q_ann_ivf: Spark-specific hashing/heuristics —
-    // no SQL-expressible oracle → driver rows-only check; semantics are
-    // asserted in the ScalaTest suites instead.
+    // q_dedup_embedding / q_ann_ivf / q_media_features / q_near_dedup:
+    // Spark-specific float math — no SQL-expressible oracle → driver
+    // rows-only check; each is audited by a true-oracle or invariant
+    // gate (q_embedding_containment + q_embedding_pairs_exact,
+    // q_ivf_recall, SimilaritySpec, q_near_dedup_inv) instead.
+
+    // planted-copy true oracles (see the query comments): every mod-5
+    // token-ful doc's exact copy must pair with its original at the
+    // value identical texts force — est/true Jaccard exactly 1.0,
+    // Hamming exactly 0
+    "q_dedup_minhash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        |  AND regexp_matches(text, '[^\s\x0B]')""".stripMargin,
+    "q_dedup_ngram" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        |  AND regexp_matches(text, '[^\s\x0B]')""".stripMargin,
+    // tokenless copies pair too (empty token streams hash identically),
+    // so no token-ful restriction here
+    "q_dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL""".stripMargin,
+
+    // the estimate itself is engine-specific; the oracled contract is
+    // the group, its row count, and the 10% error bound holding
+    "q_agg_sketch" ->
+      """SELECT l_returnflag, count(*) AS n, CAST(1 AS BIGINT) AS sketch_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // n_subtokens recomputed by DuckDB (RE2 \s widened with \x0B to
+    // match java's); fp_ok = 1 wherever text is present — the
+    // fingerprint's normalization invariance is its contract
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s\x0B]')) AS n_subtokens,
+        | CASE WHEN text IS NULL THEN NULL ELSE CAST(1 AS BIGINT) END AS fp_ok
+        |FROM documents""".stripMargin,
 
     // exact brute-force ANN is deterministic: both engines score in
     // double over the same float inputs, so ranks agree (ties are
@@ -1806,22 +1927,20 @@ object SparkEntry {
     *  2. VERIFY — gram STRINGS re-derived for candidate docs only;
     *     `arrays_overlap` keeps the pairs sharing an actual gram, so a
     *     hash collision cannot fabricate an edge.
-    * Token-free docs carry NO shingle hashes but DO share the single
-    * empty gram in string semantics — their (tiny) pair set goes
-    * straight to verify, mirroring decontaminate's tokenless path. */
+    * Token-free docs carry NO shingle hashes but DO all share the one
+    * empty gram in string semantics — they are mutual duplicates BY
+    * DEFINITION, so no pair enumeration happens for them at all: they
+    * get their component assigned directly in [[sharedGramComponents]]
+    * (the earlier tokenless×tokenless crossJoin here was O(m²) in the
+    * tokenless count — harmless on this corpus, a real pair-set blowup
+    * on a 100 TB corpus with millions of empty docs). */
   private def gramEdges(docs: DataFrame): DataFrame = {
     val hashes = docs.select(col("doc_id"),
       explode(Dedup.shingleHashes(col("text"), 8)).as("gh"))
     val ha = hashes.select(col("gh"), col("doc_id").as("src"))
     val hb = hashes.select(col("gh"), col("doc_id").as("dst"))
-    val tokenless = docs
-      .filter(col("text").isNotNull && !col("text").rlike("\\S"))
-      .select(col("doc_id"))
     val candidates = ha.join(hb, "gh").filter(col("src") < col("dst"))
       .select("src", "dst")
-      .union(tokenless.select(col("doc_id").as("src"))
-        .crossJoin(broadcast(tokenless.select(col("doc_id").as("dst"))))
-        .filter(col("src") < col("dst")))
       .dropDuplicates("src", "dst")
     val candDocs = candidates.select(col("src").as("doc_id"))
       .union(candidates.select(col("dst").as("doc_id"))).distinct()
@@ -1832,6 +1951,22 @@ object SparkEntry {
       .join(grams.select(col("doc_id").as("dst"), col("grams").as("g_dst")), "dst")
       .filter(arrays_overlap(col("g_src"), col("g_dst")))
       .select("src", "dst")
+  }
+
+  /** Components of the token-free documents, assigned DIRECTLY: every
+    * tokenless doc shares the single empty 8-gram with every other, so
+    * they form one cluster labelled min(doc_id) — the same label
+    * min-propagation over their (never-materialized) clique would
+    * produce. O(m) with a one-row broadcast, vs the O(m²) pair set a
+    * clique enumeration feeds into CC. A lone tokenless doc labels
+    * itself — identical downstream to not appearing at all (cluster
+    * of one ⇒ it is its own canonical survivor). */
+  private def tokenlessComponents(docs: DataFrame): DataFrame = {
+    val tokenless = docs
+      .filter(col("text").isNotNull && !col("text").rlike("\\S"))
+      .select(col("doc_id").as("id"))
+    tokenless.crossJoin(
+      broadcast(tokenless.agg(min(col("id")).as("component"))))
   }
 
   /** Per-sfDir memo of the shared-gram components relation: BOTH
@@ -1845,14 +1980,58 @@ object SparkEntry {
     * materialized table consumed by every downstream dedup step rather
     * than being recomputed per query. */
   private val ccMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Filename-safe scratch tag that is INJECTIVE in `dir` (URL-encoded
+    * dir string, '%' → '_'): two different sfDirs can never map to the
+    * same scratch file, unlike a 32-bit hashCode (collision ⇒ one
+    * dir's memo silently serving the other's data). Memos key on the
+    * dir STRING, so regenerating a table at the same path within one
+    * JVM does go stale — acceptable for a per-run scratch space, and
+    * impossible in the driver's one-shot runs. */
+  private def scratchTag(dir: String): String =
+    java.net.URLEncoder.encode(dir, "UTF-8").replace('%', '_')
+
   private def sharedGramComponents(s: SparkSession, dir: String): DataFrame = {
     val path = ccMemo.computeIfAbsent(dir, d => {
-      val out = Scratch.path(s"cc_${math.abs(d.hashCode)}")
-      Dedup.connectedComponents(gramEdges(t(s, d, "documents")), "src", "dst")
+      val out = Scratch.path(s"cc_${scratchTag(d)}")
+      val docs = t(s, d, "documents")
+      // token-ful docs: hash-prefiltered + string-verified edges → CC;
+      // token-free docs: direct one-cluster assignment (disjoint node
+      // sets — a tokenless doc has no nonempty gram to share)
+      Dedup.connectedComponents(gramEdges(docs), "src", "dst")
+        .unionByName(tokenlessComponents(docs))
         .write.mode("overwrite").parquet(out)
       out
     })
-    s.read.parquet(path)
+    Dedup.fromMaterialized(s, path)
+  }
+
+  /** Per-sfDir memo of the END-TO-END near-dedup pipeline (r7 verdict
+    * item #1): [[Dedup.nearDedupMaterialized]] runs MinHash→LSH→CC
+    * once, lands components AND survivors in Scratch parquet, and both
+    * q_near_dedup (reads survivors) and q_near_dedup_inv (checks
+    * invariants of survivors AGAINST the same components) consume the
+    * materialized relations — the audit now audits the actual
+    * production output instead of a same-parameter re-execution, and
+    * the suite pays for the pipeline once. Single-JVM analogue of the
+    * 100 TB shape, same as [[sharedGramComponents]]. */
+  private val ndMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def sharedNearDedup(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (compsPath, survPath) = ndMemo.computeIfAbsent(dir, d => {
+      val tag = scratchTag(d)
+      val cp = Scratch.path(s"nd_comps_$tag")
+      val sp = Scratch.path(s"nd_surv_$tag")
+      val (_, survivors) = Dedup.nearDedupMaterialized(
+        t(s, d, "documents"), "doc_id", "text", cp,
+        shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.7,
+        pick = Seq(col("n_chars").desc_nulls_last, col("doc_id").asc))
+      survivors.select(col("doc_id"), col("source"))
+        .write.mode("overwrite").parquet(sp)
+      (cp, sp)
+    })
+    (Dedup.fromMaterialized(s, compsPath), Dedup.fromMaterialized(s, survPath))
   }
 
   private val round3Queries: Map[String, Q] = Map(
@@ -2054,15 +2233,10 @@ object SparkEntry {
 
     // end-to-end near-dedup: MinHash pairs → components → canonical
     // survivors (MinHash estimates aren't SQL-expressible → rows-only
-    // check; each stage is separately oracled: q_dedup_minhash has its
-    // ScalaTest oracle, q_dup_clusters/q_cluster_resolve hash-match
-    // DuckDB)
-    "q_near_dedup" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.7,
-        pick = Seq(col("n_chars").desc_nulls_last, col("doc_id").asc))
-        .select(col("doc_id"), col("source"))
-    }
+    // check; the pipeline's CONTRACT is audited by q_near_dedup_inv
+    // against the SAME materialized components/survivors this query
+    // returns — see sharedNearDedup)
+    "q_near_dedup" -> { (s, dir) => sharedNearDedup(s, dir)._2 }
   )
 
   private val round3Oracles: Map[String, String] = Map(
@@ -2739,6 +2913,13 @@ object SparkEntry {
     // the slice keeps 6/67 real dup pairs at sf0.01/sf0.1, so the
     // containment is NOT vacuous). This gives the driver's oracle the
     // containment property that previously lived only in TextDedupSpec.
+    // Note on the exact-equality compare (=!=): the LSH side counts
+    // distinct 64-bit SHINGLE HASHES while the exact side counts
+    // distinct gram STRINGS — an (astronomically rare) xxhash64
+    // collision between two grams of one doc would shift an integer
+    // count and fire a spurious violation. If this gate ever trips,
+    // check hash-collision divergence between the two gram universes
+    // before assuming an engine bug.
     "q_lsh_containment" -> { (s, dir) =>
       val slice = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
       val lsh = Dedup.ngramJaccardNearDups(slice, "doc_id", "text",
@@ -2906,16 +3087,15 @@ object SparkEntry {
     // pipeline's CONTRACT is): (A) every duplicate cluster keeps
     // exactly one survivor, (B) every unclustered document passes
     // through untouched. Violations + sentinel; oracle = the sentinel.
-    // Same LSH/CC/pick parameters as q_near_dedup, recomputed here
-    // stage-by-stage so the invariant check sees the components.
+    // Checked against the SAME materialized (components, survivors)
+    // relations q_near_dedup returns (sharedNearDedup) — auditing the
+    // actual production output, and costing a parquet scan instead of
+    // the r7 full-pipeline re-execution (8.8 s → the suite's most
+    // expensive query, per the r7 verdict).
     "q_near_dedup_inv" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
-        shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.7)
-      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      val surv = Dedup.keepCanonical(docs, "doc_id", comps,
-        pick = Seq(col("n_chars").desc_nulls_last, col("doc_id").asc))
-        .select(col("doc_id"))
+      val (comps, survAll) = sharedNearDedup(s, dir)
+      val surv = survAll.select(col("doc_id"))
       val violA = comps
         .join(surv.withColumnRenamed("doc_id", "id")
           .withColumn("is_surv", lit(1L)), Seq("id"), "left")
@@ -2958,65 +3138,12 @@ object SparkEntry {
       violations.unionByName(s.range(1).select(lit(-1L).as("viol_id")))
     },
 
-    // HLL++ error bound as a gate: q_agg_sketch's approx distinct must
-    // land within 10% of the exact distinct per group (5× the 2% rsd —
-    // a regression floor for the sketch plumbing, not a tightness
-    // claim). Violations + sentinel.
-    "q_sketch_error" -> { (s, dir) =>
-      val violations = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
-          countDistinct(col("l_partkey")).as("exact"))
-        .filter(abs(col("approx") - col("exact")).cast("double") /
-          col("exact").cast("double") > 0.1)
-        .select(col("l_returnflag").as("viol_id"))
-      violations.unionByName(
-        s.range(1).select(lit("__sentinel__").as("viol_id")))
-    },
-
-    // SimHash completeness as a TRUE-oracle gate: plant an exact copy
-    // of every sliced document at doc_id + 100000 and require
-    // simhashNearDups to report every (original, copy) pair at Hamming
-    // distance 0 — identical token streams hash identically, and the
-    // pigeonhole banding MUST surface an h=0 pair in every band. The
-    // id_b = id_a + 100000 restriction keeps organic near-dup pairs
-    // out (original ids are far below 100000 at every SF), so the
-    // expected relation is exactly the slice — SQL-expressible, a true
-    // DuckDB oracle over the simhash pipeline's plumbing.
-    "q_simhash_planted" -> { (s, dir) =>
-      val slice = t(s, dir, "documents")
-        .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
-      val aug = slice.select(col("doc_id"), col("text"))
-        .unionByName(slice.select(
-          (col("doc_id") + 100000L).as("doc_id"), col("text")))
-      Dedup.simhashNearDups(aug, "doc_id", "text", maxHamming = 3)
-        .filter(col("id_b") === col("id_a") + 100000L)
-        .select(col("id_a"), col("id_b"), col("hamming"))
-    },
-
-    // Fingerprint normalization-invariance as a TRUE-oracle gate: the
-    // content fingerprint (xxhash64 over whitespace-normalized,
-    // lower-cased text) must be IDENTICAL for an upper-cased copy with
-    // injected leading/trailing/doubled whitespace. The gate emits the
-    // (original, mutated) id pairs whose fingerprints match — the
-    // expected relation is every sliced document, SQL-expressible
-    // without knowing any hash value. (The upper-case mutation assumes
-    // lower∘upper = lower on the corpus — verified true at every SF;
-    // chars like ß would break the roundtrip, and a corpus that gains
-    // them should drop the upper() leg, keeping the whitespace legs.)
-    "q_fingerprint_invariant" -> { (s, dir) =>
-      val slice = t(s, dir, "documents")
-        .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
-      val orig = slice.select(col("doc_id").as("id_a"),
-        TextFunctions.fingerprint(col("text")).as("fp_a"))
-      val mutated = slice.select((col("doc_id") + 100000L).as("id_b"),
-        TextFunctions.fingerprint(
-          concat(lit("  "), upper(regexp_replace(col("text"), " ", "   ")), lit("\t")))
-          .as("fp_b"))
-      orig.join(mutated, col("id_b") === col("id_a") + 100000L)
-        .filter(col("fp_a") === col("fp_b"))
-        .select(col("id_a"), col("id_b"))
-    },
+    // (The former q_sketch_error / q_simhash_planted /
+    // q_fingerprint_invariant audit twins were folded INTO their
+    // production queries — q_agg_sketch, q_dedup_simhash,
+    // q_fingerprint — per the r7 verdict: the no-oracle ledger shrinks
+    // by making the rows-only queries self-auditing instead of growing
+    // parallel entries that re-run the same pipelines.)
 
     // REAL IEEE-float WAV decode (format 3), oracled end-to-end: each
     // row's samples alternate ±v with v one of four exactly-
@@ -3156,22 +3283,6 @@ object SparkEntry {
     "q_ivf_recall" ->
       """SELECT CAST(-1 AS BIGINT) AS viol_id""",
 
-    "q_sketch_error" ->
-      """SELECT '__sentinel__' AS viol_id""",
-
-    // every sliced doc must appear: identical token streams give
-    // identical simhash, Hamming 0
-    "q_simhash_planted" ->
-      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
-        |  CAST(0 AS BIGINT) AS hamming
-        |FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL""".stripMargin,
-
-    // every sliced doc must appear: the fingerprint is invariant under
-    // case and whitespace mutations by construction
-    "q_fingerprint_invariant" ->
-      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b
-        |FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL""".stripMargin,
-
     // fixed bit patterns: the float sample magnitude is one of four
     // exactly-representable values selected by doc_id, so rms is that
     // value exactly (sqrt of the exact mean of equal squares)
@@ -3197,13 +3308,93 @@ object SparkEntry {
         |FROM documents""".stripMargin
   )
 
+  // ────────────────────────────────────────────────────────────────
+  // Round-8 queries: animated-GIF frame extraction, oracled end-to-end
+  // ────────────────────────────────────────────────────────────────
+
+  private val round8Queries: Map[String, Q] = Map(
+    // REAL animated-GIF frame sampling, oracled end-to-end: synthesize
+    // a valid 3-frame 4×4 GIF89a per row with hex/unhex column algebra
+    // (the same literal-only 9-bit LZW encoding as q_media_pixels_gif,
+    // one stream per frame keyed on (doc_id, frame)), each frame
+    // preceded by a graphic-control extension carrying delay
+    // 10 + frame centiseconds. frameSampled(stride = 2) must walk ALL
+    // image descriptors, keep frames 0 and 2 with their delays, and
+    // re-encode them as BMPs that withPixelStats can decode — so the
+    // oracle recomputes each kept frame's channel means and bright
+    // count straight from the index formula. A wrong descriptor walk,
+    // GCE parse, frame order, or BMP re-encode diverges every row.
+    "q_frame_sample_gif" -> { (s, dir) =>
+      def frameHex(f: Int): org.apache.spark.sql.Column = {
+        def pix(k: Int) = pmod(col("doc_id") * 13 + lit(f * 101 + k * 23), lit(256))
+        def code(i: Int): org.apache.spark.sql.Column =
+          if (i == 0) lit(256L) // clear
+          else if (i == 17) lit(257L) // end
+          else if (i >= 18) lit(0L) // past the stream: zero padding
+          else pix(i - 1)
+        val lzwBytes = concat((0 until 21).map { j =>
+          val i = (8 * j) / 9
+          val o = 8 * j - 9 * i
+          leHex(shiftright(code(i), o)
+            .bitwiseOR(shiftleft(code(i + 1), 9 - o)), 1)
+        }: _*)
+        concat(
+          // GCE: size 4, packed 0, delay 10+f cs, no transparency
+          lit("21F904"), lit("00"), leHex(lit((10 + f).toLong), 2), lit("0000"),
+          lit("2C"), lit("00000000"), lit("04000400"), lit("00"), // frame 4×4
+          lit("08"), // LZW min code size
+          lit("15"), lzwBytes, lit("00")) // one 21-byte sub-block + term
+      }
+      val palette = (0 until 256).map(c => f"$c%02X" * 3).mkString
+      val gif = unhex(concat(
+        lit("474946383961"), // "GIF89a"
+        lit("04000400"), lit("87"), lit("0000"), // LSD: 4×4, 256-entry GCT
+        lit(palette), // grayscale global color table
+        frameHex(0), frameHex(1), frameHex(2),
+        lit("3B"))) // trailer
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), gif.as("payload"))
+      val frames = Multimodal.frameSampled(withBin, "payload", stride = 2)
+      Multimodal.withPixelStats(frames, "frame")
+        .select(col("doc_id"), col("frame_no"), col("delay_cs"),
+          col("pix.width").as("w"), col("pix.height").as("h"),
+          col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
+          col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
+    }
+  )
+
+  private val round8Oracles: Map[String, String] = Map(
+    // grayscale palette maps index v → (v,v,v); kept frames 0 and 2,
+    // delay = 10 + frame
+    "q_frame_sample_gif" ->
+      """WITH f AS (SELECT unnest([0, 2]) AS frame_no),
+        |px AS (
+        | SELECT d.doc_id, f.frame_no,
+        |        (d.doc_id * 13 + f.frame_no * 101 + t.k * 23) % 256 AS v
+        | FROM documents d, f, range(0, 16) t(k)),
+        |agg AS (
+        | SELECT doc_id, frame_no, sum(v) AS sv,
+        |        sum(CASE WHEN v >= 128 THEN 1 ELSE 0 END) AS nb
+        | FROM px GROUP BY 1, 2)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(10 + frame_no AS BIGINT) AS delay_cs,
+        |  CAST(4 AS INTEGER) AS w, CAST(4 AS INTEGER) AS h,
+        |  CAST(sv AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_r,
+        |  CAST(sv AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_g,
+        |  CAST(sv AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_b,
+        |  CAST(nb AS BIGINT) AS n_bright
+        |FROM agg""".stripMargin
+  )
+
   def queries: Map[String, Q] =
     referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries ++
-      round4Queries ++ round5Queries ++ round6Queries ++ round7Queries
+      round4Queries ++ round5Queries ++ round6Queries ++ round7Queries ++
+      round8Queries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] =
     referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles ++
-      round4Oracles ++ round5Oracles ++ round6Oracles ++ round7Oracles
+      round4Oracles ++ round5Oracles ++ round6Oracles ++ round7Oracles ++
+      round8Oracles
 }

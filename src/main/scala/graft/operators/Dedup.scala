@@ -295,6 +295,11 @@ object Dedup {
     * @return (`idCol`, component) — component is the min node id of the
     *         connected component
     */
+  /** Per-round timing forensics for [[connectedComponents]]: read per
+    * invocation (not cached) so a harness can flip it at runtime. */
+  private def ccTiming: Boolean =
+    sys.props.get("graft.cc.timing").contains("1")
+
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
@@ -336,9 +341,12 @@ object Dedup {
       // per-round wall time + convergence progress: iterative queries
       // are the most exposed to host-interference windows, so bench
       // forensics need to see WHERE the time went (round count vs
-      // per-round cost) without re-running under a profiler
-      System.err.println(f"[cc] round $iter: changed=$changed " +
-        f"wall=${(System.nanoTime() - roundT0) / 1e9}%.2f s")
+      // per-round cost) without re-running under a profiler. Opt-in
+      // (-Dgraft.cc.timing=1, set by Bench) — library callers get a
+      // silent operator by default.
+      if (ccTiming)
+        System.err.println(f"[cc] round $iter: changed=$changed " +
+          f"wall=${(System.nanoTime() - roundT0) / 1e9}%.2f s")
     }
     sym.unpersist()
     // silently-split components are worse than an error: downstream
@@ -352,6 +360,61 @@ object Dedup {
           "with diameter > maxIter; raise maxIter or switch to " +
           "large-star/small-star propagation for chain-like graphs")
     labels.select(col("__id").as("id"), col("__comp").as("component"))
+  }
+
+  /** Compute [[connectedComponents]] over `edges` and MATERIALIZE the
+    * result to `path` (parquet), returning a frame that READS the
+    * materialized table. This is the production 100 TB shape: the
+    * components relation is consumed by every downstream dedup step
+    * (canonical pick, cluster stats, audit gates), so it lands in a
+    * table once and each consumer pays a scan, never a recompute of
+    * the iterative propagation. The write doubles as lineage
+    * truncation — downstream plans start from a parquet leaf, not the
+    * propagation loop's checkpoint chain.
+    *
+    * Overwrites `path`. Read it back later (other session, other
+    * query) with [[fromMaterialized]]. */
+  def materializeComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      path: String, maxIter: Int = 25): DataFrame = {
+    connectedComponents(edges, srcCol, dstCol, maxIter)
+      .write.mode("overwrite").parquet(path)
+    fromMaterialized(edges.sparkSession, path)
+  }
+
+  /** Read a components relation previously written by
+    * [[materializeComponents]]: (id, component). */
+  def fromMaterialized(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Full near-dedup pipeline with a MATERIALIZED components relation:
+    * MinHash+LSH candidate pairs → [[materializeComponents]] at
+    * `compsPath` → canonical survivors, returning (components,
+    * survivors) — both lazily readable any number of times without
+    * re-running the pipeline (the components read straight from the
+    * parquet; the survivors recompute only the cheap broadcast-window
+    * pick over it). Use this instead of [[nearDedup]] when downstream
+    * steps (cluster statistics, invariant audits, incremental reruns)
+    * need the SAME clusters the survivor pick used — recomputing the
+    * LSH+propagation per consumer is the duplicate-work pattern this
+    * exists to kill.
+    *
+    * The signature cache is scoped exactly as in [[nearDedup]]: freed
+    * once the components write has consumed it. */
+  def nearDedupMaterialized(
+      df: DataFrame, idCol: String, textCol: String,
+      compsPath: String,
+      shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, pick: Seq[Column] = Nil): (DataFrame, DataFrame) = {
+    val (pairs, sigCache) = minHashNearDupsCached(df, idCol, textCol,
+      shingleLen, numPerm, bands, threshold, maxBucketSize = 1000)
+    // materializeComponents writes eagerly, so the signature cache is
+    // dead the moment it returns — free it here (scoped)
+    val comps = materializeComponents(pairs, "id_a", "id_b", compsPath)
+    sigCache.unpersist(blocking = false)
+    val ordering = if (pick.nonEmpty) pick else Seq(col(idCol).asc)
+    (comps, keepCanonical(df, idCol, comps, ordering))
   }
 
   /** Keep one canonical document per duplicate cluster: attach

@@ -532,6 +532,112 @@ object Multimodal {
     None
   }
 
+  /** ALL frames of a (possibly animated) GIF, pure JVM: walks every
+    * image descriptor in stream order over the same [[lzwDecode]] core
+    * as [[decodeGifPixels]], capturing each frame's preceding
+    * graphic-control-extension delay. Frames decode INDEPENDENTLY at
+    * their own (w, h) against their local-else-global color table —
+    * no disposal-method compositing onto the logical screen (the
+    * pipeline use is per-frame sampling/features, not playback).
+    *
+    * @return one (frame_no, delay_cs, width, height, RGB top-down) per
+    *         frame, in stream order; None for non-GIF payloads, zero
+    *         decoded frames, or ANY corruption (same defensive
+    *         contract as the single-frame decoder). A cumulative
+    *         64 MB pixel cap bounds frame-count × dimension blowup.
+    */
+  def decodeGifFrames(
+      b: Array[Byte]): Option[Seq[(Int, Int, Int, Int, Array[Byte])]] = {
+    if (b == null || b.length < 15) return None
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    var i = 6
+    if (i + 7 > b.length) return None
+    val packed = b(i + 4) & 0xFF
+    i += 7
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (i + 3 * n > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+      i += 3 * n
+    }
+    val frames = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int, Array[Byte])]
+    var pendingDelay = 0
+    var totalPixelBytes = 0L
+    while (i < b.length) {
+      (b(i) & 0xFF) match {
+        case 0x21 => // extension: label byte then 0-terminated sub-blocks
+          val label = if (i + 1 < b.length) b(i + 1) & 0xFF else -1
+          i += 2
+          var first = true
+          var done = false
+          while (!done) {
+            if (i >= b.length) return None
+            val len = b(i) & 0xFF; i += 1
+            if (len == 0) done = true
+            else {
+              if (i + len > b.length) return None
+              // graphic control: packed, delay lo, delay hi, transp idx
+              if (first && label == 0xF9 && len >= 3)
+                pendingDelay = le16(b, i + 1)
+              i += len
+            }
+            first = false
+          }
+        case 0x2C => // image descriptor
+          if (i + 10 > b.length) return None
+          val w = le16(b, i + 5); val h = le16(b, i + 7)
+          val ipacked = b(i + 9) & 0xFF
+          i += 10
+          if ((ipacked & 0x40) != 0) return None // interlace unsupported
+          var table = gct
+          if ((ipacked & 0x80) != 0) { // local color table wins
+            val n = 2 << (ipacked & 7)
+            if (i + 3 * n > b.length) return None
+            table = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+            i += 3 * n
+          }
+          if (table == null || w <= 0 || h <= 0) return None
+          totalPixelBytes += w.toLong * h.toLong * 3L
+          if (totalPixelBytes > 64L * 1024 * 1024) return None
+          if (i >= b.length) return None
+          val minCode = b(i) & 0xFF; i += 1
+          val data = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (i >= b.length) return None
+            val len = b(i) & 0xFF; i += 1
+            if (len == 0) done = true
+            else { if (i + len > b.length) return None; data.write(b, i, len); i += len }
+          }
+          val indices = lzwDecode(data.toByteArray, minCode, w * h) match {
+            case Some(ix) => ix
+            case None => return None
+          }
+          val nColors = table.length / 3
+          val out = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < w * h) {
+            val idx = indices(j) & 0xFF
+            if (idx >= nColors) return None
+            out(3 * j) = table(3 * idx)
+            out(3 * j + 1) = table(3 * idx + 1)
+            out(3 * j + 2) = table(3 * idx + 2)
+            j += 1
+          }
+          frames += ((frames.length, pendingDelay, w, h, out))
+          pendingDelay = 0
+        case 0x3B => // trailer: end of stream
+          return if (frames.nonEmpty) Some(frames.toSeq) else None
+        case _ => return None
+      }
+    }
+    // input exhausted without a trailer: corrupt
+    None
+  }
+
   /** Canonical Huffman table from a DHT segment's (counts-per-length,
     * symbols) — decoded bit-by-bit via the standard (code, length) →
     * symbol map. JPEG Huffman codes are ≤ 16 bits. */
@@ -992,14 +1098,7 @@ object Multimodal {
     require(dstW > 0 && dstH > 0, "target dims must be > 0")
     if (dstW.toLong * dstH.toLong * 3L > 64L * 1024 * 1024) return None
     decodePixelsRgb(b).map { case (srcW, srcH, px) =>
-      val rowBytes = (dstW * 3 + 3) & ~3
-      val out = java.nio.ByteBuffer.allocate(54 + rowBytes * dstH)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      out.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * dstH)
-        .putInt(0).putInt(54)
-      out.putInt(40).putInt(dstW).putInt(-dstH) // negative = top-down
-        .putShort(1).putShort(24).putInt(0).putInt(rowBytes * dstH)
-        .putInt(0).putInt(0).putInt(0).putInt(0)
+      val res = new Array[Byte](dstW * dstH * 3)
       var y = 0
       while (y < dstH) {
         val sy = y * srcH / dstH
@@ -1007,15 +1106,43 @@ object Multimodal {
         while (x < dstW) {
           val sx = x * srcW / dstW
           val s = 3 * (sy * srcW + sx)
-          out.position(54 + y * rowBytes + 3 * x)
-          // BMP stores BGR; the unified decode is RGB
-          out.put(px(s + 2)).put(px(s + 1)).put(px(s))
+          val d = 3 * (y * dstW + x)
+          res(d) = px(s); res(d + 1) = px(s + 1); res(d + 2) = px(s + 2)
           x += 1
         }
         y += 1
       }
-      out.array()
+      encodeBmpTopDown(dstW, dstH, res)
     }
+  }
+
+  /** Minimal top-down 24-bpp BMP encode of an RGB buffer — the one
+    * format writable exactly with no compressor. Shared by
+    * [[resizeNearest]] and the GIF frame-sampling path, so sampled
+    * frames are directly consumable by every pixel-level operator
+    * ([[withPixelStats]], [[withFeatures]], [[resized]]). */
+  private def encodeBmpTopDown(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val out = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+      .putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(-h) // negative height = top-down
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = 3 * (y * w + x)
+        out.position(54 + y * rowBytes + 3 * x)
+        // BMP stores BGR; the unified decode is RGB
+        out.put(rgb(s + 2)).put(rgb(s + 1)).put(rgb(s))
+        x += 1
+      }
+      y += 1
+    }
+    out.array()
   }
 
   /** REAL luminance histogram feature for any decodable payload (BMP
@@ -1163,11 +1290,20 @@ object Multimodal {
     }
   }
 
-  /** Explode a (video) binary column into sampled frame rows: one
-    * output row per kept frame, keeping every `stride`-th frame.
-    * `frame_no` is the frame's index in the ORIGINAL frame sequence
-    * (0, stride, 2·stride, …), so downstream ops can reason about
-    * timestamps; `frame` holds the frame payload.
+  /** Explode a (video/animation) binary column into sampled frame
+    * rows: one output row per kept frame, keeping every `stride`-th
+    * frame. `frame_no` is the frame's index in the ORIGINAL frame
+    * sequence (0, stride, 2·stride, …), so downstream ops can reason
+    * about timestamps; `frame` holds the frame payload; `delay_cs`
+    * the frame's display delay in centiseconds where the container
+    * carries one (null otherwise).
+    *
+    * GIF payloads get a REAL decode ([[decodeGifFrames]]): every
+    * image descriptor becomes a frame, re-encoded as a top-down
+    * 24-bpp BMP so downstream pixel operators consume it directly;
+    * corrupt GIFs defensively yield zero frames. Container formats
+    * that need codecs this environment doesn't ship (video) fall back
+    * to the deterministic [[frameSampleStub]] with a null delay.
     *
     * Row-explosion happens inside mapPartitions (no shuffle); output
     * cardinality is rows × frames/stride — partition sizing guidance
@@ -1176,10 +1312,21 @@ object Multimodal {
                    batchSize: Int = 64): DataFrame = {
     require(stride > 0, "stride must be > 0")
     mapBinary(df, binCol, batchSize,
-      Seq(StructField("frame_no", LongType), StructField("frame", BinaryType))) { bytes =>
+      Seq(StructField("frame_no", LongType), StructField("delay_cs", LongType),
+        StructField("frame", BinaryType))) { bytes =>
       if (bytes == null) Iterator.empty
+      else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+        decodeGifFrames(bytes) match {
+          case Some(frames) => frames.iterator.collect {
+            case (no, delay, w, h, rgb) if no % stride == 0 =>
+              Seq(no.toLong, delay.toLong, encodeBmpTopDown(w, h, rgb))
+          }
+          case None => Iterator.empty // corrupt GIF: no fake frames
+        }
       else frameSampleStub(bytes, stride).iterator.zipWithIndex.map {
-        case (frame, ord) => Seq(ord.toLong * stride, frame)
+        case (frame, ord) => Seq(ord.toLong * stride, null, frame)
       }
     }
   }

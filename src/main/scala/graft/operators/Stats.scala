@@ -103,47 +103,52 @@ object Stats {
     * casts to a lexicographic-safe form first if numeric ordering
     * matters).
     *
-    * Shape: one two-phase aggregate per column, unioned. Phase 1 is a
-    * map-side-combined groupBy on the column's (string-rendered) value —
-    * the shuffle carries one (value, count) row per distinct value per
-    * partition; phase 2 folds those into the single profile row. Every
-    * per-column scan is column-pruned to that one column, so the total
-    * bytes read equal one scan of all profiled columns. This replaces
-    * the earlier single stacked `countDistinct` aggregate, whose Expand
-    * doubled the ncols × nrows stack through the shuffle (the 3rd most
-    * expensive plan in the r5 suite); the per-value pre-aggregation is
-    * also the form that survives 100 TB — no row ever crosses the wire
-    * twice, and a hot value collapses map-side.
+    * Shape: columns are profiled in BATCHES of `colsPerScan` (default
+    * 8). Within a batch, the columns stack into (col_name, value) rows
+    * via one bounded explode — a ≤ colsPerScan Expand factor per scan —
+    * then phase 1 is a map-side-combined groupBy on (col_name, value)
+    * (the shuffle carries one row per distinct value per partition) and
+    * phase 2 folds those into one profile row per column. Wide profiles
+    * therefore issue ceil(ncols / colsPerScan) scans instead of one per
+    * column (the r7-flagged linear job-launch overhead), while the
+    * bounded batch keeps the stack far from the all-columns Expand that
+    * doubled the ncols × nrows shuffle (the 3rd most expensive plan in
+    * the r5 suite — do NOT revert to that). The per-value
+    * pre-aggregation is the form that survives 100 TB: no row crosses
+    * the wire twice, and a hot value collapses map-side.
     *
-    * Two deliberate consequences of the per-column form:
-    *  - EMPTY input yields one row per profiled column (n_rows = 0,
-    *    null min/max) — the global aggregate always emits its row —
-    *    where the earlier stacked form returned zero rows; a profile
-    *    that names every requested column even on empty input is the
-    *    more useful contract and is pinned by ProfileLayoutSpec.
-    *  - each column is its own scan/job, so profiling hundreds of
-    *    columns pays linear job-launch overhead even though total bytes
-    *    read stay one-full-scan-equivalent; if very wide profiles become
-    *    a real workload, batch a handful of columns per scan (stacked
-    *    via Expand within the batch) to trade a bounded Expand factor
-    *    for fewer jobs. Do NOT revert to the single all-columns Expand —
-    *    that shape doubled the ncols × nrows stack through the shuffle.
+    * EMPTY input still yields one row per profiled column (n_rows = 0,
+    * null min/max — the batch's name list is left-joined against the
+    * aggregate, so a column missing from the data still reports) — the
+    * more useful contract, pinned by ProfileLayoutSpec.
     *
     * @return (col_name, n_rows, n_nulls, n_distinct, min_v, max_v)
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+              colsPerScan: Int = 8): DataFrame = {
     require(cols.nonEmpty, "cols must not be empty")
-    cols.map { c =>
-      df.select(col(c).cast("string").as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    require(colsPerScan > 0, "colsPerScan must be > 0")
+    import df.sparkSession.implicits._
+    cols.grouped(colsPerScan).map { batch =>
+      val stacked = df.select(explode(array(batch.map { c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))
+      }: _*)).as("s"))
+        .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+      val agg = stacked
+        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("col_name"))
         .agg(
-          coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          sum(col("cnt")).as("n_rows"),
           coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
           count(col("v")).as("n_distinct"),
           min(col("v")).as("min_v"),
           max(col("v")).as("max_v"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_v"), col("max_v"))
+      batch.toDF("col_name").join(broadcast(agg), Seq("col_name"), "left")
+        .select(col("col_name"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          col("min_v"), col("max_v"))
     }.reduce(_.unionAll(_))
   }
 

@@ -51,6 +51,59 @@ class ClusterStatsSpec extends GraftSpec {
     assert(kept == Set(2L, 7L))
   }
 
+  test("materializeComponents round-trips through parquet via fromMaterialized") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val path = graft.Scratch.path("test_mat_comps")
+    val comps = Dedup.materializeComponents(edges, "src", "dst", path)
+    val m = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val again = Dedup.fromMaterialized(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == m, "a later reader sees the same materialized clusters")
+  }
+
+  test("nearDedupMaterialized matches nearDedup and exposes the components") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta " * 4 + "tail"),
+      (3L, "totally different words live in this document here")
+    ).toDF("doc_id", "text")
+    val path = graft.Scratch.path("test_nd_mat")
+    val (comps, surv) =
+      Dedup.nearDedupMaterialized(docs, "doc_id", "text", path, threshold = 0.5)
+    val kept = surv.select("doc_id").as[Long].collect().toSet
+    val expected = Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expected)
+    // cluster {1,2} is visible to downstream consumers, from parquet
+    assert(comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("tokenless documents cluster to min(doc_id) with no pair enumeration") {
+    // ≥3 tokenless docs: whitespace-only texts share the single empty
+    // 8-gram, so they are one cluster labelled min id (2); the null-text
+    // doc and the token-ful singleton stay their own clusters
+    val dir = java.nio.file.Files.createTempDirectory("graft_tokenless_").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", 49L, "a"),
+      (2L, "   ", 3L, "b"),
+      (5L, "\t\t", 2L, "c"),
+      (9L, " ", 1L, "d"),
+      (11L, null.asInstanceOf[String], 0L, "e")
+    ).toDF("doc_id", "text", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clusters = SparkEntry.queries("q_dup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(2L) == 2L && clusters(5L) == 2L && clusters(9L) == 2L,
+      s"tokenless docs must share cluster 2, got $clusters")
+    assert(clusters(1L) == 1L && clusters(11L) == 11L)
+    // resolution keeps exactly one tokenless survivor (longest = doc 2)
+    val kept = SparkEntry.queries("q_cluster_resolve")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 11L), s"got $kept")
+  }
+
   // ── corpus statistics ──
 
   private lazy val corpus = Seq(

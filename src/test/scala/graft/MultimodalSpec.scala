@@ -365,6 +365,84 @@ class MultimodalSpec extends GraftSpec {
     bb.toByteArray
   }
 
+  /** Multi-frame GIF89a fixture: grayscale 256-entry GCT, each 4×4
+    * frame preceded by a graphic-control extension with delay
+    * 10 + frameNo centiseconds, literal-only 9-bit LZW per frame. */
+  private def gifAnimatedBytes(frames: Seq[Seq[Int]]): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write("GIF89a".getBytes("US-ASCII"))
+    bb.write(Array[Byte](4, 0, 4, 0, 0x87.toByte, 0, 0))
+    for (c <- 0 until 256) { bb.write(c); bb.write(c); bb.write(c) }
+    frames.zipWithIndex.foreach { case (pix, f) =>
+      bb.write(Array[Byte](0x21, 0xF9.toByte, 4, 0,
+        (10 + f).toByte, 0, 0, 0)) // GCE: delay 10+f, no transparency
+      bb.write(0x2C)
+      bb.write(Array[Byte](0, 0, 0, 0, 4, 0, 4, 0, 0))
+      bb.write(8) // min code size
+      val codes = ((256, 9) +: pix.map(v => (v, 9)) :+ ((257, 9))).toSeq
+      val lzw = packLsb(codes)
+      lzw.grouped(255).foreach { blk => bb.write(blk.length); bb.write(blk) }
+      bb.write(0)
+    }
+    bb.write(0x3B)
+    bb.toByteArray
+  }
+
+  test("decodeGifFrames walks every image descriptor with its GCE delay") {
+    val f0 = (0 until 16).map(k => k * 3 % 256)
+    val f1 = (0 until 16).map(k => (k * 7 + 1) % 256)
+    val f2 = (0 until 16).map(k => 255 - k)
+    val gif = gifAnimatedBytes(Seq(f0, f1, f2))
+    val frames = Multimodal.decodeGifFrames(gif).get
+    assert(frames.length == 3)
+    frames.zip(Seq(f0, f1, f2)).zipWithIndex.foreach {
+      case (((no, delay, w, h, rgb), pix), idx) =>
+        assert(no == idx && delay == 10 + idx && w == 4 && h == 4)
+        (0 until 16).foreach { k =>
+          assert((rgb(3 * k) & 0xFF) == pix(k) &&
+            (rgb(3 * k + 1) & 0xFF) == pix(k) &&
+            (rgb(3 * k + 2) & 0xFF) == pix(k))
+        }
+    }
+    // the single-frame decoder still reads frame 0 of an animation
+    val Some((w1, h1, px1)) = Multimodal.decodeGifPixels(gif)
+    assert((w1, h1) == ((4, 4)))
+    assert(px1.grouped(3).map(_(0) & 0xFF).toSeq == f0)
+    // truncation (lost trailer) and garbage decode to None
+    assert(Multimodal.decodeGifFrames(gif.dropRight(2)).isEmpty)
+    assert(Multimodal.decodeGifFrames(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("frameSampled explodes real GIF frames as BMP payloads with delays") {
+    val f0 = (0 until 16).map(k => k * 5 % 256)
+    val f1 = (0 until 16).map(_ => 7)
+    val f2 = (0 until 16).map(k => (k * 11 + 2) % 256)
+    val gif = gifAnimatedBytes(Seq(f0, f1, f2))
+    val rows = Multimodal.frameSampled(
+        Seq((1L, gif)).toDF("id", "payload"), "payload", stride = 2)
+      .select("frame_no", "delay_cs", "frame").collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L), "keep frames 0, 2")
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 12L))
+    rows.zip(Seq(f0, f2)).foreach { case (r, pix) =>
+      val Some((w, h, rgb)) =
+        Multimodal.decodePixelsRgb(r.getAs[Array[Byte]]("frame"))
+      assert((w, h) == ((4, 4)))
+      assert(rgb.grouped(3).map(_(0) & 0xFF).toSeq == pix)
+    }
+    // corrupt GIF (signature but truncated): zero frames, no fake stub
+    val corrupt = gif.take(40)
+    assert(Multimodal.frameSampled(
+      Seq((1L, corrupt)).toDF("id", "payload"), "payload", 1).count() == 0)
+    // non-GIF payloads keep the deterministic stub path, null delay
+    val stubRows = Multimodal.frameSampled(
+        Seq((1L, Array.fill[Byte](600)(7))).toDF("id", "payload"),
+        "payload", stride = 2)
+      .select("frame_no", "delay_cs").collect().sortBy(_.getLong(0))
+    assert(stubRows.map(_.getLong(0)).toSeq == Seq(0L, 2L))
+    assert(stubRows.forall(_.isNullAt(1)))
+  }
+
   test("decodeGifPixels: literal LZW stream through a grayscale palette") {
     // 4×2 frame, indices 0..7·17 (grayscale levels); minCode 8 → 9-bit
     // codes: clear, eight literals, end — no dictionary growth

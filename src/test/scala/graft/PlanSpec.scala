@@ -168,7 +168,7 @@ class PlanSpec extends GraftSpec {
   }
 
   test("simhash planted gate: bucket joins broadcast or hash, no cartesian") {
-    val p = formatted("q_simhash_planted")
+    val p = formatted("q_dedup_simhash")
     assert(!p.contains("CartesianProduct"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"pair dedup must partial-aggregate map-side:\n$p")

@@ -36,6 +36,24 @@ class ProfileLayoutSpec extends GraftSpec {
     assert(p.values.forall(_ == ((0L, 0L, 0L, None, None))))
   }
 
+  test("profile batches wide inputs: 32 columns read the input in 4 scans") {
+    val wide = spark.range(0L, 50L)
+      .select((0 until 32).map(i => (col("id") * i).as(s"c$i")): _*)
+    val prof = Stats.profile(wide, (0 until 32).map(i => s"c$i"))
+    // correctness on the wide frame: every column reports, c0 is the
+    // constant 0 (1 distinct), c1 is the id itself (50 distinct)
+    val p = prof.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(3)))).toMap
+    assert(p.size == 32)
+    assert(p("c0") == ((50L, 1L)) && p("c1") == ((50L, 50L)))
+    // plan pin: ceil(32/8) = 4 scans of the input, not one per column
+    // (the r7-flagged linear job overhead) — and never one giant Expand
+    val scans = prof.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range => r
+    }.size
+    assert(scans == 4, s"expected 4 batched scans of the Range input, got $scans")
+  }
+
   // ── equi-width histogram ──
 
   test("numericHistogram bins span [min,max] with the max in the last bin") {
