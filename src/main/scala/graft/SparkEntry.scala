@@ -3360,6 +3360,50 @@ object SparkEntry {
           col("pix.width").as("w"), col("pix.height").as("h"),
           col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
           col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
+    },
+
+    // REAL VIDEO frame sampling (MJPEG-in-AVI), oracled end-to-end:
+    // synthesize a valid 3-frame AVI per row — RIFF header, hdrl LIST
+    // whose avih carries dwMicroSecPerFrame = 40000 μs (25 fps → 4 cs
+    // per frame), movi LIST with three '00dc' chunks each holding the
+    // same one-code-Huffman 8×8 grayscale JPEG as q_media_pixels_jpeg
+    // with a per-frame DC magnitude — all hex/unhex column algebra.
+    // frameSampled must walk the RIFF tree, decode every MJPEG chunk
+    // through the real JPEG decoder, keep frames 0 and 2 with the avih
+    // delay, and re-encode them as BMPs withPixelStats can read. The
+    // flat DC-only frame makes every pixel exactly 128 + magnitude, so
+    // the oracle is pure integer arithmetic.
+    "q_frame_sample_avi" -> { (s, dir) =>
+      def jpegHex(f: Int): org.apache.spark.sql.Column = {
+        val v = lit(64) + pmod(col("doc_id") * 19 + lit(f * 7), lit(64))
+        concat(
+          lit("FFD8"), // SOI
+          lit("FFDB0043" + "00" + "08" * 64), // DQT: table 0, all 8s
+          lit("FFC0000B" + "08" + "0008" + "0008" + "01" + "011100"), // SOF0 8×8
+          lit("FFC40014" + "00" + "01" + "00" * 15 + "07"), // DHT DC: cat 7
+          lit("FFC40014" + "10" + "01" + "00" * 15 + "00"), // DHT AC: EOB
+          lit("FFDA0008" + "01" + "0100" + "003F00"), // SOS
+          leHex(v, 1), lit("7F"), // entropy: DC magnitude, EOB + padding
+          lit("FFD9")) // EOI — 142 bytes total (even: no pad byte)
+      }
+      val frameChunks = concat((0 until 3).map { f =>
+        concat(lit("30306463"), leHex(lit(142L), 4), jpegHex(f)) // "00dc"+size
+      }: _*)
+      val avi = unhex(concat(
+        lit("52494646"), leHex(lit(542L), 4), lit("41564920"), // "RIFF"+"AVI "
+        lit("4C495354"), leHex(lit(68L), 4), lit("6864726C"), // LIST hdrl
+        lit("61766968"), leHex(lit(56L), 4), // avih, 56-byte body
+        leHex(lit(40000L), 4), lit("00" * 52), // 40000 μs/frame, rest zero
+        lit("4C495354"), leHex(lit(454L), 4), lit("6D6F7669"), // LIST movi
+        frameChunks))
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), avi.as("payload"))
+      val frames = Multimodal.frameSampled(withBin, "payload", stride = 2)
+      Multimodal.withPixelStats(frames, "frame")
+        .select(col("doc_id"), col("frame_no"), col("delay_cs"),
+          col("pix.width").as("w"), col("pix.height").as("h"),
+          col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
+          col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
     }
   )
 
@@ -3383,7 +3427,21 @@ object SparkEntry {
         |  CAST(sv AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_g,
         |  CAST(sv AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_b,
         |  CAST(nb AS BIGINT) AS n_bright
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // DC-only 8×8 grayscale MJPEG frames: every pixel is exactly
+    // 128 + the frame's DC magnitude (64 + (doc_id·19 + f·7) % 64),
+    // always bright; avih 40000 μs/frame → delay 4 cs
+    "q_frame_sample_avi" ->
+      """WITH f AS (SELECT unnest([0, 2]) AS frame_no)
+        |SELECT d.doc_id, CAST(f.frame_no AS BIGINT) AS frame_no,
+        |  CAST(4 AS BIGINT) AS delay_cs,
+        |  CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
+        |  CAST(192 + (d.doc_id * 19 + f.frame_no * 7) % 64 AS DOUBLE) AS mean_r,
+        |  CAST(192 + (d.doc_id * 19 + f.frame_no * 7) % 64 AS DOUBLE) AS mean_g,
+        |  CAST(192 + (d.doc_id * 19 + f.frame_no * 7) % 64 AS DOUBLE) AS mean_b,
+        |  CAST(64 AS BIGINT) AS n_bright
+        |FROM documents d, f""".stripMargin
   )
 
   def queries: Map[String, Q] =

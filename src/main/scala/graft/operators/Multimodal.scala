@@ -21,9 +21,12 @@ import org.apache.spark.sql.types._
   * hand-rolled GIF-LZW decompressor + color-table mapping), and
   * baseline 4:4:4/grayscale JPEG ([[decodeJpegPixels]] — canonical
   * Huffman from DHT, dequant, IDCT, YCbCr→RGB), feeding real stats/
-  * resize/luma-histogram features via [[decodePixelsRgb]]. Only the
-  * genuinely codec-bound media remain stubs (video frame extraction,
-  * audio beyond PCM, progressive/subsampled JPEG): `resizeStub` /
+  * resize/luma-histogram features via [[decodePixelsRgb]]. FRAME
+  * extraction is real for animated GIF ([[decodeGifFrames]] — every
+  * image descriptor + graphic-control delay) and MJPEG-in-AVI video
+  * ([[decodeAviFrames]] — RIFF walk + the JPEG decoder). Only the
+  * genuinely codec-bound media remain stubs (inter-frame-coded video
+  * like H.26x, audio beyond PCM WAV, progressive JPEG): `resizeStub` /
   * `frameSampleStub` / `featuresStub` compute deterministic fakes from
   * the raw bytes, and `decodeMetaStub` is kept as the deterministic
   * test double for plumbing tests. The Spark-side plumbing — schema,
@@ -636,6 +639,73 @@ object Multimodal {
     }
     // input exhausted without a trailer: corrupt
     None
+  }
+
+  /** MJPEG-in-AVI video frame extraction, pure JVM: walks the RIFF
+    * chunk tree — 'hdrl' for the main header's frame period, 'movi'
+    * for the interleaved stream — takes every video stream-data chunk
+    * ('NNdc'/'NNdb', NN the two-digit stream id) in stream order, and
+    * decodes each payload with the unified pixel decoder
+    * ([[decodePixelsRgb]]: baseline JPEG for MJPEG; any other
+    * decodable payload also works). The one video container a
+    * codec-free JVM can fully open — Motion-JPEG is just a RIFF walk
+    * plus the JPEG decoder this file already has.
+    *
+    * @return one (frame_no, delay_cs, width, height, RGB top-down) per
+    *         frame, delay from avih's dwMicroSecPerFrame (floored to
+    *         centiseconds, 0 when absent); None for non-AVI payloads,
+    *         zero frames, an undecodable frame, or structural
+    *         corruption (declared sizes past the buffer, truncated
+    *         RIFF). Cumulative 64 MB pixel cap. */
+  def decodeAviFrames(
+      b: Array[Byte]): Option[Seq[(Int, Int, Int, Int, Array[Byte])]] = {
+    if (b == null || b.length < 12) return None
+    def fcc(off: Int): String =
+      if (off + 4 <= b.length) new String(b, off, 4, "US-ASCII") else ""
+    if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
+    def u32(off: Int): Long = (le32(b, off).toLong) & 0xFFFFFFFFL
+    val riffEnd = 8L + u32(4)
+    if (riffEnd > b.length) return None // truncated container
+    val frames = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int, Array[Byte])]
+    var delayCs = 0
+    var totalPixelBytes = 0L
+    def isStreamData(fc: String): Boolean =
+      fc.length == 4 && fc(0).isDigit && fc(1).isDigit &&
+        (fc.endsWith("dc") || fc.endsWith("db"))
+    // chunk walk; LISTs recurse (RIFF nesting is shallow: hdrl/movi/rec)
+    def walk(start: Long, end: Long, inMovi: Boolean): Boolean = {
+      var i = start
+      while (i + 8 <= end) {
+        val fc = fcc(i.toInt)
+        val sz = u32(i.toInt + 4)
+        val body = i + 8
+        if (body + sz > end) return false // declared size past the parent
+        if (fc == "LIST") {
+          if (sz < 4) return false
+          val listType = fcc(body.toInt)
+          if (!walk(body + 4, body + sz, inMovi || listType == "movi"))
+            return false
+        } else if (fc == "avih") {
+          if (sz < 4) return false
+          delayCs = (u32(body.toInt) / 10000L).toInt // μs per frame → cs
+        } else if (inMovi && isStreamData(fc)) {
+          val payload = java.util.Arrays.copyOfRange(
+            b, body.toInt, (body + sz).toInt)
+          decodePixelsRgb(payload) match {
+            case Some((w, h, px)) =>
+              totalPixelBytes += w.toLong * h.toLong * 3L
+              if (totalPixelBytes > 64L * 1024 * 1024) return false
+              frames += ((frames.length, delayCs, w, h, px))
+            case None => return false // a video chunk that won't decode
+          }
+        } // other chunks (strl, idx1, JUNK, …): skipped
+        i = body + sz + (sz & 1L) // chunks pad to even length
+      }
+      true
+    }
+    if (!walk(12L, riffEnd, inMovi = false)) return None
+    if (frames.isEmpty) None else Some(frames.toSeq)
   }
 
   /** Canonical Huffman table from a DHT segment's (counts-per-length,
@@ -1299,10 +1369,12 @@ object Multimodal {
     * carries one (null otherwise).
     *
     * GIF payloads get a REAL decode ([[decodeGifFrames]]): every
-    * image descriptor becomes a frame, re-encoded as a top-down
-    * 24-bpp BMP so downstream pixel operators consume it directly;
-    * corrupt GIFs defensively yield zero frames. Container formats
-    * that need codecs this environment doesn't ship (video) fall back
+    * image descriptor becomes a frame; MJPEG-in-AVI payloads likewise
+    * ([[decodeAviFrames]] — RIFF walk + the baseline JPEG decoder).
+    * Real frames are re-encoded as top-down 24-bpp BMPs so downstream
+    * pixel operators consume them directly; corrupt containers
+    * defensively yield zero frames. Container formats that need
+    * codecs this environment doesn't ship (H.26x video, …) fall back
     * to the deterministic [[frameSampleStub]] with a null delay.
     *
     * Row-explosion happens inside mapPartitions (no shuffle); output
@@ -1314,17 +1386,24 @@ object Multimodal {
     mapBinary(df, binCol, batchSize,
       Seq(StructField("frame_no", LongType), StructField("delay_cs", LongType),
         StructField("frame", BinaryType))) { bytes =>
-      if (bytes == null) Iterator.empty
-      else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
-        bytes(2) == 'F' && bytes(3) == '8' &&
-        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
-        decodeGifFrames(bytes) match {
+      def realFrames(
+          fs: Option[Seq[(Int, Int, Int, Int, Array[Byte])]]): Iterator[Seq[Any]] =
+        fs match {
           case Some(frames) => frames.iterator.collect {
             case (no, delay, w, h, rgb) if no % stride == 0 =>
               Seq(no.toLong, delay.toLong, encodeBmpTopDown(w, h, rgb))
           }
-          case None => Iterator.empty // corrupt GIF: no fake frames
+          case None => Iterator.empty // corrupt container: no fake frames
         }
+      if (bytes == null) Iterator.empty
+      else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+        realFrames(decodeGifFrames(bytes))
+      else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'A' &&
+        bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ')
+        realFrames(decodeAviFrames(bytes))
       else frameSampleStub(bytes, stride).iterator.zipWithIndex.map {
         case (frame, ord) => Seq(ord.toLong * stride, null, frame)
       }

@@ -443,6 +443,70 @@ class MultimodalSpec extends GraftSpec {
     assert(stubRows.forall(_.isNullAt(1)))
   }
 
+  /** Minimal MJPEG AVI fixture: RIFF → hdrl (avih carrying μs/frame) +
+    * movi with one '00dc' chunk per provided JPEG payload. */
+  private def aviBytes(usPerFrame: Long,
+                       frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit =
+      (0 until 4).foreach(i => bos.write(((v >> (8 * i)) & 0xFF).toInt))
+    def s4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlSize = 4 + 8 + 56
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    s4("RIFF"); le32(riffSize); s4("AVI ")
+    s4("LIST"); le32(hdrlSize); s4("hdrl")
+    s4("avih"); le32(56); le32(usPerFrame)
+    (0 until 52).foreach(_ => bos.write(0))
+    s4("LIST"); le32(moviSize); s4("movi")
+    frames.foreach { f =>
+      s4("00dc"); le32(f.length); bos.write(f)
+      if ((f.length & 1) == 1) bos.write(0) // chunks pad to even
+    }
+    bos.toByteArray
+  }
+
+  test("decodeAviFrames walks RIFF to every MJPEG chunk with the avih delay") {
+    // flat DC-only 8×8 grayscale frames: quant 8 → pixel = 128 + dc
+    val q = Array.fill(64)(0); q(0) = 8
+    def flat(dc: Int) = { val b = new Array[Int](64); b(0) = dc; b }
+    val dcs = Seq(10, -20, 33)
+    val jpegs = dcs.map(dc => jpegEncode(8, 8, 1, q, Seq(Seq(flat(dc)))))
+    val avi = aviBytes(40000L, jpegs) // 25 fps → 4 cs per frame
+    val frames = Multimodal.decodeAviFrames(avi).get
+    assert(frames.length == 3)
+    frames.zip(dcs).zipWithIndex.foreach {
+      case (((no, delay, w, h, rgb), dc), idx) =>
+        assert(no == idx && delay == 4 && w == 8 && h == 8)
+        assert(rgb.forall(p => (p & 0xFF) == 128 + dc),
+          s"frame $idx must be flat at ${128 + dc}")
+    }
+    // corruption: truncated container, or a video chunk that won't decode
+    assert(Multimodal.decodeAviFrames(avi.dropRight(3)).isEmpty)
+    val badChunk = aviBytes(40000L, Seq(Array.fill[Byte](16)(7)))
+    assert(Multimodal.decodeAviFrames(badChunk).isEmpty)
+    assert(Multimodal.decodeAviFrames("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("frameSampled explodes MJPEG AVI frames like GIF ones") {
+    val q = Array.fill(64)(0); q(0) = 8
+    def flat(dc: Int) = { val b = new Array[Int](64); b(0) = dc; b }
+    val avi = aviBytes(100000L, // 10 fps → 10 cs
+      Seq(5, 15, 25).map(dc => jpegEncode(8, 8, 1, q, Seq(Seq(flat(dc))))))
+    val rows = Multimodal.frameSampled(
+        Seq((1L, avi)).toDF("id", "payload"), "payload", stride = 2)
+      .select("frame_no", "delay_cs", "frame").collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 10L))
+    rows.zip(Seq(5, 25)).foreach { case (r, dc) =>
+      val Some((w, h, rgb)) =
+        Multimodal.decodePixelsRgb(r.getAs[Array[Byte]]("frame"))
+      assert((w, h) == ((8, 8)))
+      assert(rgb.forall(p => (p & 0xFF) == 128 + dc))
+    }
+  }
+
   test("decodeGifPixels: literal LZW stream through a grayscale palette") {
     // 4×2 frame, indices 0..7·17 (grayscale levels); minCode 8 → 9-bit
     // codes: clear, eight literals, end — no dictionary growth
