@@ -3404,6 +3404,106 @@ object SparkEntry {
           col("pix.width").as("w"), col("pix.height").as("h"),
           col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
           col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
+    },
+
+    // REAL G.711 μ-law decode (WAV format 7), oracled end-to-end: the
+    // encoded BYTES are chosen so their ITU expansion lands on one of
+    // four exactly-known linear magnitudes (0x80/0x90/0xA0/0xB0 →
+    // +32124/+15996/+7932/+3900; 0x00/0x10/0x20/0x30 their negatives),
+    // alternating ± so rms is EXACTLY the magnitude (mean of equal
+    // exact squares, exact sqrt) and zcr is 7. A wrong complement,
+    // segment shift, or bias diverges every row.
+    "q_audio_meta_ulaw" -> { (s, dir) =>
+      val idx = pmod(col("doc_id"), lit(4))
+      val pos = when(idx === 0, lit("80")).when(idx === 1, lit("90"))
+        .when(idx === 2, lit("A0")).otherwise(lit("B0"))
+      val neg = when(idx === 0, lit("00")).when(idx === 1, lit("10"))
+        .when(idx === 2, lit("20")).otherwise(lit("30"))
+      val sampleHex = concat((0 until 8).map(i => if (i % 2 == 0) pos else neg): _*)
+      val wav = unhex(concat(
+        lit("52494646"), leHex(lit(44L), 4),         // "RIFF" + 36+8
+        lit("57415645666D7420"), leHex(lit(16L), 4), // "WAVE" + "fmt " + 16
+        lit("07000100"),                             // μ-law, 1 channel
+        leHex(lit(8000L), 4), leHex(lit(8000L), 4),  // sample rate, byte rate
+        lit("01000800"),                             // block align 1, 8 bits
+        lit("64617461"), leHex(lit(8L), 4),          // "data" + 8 bytes
+        sampleHex))
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), wav.as("payload"))
+      Multimodal.withAudioMeta(withBin, "payload")
+        .select(col("doc_id"),
+          col("audio.channels").as("channels"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.bits").as("bits"),
+          col("audio.n_samples").as("n_samples"),
+          col("audio.duration_ms").as("duration_ms"),
+          col("audio.rms").as("rms"),
+          col("audio.zcr").as("zcr"))
+    },
+
+    // REAL G.711 A-law decode (WAV format 6), same construction:
+    // 0xAA/0xBA/0x8A/0x9A → +32256/+16128/+8064/+4032, with
+    // 0x2A/0x3A/0x0A/0x1A their negatives (xor 0x55 + segment shift).
+    "q_audio_meta_alaw" -> { (s, dir) =>
+      val idx = pmod(col("doc_id"), lit(4))
+      val pos = when(idx === 0, lit("AA")).when(idx === 1, lit("BA"))
+        .when(idx === 2, lit("8A")).otherwise(lit("9A"))
+      val neg = when(idx === 0, lit("2A")).when(idx === 1, lit("3A"))
+        .when(idx === 2, lit("0A")).otherwise(lit("1A"))
+      val sampleHex = concat((0 until 8).map(i => if (i % 2 == 0) pos else neg): _*)
+      val wav = unhex(concat(
+        lit("52494646"), leHex(lit(44L), 4),
+        lit("57415645666D7420"), leHex(lit(16L), 4),
+        lit("06000100"),                             // A-law, 1 channel
+        leHex(lit(8000L), 4), leHex(lit(8000L), 4),
+        lit("01000800"),
+        lit("64617461"), leHex(lit(8L), 4),
+        sampleHex))
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), wav.as("payload"))
+      Multimodal.withAudioMeta(withBin, "payload")
+        .select(col("doc_id"),
+          col("audio.channels").as("channels"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.bits").as("bits"),
+          col("audio.n_samples").as("n_samples"),
+          col("audio.duration_ms").as("duration_ms"),
+          col("audio.rms").as("rms"),
+          col("audio.zcr").as("zcr"))
+    },
+
+    // REAL PROGRESSIVE JPEG decode (SOF2), oracled end-to-end: four
+    // scans per synthesized 8×8 grayscale image — a DC first scan at
+    // successive-approximation Al=1 carrying v>>1 (one-code cat-6
+    // Huffman table), a DC refinement scan carrying bit v&1, then an
+    // AC first and an AC refinement scan that are each a single EOB —
+    // all hex/unhex column algebra. The decoder must accumulate the
+    // coefficient ACROSS scans ((d<<1)|bit = v), so a wrong shift,
+    // refinement OR, or scan-resync diverges every row; quant 8 makes
+    // the flat result exactly 128 + v.
+    "q_media_pixels_jpeg_prog" -> { (s, dir) =>
+      val v = lit(64) + pmod(col("doc_id") * 23, lit(64))
+      val bit = pmod(v, lit(2))
+      val jpeg = unhex(concat(
+        lit("FFD8"), // SOI
+        lit("FFDB0043" + "00" + "08" * 64), // DQT: table 0, all 8s
+        lit("FFC2000B" + "08" + "0008" + "0008" + "01" + "011100"), // SOF2 8×8
+        lit("FFC40014" + "00" + "01" + "00" * 15 + "06"), // DHT DC: cat 6
+        lit("FFC40014" + "10" + "01" + "00" * 15 + "00"), // DHT AC: EOB0
+        lit("FFDA0008" + "01" + "0100" + "000001"), // SOS: DC first, Al=1
+        leHex(v - bit, 1), // '0' + 6 bits of v>>1 + pad = (v>>1)*2
+        lit("FFDA0008" + "01" + "0100" + "000010"), // SOS: DC refine, Ah=1
+        when(bit === 1, lit("80")).otherwise(lit("00")),
+        lit("FFDA0008" + "01" + "0100" + "013F01" + "00"), // AC first: EOB
+        lit("FFDA0008" + "01" + "0100" + "013F10" + "00"), // AC refine: EOB
+        lit("FFD9"))) // EOI
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), jpeg.as("payload"))
+      Multimodal.withPixelStats(withBin, "payload")
+        .select(col("doc_id"),
+          col("pix.width").as("w"), col("pix.height").as("h"),
+          col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
+          col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
     }
   )
 
@@ -3441,7 +3541,43 @@ object SparkEntry {
         |  CAST(192 + (d.doc_id * 19 + f.frame_no * 7) % 64 AS DOUBLE) AS mean_g,
         |  CAST(192 + (d.doc_id * 19 + f.frame_no * 7) % 64 AS DOUBLE) AS mean_b,
         |  CAST(64 AS BIGINT) AS n_bright
-        |FROM documents d, f""".stripMargin
+        |FROM documents d, f""".stripMargin,
+
+    // fixed expansions: the chosen μ-law bytes decode to one of four
+    // exact magnitudes; alternating ± makes rms the magnitude itself
+    "q_audio_meta_ulaw" ->
+      """SELECT doc_id,
+        | CAST(1 AS INTEGER) AS channels,
+        | CAST(8000 AS INTEGER) AS sample_rate,
+        | CAST(8 AS INTEGER) AS bits,
+        | CAST(8 AS BIGINT) AS n_samples,
+        | CAST(1 AS BIGINT) AS duration_ms,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 32124 WHEN 1 THEN 15996
+        |      WHEN 2 THEN 7932 ELSE 3900 END AS DOUBLE) AS rms,
+        | CAST(7 AS BIGINT) AS zcr
+        |FROM documents""".stripMargin,
+
+    "q_audio_meta_alaw" ->
+      """SELECT doc_id,
+        | CAST(1 AS INTEGER) AS channels,
+        | CAST(8000 AS INTEGER) AS sample_rate,
+        | CAST(8 AS INTEGER) AS bits,
+        | CAST(8 AS BIGINT) AS n_samples,
+        | CAST(1 AS BIGINT) AS duration_ms,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 32256 WHEN 1 THEN 16128
+        |      WHEN 2 THEN 8064 ELSE 4032 END AS DOUBLE) AS rms,
+        | CAST(7 AS BIGINT) AS zcr
+        |FROM documents""".stripMargin,
+
+    // flat DC-only progressive frame: every pixel is exactly
+    // 128 + (64 + (doc_id·23) % 64), always bright
+    "q_media_pixels_jpeg_prog" ->
+      """SELECT doc_id, CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
+        |  CAST(192 + (doc_id * 23) % 64 AS DOUBLE) AS mean_r,
+        |  CAST(192 + (doc_id * 23) % 64 AS DOUBLE) AS mean_g,
+        |  CAST(192 + (doc_id * 23) % 64 AS DOUBLE) AS mean_b,
+        |  CAST(64 AS BIGINT) AS n_bright
+        |FROM documents""".stripMargin
   )
 
   def queries: Map[String, Q] =

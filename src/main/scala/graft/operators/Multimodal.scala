@@ -19,14 +19,17 @@ import org.apache.spark.sql.types._
   * ([[decodePngPixels]] — stdlib zlib inflate + the five scanline
   * filters), non-interlaced GIF ([[decodeGifPixels]] — a full
   * hand-rolled GIF-LZW decompressor + color-table mapping), and
-  * baseline 4:4:4/grayscale JPEG ([[decodeJpegPixels]] — canonical
-  * Huffman from DHT, dequant, IDCT, YCbCr→RGB), feeding real stats/
-  * resize/luma-histogram features via [[decodePixelsRgb]]. FRAME
-  * extraction is real for animated GIF ([[decodeGifFrames]] — every
-  * image descriptor + graphic-control delay) and MJPEG-in-AVI video
-  * ([[decodeAviFrames]] — RIFF walk + the JPEG decoder). Only the
-  * genuinely codec-bound media remain stubs (inter-frame-coded video
-  * like H.26x, audio beyond PCM WAV, progressive JPEG): `resizeStub` /
+  * baseline AND progressive JPEG ([[decodeJpegPixels]] — canonical
+  * Huffman from DHT, dequant, IDCT, YCbCr→RGB; [[decodeJpegProgressive]]
+  * adds the spectral-selection/successive-approximation scan protocol),
+  * feeding real stats/resize/luma-histogram features via
+  * [[decodePixelsRgb]]. FRAME extraction is real for animated GIF
+  * ([[decodeGifFrames]] — every image descriptor + graphic-control
+  * delay) and MJPEG-in-AVI video ([[decodeAviFrames]] — RIFF walk +
+  * the JPEG decoder). AUDIO decode covers integer PCM, IEEE-float,
+  * and G.711 A-law/μ-law WAV. Only the genuinely codec-bound media
+  * remain stubs (inter-frame-coded video like H.26x, compressed
+  * audio like MP3/AAC): `resizeStub` /
   * `frameSampleStub` / `featuresStub` compute deterministic fakes from
   * the raw bytes, and `decodeMetaStub` is kept as the deterministic
   * test double for plumbing tests. The Spark-side plumbing — schema,
@@ -145,7 +148,8 @@ object Multimodal {
       if (len < 0 || i.toLong + 8L + len > b.length) return None
       if (id == "fmt " && len >= 16) {
         fmt = le16(b, i + 8)
-        if (fmt != 1 && fmt != 3) return None // integer PCM or IEEE float
+        // integer PCM, IEEE float, A-law, μ-law
+        if (fmt != 1 && fmt != 3 && fmt != 6 && fmt != 7) return None
         channels = le16(b, i + 10)
         rate = le32(b, i + 12)
         bits = le16(b, i + 22)
@@ -159,11 +163,33 @@ object Multimodal {
     None
   }
 
+  /** ITU-T G.711 μ-law byte → 16-bit linear sample (the public
+    * reference expansion: complement, biased mantissa shifted by the
+    * segment, bias removed, sign applied). Max magnitude 32124. */
+  private def ulawToLinear(b0: Int): Int = {
+    val u = ~b0 & 0xFF
+    val t = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7))
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law byte → 16-bit linear sample (xor 0x55, segment
+    * expansion; segment 0 adds the half-step bias 8, higher segments
+    * shift the biased mantissa). Max magnitude 32256. */
+  private def alawToLinear(b0: Int): Int = {
+    val a = b0 ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0F) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
   /** Real audio decode in [[audioMetaType]] shape: header fields plus
     * sample-level statistics over the frames — 16-bit integer PCM
-    * (format 1) or 32-bit IEEE-float PCM (format 3), both little-
-    * endian; multi-channel payloads use channel 0. Other formats/
-    * depths yield nulls for every field except byte_len. */
+    * (format 1), 32-bit IEEE-float PCM (format 3), or 8-bit G.711
+    * A-law/μ-law (formats 6/7, expanded to linear before the stats),
+    * all little-endian; multi-channel payloads use channel 0. Other
+    * formats/depths yield nulls for every field except byte_len. */
   def decodeAudioMeta(b: Array[Byte]): Seq[Any] =
     parseWavHeader(b) match {
       case Some((1, ch, rate, 16, off, len)) if ch > 0 =>
@@ -205,6 +231,25 @@ object Multimodal {
         val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
         Seq[Any](Long.box(b.length.toLong), Int.box(ch), Int.box(rate),
           Int.box(32), Long.box(n.toLong),
+          Long.box(n.toLong * 1000L / rate), Double.box(rms), Long.box(zcr))
+      case Some((fmt6or7, ch, rate, 8, off, len))
+          if (fmt6or7 == 6 || fmt6or7 == 7) && ch > 0 =>
+        val n = len / ch // one byte per sample per channel
+        var sumSq = 0L
+        var zcr = 0L
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val raw = b(off + i * ch) & 0xFF
+          val s = if (fmt6or7 == 6) alawToLinear(raw) else ulawToLinear(raw)
+          sumSq += s.toLong * s
+          if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zcr += 1
+          prev = s
+          i += 1
+        }
+        val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
+        Seq[Any](Long.box(b.length.toLong), Int.box(ch), Int.box(rate),
+          Int.box(8), Long.box(n.toLong),
           Long.box(n.toLong * 1000L / rate), Double.box(rms), Long.box(zcr))
       case _ =>
         Seq(if (b == null) null else b.length.toLong,
@@ -854,10 +899,10 @@ object Multimodal {
     * 1 component (grayscale → replicated RGB, decoded non-interleaved
     * per the spec) or 3 components with sampling factors in {1, 2} —
     * 4:4:4, 4:2:0 (the dominant real-world layout), and 4:2:2, decoded
-    * MCU-interleaved. Everything else — progressive, 12-bit,
-    * arithmetic coding, factors > 2, truncation, invalid codes —
-    * decodes defensively to None: a corrupt payload row must never
-    * throw. */
+    * MCU-interleaved. Progressive streams (SOF2) dispatch to
+    * [[decodeJpegProgressive]]. Everything else — 12-bit, arithmetic
+    * coding, factors > 2, truncation, invalid codes — decodes
+    * defensively to None: a corrupt payload row must never throw. */
   def decodeJpegPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b == null || b.length < 4) return None
     if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
@@ -934,9 +979,11 @@ object Multimodal {
             // data unit regardless of declared factors (JPEG A.2.2)
             if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
             sofSeen = true
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+          case 0xC2 => // progressive DCT: its own scan loop
+            return decodeJpegProgressive(b)
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            return None // non-baseline frame types
+            return None // extended/lossless/arithmetic frame types
           case 0xDD => // DRI
             if (segLen != 4) return None
             restartInterval = be16(b, i + 4)
@@ -1048,43 +1095,450 @@ object Multimodal {
               }
               my += 1
             }
-            val out = new Array[Byte](w * h * 3)
-            // component sample for pixel (x,y): nearest-neighbor map
-            // (x·hi/maxH, y·vi/maxV) — identity for full-resolution
-            // components, 2× upsample for subsampled chroma
-            def sampleAt(c: Int, x: Int, y: Int): Int =
-              planes(c)((y * compV(c) / maxV) * planeW(c) + x * compH(c) / maxH)
-            var yy = 0
-            while (yy < h) {
-              var xx = 0
-              while (xx < w) {
-                val o = 3 * (yy * w + xx)
-                if (nComp == 1) {
-                  val g = sampleAt(0, xx, yy)
-                  out(o) = g.toByte; out(o + 1) = g.toByte; out(o + 2) = g.toByte
-                } else { // JFIF YCbCr → RGB
-                  val yv = sampleAt(0, xx, yy).toDouble
-                  val cb = sampleAt(1, xx, yy) - 128.0
-                  val cr = sampleAt(2, xx, yy) - 128.0
-                  def clamp(d: Double): Byte = {
-                    val v = math.round(d).toInt
-                    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-                  }
-                  out(o) = clamp(yv + 1.402 * cr)
-                  out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
-                  out(o + 2) = clamp(yv + 1.772 * cb)
-                }
-                xx += 1
-              }
-              yy += 1
-            }
-            return Some((w, h, out))
+            return Some((w, h, jpegPlanesToRgb(w, h, nComp, planes, planeW,
+              compH, compV, maxH, maxV)))
           case _ => () // APPn, COM, others: skip
         }
         i = segEnd
       }
     }
     None
+  }
+
+  /** REAL progressive JPEG decode (SOF2), pure JVM — the spectral-
+    * selection + successive-approximation scan protocol from the JPEG
+    * spec (§G.1/G.2): DC first/refinement scans (MCU-interleaved or
+    * single-component), AC first/refinement scans (single-component,
+    * with EOB-run coding, ZRL, and correction bits on nonzero
+    * history), coefficients accumulated per block ACROSS scans, then
+    * the same dequant + IDCT + upsample + YCbCr→RGB output stage as
+    * the baseline path. RSTn restarts reset DC predictors and the
+    * EOB run. Reached via [[decodeJpegPixels]]'s SOF2 dispatch.
+    *
+    * Same defensive contract as every decoder here: corruption,
+    * truncation, 12-bit precision, arithmetic coding, or sampling
+    * factors > 2 decode to None — a corrupt payload must never throw.
+    * Memory: the coefficient buffers hold every block of every
+    * component (inherent to progressive decode — late scans revisit
+    * all blocks), bounded by the same 64 MB output cap (≈ 4/3 × w·h·4
+    * bytes of Int coefficients per component). */
+  private def decodeJpegProgressive(
+      b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 4) return None
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuffTable](4)
+    val acTabs = new Array[JpegHuffTable](4)
+    var w, h = 0
+    var nComp = 0
+    val compId = new Array[Int](3)
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
+    val compQ = new Array[Int](3)
+    var restartInterval = 0
+    var sofSeen = false
+    var scansSeen = 0
+    var maxH = 1
+    var maxV = 1
+    var mcusX, mcusY = 0
+    var coefs: Array[Array[Int]] = null // per comp: 64 per block, ZIG-ZAG order
+    var blocksW: Array[Int] = null // MCU-padded block-grid width
+    var blocksH: Array[Int] = null
+    var usedW: Array[Int] = null // block coverage of the actual image
+    var usedH: Array[Int] = null
+    val dcPred = new Array[Int](3)
+
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { i += 2 }
+      else if (marker == 0xD9) { // EOI: render what the scans built
+        if (!sofSeen || scansSeen == 0) return None
+        val planeW = Array.tabulate(nComp)(c => blocksW(c) * 8)
+        val planes = Array.tabulate(nComp)(c =>
+          new Array[Int](planeW(c) * blocksH(c) * 8))
+        val natural = new Array[Int](64)
+        val px = new Array[Int](64)
+        var c = 0
+        while (c < nComp) {
+          val q = quant(compQ(c))
+          if (q == null) return None
+          val cf = coefs(c)
+          var by = 0
+          while (by < blocksH(c)) {
+            var bx = 0
+            while (bx < blocksW(c)) {
+              val off = (by * blocksW(c) + bx) * 64
+              java.util.Arrays.fill(natural, 0)
+              var k = 0
+              while (k < 64) {
+                natural(jpegZigzag(k)) = cf(off + k) * q(k); k += 1
+              }
+              jpegIdctBlock(natural, px)
+              val plane = planes(c)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((by * 8 + yy) * planeW(c) + bx * 8 + xx) = px(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        return Some((w, h, jpegPlanesToRgb(w, h, nComp, planes, planeW,
+          compH, compV, maxH, maxV)))
+      }
+      else {
+        if (i + 3 >= b.length) return None
+        val segLen = be16(b, i + 2)
+        if (segLen < 2 || i + 2 + segLen > b.length) return None
+        val segEnd = i + 2 + segLen
+        marker match {
+          case 0xDB =>
+            var p = i + 4
+            while (p < segEnd) {
+              val pq = (b(p) & 0xFF) >> 4
+              val tq = b(p) & 0x0F
+              if (pq != 0 || tq > 3) return None
+              if (p + 65 > segEnd) return None
+              quant(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xFF)
+              p += 65
+            }
+            i = segEnd
+          case 0xC4 =>
+            var p = i + 4
+            while (p < segEnd) {
+              val tc = (b(p) & 0xFF) >> 4
+              val th = b(p) & 0x0F
+              if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+              val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xFF)
+              val n = counts.sum
+              if (n == 0 || n > 256 || p + 17 + n > segEnd) return None
+              val syms = Array.tabulate(n)(k => b(p + 17 + k) & 0xFF)
+              val tab = new JpegHuffTable(counts, syms)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + n
+            }
+            i = segEnd
+          case 0xC2 => // SOF2
+            if (sofSeen || segLen < 8) return None
+            if ((b(i + 4) & 0xFF) != 8) return None
+            h = be16(b, i + 5); w = be16(b, i + 7)
+            nComp = b(i + 9) & 0xFF
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            if (w.toLong * h.toLong * 3L > 64L * 1024 * 1024) return None
+            if (segLen < 8 + 3 * nComp) return None
+            var c = 0
+            while (c < nComp) {
+              compId(c) = b(i + 10 + 3 * c) & 0xFF
+              val samp = b(i + 11 + 3 * c) & 0xFF
+              compH(c) = samp >> 4
+              compV(c) = samp & 0x0F
+              if (compH(c) < 1 || compH(c) > 2 ||
+                compV(c) < 1 || compV(c) > 2) return None
+              compQ(c) = b(i + 12 + 3 * c) & 0xFF
+              if (compQ(c) > 3) return None
+              c += 1
+            }
+            if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+            c = 0
+            while (c < nComp) {
+              maxH = math.max(maxH, compH(c)); maxV = math.max(maxV, compV(c))
+              c += 1
+            }
+            mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+            mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+            blocksW = Array.tabulate(nComp)(c => mcusX * compH(c))
+            blocksH = Array.tabulate(nComp)(c => mcusY * compV(c))
+            usedW = Array.tabulate(nComp)(c =>
+              (((w * compH(c) + maxH - 1) / maxH) + 7) / 8)
+            usedH = Array.tabulate(nComp)(c =>
+              (((h * compV(c) + maxV - 1) / maxV) + 7) / 8)
+            coefs = Array.tabulate(nComp)(c =>
+              new Array[Int](blocksW(c) * blocksH(c) * 64))
+            sofSeen = true
+            i = segEnd
+          case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // a second frame type inside a progressive stream
+          case 0xDD =>
+            if (segLen != 4) return None
+            restartInterval = be16(b, i + 4)
+            i = segEnd
+          case 0xDA => // one progressive scan
+            if (!sofSeen || segLen < 6) return None
+            val ns = b(i + 4) & 0xFF
+            if (ns < 1 || ns > nComp || segLen != 6 + 2 * ns) return None
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[Int](ns)
+            val scanAc = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val cid = b(i + 5 + 2 * c) & 0xFF
+              val ci = compId.indexWhere(_ == cid)
+              if (ci < 0 || ci >= nComp) return None
+              scanComp(c) = ci
+              scanDc(c) = (b(i + 6 + 2 * c) & 0xFF) >> 4
+              scanAc(c) = b(i + 6 + 2 * c) & 0x0F
+              if (scanDc(c) > 3 || scanAc(c) > 3) return None
+              c += 1
+            }
+            val ss = b(i + 5 + 2 * ns) & 0xFF
+            val se = b(i + 6 + 2 * ns) & 0xFF
+            val ahAl = b(i + 7 + 2 * ns) & 0xFF
+            val ah = ahAl >> 4
+            val al = ahAl & 0x0F
+            if (ss > 63 || se > 63 || se < ss || ah > 13 || al > 13) return None
+            val dcScan = ss == 0
+            if (dcScan && se != 0) return None // DC scans carry DC only
+            if (!dcScan && ns != 1) return None // AC scans: one component
+            val in = new JpegBitReader(b, segEnd)
+            var eobrun = 0
+            java.util.Arrays.fill(dcPred, 0)
+            val p1 = 1 << al
+
+            def doDcFirst(sc: Int, off: Int): Boolean = {
+              val tab = dcTabs(scanDc(sc))
+              if (tab == null) return false
+              val t = tab.decode(in)
+              if (t < 0 || t > 15) return false
+              val mag = if (t == 0) 0 else {
+                val m = in.receive(t); if (m < 0) return false; m
+              }
+              dcPred(sc) += jpegExtend(mag, t)
+              coefs(scanComp(sc))(off) = dcPred(sc) << al
+              true
+            }
+            def doDcRefine(ci: Int, off: Int): Boolean = {
+              val bit = in.nextBit()
+              if (bit < 0) return false
+              if (bit == 1) coefs(ci)(off) |= p1
+              true
+            }
+            def doAcFirst(ci: Int, off: Int): Boolean = {
+              if (eobrun > 0) { eobrun -= 1; return true }
+              val tab = acTabs(scanAc(0))
+              if (tab == null) return false
+              val cf = coefs(ci)
+              var k = ss
+              while (k <= se) {
+                val rs = tab.decode(in)
+                if (rs < 0) return false
+                val r = rs >> 4
+                val s = rs & 0x0F
+                if (s == 0) {
+                  if (r < 15) { // EOBn: this block ends, run covers more
+                    eobrun = (1 << r) - 1
+                    if (r > 0) {
+                      val m = in.receive(r); if (m < 0) return false
+                      eobrun += m
+                    }
+                    return true
+                  }
+                  k += 16 // ZRL
+                } else {
+                  k += r
+                  if (k > se) return false
+                  val m = in.receive(s)
+                  if (m < 0) return false
+                  cf(off + k) = jpegExtend(m, s) << al
+                  k += 1
+                }
+              }
+              true
+            }
+            def doAcRefine(ci: Int, off: Int): Boolean = {
+              val tab = acTabs(scanAc(0))
+              if (tab == null) return false
+              val cf = coefs(ci)
+              var k = ss
+              // correction bit on a nonzero-history coefficient (G.1.2.3:
+              // a 1-bit moves the magnitude toward the next level if the
+              // current approximation doesn't already carry that bit)
+              def correct(idx: Int): Boolean = {
+                val bit = in.nextBit()
+                if (bit < 0) return false
+                if (bit == 1 && (math.abs(cf(idx)) & p1) == 0)
+                  cf(idx) += (if (cf(idx) >= 0) p1 else -p1)
+                true
+              }
+              if (eobrun == 0) {
+                var done = false
+                while (k <= se && !done) {
+                  val rs = tab.decode(in)
+                  if (rs < 0) return false
+                  var r = rs >> 4
+                  val s = rs & 0x0F
+                  var newVal = 0
+                  if (s == 0) {
+                    if (r < 15) { // EOBn: rest of block refines in-run
+                      eobrun = 1 << r
+                      if (r > 0) {
+                        val m = in.receive(r); if (m < 0) return false
+                        eobrun += m
+                      }
+                      done = true
+                    } // r == 15: ZRL — 16 zero-history positions skipped
+                  } else {
+                    if (s != 1) return false // refinement magnitude is ±1
+                    val bit = in.nextBit()
+                    if (bit < 0) return false
+                    newVal = if (bit == 1) p1 else -p1
+                  }
+                  if (!done) {
+                    // advance: correction bits on nonzero history, count
+                    // r zero-history positions, then place the new value
+                    var placed = false
+                    while (k <= se && !placed) {
+                      if (cf(off + k) != 0) {
+                        if (!correct(off + k)) return false
+                      } else {
+                        if (r == 0) {
+                          if (newVal != 0) cf(off + k) = newVal
+                          placed = true
+                        } else r -= 1
+                      }
+                      k += 1
+                    }
+                    if (!placed && newVal != 0) return false
+                  }
+                }
+              }
+              if (eobrun > 0) { // in an EOB run: refinement bits only
+                while (k <= se) {
+                  if (cf(off + k) != 0) { if (!correct(off + k)) return false }
+                  k += 1
+                }
+                eobrun -= 1
+              }
+              true
+            }
+
+            if (dcScan && ns > 1) { // interleaved DC scan: MCU order
+              var mcu = 0
+              var my = 0
+              while (my < mcusY) {
+                var mx = 0
+                while (mx < mcusX) {
+                  if (restartInterval > 0 && mcu > 0 &&
+                    mcu % restartInterval == 0) {
+                    if (!in.restart()) return None
+                    java.util.Arrays.fill(dcPred, 0); eobrun = 0
+                  }
+                  var sc = 0
+                  while (sc < ns) {
+                    val ci = scanComp(sc)
+                    var v0 = 0
+                    while (v0 < compV(ci)) {
+                      var h0 = 0
+                      while (h0 < compH(ci)) {
+                        val off = ((my * compV(ci) + v0) * blocksW(ci) +
+                          mx * compH(ci) + h0) * 64
+                        val ok = if (ah == 0) doDcFirst(sc, off)
+                                 else doDcRefine(ci, off)
+                        if (!ok) return None
+                        h0 += 1
+                      }
+                      v0 += 1
+                    }
+                    sc += 1
+                  }
+                  mcu += 1
+                  mx += 1
+                }
+                my += 1
+              }
+            } else { // non-interleaved: the component's used block grid
+              val ci = scanComp(0)
+              var unit = 0
+              var by = 0
+              while (by < usedH(ci)) {
+                var bx = 0
+                while (bx < usedW(ci)) {
+                  if (restartInterval > 0 && unit > 0 &&
+                    unit % restartInterval == 0) {
+                    if (!in.restart()) return None
+                    java.util.Arrays.fill(dcPred, 0); eobrun = 0
+                  }
+                  val off = (by * blocksW(ci) + bx) * 64
+                  val ok =
+                    if (dcScan) {
+                      if (ah == 0) doDcFirst(0, off) else doDcRefine(ci, off)
+                    } else {
+                      if (ah == 0) doAcFirst(ci, off) else doAcRefine(ci, off)
+                    }
+                  if (!ok) return None
+                  unit += 1
+                  bx += 1
+                }
+                by += 1
+              }
+            }
+            scansSeen += 1
+            // resync: skip the entropy remainder (stuffed FFs, RSTn) to
+            // the next real marker
+            var p = in.pos
+            var next = -1
+            while (p + 1 < b.length && next < 0) {
+              if ((b(p) & 0xFF) == 0xFF) {
+                val m = b(p + 1) & 0xFF
+                if (m == 0x00 || (m >= 0xD0 && m <= 0xD7)) p += 2
+                else next = p
+              } else p += 1
+            }
+            if (next < 0) return None
+            i = next
+          case _ => i = segEnd // APPn, COM, others
+        }
+      }
+    }
+    None
+  }
+
+  /** Shared JPEG output stage: padded per-component sample planes →
+    * packed RGB. Component sample for pixel (x,y) is the
+    * nearest-neighbor map (x·hi/maxH, y·vi/maxV) — identity for
+    * full-resolution components, 2× upsample for subsampled chroma;
+    * grayscale replicates, color converts JFIF YCbCr → RGB. */
+  private def jpegPlanesToRgb(w: Int, h: Int, nComp: Int,
+      planes: Array[Array[Int]], planeW: Array[Int],
+      compH: Array[Int], compV: Array[Int],
+      maxH: Int, maxV: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    def sampleAt(c: Int, x: Int, y: Int): Int =
+      planes(c)((y * compV(c) / maxV) * planeW(c) + x * compH(c) / maxH)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val o = 3 * (yy * w + xx)
+        if (nComp == 1) {
+          val g = sampleAt(0, xx, yy)
+          out(o) = g.toByte; out(o + 1) = g.toByte; out(o + 2) = g.toByte
+        } else { // JFIF YCbCr → RGB
+          val yv = sampleAt(0, xx, yy).toDouble
+          val cb = sampleAt(1, xx, yy) - 128.0
+          val cr = sampleAt(2, xx, yy) - 128.0
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          out(o) = clamp(yv + 1.402 * cr)
+          out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yv + 1.772 * cb)
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    out
   }
 
   /** Unified REAL pixel decode: (width, height, RGB triples top-down)

@@ -690,6 +690,87 @@ class MultimodalSpec extends GraftSpec {
     out.toByteArray
   }
 
+  private def hexBytes(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("progressive JPEG: DC successive approximation + EOB-only AC scans") {
+    // 8×8 grayscale, 4 scans: DC first at Al=1 (cat-6 one-code table),
+    // DC refinement bit, then AC first/refinement scans that are a
+    // single EOB each. Final DC = (d<<1)|bit = v, quant 8 → flat 128+v.
+    for (v <- Seq(64, 65, 100, 127)) {
+      val d = v >> 1
+      val jpeg = hexBytes(
+        "FFD8" +
+          "FFDB0043" + "00" + "08" * 64 +
+          "FFC2000B" + "08" + "0008" + "0008" + "01" + "011100" +
+          "FFC40014" + "00" + "01" + "00" * 15 + "06" +
+          "FFC40014" + "10" + "01" + "00" * 15 + "00" +
+          "FFDA0008" + "01" + "0100" + "000001" + f"${d * 2}%02X" +
+          "FFDA0008" + "01" + "0100" + "000010" + (if ((v & 1) == 1) "80" else "00") +
+          "FFDA0008" + "01" + "0100" + "013F01" + "00" +
+          "FFDA0008" + "01" + "0100" + "013F10" + "00" +
+          "FFD9")
+      val Some((w, h, px)) = Multimodal.decodeJpegPixels(jpeg)
+      assert((w, h) == ((8, 8)))
+      assert(px.forall(p => (p & 0xFF) == 128 + v), s"flat ${128 + v} for v=$v")
+    }
+    // truncation and a missing scan decode to None
+    assert(Multimodal.decodeJpegPixels(hexBytes(
+      "FFD8" + "FFDB0043" + "00" + "08" * 64 +
+        "FFC2000B" + "08" + "0008" + "0008" + "01" + "011100" + "FFD9")).isEmpty)
+  }
+
+  test("progressive JPEG: AC spectral band with refinement correction bits") {
+    // one 8×8 block, quant all 1: DC scan codes 10 (cat 4); AC first
+    // scan (band 1..5, Al=1) codes +1 at k=1 (stored 2); the AC
+    // refinement scan (Al=0) sends a correction bit turning 2 into 3
+    // AND introduces -1 at k=3 after skipping one zero-history slot.
+    val jpeg = hexBytes(
+      "FFD8" +
+        "FFDB0043" + "00" + "01" * 64 +
+        "FFC2000B" + "08" + "0008" + "0008" + "01" + "011100" +
+        "FFC40014" + "00" + "01" + "00" * 15 + "04" + // DC: one code → cat 4
+        "FFDA0008" + "01" + "0100" + "000000" + "50" + // DC scan: 0,1010 → 10
+        "FFC40015" + "10" + "02" + "00" * 15 + "0001" + // AC: '0'→EOB, '1'→(0,1)
+        "FFDA0008" + "01" + "0100" + "010501" + "C0" + // 1,1,0: +1@k1, EOB
+        "FFC40015" + "10" + "02" + "00" * 15 + "0011" + // AC: '0'→EOB, '1'→(1,1)
+        "FFDA0008" + "01" + "0100" + "010510" + "A0" + // 1,0,1,0: see above
+        "FFD9")
+    val Some((w, h, px)) = Multimodal.decodeJpegPixels(jpeg)
+    assert((w, h) == ((8, 8)))
+    val natural = new Array[Int](64)
+    natural(0) = 10
+    natural(jpegZigzag(1)) = 3
+    natural(jpegZigzag(3)) = -1
+    val expected = refIdct(natural)
+    assert(px.grouped(3).map(_(0) & 0xFF).toSeq == expected.toSeq)
+  }
+
+  test("progressive JPEG: DC prediction and EOB runs span blocks") {
+    // 16×8 grayscale, two blocks, quant 1. DC scan: 10 then diff 10 →
+    // 20. AC first scan: +2 at k=1 of block 1, then EOB1 with appended
+    // bit 0 → the EOB run covers block 2 entirely.
+    val jpeg = hexBytes(
+      "FFD8" +
+        "FFDB0043" + "00" + "01" * 64 +
+        "FFC2000B" + "08" + "0008" + "0010" + "01" + "011100" + // 16 wide
+        "FFC40014" + "00" + "01" + "00" * 15 + "04" +
+        "FFDA0008" + "01" + "0100" + "000000" + "5280" + // 0,1010,0,1010
+        "FFC40015" + "10" + "01" + "01" + "00" * 14 + "0210" + // '0'→(0,2), '10'→EOB1
+        "FFDA0008" + "01" + "0100" + "013F00" + "50" + // 0,10,10,0
+        "FFD9")
+    val Some((w, h, px)) = Multimodal.decodeJpegPixels(jpeg)
+    assert((w, h) == ((16, 8)))
+    val n1 = new Array[Int](64); n1(0) = 10; n1(jpegZigzag(1)) = 2
+    val n2 = new Array[Int](64); n2(0) = 20
+    val e1 = refIdct(n1); val e2 = refIdct(n2)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val got = px(3 * (y * 16 + x)) & 0xFF
+      val want = if (x < 8) e1(y * 8 + x) else e2(y * 8 + (x - 8))
+      assert(got == want, s"pixel ($x,$y)")
+    }
+  }
+
   /** Reference IDCT: the direct quadruple-sum definition (independent
     * of the decoder's separable form), same rounding/level-shift. */
   private def refIdct(coefNatural: Array[Int]): Array[Int] =
@@ -950,6 +1031,42 @@ class MultimodalSpec extends GraftSpec {
   }
 
   /** Minimal valid IEEE-float WAV: mono 32-bit float (format 3). */
+  /** G.711 WAV fixture: format 6 (A-law) or 7 (μ-law), 1 channel,
+    * one encoded byte per sample. */
+  private def wavG711Bytes(fmt: Int, rate: Int,
+                           encoded: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + encoded.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + encoded.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(fmt.toShort).putShort(1)
+    bb.putInt(rate).putInt(rate)
+    bb.putShort(1).putShort(8)
+    bb.put("data".getBytes("US-ASCII")).putInt(encoded.length)
+    encoded.foreach(v => bb.put((v & 0xFF).toByte))
+    bb.array()
+  }
+
+  test("decodeAudioMeta expands G.711 mu-law and A-law to linear") {
+    // μ-law: 0x80 is the positive max (+32124), 0x00 its negative,
+    // 0xFF/0x7F the two zeros — the ITU reference values
+    val u = Multimodal.decodeAudioMeta(
+      wavG711Bytes(7, 8000, Array(0x80, 0x00, 0xFF, 0x7F)))
+    assert(u(3) == 8 && u(4) == 4L)
+    // rms² · n = Σs² = 2 · 32124²
+    val sumSqU = math.pow(u(6).asInstanceOf[Double], 2) * 4
+    assert(math.abs(sumSqU - 2.0 * 32124 * 32124) < 1e-3)
+    assert(u(7) == 2L) // + → − → 0(≥0) counts one change each way
+    // A-law: 0xAA is the positive max (+32256), 0x2A its negative;
+    // 0xD5 decodes to +8 (the smallest magnitude), 0x55 to −8
+    val a = Multimodal.decodeAudioMeta(
+      wavG711Bytes(6, 8000, Array(0xAA, 0x2A, 0xD5, 0x55)))
+    val sumSqA = math.pow(a(6).asInstanceOf[Double], 2) * 4
+    assert(math.abs(sumSqA - (2.0 * 32256 * 32256 + 2.0 * 8 * 8)) < 1e-3)
+    assert(a(7) == 3L) // + − + −
+  }
+
   private def wavF32Bytes(rate: Int, samples: Array[Float]): Array[Byte] = {
     val dataLen = samples.length * 4
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
