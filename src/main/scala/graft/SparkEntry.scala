@@ -3504,6 +3504,127 @@ object SparkEntry {
           col("pix.width").as("w"), col("pix.height").as("h"),
           col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
           col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
+    },
+
+    // REAL 8-bit GRAYSCALE PNG decode (color type 0), oracled
+    // end-to-end: same five-filters-one-per-row construction as
+    // q_media_pixels_png but at one byte per pixel — the filter
+    // inverses run with bpp = 1, so the left/up-left references are
+    // the adjacent BYTE, not 3 back; a wrong bpp diverges every row.
+    "q_media_pixels_png_gray" -> { (s, dir) =>
+      def rawv(k: Int) = pmod(col("doc_id") * 31 + lit(k * 7), lit(256))
+      def at(y: Int, x: Int): org.apache.spark.sql.Column =
+        if (x < 0) lit(0L) else rawv(y * 4 + x)
+      def filt(y: Int, x: Int): org.apache.spark.sql.Column = y match {
+        case 0 => rawv(x) // None
+        case 1 => pmod(at(1, x) - at(1, x - 1), lit(256)) // Sub (bpp=1)
+        case 2 => pmod(at(2, x) - at(1, x), lit(256)) // Up
+        case 3 => // Average
+          pmod(at(3, x) -
+            floor((at(3, x - 1) + at(2, x)).cast("double") / lit(2.0)).cast("long"),
+            lit(256))
+        case _ => // Paeth
+          val a = at(4, x - 1); val b = at(3, x); val c0 = at(3, x - 1)
+          val p = a + b - c0
+          val pa = abs(p - a); val pb = abs(p - b); val pc = abs(p - c0)
+          val pred = when(pa <= pb && pa <= pc, a).when(pb <= pc, b).otherwise(c0)
+          pmod(at(4, x) - pred, lit(256))
+      }
+      val scanlines = concat((0 until 5).flatMap { y =>
+        lit(f"0$y") +: (0 until 4).map(x => leHex(filt(y, x), 1))
+      }: _*)
+      val png = unhex(concat(
+        lit("89504E470D0A1A0A"),
+        lit("0000000D"), lit("49484452"),
+        lit("00000004"), lit("00000005"), // width 4, height 5
+        lit("0800000000"), // depth 8, GRAYSCALE, comp/filter/interlace 0
+        lit("00000000"), // IHDR CRC (unchecked)
+        lit("00000024"), lit("49444154"), // IDAT length 36
+        lit("7801"), // zlib header (raw-inflate skips it)
+        lit("01"), lit("1900"), lit("E6FF"), // stored block, LEN 25
+        scanlines, // 5 × (filter byte + 4 data bytes)
+        lit("00000000"), // adler32 (unverified)
+        lit("00000000"), // IDAT CRC
+        lit("00000000"), lit("49454E44"), lit("00000000"))) // IEND
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), png.as("payload"))
+      Multimodal.withPixelStats(withBin, "payload")
+        .select(col("doc_id"),
+          col("pix.width").as("w"), col("pix.height").as("h"),
+          col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
+          col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
+    },
+
+    // REAL AVI main-header metadata, oracled end-to-end: synthesize a
+    // valid frameless AVI per row whose avih carries doc_id-derived
+    // dwWidth/dwHeight/dwTotalFrames; withMediaMeta must walk
+    // RIFF → hdrl → avih and surface all three (the one container
+    // whose n_frames is a real count, not the still-image 1).
+    "q_media_headers_avi" -> { (s, dir) =>
+      val aw = col("doc_id") % 640 + 16
+      val ah = col("doc_id") % 480 + 16
+      val nf = col("doc_id") % 7 + 1
+      val avi = unhex(concat(
+        lit("52494646"), leHex(lit(92L), 4), lit("41564920"), // RIFF "AVI "
+        lit("4C495354"), leHex(lit(68L), 4), lit("6864726C"), // LIST hdrl
+        lit("61766968"), leHex(lit(56L), 4), // avih, 56-byte body
+        leHex(lit(40000L), 4), lit("00" * 12), // μs/frame; bytes 4..15
+        leHex(nf, 4), lit("00" * 12), // dwTotalFrames; bytes 20..31
+        leHex(aw, 4), leHex(ah, 4), lit("00" * 16), // dims; reserved
+        lit("4C495354"), leHex(lit(4L), 4), lit("6D6F7669"))) // empty movi
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), avi.as("payload"))
+      Multimodal.withMediaMeta(withBin, "payload")
+        .select(col("doc_id"),
+          col("media.byte_len").as("byte_len"),
+          col("media.width").as("width"),
+          col("media.height").as("height"),
+          col("media.n_frames").as("n_frames"),
+          col("media.format").as("format"))
+    },
+
+    // REAL INTERLACED GIF decode, oracled ORDER-SENSITIVELY: the 4×4
+    // frame sets the interlace flag, so its rows arrive in the
+    // four-pass order [0, 2, 1, 3] and the decoder must put each back
+    // at its display position. Channel means alone are permutation-
+    // invariant (a decoder that ignored interlacing would pass), so
+    // the gate pipes the decode through resizeNearest(2×2) — which
+    // samples display rows 0 and 2 specifically — before the stats; a
+    // missing de-interlace samples the wrong rows and diverges.
+    "q_media_pixels_gif_i" -> { (s, dir) =>
+      val display = Seq(0, 2, 1, 3) // stored row s shows at display(s)
+      def pix(k: Int) = {
+        val dk = display(k / 4) * 4 + k % 4
+        pmod(col("doc_id") * 29 + lit(dk * 31), lit(256))
+      }
+      def code(i: Int): org.apache.spark.sql.Column =
+        if (i == 0) lit(256L) // clear
+        else if (i == 17) lit(257L) // end
+        else if (i >= 18) lit(0L)
+        else pix(i - 1)
+      val lzwBytes = concat((0 until 21).map { j =>
+        val i = (8 * j) / 9
+        val o = 8 * j - 9 * i
+        leHex(shiftright(code(i), o)
+          .bitwiseOR(shiftleft(code(i + 1), 9 - o)), 1)
+      }: _*)
+      val palette = (0 until 256).map(c => f"$c%02X" * 3).mkString
+      val gif = unhex(concat(
+        lit("474946383761"),
+        lit("04000400"), lit("87"), lit("0000"),
+        lit(palette),
+        lit("2C"), lit("00000000"), lit("04000400"), lit("40"), // INTERLACED
+        lit("08"),
+        lit("15"), lzwBytes, lit("00"),
+        lit("3B")))
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), gif.as("payload"))
+      val small = Multimodal.resized(withBin, "payload", 2, 2)
+      Multimodal.withPixelStats(small, "resized")
+        .select(col("doc_id"),
+          col("pix.width").as("w"), col("pix.height").as("h"),
+          col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
+          col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
     }
   )
 
@@ -3568,6 +3689,48 @@ object SparkEntry {
         |      WHEN 2 THEN 8064 ELSE 4032 END AS DOUBLE) AS rms,
         | CAST(7 AS BIGINT) AS zcr
         |FROM documents""".stripMargin,
+
+    // grayscale: r = g = b = the raw-byte formula over all 20 pixels
+    "q_media_pixels_png_gray" ->
+      """WITH px AS (
+        | SELECT doc_id, (doc_id * 31 + i * 7) % 256 AS v
+        | FROM documents, range(0, 20) t(i)),
+        |agg AS (
+        | SELECT doc_id, sum(v) AS sv,
+        |        sum(CASE WHEN v >= 128 THEN 1 ELSE 0 END) AS nb
+        | FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(4 AS INTEGER) AS w, CAST(5 AS INTEGER) AS h,
+        |  CAST(sv AS DOUBLE) / CAST(20 AS DOUBLE) AS mean_r,
+        |  CAST(sv AS DOUBLE) / CAST(20 AS DOUBLE) AS mean_g,
+        |  CAST(sv AS DOUBLE) / CAST(20 AS DOUBLE) AS mean_b,
+        |  CAST(nb AS BIGINT) AS n_bright
+        |FROM agg""".stripMargin,
+
+    "q_media_headers_avi" ->
+      """SELECT doc_id, CAST(100 AS BIGINT) AS byte_len,
+        |  CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+        |  CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+        |  CAST(doc_id % 7 + 1 AS INTEGER) AS n_frames,
+        |  'avi' AS format
+        |FROM documents""".stripMargin,
+
+    // the 2×2 nearest-neighbor resize samples DISPLAY positions
+    // k ∈ {0, 2, 8, 10} of the de-interlaced image
+    "q_media_pixels_gif_i" ->
+      """WITH k AS (SELECT unnest([0, 2, 8, 10]) AS kk),
+        |px AS (
+        | SELECT d.doc_id, (d.doc_id * 29 + k.kk * 31) % 256 AS v
+        | FROM documents d, k),
+        |agg AS (
+        | SELECT doc_id, sum(v) AS sv,
+        |        sum(CASE WHEN v >= 128 THEN 1 ELSE 0 END) AS nb
+        | FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(2 AS INTEGER) AS w, CAST(2 AS INTEGER) AS h,
+        |  CAST(sv AS DOUBLE) / CAST(4 AS DOUBLE) AS mean_r,
+        |  CAST(sv AS DOUBLE) / CAST(4 AS DOUBLE) AS mean_g,
+        |  CAST(sv AS DOUBLE) / CAST(4 AS DOUBLE) AS mean_b,
+        |  CAST(nb AS BIGINT) AS n_bright
+        |FROM agg""".stripMargin,
 
     // flat DC-only progressive frame: every pixel is exactly
     // 128 + (64 + (doc_id·23) % 64), always bright

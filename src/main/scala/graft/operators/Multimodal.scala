@@ -262,8 +262,46 @@ object Multimodal {
   def decodeMeta(bytes: Array[Byte]): (Long, Integer, Integer, Int, String) =
     parseImageHeader(bytes) match {
       case Some((w, h, fmt)) => (bytes.length.toLong, w, h, 1, fmt)
-      case None => (bytes.length.toLong, null, null, 1, "unknown")
+      case None => parseAviHeader(bytes) match {
+        case Some((w, h, n)) => (bytes.length.toLong, w, h, n, "avi")
+        case None => (bytes.length.toLong, null, null, 1, "unknown")
+      }
     }
+
+  /** REAL AVI main-header parse — (width, height, total frames) from
+    * the 'avih' chunk inside the 'hdrl' LIST (dwWidth/dwHeight at
+    * offsets 32/36, dwTotalFrames at 16). Same defensive None contract
+    * as [[parseImageHeader]]. */
+  def parseAviHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+    def u32(off: Int): Long = le32(b, off).toLong & 0xFFFFFFFFL
+    val end = math.min(8L + u32(4), b.length.toLong)
+    var i = 12L
+    while (i + 8 <= end) {
+      val fc = new String(b, i.toInt, 4, "US-ASCII")
+      val sz = u32(i.toInt + 4)
+      val body = i + 8
+      if (body + sz > end) return None
+      if (fc == "LIST" && sz >= 4 &&
+        new String(b, body.toInt, 4, "US-ASCII") == "hdrl") {
+        var j = body + 4
+        while (j + 8 <= body + sz) {
+          val cfc = new String(b, j.toInt, 4, "US-ASCII")
+          val csz = u32(j.toInt + 4)
+          if (j + 8 + csz > body + sz) return None
+          if (cfc == "avih" && csz >= 40)
+            return Some((u32((j + 8 + 32).toInt).toInt,
+              u32((j + 8 + 36).toInt).toInt, u32((j + 8 + 16).toInt).toInt))
+          j += 8 + csz + (csz & 1)
+        }
+        return None // hdrl without a usable avih
+      }
+      i = body + sz + (sz & 1)
+    }
+    None
+  }
 
   /** REAL pixel-level BMP decode — 24-bpp uncompressed BI_RGB, the
     * public format simple enough to decode exactly in pure JVM (no
@@ -302,19 +340,21 @@ object Multimodal {
     Some((w, h, out))
   }
 
-  /** REAL pixel-level PNG decode — non-interlaced 8-bit truecolor
-    * (color type 2, RGB) and truecolor+alpha (color type 6, RGBA),
-    * pure JVM with stdlib only: IDAT chunk payloads concatenated,
-    * zlib-inflated via `java.util.zip.Inflater` in raw mode (the 2-byte
-    * zlib header is skipped; chunk CRCs and the adler32 trailer are NOT
-    * verified — a pipeline decode tolerates bad checksums rather than
-    * throwing), then the five PNG scanline filters (None/Sub/Up/
-    * Average/Paeth) inverted per row. Returns (width, height, pixels)
-    * as RGB byte triples in top-down row-major order, alpha dropped.
-    * Anything else — other bit depths, palette/grayscale color types,
-    * Adam7 interlace, truncated or corrupt streams, undefined filter
-    * types — decodes defensively to None: a corrupt payload row must
-    * never throw. */
+  /** REAL pixel-level PNG decode — non-interlaced 8-bit grayscale
+    * (color type 0), truecolor (2, RGB), palette (3, via PLTE), and
+    * truecolor+alpha (6, RGBA), pure JVM with stdlib only: IDAT chunk
+    * payloads concatenated, zlib-inflated via `java.util.zip.Inflater`
+    * in raw mode (the 2-byte zlib header is skipped; chunk CRCs and
+    * the adler32 trailer are NOT verified — a pipeline decode
+    * tolerates bad checksums rather than throwing), then the five PNG
+    * scanline filters (None/Sub/Up/Average/Paeth) inverted per row
+    * with the color type's bytes-per-pixel. Returns (width, height,
+    * pixels) as RGB byte triples in top-down row-major order —
+    * grayscale replicated, palette indices mapped, alpha dropped.
+    * Anything else — other bit depths, Adam7 interlace, a palette
+    * image without PLTE, out-of-range palette indices, truncated or
+    * corrupt streams, undefined filter types — decodes defensively to
+    * None: a corrupt payload row must never throw. */
   def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b == null || b.length < 45) return None // sig + IHDR + IEND minimum
     if (!((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
@@ -322,6 +362,7 @@ object Multimodal {
     var w, h = 0
     var bitDepth, colorType = -1
     var seenIHDR, seenIEND = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
     while (!seenIEND && i + 8 <= b.length) {
@@ -339,16 +380,23 @@ object Multimodal {
           // compression 0 / filter method 0 / interlace 0 only
           if (b(i + 18) != 0 || b(i + 19) != 0 || b(i + 20) != 0) return None
           seenIHDR = true
+        case "PLTE" =>
+          if (!seenIHDR || len == 0 || len % 3 != 0 || len > 768) return None
+          plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
         case "IDAT" => if (!seenIHDR) return None else idat.write(b, i + 8, len)
         case "IEND" => seenIEND = true
         case _ => () // ancillary chunks skipped
       }
       i += 12 + len // length + type + data + CRC (CRC deliberately unchecked)
     }
-    if (!seenIHDR || bitDepth != 8 || (colorType != 2 && colorType != 6)) return None
+    // 8-bit grayscale (0), truecolor (2), palette (3), truecolor+alpha (6)
+    if (!seenIHDR || bitDepth != 8 ||
+      (colorType != 0 && colorType != 2 && colorType != 3 && colorType != 6))
+      return None
+    if (colorType == 3 && plte == null) return None
     if (w <= 0 || h <= 0) return None
     if (w.toLong * h.toLong * 3L > 64L * 1024 * 1024) return None // sanity cap
-    val bpp = if (colorType == 2) 3 else 4
+    val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
     val stride = w * bpp // filtered bytes per scanline, filter byte excluded
     val rawLen = (stride + 1).toLong * h // cap above bounds this under ~90 MB
     val z = idat.toByteArray
@@ -397,6 +445,25 @@ object Multimodal {
       y += 1
     }
     if (bpp == 3) Some((w, h, recon))
+    else if (bpp == 1) { // grayscale replicate or palette lookup
+      val rgb = new Array[Byte](w * h * 3)
+      val nPal = if (plte == null) 0 else plte.length / 3
+      var j = 0
+      while (j < w * h) {
+        val v = recon(j) & 0xFF
+        if (colorType == 3) {
+          if (v >= nPal) return None
+          rgb(3 * j) = plte(3 * v)
+          rgb(3 * j + 1) = plte(3 * v + 1)
+          rgb(3 * j + 2) = plte(3 * v + 2)
+        } else {
+          rgb(3 * j) = v.toByte; rgb(3 * j + 1) = v.toByte
+          rgb(3 * j + 2) = v.toByte
+        }
+        j += 1
+      }
+      Some((w, h, rgb))
+    }
     else { // RGBA → drop alpha
       val rgb = new Array[Byte](w * h * 3)
       var j = 0
@@ -497,15 +564,32 @@ object Multimodal {
     Some(out)
   }
 
+  /** Stored-row → display-row map for a GIF frame: identity when not
+    * interlaced, the four-pass interlace order (rows 0,8,16…, then
+    * 4,12…, then 2,6…, then 1,3,…) otherwise. */
+  private def gifRowMap(h: Int, interlaced: Boolean): Array[Int] = {
+    val m = new Array[Int](h)
+    if (!interlaced) { var r = 0; while (r < h) { m(r) = r; r += 1 } }
+    else {
+      var s = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+        var r = start
+        while (r < h) { m(s) = r; s += 1; r += step }
+      }
+    }
+    m
+  }
+
   /** REAL pixel-level GIF decode — GIF87a/89a, first image frame,
-    * non-interlaced, pure JVM: walks the logical screen descriptor +
-    * global color table, skips extension blocks, concatenates the image
-    * data sub-blocks, [[lzwDecode]]s the color indices, and maps them
-    * through the active (local-else-global) color table. Returns
-    * (width, height, pixels) as RGB triples top-down (GIF stores rows
-    * top-down already). Interlaced images, missing color tables,
-    * out-of-range indices, and any truncation decode defensively to
-    * None — a corrupt payload row must never throw. */
+    * pure JVM: walks the logical screen descriptor + global color
+    * table, skips extension blocks, concatenates the image data
+    * sub-blocks, [[lzwDecode]]s the color indices, de-interlaces the
+    * four-pass row order when the descriptor flags it
+    * ([[gifRowMap]]), and maps indices through the active
+    * (local-else-global) color table. Returns (width, height, pixels)
+    * as RGB triples top-down. Missing color tables, out-of-range
+    * indices, and any truncation decode defensively to None — a
+    * corrupt payload row must never throw. */
   def decodeGifPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b == null || b.length < 15) return None
     if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
@@ -537,7 +621,6 @@ object Multimodal {
           val w = le16(b, i + 5); val h = le16(b, i + 7)
           val ipacked = b(i + 9) & 0xFF
           i += 10
-          if ((ipacked & 0x40) != 0) return None // Adam-style interlace
           var table = gct
           if ((ipacked & 0x80) != 0) { // local color table wins
             val n = 2 << (ipacked & 7)
@@ -561,16 +644,23 @@ object Multimodal {
             case Some(ix) => ix
             case None => return None
           }
+          val rowMap = gifRowMap(h, (ipacked & 0x40) != 0)
           val nColors = table.length / 3
           val out = new Array[Byte](w * h * 3)
-          var j = 0
-          while (j < w * h) {
-            val idx = indices(j) & 0xFF
-            if (idx >= nColors) return None
-            out(3 * j) = table(3 * idx)
-            out(3 * j + 1) = table(3 * idx + 1)
-            out(3 * j + 2) = table(3 * idx + 2)
-            j += 1
+          var sy = 0
+          while (sy < h) {
+            val dy = rowMap(sy) // stored row sy displays at row dy
+            var x = 0
+            while (x < w) {
+              val idx = indices(sy * w + x) & 0xFF
+              if (idx >= nColors) return None
+              val o = 3 * (dy * w + x)
+              out(o) = table(3 * idx)
+              out(o + 1) = table(3 * idx + 1)
+              out(o + 2) = table(3 * idx + 2)
+              x += 1
+            }
+            sy += 1
           }
           return Some((w, h, out))
         case 0x3B => return None // trailer before any image frame
@@ -639,7 +729,6 @@ object Multimodal {
           val w = le16(b, i + 5); val h = le16(b, i + 7)
           val ipacked = b(i + 9) & 0xFF
           i += 10
-          if ((ipacked & 0x40) != 0) return None // interlace unsupported
           var table = gct
           if ((ipacked & 0x80) != 0) { // local color table wins
             val n = 2 << (ipacked & 7)
@@ -664,16 +753,23 @@ object Multimodal {
             case Some(ix) => ix
             case None => return None
           }
+          val rowMap = gifRowMap(h, (ipacked & 0x40) != 0)
           val nColors = table.length / 3
           val out = new Array[Byte](w * h * 3)
-          var j = 0
-          while (j < w * h) {
-            val idx = indices(j) & 0xFF
-            if (idx >= nColors) return None
-            out(3 * j) = table(3 * idx)
-            out(3 * j + 1) = table(3 * idx + 1)
-            out(3 * j + 2) = table(3 * idx + 2)
-            j += 1
+          var sy = 0
+          while (sy < h) {
+            val dy = rowMap(sy)
+            var x = 0
+            while (x < w) {
+              val idx = indices(sy * w + x) & 0xFF
+              if (idx >= nColors) return None
+              val o = 3 * (dy * w + x)
+              out(o) = table(3 * idx)
+              out(o + 1) = table(3 * idx + 1)
+              out(o + 2) = table(3 * idx + 2)
+              x += 1
+            }
+            sy += 1
           }
           frames += ((frames.length, pendingDelay, w, h, out))
           pendingDelay = 0

@@ -253,8 +253,9 @@ class MultimodalSpec extends GraftSpec {
     * Deflater — a genuine zlib stream, not a stored block. `px` is h
     * rows of w*bpp channel values, top-down. */
   private def pngEncode(w: Int, h: Int, colorType: Int,
-                        px: Seq[Seq[Int]], filters: Seq[Int]): Array[Byte] = {
-    val bpp = if (colorType == 2) 3 else 4
+                        px: Seq[Seq[Int]], filters: Seq[Int],
+                        palette: Array[Byte] = null): Array[Byte] = {
+    val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
     val stride = w * bpp
     val raw = new Array[Byte]((stride + 1) * h)
     for (y <- 0 until h) {
@@ -288,8 +289,47 @@ class MultimodalSpec extends GraftSpec {
       .put(8.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
-      pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", zout.toByteArray) ++
+      pngChunk("IHDR", ihdr) ++
+      (if (palette != null) pngChunk("PLTE", palette)
+       else Array.emptyByteArray) ++
+      pngChunk("IDAT", zout.toByteArray) ++
       pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  test("decodePngPixels: 8-bit grayscale replicates and filters at bpp=1") {
+    val px = (0 until 5).map(y => (0 until 4).map(x => (y * 71 + x * 37) % 256))
+    val bytes = pngEncode(4, 5, colorType = 0, px, filters = Seq(0, 1, 2, 3, 4))
+    val Some((w, h, out)) = Multimodal.decodePngPixels(bytes)
+    assert((w, h) == ((4, 5)))
+    for (y <- 0 until 5; x <- 0 until 4) {
+      val o = 3 * (y * 4 + x)
+      assert((out(o) & 0xFF) == px(y)(x) && out(o) == out(o + 1) &&
+        out(o + 1) == out(o + 2), s"gray pixel ($x,$y)")
+    }
+  }
+
+  test("decodePngPixels: palette color type maps indices through PLTE") {
+    val pal = new Array[Byte](768)
+    for (c <- 0 until 256) {
+      pal(3 * c) = c.toByte; pal(3 * c + 1) = (255 - c).toByte
+      pal(3 * c + 2) = (c ^ 0x5A).toByte
+    }
+    val px = (0 until 4).map(y => (0 until 4).map(x => (y * 67 + x * 41) % 256))
+    val bytes = pngEncode(4, 4, colorType = 3, px,
+      filters = Seq(0, 1, 2, 4), palette = pal)
+    val Some((w, h, out)) = Multimodal.decodePngPixels(bytes)
+    assert((w, h) == ((4, 4)))
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val idx = px(y)(x); val o = 3 * (y * 4 + x)
+      assert((out(o) & 0xFF) == idx && (out(o + 1) & 0xFF) == (255 - idx) &&
+        (out(o + 2) & 0xFF) == (idx ^ 0x5A), s"palette pixel ($x,$y)")
+    }
+    // a palette image without PLTE, and a short palette with an
+    // out-of-range index, decode to None
+    assert(Multimodal.decodePngPixels(
+      pngEncode(4, 4, 3, px, Seq(0, 0, 0, 0))).isEmpty)
+    assert(Multimodal.decodePngPixels(pngEncode(4, 4, 3, px, Seq(0, 0, 0, 0),
+      palette = Array[Byte](1, 2, 3))).isEmpty)
   }
 
   test("decodePngPixels inverts all five scanline filters on a real zlib stream") {
@@ -347,7 +387,8 @@ class MultimodalSpec extends GraftSpec {
     * (palette i = (i,i,i)), one non-interlaced frame, caller-supplied
     * already-packed LZW data split into sub-blocks. */
   private def gifBytes(w: Int, h: Int, minCode: Int,
-                       lzw: Array[Byte], paletteBits: Int = 7): Array[Byte] = {
+                       lzw: Array[Byte], paletteBits: Int = 7,
+                       interlaced: Boolean = false): Array[Byte] = {
     val bb = new java.io.ByteArrayOutputStream()
     bb.write("GIF87a".getBytes("US-ASCII"))
     bb.write(Array[Byte](
@@ -357,7 +398,8 @@ class MultimodalSpec extends GraftSpec {
     for (c <- 0 until n) { bb.write(c); bb.write(c); bb.write(c) }
     bb.write(0x2C)
     bb.write(Array[Byte](0, 0, 0, 0,
-      (w & 0xFF).toByte, (w >> 8).toByte, (h & 0xFF).toByte, (h >> 8).toByte, 0))
+      (w & 0xFF).toByte, (w >> 8).toByte, (h & 0xFF).toByte, (h >> 8).toByte,
+      if (interlaced) 0x40.toByte else 0))
     bb.write(minCode)
     lzw.grouped(255).foreach { blk => bb.write(blk.length); bb.write(blk) }
     bb.write(0) // sub-block terminator
@@ -457,7 +499,11 @@ class MultimodalSpec extends GraftSpec {
     s4("RIFF"); le32(riffSize); s4("AVI ")
     s4("LIST"); le32(hdrlSize); s4("hdrl")
     s4("avih"); le32(56); le32(usPerFrame)
-    (0 until 52).foreach(_ => bos.write(0))
+    le32(0); le32(0); le32(0) // maxBytesPerSec, padding, flags
+    le32(frames.length) // dwTotalFrames
+    le32(0); le32(0); le32(0) // initialFrames, streams, bufSize
+    le32(8); le32(8) // dwWidth, dwHeight (fixture frames are 8×8)
+    (0 until 16).foreach(_ => bos.write(0))
     s4("LIST"); le32(moviSize); s4("movi")
     frames.foreach { f =>
       s4("00dc"); le32(f.length); bos.write(f)
@@ -486,6 +532,18 @@ class MultimodalSpec extends GraftSpec {
     val badChunk = aviBytes(40000L, Seq(Array.fill[Byte](16)(7)))
     assert(Multimodal.decodeAviFrames(badChunk).isEmpty)
     assert(Multimodal.decodeAviFrames("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("parseAviHeader surfaces avih dims and frame count via decodeMeta") {
+    val q = Array.fill(64)(0); q(0) = 8
+    def flat(dc: Int) = { val b = new Array[Int](64); b(0) = dc; b }
+    val avi = aviBytes(40000L,
+      Seq(1, 2, 3).map(dc => jpegEncode(8, 8, 1, q, Seq(Seq(flat(dc))))))
+    assert(Multimodal.parseAviHeader(avi).contains((8, 8, 3)))
+    val meta = Multimodal.decodeMeta(avi)
+    assert(meta._2 == 8 && meta._3 == 8 && meta._4 == 3 && meta._5 == "avi")
+    assert(Multimodal.parseAviHeader("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.parseAviHeader(avi.take(30)).isEmpty)
   }
 
   test("frameSampled explodes MJPEG AVI frames like GIF ones") {
@@ -517,6 +575,21 @@ class MultimodalSpec extends GraftSpec {
     assert((w, h) == ((4, 2)))
     assert(px.grouped(3).map(_(0) & 0xFF).toSeq == idx) // r channel = gray
     assert(px.grouped(3).forall(t => t(0) == t(1) && t(1) == t(2)))
+  }
+
+  test("decodeGifPixels: four-pass interlace restores display row order") {
+    // 4×8 interlaced: pass rows 0,8.. then 4.. then 2,6 then odd —
+    // stored order for h=8 is [0, 4, 2, 6, 1, 3, 5, 7]. Encode the
+    // target rows (row y = constant y*30) in that stored order and
+    // expect the decoder to put each back at its display position.
+    val stored = Seq(0, 4, 2, 6, 1, 3, 5, 7)
+    val idx = stored.flatMap(y => Seq.fill(4)(y * 30))
+    val codes = (256, 9) +: idx.map(v => (v, 9)) :+ ((257, 9))
+    val Some((w, h, px)) = Multimodal.decodeGifPixels(
+      gifBytes(4, 8, 8, packLsb(codes), interlaced = true))
+    assert((w, h) == ((4, 8)))
+    for (y <- 0 until 8; x <- 0 until 4)
+      assert((px(3 * (y * 4 + x)) & 0xFF) == y * 30, s"pixel ($x,$y)")
   }
 
   test("decodeGifPixels: dictionary reuse and the KwKwK special case") {
@@ -563,9 +636,14 @@ class MultimodalSpec extends GraftSpec {
     val good = gifBytes(4, 2, 8, packLsb(codes))
     assert(Multimodal.decodeGifPixels(good).isDefined)
     val interlaced = good.clone()
-    // image-descriptor packed byte: 6 (header) + 7 (LSD) + 768 (GCT) + 9
+    // image-descriptor packed byte: 6 (header) + 7 (LSD) + 768 (GCT) + 9.
+    // h=2 interlaces to stored order [0, 1] — identity — so the flag
+    // alone must not change the output (interlace is SUPPORTED now;
+    // row re-ordering is pinned by the four-pass test above)
     interlaced(6 + 7 + 768 + 9) = 0x40.toByte
-    assert(Multimodal.decodeGifPixels(interlaced).isEmpty)
+    val Some((wi, hi, pi)) = Multimodal.decodeGifPixels(interlaced)
+    val Some((_, _, pg)) = Multimodal.decodeGifPixels(good)
+    assert((wi, hi) == ((4, 2)) && java.util.Arrays.equals(pi, pg))
     assert(Multimodal.decodeGifPixels(good.dropRight(5)).isEmpty) // truncated
     assert(Multimodal.decodeGifPixels("GIF89a".getBytes).isEmpty)
     // end code missing: bitstream exhausts without terminating
