@@ -3555,6 +3555,53 @@ object SparkEntry {
           col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
     },
 
+    // REAL Adam7-INTERLACED PNG decode, oracled ORDER-SENSITIVELY: an
+    // 8×8 grayscale image whose seven interlace passes are synthesized
+    // in pass order (filter None per scanline — the per-pass FILTER
+    // references are pinned by MultimodalSpec's mixed-filter Adam7
+    // test; this gate pins the pass-scatter geometry). As with the
+    // interlaced GIF gate, channel means are permutation-invariant, so
+    // the decode goes through resizeNearest(2×2), which samples
+    // display positions k ∈ {0, 4, 32, 36} — exactly the pass-1/2/3
+    // pixels, which land elsewhere if the scatter is wrong.
+    "q_media_pixels_png_adam7" -> { (s, dir) =>
+      def v(k: Int) = pmod(col("doc_id") * 37 + lit(k * 13), lit(256))
+      def row(ks: Seq[Int]) =
+        concat(lit("00") +: ks.map(k => leHex(v(k), 1)): _*)
+      // Adam7 pass layout for 8×8: (pass → display ks per scanline)
+      val scanlines = concat(
+        row(Seq(0)), // pass 1
+        row(Seq(4)), // pass 2
+        row(Seq(32, 36)), // pass 3
+        row(Seq(2, 6)), row(Seq(34, 38)), // pass 4
+        row(Seq(16, 18, 20, 22)), row(Seq(48, 50, 52, 54)), // pass 5
+        row(Seq(1, 3, 5, 7)), row(Seq(17, 19, 21, 23)), // pass 6
+        row(Seq(33, 35, 37, 39)), row(Seq(49, 51, 53, 55)),
+        row(8 to 15), row(24 to 31), // pass 7
+        row(40 to 47), row(56 to 63))
+      val png = unhex(concat(
+        lit("89504E470D0A1A0A"),
+        lit("0000000D"), lit("49484452"),
+        lit("00000008"), lit("00000008"), // width 8, height 8
+        lit("0800000001"), // depth 8, grayscale, ADAM7
+        lit("00000000"), // IHDR CRC (unchecked)
+        lit("0000005A"), lit("49444154"), // IDAT length 90
+        lit("7801"), // zlib header (raw-inflate skips it)
+        lit("01"), lit("4F00"), lit("B0FF"), // stored block, LEN 79
+        scanlines,
+        lit("00000000"), // adler32 (unverified)
+        lit("00000000"), // IDAT CRC
+        lit("00000000"), lit("49454E44"), lit("00000000"))) // IEND
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), png.as("payload"))
+      val small = Multimodal.resized(withBin, "payload", 2, 2)
+      Multimodal.withPixelStats(small, "resized")
+        .select(col("doc_id"),
+          col("pix.width").as("w"), col("pix.height").as("h"),
+          col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
+          col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
+    },
+
     // REAL AVI main-header metadata, oracled end-to-end: synthesize a
     // valid frameless AVI per row whose avih carries doc_id-derived
     // dwWidth/dwHeight/dwTotalFrames; withMediaMeta must walk
@@ -3703,6 +3750,24 @@ object SparkEntry {
         |  CAST(sv AS DOUBLE) / CAST(20 AS DOUBLE) AS mean_r,
         |  CAST(sv AS DOUBLE) / CAST(20 AS DOUBLE) AS mean_g,
         |  CAST(sv AS DOUBLE) / CAST(20 AS DOUBLE) AS mean_b,
+        |  CAST(nb AS BIGINT) AS n_bright
+        |FROM agg""".stripMargin,
+
+    // the 2×2 resize samples display k ∈ {0, 4, 32, 36} of the
+    // de-interlaced image
+    "q_media_pixels_png_adam7" ->
+      """WITH k AS (SELECT unnest([0, 4, 32, 36]) AS kk),
+        |px AS (
+        | SELECT d.doc_id, (d.doc_id * 37 + k.kk * 13) % 256 AS v
+        | FROM documents d, k),
+        |agg AS (
+        | SELECT doc_id, sum(v) AS sv,
+        |        sum(CASE WHEN v >= 128 THEN 1 ELSE 0 END) AS nb
+        | FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(2 AS INTEGER) AS w, CAST(2 AS INTEGER) AS h,
+        |  CAST(sv AS DOUBLE) / CAST(4 AS DOUBLE) AS mean_r,
+        |  CAST(sv AS DOUBLE) / CAST(4 AS DOUBLE) AS mean_g,
+        |  CAST(sv AS DOUBLE) / CAST(4 AS DOUBLE) AS mean_b,
         |  CAST(nb AS BIGINT) AS n_bright
         |FROM agg""".stripMargin,
 

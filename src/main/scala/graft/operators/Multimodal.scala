@@ -340,18 +340,20 @@ object Multimodal {
     Some((w, h, out))
   }
 
-  /** REAL pixel-level PNG decode — non-interlaced 8-bit grayscale
-    * (color type 0), truecolor (2, RGB), palette (3, via PLTE), and
-    * truecolor+alpha (6, RGBA), pure JVM with stdlib only: IDAT chunk
-    * payloads concatenated, zlib-inflated via `java.util.zip.Inflater`
-    * in raw mode (the 2-byte zlib header is skipped; chunk CRCs and
-    * the adler32 trailer are NOT verified — a pipeline decode
-    * tolerates bad checksums rather than throwing), then the five PNG
-    * scanline filters (None/Sub/Up/Average/Paeth) inverted per row
-    * with the color type's bytes-per-pixel. Returns (width, height,
-    * pixels) as RGB byte triples in top-down row-major order —
-    * grayscale replicated, palette indices mapped, alpha dropped.
-    * Anything else — other bit depths, Adam7 interlace, a palette
+  /** REAL pixel-level PNG decode — 8-bit grayscale (color type 0),
+    * truecolor (2, RGB), palette (3, via PLTE), and truecolor+alpha
+    * (6, RGBA), both sequential and Adam7-interlaced, pure JVM with
+    * stdlib only: IDAT chunk payloads concatenated, zlib-inflated via
+    * `java.util.zip.Inflater` in raw mode (the 2-byte zlib header is
+    * skipped; chunk CRCs and the adler32 trailer are NOT verified — a
+    * pipeline decode tolerates bad checksums rather than throwing),
+    * then the five PNG scanline filters (None/Sub/Up/Average/Paeth)
+    * inverted per row with the color type's bytes-per-pixel — for
+    * Adam7, per PASS: each of the seven sub-images filters against
+    * its own rows, then scatters to its display positions. Returns
+    * (width, height, pixels) as RGB byte triples in top-down
+    * row-major order — grayscale replicated, palette indices mapped,
+    * alpha dropped. Anything else — other bit depths, a palette
     * image without PLTE, out-of-range palette indices, truncated or
     * corrupt streams, undefined filter types — decodes defensively to
     * None: a corrupt payload row must never throw. */
@@ -361,6 +363,7 @@ object Multimodal {
       b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A)) return None
     var w, h = 0
     var bitDepth, colorType = -1
+    var interlace = 0
     var seenIHDR, seenIEND = false
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -377,8 +380,10 @@ object Multimodal {
           w = be32(b, i + 8); h = be32(b, i + 12)
           bitDepth = b(i + 16) & 0xFF
           colorType = b(i + 17) & 0xFF
-          // compression 0 / filter method 0 / interlace 0 only
-          if (b(i + 18) != 0 || b(i + 19) != 0 || b(i + 20) != 0) return None
+          // compression 0 / filter method 0; interlace 0 or Adam7 (1)
+          if (b(i + 18) != 0 || b(i + 19) != 0) return None
+          interlace = b(i + 20) & 0xFF
+          if (interlace > 1) return None
           seenIHDR = true
         case "PLTE" =>
           if (!seenIHDR || len == 0 || len % 3 != 0 || len > 768) return None
@@ -397,8 +402,24 @@ object Multimodal {
     if (w <= 0 || h <= 0) return None
     if (w.toLong * h.toLong * 3L > 64L * 1024 * 1024) return None // sanity cap
     val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
-    val stride = w * bpp // filtered bytes per scanline, filter byte excluded
-    val rawLen = (stride + 1).toLong * h // cap above bounds this under ~90 MB
+    val stride = w * bpp // bytes per image scanline, filter byte excluded
+    // Adam7 reduces the image to seven sub-images (origin + step per
+    // pass), each with its OWN filtered scanlines; non-interlaced is
+    // the single identity pass. Empty passes contribute no bytes.
+    val passes =
+      if (interlace == 1)
+        Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Seq((0, 0, 1, 1))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1L + pw.toLong * bpp)
+    }.sum // cap above bounds this under ~90 MB
     val z = idat.toByteArray
     if (z.length < 3) return None
     val raw = new Array[Byte](rawLen.toInt)
@@ -415,34 +436,62 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // invert the scanline filters; recon holds fully-decoded rows so
-    // Up/Average/Paeth can reference the row above
+    // invert the scanline filters pass by pass — each pass's rows
+    // reference that pass's own previous row/pixels — then scatter the
+    // pass pixels to their display positions
     val recon = new Array[Byte](stride * h)
-    var y = 0
-    while (y < h) {
-      val rowOff = y * (stride + 1)
-      val ft = raw(rowOff) & 0xFF
-      if (ft > 4) return None
-      var x = 0
-      while (x < stride) {
-        val f = raw(rowOff + 1 + x) & 0xFF
-        val a = if (x >= bpp) recon(y * stride + x - bpp) & 0xFF else 0 // left
-        val u = if (y > 0) recon((y - 1) * stride + x) & 0xFF else 0 // up
-        val v = ft match {
-          case 0 => f
-          case 1 => f + a
-          case 2 => f + u
-          case 3 => f + ((a + u) >> 1)
-          case _ => // Paeth
-            val c = if (x >= bpp && y > 0) recon((y - 1) * stride + x - bpp) & 0xFF else 0
-            val p = a + u - c
-            val pa = math.abs(p - a); val pb = math.abs(p - u); val pc = math.abs(p - c)
-            f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+    var rawOff = 0
+    for (pass <- passes) {
+      val (x0, y0, dx, dy) = pass
+      val (pw, ph) = passDims(pass)
+      if (pw > 0 && ph > 0) {
+        val pstride = pw * bpp
+        val prec = new Array[Byte](pstride * ph)
+        var y = 0
+        while (y < ph) {
+          val rowOff = rawOff + y * (pstride + 1)
+          val ft = raw(rowOff) & 0xFF
+          if (ft > 4) return None
+          var x = 0
+          while (x < pstride) {
+            val f = raw(rowOff + 1 + x) & 0xFF
+            val a = if (x >= bpp) prec(y * pstride + x - bpp) & 0xFF else 0
+            val u = if (y > 0) prec((y - 1) * pstride + x) & 0xFF else 0
+            val v = ft match {
+              case 0 => f
+              case 1 => f + a
+              case 2 => f + u
+              case 3 => f + ((a + u) >> 1)
+              case _ => // Paeth
+                val c = if (x >= bpp && y > 0)
+                  prec((y - 1) * pstride + x - bpp) & 0xFF else 0
+                val p = a + u - c
+                val pa = math.abs(p - a); val pb = math.abs(p - u)
+                val pc = math.abs(p - c)
+                f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+            }
+            prec(y * pstride + x) = (v & 0xFF).toByte
+            x += 1
+          }
+          y += 1
         }
-        recon(y * stride + x) = (v & 0xFF).toByte
-        x += 1
+        // scatter: pass pixel (i, j) displays at (x0 + i·dx, y0 + j·dy)
+        var j = 0
+        while (j < ph) {
+          var i2 = 0
+          while (i2 < pw) {
+            var c = 0
+            while (c < bpp) {
+              recon((y0 + j * dy) * stride + (x0 + i2 * dx) * bpp + c) =
+                prec(j * pstride + i2 * bpp + c)
+              c += 1
+            }
+            i2 += 1
+          }
+          j += 1
+        }
+        rawOff += ph * (1 + pstride)
       }
-      y += 1
     }
     if (bpp == 3) Some((w, h, recon))
     else if (bpp == 1) { // grayscale replicate or palette lookup

@@ -254,31 +254,49 @@ class MultimodalSpec extends GraftSpec {
     * rows of w*bpp channel values, top-down. */
   private def pngEncode(w: Int, h: Int, colorType: Int,
                         px: Seq[Seq[Int]], filters: Seq[Int],
-                        palette: Array[Byte] = null): Array[Byte] = {
+                        palette: Array[Byte] = null,
+                        interlaced: Boolean = false): Array[Byte] = {
     val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
-    val stride = w * bpp
-    val raw = new Array[Byte]((stride + 1) * h)
-    for (y <- 0 until h) {
-      raw(y * (stride + 1)) = filters(y).toByte
-      for (x <- 0 until stride) {
-        val left = if (x >= bpp) px(y)(x - bpp) else 0
-        val up = if (y > 0) px(y - 1)(x) else 0
-        val ul = if (x >= bpp && y > 0) px(y - 1)(x - bpp) else 0
-        val pred = filters(y) match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) >> 1
-          case 4 =>
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up)
-            val pc = math.abs(p - ul)
-            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
-          case _ => 0 // out-of-spec filter id: raw bytes, for corrupt fixtures
+    def filterRows(rows: Seq[Seq[Int]], filts: Seq[Int]): Array[Byte] = {
+      val strideP = rows.head.length
+      val out = new Array[Byte]((strideP + 1) * rows.length)
+      for (y <- rows.indices) {
+        out(y * (strideP + 1)) = filts(y).toByte
+        for (x <- 0 until strideP) {
+          val left = if (x >= bpp) rows(y)(x - bpp) else 0
+          val up = if (y > 0) rows(y - 1)(x) else 0
+          val ul = if (x >= bpp && y > 0) rows(y - 1)(x - bpp) else 0
+          val pred = filts(y) match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            case _ => 0 // out-of-spec filter id: raw, for corrupt fixtures
+          }
+          out(y * (strideP + 1) + 1 + x) = ((rows(y)(x) - pred) & 0xFF).toByte
         }
-        raw(y * (stride + 1) + 1 + x) = ((px(y)(x) - pred) & 0xFF).toByte
       }
+      out
     }
+    val raw: Array[Byte] =
+      if (!interlaced) filterRows(px, filters)
+      else { // Adam7: each non-empty pass filtered as its own sub-image
+        val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+          (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        passes.flatMap { case (x0, y0, dx, dy) =>
+          val ys = y0 until h by dy
+          val xs = x0 until w by dx
+          if (ys.isEmpty || xs.isEmpty) Seq.empty[Byte]
+          else filterRows(
+            ys.map(y => xs.flatMap(x => (0 until bpp).map(c => px(y)(x * bpp + c)))),
+            ys.indices.map(i => filters(i % filters.length))).toSeq
+        }.toArray
+      }
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val zout = new java.io.ByteArrayOutputStream()
@@ -287,13 +305,35 @@ class MultimodalSpec extends GraftSpec {
     defl.end()
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
       .put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(0.toByte).put(0.toByte)
+      .put((if (interlaced) 1 else 0).toByte).array()
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
       pngChunk("IHDR", ihdr) ++
       (if (palette != null) pngChunk("PLTE", palette)
        else Array.emptyByteArray) ++
       pngChunk("IDAT", zout.toByteArray) ++
       pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  test("decodePngPixels: Adam7 interlace reassembles display positions per pass") {
+    // 9×9 RGB exercises all seven passes with non-trivial dimensions;
+    // each pass filters against its OWN rows (mixed filter types), so
+    // both the per-pass filter references and the scatter are
+    // load-bearing for every pixel
+    val px = (0 until 9).map(y => (0 until 27).map(x => (y * 61 + x * 23) % 256))
+    val bytes = pngEncode(9, 9, colorType = 2, px,
+      filters = Seq(0, 1, 2, 3, 4), interlaced = true)
+    val Some((w, h, out)) = Multimodal.decodePngPixels(bytes)
+    assert((w, h) == ((9, 9)))
+    for (y <- 0 until 9; x <- 0 until 27)
+      assert((out(y * 27 + x) & 0xFF) == px(y)(x), s"channel byte ($x,$y)")
+    // grayscale + interlace: bpp=1 pass filtering
+    val g = (0 until 8).map(y => (0 until 8).map(x => (y * 37 + x * 11) % 256))
+    val gb = pngEncode(8, 8, colorType = 0, g,
+      filters = Seq(4, 3, 2, 1, 0), interlaced = true)
+    val Some((_, _, go)) = Multimodal.decodePngPixels(gb)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((go(3 * (y * 8 + x)) & 0xFF) == g(y)(x), s"gray ($x,$y)")
   }
 
   test("decodePngPixels: 8-bit grayscale replicates and filters at bpp=1") {

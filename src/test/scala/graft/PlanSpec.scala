@@ -160,8 +160,9 @@ class PlanSpec extends GraftSpec {
   test("pixel gates: one shuffle-free MapPartitions over the synthesized payloads") {
     Seq("q_media_pixels_png", "q_media_pixels_gif", "q_media_pixels_jpeg",
       "q_media_pixels_jpeg_prog", "q_media_pixels_png_gray",
-      "q_media_pixels_gif_i", "q_frame_sample_gif", "q_frame_sample_avi",
-      "q_audio_meta_ulaw", "q_audio_meta_alaw")
+      "q_media_pixels_png_adam7", "q_media_pixels_gif_i",
+      "q_frame_sample_gif", "q_frame_sample_avi",
+      "q_audio_meta_ulaw", "q_audio_meta_alaw", "q_media_headers_avi")
       .foreach { q =>
         val p = formatted(q)
         assert(p.contains("MapPartitions"), s"$q must decode in mapPartitions:\n$p")
