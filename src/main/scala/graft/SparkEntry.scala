@@ -3555,6 +3555,33 @@ object SparkEntry {
           col("pix.mean_b").as("mean_b"), col("pix.n_bright").as("n_bright"))
     },
 
+    // INCREMENTAL near-dedup, planted TRUE oracle: the incoming batch
+    // is (exact copies of the mod-7 token-ful slice at +200000) ∪
+    // (fresh docs at +300000 whose every 3-shingle carries a unique
+    // uXXXX token — zero overlap with the corpus or each other). The
+    // contract is exact and SQL-expressible: every copy must be
+    // rejected (its original exists and the canonical pick orders
+    // existing docs first), every fresh doc must survive — so the
+    // surviving id set is exactly the fresh slice.
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val copies = docs
+        .filter(col("doc_id") % 7 === 0 && col("text").isNotNull &&
+          col("text").rlike("\\S"))
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("fresh document u"), col("doc_id"),
+            lit(" payload p"), col("doc_id"),
+            lit(" q"), col("doc_id")).as("text"))
+      Dedup.nearDedupIncremental(
+        docs.select(col("doc_id"), col("text")),
+        copies.unionByName(fresh),
+        "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id"))
+    },
+
     // REAL Adam7-INTERLACED PNG decode, oracled ORDER-SENSITIVELY: an
     // 8×8 grayscale image whose seven interlace passes are synthesized
     // in pass order (filter None per scanline — the per-pass FILTER
@@ -3752,6 +3779,13 @@ object SparkEntry {
         |  CAST(sv AS DOUBLE) / CAST(20 AS DOUBLE) AS mean_b,
         |  CAST(nb AS BIGINT) AS n_bright
         |FROM agg""".stripMargin,
+
+    // the surviving incoming ids are exactly the fresh slice: copies
+    // all lose to their originals, fresh docs share no shingle with
+    // anything
+    "q_dedup_incremental" ->
+      """SELECT doc_id + 300000 AS doc_id
+        |FROM documents WHERE doc_id % 10 = 1""".stripMargin,
 
     // the 2×2 resize samples display k ∈ {0, 4, 32, 36} of the
     // de-interlaced image

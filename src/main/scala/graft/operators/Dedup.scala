@@ -473,6 +473,53 @@ object Dedup {
     keepCanonical(df, idCol, comps, ordering)
   }
 
+  /** Incremental near-deduplication: dedup an INCOMING batch against
+    * an EXISTING corpus, returning only the incoming documents that
+    * survive — the standard shape for a training pipeline that ingests
+    * batches into an already-deduplicated corpus. The existing corpus
+    * is never re-deduplicated and never loses a document: the
+    * canonical pick orders existing rows strictly before incoming
+    * ones, so an incoming near-duplicate of ANY existing document
+    * always loses, and incoming documents deduplicate among
+    * themselves by `pick` (default: smallest id).
+    *
+    * Caller contract: id spaces of the two frames must be disjoint
+    * (a shared id would alias two different documents in the combined
+    * pair graph).
+    *
+    * Scale shape: identical to [[nearDedup]] over existing ∪ incoming
+    * — bucketed LSH self-join, never all-pairs. This entry point
+    * recomputes the existing side's signatures per batch, which is the
+    * correct semantic reference; at 100 TB, persist the signature /
+    * band-bucket relation once (the same materialization pattern as
+    * [[materializeComponents]]) and join each batch's buckets against
+    * it, which changes the constant, not the plan shape.
+    *
+    * @return the surviving rows of `incoming` (original columns)
+    */
+  def nearDedupIncremental(
+      existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, pick: Seq[Column] = Nil): DataFrame = {
+    require(!incoming.columns.contains("__graft_new"),
+      "incoming already has a column named __graft_new")
+    val tagged = existing.select(col(idCol), col(textCol))
+      .withColumn("__graft_new", lit(0))
+      .unionByName(incoming.select(col(idCol), col(textCol))
+        .withColumn("__graft_new", lit(1)))
+    val (pairs, sigCache) = minHashNearDupsCached(tagged, idCol, textCol,
+      shingleLen, numPerm, bands, threshold, maxBucketSize = 1000)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    sigCache.unpersist(blocking = false)
+    val ordering = col("__graft_new").asc +:
+      (if (pick.nonEmpty) pick else Seq(col(idCol).asc))
+    val survivors = keepCanonical(tagged, idCol, comps, ordering)
+      .filter(col("__graft_new") === 1)
+      .select(col(idCol))
+    incoming.join(survivors, Seq(idCol), "left_semi")
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the hash is the
     * sign of Σ_tokens (±1 depending on bit i of XXH64(token)).
     * Native codegen'd expression (graft.plans.SimHash64). */

@@ -80,6 +80,24 @@ class ClusterStatsSpec extends GraftSpec {
       Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("nearDedupIncremental keeps fresh incoming docs, drops dups of existing") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val existing = Seq(
+      (1L, base + "tail"),
+      (2L, "unrelated words entirely in this one here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base + "tail"), // exact dup of existing 1 → dropped
+      (11L, base + "other ending"), // near-dup of existing 1 → dropped
+      (12L, "completely fresh content about catalyst physical planning"),
+      (13L, "completely fresh content about catalyst physical planning")
+    ).toDF("doc_id", "text") // 12/13 duplicate each other → 12 survives
+    val kept = Dedup.nearDedupIncremental(existing, incoming,
+      "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L), s"got $kept")
+  }
+
   test("tokenless documents cluster to min(doc_id) with no pair enumeration") {
     // ≥3 tokenless docs: whitespace-only texts share the single empty
     // 8-gram, so they are one cluster labelled min id (2); the null-text
