@@ -340,10 +340,11 @@ object Multimodal {
     Some((w, h, out))
   }
 
-  /** REAL pixel-level PNG decode — 8-bit grayscale (color type 0),
-    * truecolor (2, RGB), palette (3, via PLTE), and truecolor+alpha
-    * (6, RGBA), both sequential and Adam7-interlaced, pure JVM with
-    * stdlib only: IDAT chunk payloads concatenated, zlib-inflated via
+  /** REAL pixel-level PNG decode — grayscale (color type 0),
+    * truecolor (2, RGB), palette (3, via PLTE), gray+alpha (4), and
+    * truecolor+alpha (6, RGBA) at bit depth 8, plus depth 16 for the
+    * non-palette types (samples reduced to their high byte), both
+    * sequential and Adam7-interlaced, pure JVM with stdlib only: IDAT chunk payloads concatenated, zlib-inflated via
     * `java.util.zip.Inflater` in raw mode (the 2-byte zlib header is
     * skipped; chunk CRCs and the adler32 trailer are NOT verified — a
     * pipeline decode tolerates bad checksums rather than throwing),
@@ -353,10 +354,10 @@ object Multimodal {
     * its own rows, then scatters to its display positions. Returns
     * (width, height, pixels) as RGB byte triples in top-down
     * row-major order — grayscale replicated, palette indices mapped,
-    * alpha dropped. Anything else — other bit depths, a palette
-    * image without PLTE, out-of-range palette indices, truncated or
-    * corrupt streams, undefined filter types — decodes defensively to
-    * None: a corrupt payload row must never throw. */
+    * alpha dropped. Anything else — sub-byte depths, 16-bit palette,
+    * a palette image without PLTE, out-of-range palette indices,
+    * truncated or corrupt streams, undefined filter types — decodes
+    * defensively to None: a corrupt payload row must never throw. */
   def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b == null || b.length < 45) return None // sig + IHDR + IEND minimum
     if (!((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
@@ -394,14 +395,21 @@ object Multimodal {
       }
       i += 12 + len // length + type + data + CRC (CRC deliberately unchecked)
     }
-    // 8-bit grayscale (0), truecolor (2), palette (3), truecolor+alpha (6)
-    if (!seenIHDR || bitDepth != 8 ||
-      (colorType != 0 && colorType != 2 && colorType != 3 && colorType != 6))
+    // grayscale (0), truecolor (2), palette (3), gray+alpha (4),
+    // truecolor+alpha (6) at depth 8; 0/2/4/6 also at depth 16 (samples
+    // reduced to their high byte — the standard 16→8 mapping)
+    if (!seenIHDR || (bitDepth != 8 && bitDepth != 16) ||
+      (colorType != 0 && colorType != 2 && colorType != 3 &&
+        colorType != 4 && colorType != 6))
       return None
-    if (colorType == 3 && plte == null) return None
+    if (colorType == 3 && (plte == null || bitDepth != 8)) return None
     if (w <= 0 || h <= 0) return None
     if (w.toLong * h.toLong * 3L > 64L * 1024 * 1024) return None // sanity cap
-    val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+    val channels = colorType match {
+      case 2 => 3; case 6 => 4; case 4 => 2; case _ => 1
+    }
+    val bps = bitDepth / 8 // bytes per sample
+    val bpp = channels * bps // the filter unit (spec: filters look bpp back)
     val stride = w * bpp // bytes per image scanline, filter byte excluded
     // Adam7 reduces the image to seven sub-images (origin + step per
     // pass), each with its OWN filtered scanlines; non-interlaced is
@@ -493,33 +501,30 @@ object Multimodal {
         rawOff += ph * (1 + pstride)
       }
     }
-    if (bpp == 3) Some((w, h, recon))
-    else if (bpp == 1) { // grayscale replicate or palette lookup
+    if (channels == 3 && bps == 1) Some((w, h, recon)) // RGB8: already packed
+    else {
+      // general sample mapping: each sample's HIGH byte (identity at
+      // depth 8), gray replicated, palette indices mapped, alpha dropped
       val rgb = new Array[Byte](w * h * 3)
       val nPal = if (plte == null) 0 else plte.length / 3
       var j = 0
       while (j < w * h) {
-        val v = recon(j) & 0xFF
-        if (colorType == 3) {
-          if (v >= nPal) return None
-          rgb(3 * j) = plte(3 * v)
-          rgb(3 * j + 1) = plte(3 * v + 1)
-          rgb(3 * j + 2) = plte(3 * v + 2)
-        } else {
-          rgb(3 * j) = v.toByte; rgb(3 * j + 1) = v.toByte
-          rgb(3 * j + 2) = v.toByte
+        val base = j * bpp
+        colorType match {
+          case 3 =>
+            val v = recon(base) & 0xFF
+            if (v >= nPal) return None
+            rgb(3 * j) = plte(3 * v)
+            rgb(3 * j + 1) = plte(3 * v + 1)
+            rgb(3 * j + 2) = plte(3 * v + 2)
+          case 0 | 4 =>
+            val g = recon(base)
+            rgb(3 * j) = g; rgb(3 * j + 1) = g; rgb(3 * j + 2) = g
+          case _ => // 2 | 6
+            rgb(3 * j) = recon(base)
+            rgb(3 * j + 1) = recon(base + bps)
+            rgb(3 * j + 2) = recon(base + 2 * bps)
         }
-        j += 1
-      }
-      Some((w, h, rgb))
-    }
-    else { // RGBA → drop alpha
-      val rgb = new Array[Byte](w * h * 3)
-      var j = 0
-      while (j < w * h) {
-        rgb(3 * j) = recon(4 * j)
-        rgb(3 * j + 1) = recon(4 * j + 1)
-        rgb(3 * j + 2) = recon(4 * j + 2)
         j += 1
       }
       Some((w, h, rgb))

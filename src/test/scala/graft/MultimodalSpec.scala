@@ -255,8 +255,12 @@ class MultimodalSpec extends GraftSpec {
   private def pngEncode(w: Int, h: Int, colorType: Int,
                         px: Seq[Seq[Int]], filters: Seq[Int],
                         palette: Array[Byte] = null,
-                        interlaced: Boolean = false): Array[Byte] = {
-    val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+                        interlaced: Boolean = false,
+                        bitDepth: Int = 8): Array[Byte] = {
+    // px rows carry w*bpp BYTE values (depth 16: big-endian byte pairs)
+    val bpp = (colorType match {
+      case 2 => 3; case 6 => 4; case 4 => 2; case _ => 1
+    }) * (bitDepth / 8)
     def filterRows(rows: Seq[Seq[Int]], filts: Seq[Int]): Array[Byte] = {
       val strideP = rows.head.length
       val out = new Array[Byte]((strideP + 1) * rows.length)
@@ -304,7 +308,7 @@ class MultimodalSpec extends GraftSpec {
     while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
     defl.end()
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
-      .put(8.toByte).put(colorType.toByte)
+      .put(bitDepth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte)
       .put((if (interlaced) 1 else 0).toByte).array()
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
@@ -334,6 +338,45 @@ class MultimodalSpec extends GraftSpec {
     val Some((_, _, go)) = Multimodal.decodePngPixels(gb)
     for (y <- 0 until 8; x <- 0 until 8)
       assert((go(3 * (y * 8 + x)) & 0xFF) == g(y)(x), s"gray ($x,$y)")
+  }
+
+  test("decodePngPixels: 16-bit samples reduce to the high byte, filters at 2x bpp") {
+    // 16-bit grayscale 4×3: sample k = (hi(k), lo(k)); the decoder must
+    // invert the filters over BYTE pairs (bpp=2) and keep the high byte
+    def hi(y: Int, x: Int) = (y * 73 + x * 31) % 256
+    def lo(y: Int, x: Int) = (y * 11 + x * 57) % 256
+    val g16 = (0 until 3).map(y =>
+      (0 until 4).flatMap(x => Seq(hi(y, x), lo(y, x))))
+    val gb = pngEncode(4, 3, colorType = 0, g16,
+      filters = Seq(0, 1, 4), bitDepth = 16)
+    val Some((w, h, out)) = Multimodal.decodePngPixels(gb)
+    assert((w, h) == ((4, 3)))
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val o = 3 * (y * 4 + x)
+      assert((out(o) & 0xFF) == hi(y, x) && out(o) == out(o + 1) &&
+        out(o + 1) == out(o + 2), s"16-bit gray ($x,$y)")
+    }
+    // 16-bit RGB 3×2: channel high bytes survive, low bytes drop
+    val rgb16 = (0 until 2).map(y =>
+      (0 until 9).flatMap(c => Seq((y * 41 + c * 19) % 256, (c * 7) % 256)))
+    val Some((_, _, o2)) = Multimodal.decodePngPixels(
+      pngEncode(3, 2, colorType = 2, rgb16, filters = Seq(2, 3), bitDepth = 16))
+    for (y <- 0 until 2; c <- 0 until 9)
+      assert((o2(y * 9 + c) & 0xFF) == (y * 41 + c * 19) % 256, s"rgb16 ($c,$y)")
+    // gray+alpha (type 4, 8-bit): gray replicates, alpha drops
+    val ga = (0 until 2).map(y => (0 until 6).map(i =>
+      if (i % 2 == 0) (y * 50 + i * 13) % 256 else 200))
+    val Some((_, _, o3)) = Multimodal.decodePngPixels(
+      pngEncode(3, 2, colorType = 4, ga, filters = Seq(0, 1)))
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val o = 3 * (y * 3 + x)
+      assert((o3(o) & 0xFF) == (y * 50 + x * 2 * 13) % 256, s"gray+alpha ($x,$y)")
+    }
+    // 16-bit palette is out of spec
+    val pal = Array.fill[Byte](768)(1)
+    assert(Multimodal.decodePngPixels(pngEncode(3, 2, 3,
+      (0 until 2).map(_ => (0 until 6).map(_ % 256)), Seq(0, 0),
+      palette = pal, bitDepth = 16)).isEmpty)
   }
 
   test("decodePngPixels: 8-bit grayscale replicates and filters at bpp=1") {
