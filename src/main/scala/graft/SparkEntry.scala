@@ -25,7 +25,13 @@ object SparkEntry {
     * instead. One max() scan per gate construction (cheap: answered
     * from parquet column statistics). */
   private def assertPlantOffset(docs: DataFrame): Unit = {
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // boxed read: max() over an EMPTY table is null, which must surface
+    // as this require (planted gates are vacuous with no corpus), not
+    // as a bare NullPointerException from getLong
+    val maxId = docs.agg(max(col("doc_id"))).head().getAs[java.lang.Long](0)
+    require(maxId != null,
+      "planted-copy gates need a non-empty documents table — an empty " +
+        "corpus would make every planted oracle vacuously green")
     require(maxId < 100000L,
       s"planted-copy gates assume doc_id < 100000; corpus max is $maxId " +
         "— raise the plant offset")
@@ -40,6 +46,36 @@ object SparkEntry {
       docs.filter(col("doc_id") % 5 === 0 && col("text").isNotNull &&
         col("text").rlike("\\S"))
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
+  /** Planted-oracle precondition (r8 ADVICE): the q_dedup_minhash /
+    * q_dedup_ngram oracles assume the LSH `maxBucketSize` skew guard
+    * never drops a (original, copy) pair — planting DOUBLES the bucket
+    * occupancy of mod-5 docs, so at a larger SF a boilerplate bucket
+    * crossing the cap would silently drop planted pairs and fail the
+    * gate with no hint of the cause. Verify arms this check
+    * (-Dgraft.plant.guard=1): recompute the augmented frame's band
+    * buckets with the gates' own parameters and fail LOUDLY if any
+    * bucket exceeds the cap. Bench leaves it off — it would double the
+    * planted gates' cost for an SF the verify run already covered. */
+  private def assertPlantedBucketsFit(
+      aug: DataFrame, shingleLen: Int, numPerm: Int, bands: Int,
+      maxBucketSize: Int): Unit =
+    if (sys.props.get("graft.plant.guard").contains("1")) {
+      val over = aug
+        .select(Dedup.shingleHashes(col("text"), shingleLen).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(explode(Dedup.bandBuckets(
+          Dedup.minhashSignature(col("sh"), numPerm),
+          bands, numPerm / bands)).as("bb"))
+        .groupBy(col("bb")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucketSize)
+        .count()
+      require(over == 0L,
+        s"$over LSH band buckets of the planted frame exceed " +
+          s"maxBucketSize = $maxBucketSize — the skew guard would drop " +
+          "planted (original, copy) pairs and the planted oracle would " +
+          "fail spuriously; lower the plant density or raise the cap")
+    }
 
   /** Flagship query (reference README.md:53-65 shape — stream joined
     * through two indices, filtered, derived column, top-k) on sf=0.001;
@@ -654,6 +690,7 @@ object SparkEntry {
     "q_dedup_minhash" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       assertPlantOffset(docs)
+      assertPlantedBucketsFit(plantCopies(docs), 3, 64, 16, 1000)
       Dedup.minHashNearDups(plantCopies(docs), "doc_id", "text",
         shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
         .filter(col("id_b") === col("id_a") + 100000L)
@@ -668,6 +705,7 @@ object SparkEntry {
     "q_dedup_ngram" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       assertPlantOffset(docs)
+      assertPlantedBucketsFit(plantCopies(docs), 3, 64, 16, 1000)
       Dedup.ngramJaccardNearDups(plantCopies(docs), "doc_id", "text",
         shingleLen = 3, threshold = 0.8)
         .filter(col("id_b") === col("id_a") + 100000L)
@@ -695,12 +733,34 @@ object SparkEntry {
     // threshold 0.35: the synthetic embeddings have no true near-dups
     // (max off-diagonal cosine ≈ 0.6), so a production-style 0.95 cut
     // would legitimately return zero rows; the loose cut exercises the
-    // LSH → exact-verify pipeline end-to-end on this data. Unit tests
-    // assert the 0.95 behavior on vectors with planted duplicates.
+    // LSH → exact-verify pipeline end-to-end on this data.
+    // PLANTED true oracle (r8 verdict #5 — was rows-only): an exact
+    // copy of every mod-5 nonzero vector at vec_id + 100000. Identical
+    // vectors have identical hyperplane signatures — they collide in
+    // every band — and cosine within rounding of 1.0, far above any
+    // threshold, so every (original, copy) pair MUST surface; the
+    // id_b = id_a + 100000 restriction isolates exactly those pairs
+    // (organic ids sit below 100000 — asserted). The float cosine is
+    // dropped from the output (ulp-dependent); soundness of the values
+    // stays gated by q_embedding_containment / q_embedding_pairs_exact.
     "q_dedup_embedding" -> { (s, dir) =>
-      Similarity.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
+      require(maxId != null && maxId < 100000L,
+        s"planted-copy gate assumes vec_id < 100000; max is $maxId")
+      // zero vectors have no cosine direction (the kernel yields 0 for
+      // them) — their copies could never pass ANY positive threshold,
+      // so they are excluded from the plant, like token-free docs in
+      // plantCopies
+      val nonzero = aggregate(col("embedding"), lit(0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0d
+      val aug = emb.select(col("vec_id"), col("embedding")).unionByName(
+        emb.filter(col("vec_id") % 5 === 0 && nonzero)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      Similarity.cosineNearDups(aug, "vec_id", "embedding",
         threshold = 0.35, bits = 16, bands = 4)
-        .orderBy(col("id_a"), col("id_b"))
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"))
     },
 
     // ── similarity search over embeddings ──
@@ -714,16 +774,37 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // IVF search, SELF-AUDITING true oracle (r8 verdict #5 — was
+    // rows-only + a separate q_ivf_recall twin, now folded in): the
+    // output is the per-probe contract the pipeline must honor — every
+    // probe returns exactly k = 10 neighbours, and recall@10 vs the
+    // exact brute-force baseline reaches the 0.5 floor (measured
+    // 8-10/10 at sf0.01, 10/10 at sf0.1 — a regression guard on
+    // centroid seeding/assignment/shortlisting, not a tight target).
+    // Both facts are SQL constants, so the driver hash-checks them;
+    // the neighbour ids themselves are float-ordering-dependent and
+    // stay audited through the recall bound.
     "q_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val probes = emb.orderBy(col("vec_id")).limit(5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
       val (assign, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding",
         nCentroids = 16, iters = 2)
-      Similarity.ivfSearch(assign, cents, probes, "probe_id", "probe_vec",
-        k = 10, nprobe = 4)
-        .select(col("probe_id"), col("neighbor_id"), col("rank"))
-        .orderBy(col("probe_id"), col("rank"))
+      val ivf = Similarity.ivfSearch(assign, cents, probes,
+        "probe_id", "probe_vec", k = 10, nprobe = 4)
+        .select(col("probe_id"), col("neighbor_id"))
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val nres = ivf.groupBy(col("probe_id")).agg(count(lit(1)).as("n_results"))
+      val hits = ivf.join(bf, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      probes.select(col("probe_id"))
+        .join(nres, Seq("probe_id"), "left")
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_results"), lit(0L)).as("n_results"),
+          (coalesce(col("n_hit"), lit(0L)) >= 5L).as("recall_ok"))
     },
 
     // ── text analysis over documents ──
@@ -1549,11 +1630,12 @@ object SparkEntry {
         | least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
         | (CASE WHEN (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality
         |FROM feats""".stripMargin,
-    // q_dedup_embedding / q_ann_ivf / q_media_features / q_near_dedup:
-    // Spark-specific float math — no SQL-expressible oracle → driver
-    // rows-only check; each is audited by a true-oracle or invariant
-    // gate (q_embedding_containment + q_embedding_pairs_exact,
-    // q_ivf_recall, SimilaritySpec, q_near_dedup_inv) instead.
+    // q_near_dedup: Spark-specific float math (MinHash estimates) — no
+    // SQL-expressible oracle → driver rows-only check, audited by
+    // q_near_dedup_inv over the SAME materialized relations. It is the
+    // last rows-only gate: r9 folded q_media_features (integer-count
+    // recovery), q_ann_ivf (recall audit inside), and q_dedup_embedding
+    // (planted copies) into true-oracle form.
 
     // planted-copy true oracles (see the query comments): every mod-5
     // token-ful doc's exact copy must pair with its original at the
@@ -1935,6 +2017,13 @@ object SparkEntry {
     * tokenless count — harmless on this corpus, a real pair-set blowup
     * on a 100 TB corpus with millions of empty docs). */
   private def gramEdges(docs: DataFrame): DataFrame = {
+    // UNCAPPED posting join BY CHOICE: q_dup_clusters/q_cluster_resolve
+    // are oracled against a DuckDB recursive-CTE transitive closure that
+    // sees every true shared-gram edge, so a hot-gram cap here would
+    // change the answer, not just the cost. The library-level exact path
+    // (Dedup.exactNgramJaccard) carries the loud maxDocsPerGram guard
+    // for 100 TB users; this gate accepts the quadratic on its bounded
+    // test corpus because exactness is the point.
     val hashes = docs.select(col("doc_id"),
       explode(Dedup.shingleHashes(col("text"), 8)).as("gh"))
     val ha = hashes.select(col("gh"), col("doc_id").as("src"))
@@ -1981,20 +2070,35 @@ object SparkEntry {
     * than being recomputed per query. */
   private val ccMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Filename-safe scratch tag that is INJECTIVE in `dir` (URL-encoded
-    * dir string, '%' → '_'): two different sfDirs can never map to the
-    * same scratch file, unlike a 32-bit hashCode (collision ⇒ one
-    * dir's memo silently serving the other's data). Memos key on the
-    * dir STRING, so regenerating a table at the same path within one
-    * JVM does go stale — acceptable for a per-run scratch space, and
-    * impossible in the driver's one-shot runs. */
+  /** Filename-safe scratch tag that is INJECTIVE in `dir`: the
+    * URL-encoded dir string verbatim — every character URLEncoder
+    * emits (alnum, '.', '-', '*', '_', '+', '%xx') is legal in a POSIX
+    * filename, and keeping '%' untouched preserves the encoding's own
+    * injectivity (an earlier '%'→'_' rewrite collided "a/b" with the
+    * literal dir "a_2Fb"; a 32-bit hashCode would be worse — a silent
+    * cross-dir memo hit). */
   private def scratchTag(dir: String): String =
-    java.net.URLEncoder.encode(dir, "UTF-8").replace('%', '_')
+    java.net.URLEncoder.encode(dir, "UTF-8")
+
+  /** Content-version of a dir's documents table (row count + max id —
+    * answered from parquet column statistics, no data scan): memo keys
+    * and scratch paths carry it so a REGENERATED table at the same
+    * path gets a fresh memo instead of silently stale data (r8 verdict
+    * item #7). Different content with identical (count, max id) is
+    * possible in principle but not how the driver regenerates testdata
+    * (SF changes move both). */
+  private def corpusVersion(s: SparkSession, dir: String): String = {
+    val r = t(s, dir, "documents")
+      .agg(count(lit(1)), max(col("doc_id"))).head()
+    val maxId = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"${r.getLong(0)}r$maxId"
+  }
 
   private def sharedGramComponents(s: SparkSession, dir: String): DataFrame = {
-    val path = ccMemo.computeIfAbsent(dir, d => {
-      val out = Scratch.path(s"cc_${scratchTag(d)}")
-      val docs = t(s, d, "documents")
+    val ver = corpusVersion(s, dir)
+    val path = ccMemo.computeIfAbsent(s"$dir@$ver", _ => {
+      val out = Scratch.path(s"cc_${scratchTag(dir)}_$ver")
+      val docs = t(s, dir, "documents")
       // token-ful docs: hash-prefiltered + string-verified edges → CC;
       // token-free docs: direct one-cluster assignment (disjoint node
       // sets — a tokenless doc has no nonempty gram to share)
@@ -2019,12 +2123,13 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def sharedNearDedup(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val (compsPath, survPath) = ndMemo.computeIfAbsent(dir, d => {
-      val tag = scratchTag(d)
+    val ver = corpusVersion(s, dir)
+    val (compsPath, survPath) = ndMemo.computeIfAbsent(s"$dir@$ver", _ => {
+      val tag = s"${scratchTag(dir)}_$ver"
       val cp = Scratch.path(s"nd_comps_$tag")
       val sp = Scratch.path(s"nd_surv_$tag")
       val (_, survivors) = Dedup.nearDedupMaterialized(
-        t(s, d, "documents"), "doc_id", "text", cp,
+        t(s, dir, "documents"), "doc_id", "text", cp,
         shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.7,
         pick = Seq(col("n_chars").desc_nulls_last, col("doc_id").asc))
       survivors.select(col("doc_id"), col("source"))
@@ -2032,6 +2137,30 @@ object SparkEntry {
       (cp, sp)
     })
     (Dedup.fromMaterialized(s, compsPath), Dedup.fromMaterialized(s, survPath))
+  }
+
+  /** Per-(sfDir, content-version) memo of the corpus MinHash signature
+    * table ([[Dedup.writeSignatureTable]]): built once, then every
+    * incremental-dedup batch joins against the PERSISTED relation —
+    * the signature-table analogue of [[sharedGramComponents]], and the
+    * single-JVM stand-in for the 100 TB warehouse table the production
+    * form assumes. */
+  private val sigMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedSignatureTable(s: SparkSession, dir: String): String = {
+    val ver = corpusVersion(s, dir)
+    sigMemo.computeIfAbsent(s"$dir@$ver", _ => {
+      val out = Scratch.path(s"sig_${scratchTag(dir)}_$ver")
+      Dedup.writeSignatureTable(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", out,
+        shingleLen = 3, numPerm = 64, bands = 16)
+      out
+    })
+  }
+
+  locally {
+    // Scratch.clear() must also drop the memoized paths into it
+    Scratch.onClear(() => { ccMemo.clear(); ndMemo.clear(); sigMemo.clear() })
   }
 
   private val round3Queries: Map[String, Q] = Map(
@@ -2116,18 +2245,51 @@ object SparkEntry {
           length(col("frame")).cast("long").as("frame_len"))
     },
 
-    // multimodal retrieval pipeline: binary payloads → stub feature
-    // embeddings → exact ANN against 3 probe docs (float math isn't
-    // SQL-expressible → rows-only; SimilaritySpec pins the semantics)
+    // multimodal feature extraction, ARITHMETIC oracle (r8 verdict #4 —
+    // was the last determinism-spec-only gate): synthesize a 4×4 24-bpp
+    // BMP per row (doc_id-derived pixels, same hex/unhex algebra as
+    // q_media_pixels), run the REAL pixel path (decode → BT.601 integer
+    // luma → 64-bin histogram → L2 normalize), then RECOVER the integer
+    // bin counts from the normalized floats: Σh_j = N·inv exactly enough
+    // that round(h_j · N/Σh_j) is the true count (counts ≤ 16 with
+    // ~1e-6 relative float error — integers a full 0.5 away). The
+    // oracle recomputes (doc_id, bin, cnt) straight from the pixel
+    // formula; rows with bin = -1 flag a broken L2 normalization
+    // (|Σh_j²−1| > 1e-4) and must never appear. The features → ANN
+    // consumer contract stays pinned by ClusterStatsSpec/SimilaritySpec
+    // (nearest-neighbour structure over organic data isn't
+    // SQL-expressible; the histogram arithmetic is).
     "q_media_features" -> { (s, dir) =>
+      val pixelHex = concat((0 until 48).map { i =>
+        leHex(pmod(col("doc_id") * 11 + lit(i * 17), lit(256)), 1)
+      }: _*)
+      val bmp = unhex(concat(
+        lit("424D"), leHex(lit(102L), 4),      // "BM" + file size 54+48
+        lit("00000000"), leHex(lit(54L), 4),   // reserved + data offset
+        leHex(lit(40L), 4),                    // BITMAPINFOHEADER size
+        leHex(lit(4L), 4), leHex(lit(4L), 4),  // width 4, height 4
+        lit("01001800"),                       // planes 1, 24 bpp
+        leHex(lit(0L), 4), leHex(lit(48L), 4), // BI_RGB, image size
+        lit("00000000000000000000000000000000"),
+        pixelHex))
       val withBin = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      val feats = Multimodal.withFeatures(withBin, "payload")
-        .select(col("doc_id"), col("features"))
-      val probes = feats.filter(col("doc_id").isin(0L, 100L, 200L))
-        .select(col("doc_id").as("probe_id"), col("features").as("pvec"))
-      Similarity.bruteForceTopK(feats, "doc_id", "features",
-        probes, "probe_id", "pvec", k = 10)
+        .select(col("doc_id"), bmp.as("payload"))
+      val withSums = Multimodal.withFeatures(withBin, "payload")
+        .select(col("doc_id"), col("features"),
+          aggregate(col("features"), lit(0d),
+            (a, x) => a + x.cast("double")).as("hsum"),
+          aggregate(col("features"), lit(0d),
+            (a, x) => a + x.cast("double") * x.cast("double")).as("ss"))
+      val counts = withSums
+        .select(col("doc_id"), col("hsum"),
+          posexplode(col("features")).as(Seq("bin", "h")))
+        .filter(col("h") > 0f)
+        .select(col("doc_id"), col("bin"),
+          round(col("h").cast("double") * lit(16d) / col("hsum"))
+            .cast("long").as("cnt"))
+      val normViolations = withSums.filter(abs(col("ss") - 1d) > 1e-4)
+        .select(col("doc_id"), lit(-1).as("bin"), lit(-1L).as("cnt"))
+      counts.unionByName(normViolations)
     },
 
     // Misra-Gries top-k sketch in its exact regime (distinct values < k
@@ -2240,6 +2402,27 @@ object SparkEntry {
   )
 
   private val round3Oracles: Map[String, String] = Map(
+    // integer luma-histogram counts recovered from the normalized
+    // features (see the gate comment); bin = -1 normalization
+    // violations must never appear
+    "q_media_features" ->
+      """WITH px AS (
+        | SELECT doc_id, i // 3 AS j, i % 3 AS c,
+        |        (doc_id * 11 + i * 17) % 256 AS v
+        | FROM documents, range(0, 48) t(i)),
+        |tri AS (
+        | SELECT doc_id, j,
+        |   max(CASE WHEN c = 2 THEN v END) AS r,
+        |   max(CASE WHEN c = 1 THEN v END) AS g,
+        |   max(CASE WHEN c = 0 THEN v END) AS b
+        | FROM px GROUP BY doc_id, j),
+        |bins AS (
+        | SELECT doc_id,
+        |   CAST(((299*r + 587*g + 114*b) * 64) // 255001 AS INTEGER) AS bin
+        | FROM tri)
+        |SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS cnt
+        |FROM bins GROUP BY doc_id, bin""".stripMargin,
+
     "q_dup_clusters" ->
       """WITH RECURSIVE toks AS (
         | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
@@ -2814,9 +2997,15 @@ object SparkEntry {
     // keeps ZERO pairs at sf0.01/sf0.1 (a vacuous audit), while 1-in-2
     // keeps ~¼ of them (6 at sf0.01, 67 at sf0.1) at ~¼ the join cost.
     "q_jaccard_exact" -> { (s, dir) =>
+      // uncapped BY CHOICE: this gate's oracle is the true Jaccard
+      // relation, so the hot-gram guard must not truncate the gram
+      // space — the mod-2 slice is the bound (see the scaladoc's
+      // bounded-slices contract); library users get the loud
+      // maxDocsPerGram default instead
       Dedup.exactNgramJaccard(
         t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", n = 3, threshold = 0.5)
+        "doc_id", "text", n = 3, threshold = 0.5,
+        maxDocsPerGram = Int.MaxValue)
     },
 
     // REAL pixel decode, oracled end-to-end: synthesize a valid 4×4
@@ -2924,8 +3113,10 @@ object SparkEntry {
       val slice = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
       val lsh = Dedup.ngramJaccardNearDups(slice, "doc_id", "text",
         shingleLen = 3, threshold = 0.5)
+      // uncapped exact side, same reasoning as q_jaccard_exact: the
+      // containment audit needs the TRUE relation on the bounded slice
       val exact = Dedup.exactNgramJaccard(slice, "doc_id", "text",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.5, maxDocsPerGram = Int.MaxValue)
         .withColumnRenamed("jaccard", "jaccard_exact")
       val violations = lsh
         .join(exact, Seq("id_a", "id_b"), "left")
@@ -3112,31 +3303,9 @@ object SparkEntry {
         s.range(1).select(lit(-1L).as("viol_id"), lit("sentinel").as("kind")))
     },
 
-    // IVF quality floor as a gate: recall@10 vs the exact brute-force
-    // baseline must reach 0.5 for every probe (measured: 8-10/10 at
-    // sf0.01, 10/10 at sf0.1 — the bound is a floor against
-    // regressions in centroid seeding/assignment/shortlisting, not a
-    // tight target). Violations + sentinel.
-    "q_ivf_recall" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val probes = emb.orderBy(col("vec_id")).limit(5)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        probes, "probe_id", "probe_vec", k = 10)
-        .select(col("probe_id"), col("neighbor_id"))
-      val (assign, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding",
-        nCentroids = 16, iters = 2)
-      val ivf = Similarity.ivfSearch(assign, cents, probes, "probe_id", "probe_vec",
-        k = 10, nprobe = 4)
-        .select(col("probe_id"), col("neighbor_id"))
-      val hits = ivf.join(bf, Seq("probe_id", "neighbor_id"), "left_semi")
-        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
-      val violations = probes.select(col("probe_id"))
-        .join(hits, Seq("probe_id"), "left")
-        .filter(coalesce(col("n_hit"), lit(0L)) < 5L)
-        .select(col("probe_id").as("viol_id"))
-      violations.unionByName(s.range(1).select(lit(-1L).as("viol_id")))
-    },
+    // (The former q_ivf_recall audit twin was folded INTO q_ann_ivf in
+    // r9, the same promotion q_sketch_error / q_simhash_planted got in
+    // r8 — the recall bound now gates the production query directly.)
 
     // (The former q_sketch_error / q_simhash_planted /
     // q_fingerprint_invariant audit twins were folded INTO their
@@ -3280,8 +3449,23 @@ object SparkEntry {
     "q_near_dedup_inv" ->
       """SELECT CAST(-1 AS BIGINT) AS viol_id, 'sentinel' AS kind""",
 
-    "q_ivf_recall" ->
-      """SELECT CAST(-1 AS BIGINT) AS viol_id""",
+    // q_ann_ivf (folded q_ivf_recall): every probe — the 5 lowest
+    // vec_ids — returns exactly k = 10 neighbours and clears the
+    // recall@10 ≥ 0.5 floor vs brute force
+    "q_ann_ivf" ->
+      """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results,
+        |  true AS recall_ok
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin,
+
+    // planted-copy oracle: every mod-5 nonzero vector pairs with its
+    // exact copy at +100000 (identical signatures collide in every
+    // band; cosine ≈ 1 clears any positive threshold)
+    "q_dedup_embedding" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+        |FROM embeddings
+        |WHERE vec_id % 5 = 0
+        |  AND coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x * x)), 0) > 0""".stripMargin,
 
     // fixed bit patterns: the float sample magnitude is one of four
     // exactly-representable values selected by doc_id, so rms is that
@@ -3560,12 +3744,23 @@ object SparkEntry {
     // (fresh docs at +300000 whose every 3-shingle carries a unique
     // uXXXX token — zero overlap with the corpus or each other). The
     // contract is exact and SQL-expressible: every copy must be
-    // rejected (its original exists and the canonical pick orders
-    // existing docs first), every fresh doc must survive — so the
-    // surviving id set is exactly the fresh slice.
+    // rejected (its original exists and the corpus side always wins),
+    // every fresh doc must survive — so the surviving id set is
+    // exactly the fresh slice. Runs the PRODUCTION signature-table
+    // path (r8 verdict #1): the corpus signatures are persisted once
+    // per (sfDir, content-version) by sharedSignatureTable and each
+    // batch only computes its own — per-batch cost ∝ batch, not
+    // corpus. (The corpus-recomputing semantic reference form stays
+    // API-tested in ClusterStatsSpec, which pins both forms to the
+    // same survivor set.)
     "q_dedup_incremental" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       assertPlantOffset(docs)
+      // same precondition, corpus side: a corpus bucket over the cap is
+      // dropped at signature-table WRITE time, and a copy whose original
+      // lost its bucket would spuriously survive
+      assertPlantedBucketsFit(docs.select(col("doc_id"), col("text")),
+        3, 64, 16, 1000)
       val copies = docs
         .filter(col("doc_id") % 7 === 0 && col("text").isNotNull &&
           col("text").rlike("\\S"))
@@ -3576,7 +3771,7 @@ object SparkEntry {
             lit(" payload p"), col("doc_id"),
             lit(" q"), col("doc_id")).as("text"))
       Dedup.nearDedupIncremental(
-        docs.select(col("doc_id"), col("text")),
+        s, sharedSignatureTable(s, dir),
         copies.unionByName(fresh),
         "doc_id", "text", threshold = 0.7)
         .select(col("doc_id"))

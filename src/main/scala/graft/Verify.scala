@@ -7,6 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // correctness runs arm the planted-oracle preconditions (bucket
+    // occupancy under the LSH skew cap — see assertPlantedBucketsFit):
+    // a violated precondition must fail the gate LOUDLY here, instead
+    // of surfacing as an inexplicable hash mismatch. Bench skips the
+    // check (it would double the planted gates' cost).
+    System.setProperty("graft.plant.guard", "1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -163,23 +163,59 @@ object Dedup {
     * This is the SQL-expressible exact baseline for the LSH stack
     * ([[ngramJaccardNearDups]] must agree with it above the threshold
     * wherever LSH recall holds). The string-keyed gram join is
-    * inherently hot-gram quadratic — at 100 TB use the LSH path and
-    * keep this as the audit gate over bounded slices.
+    * inherently hot-gram quadratic: one gram shared by k documents
+    * materializes k² candidate pairs, so at 100 TB use the LSH path
+    * and keep this as the audit gate over bounded slices.
+    *
+    * `maxDocsPerGram` is the loud guard on that blow-up (the posting
+    * analogue of [[minHashNearDups]]'s `maxBucketSize`): by default a
+    * gram shared by more documents FAILS THE JOB with a diagnostic
+    * (evaluated distributed, at execution time — no extra driver
+    * action), so a 100 TB user cannot hit the quadratic silently.
+    * `dropHotGrams = true` opts into truncation instead: hot grams are
+    * removed from the gram space entirely (both intersections and the
+    * per-doc sizes), i.e. Jaccard is computed exactly over the reduced
+    * space — a documented approximation, never a silent one. Exact-
+    * oracle callers that require the true relation on a bounded slice
+    * pass `maxDocsPerGram = Int.MaxValue` explicitly.
     *
     * `threshold` must be positive: a pair sharing zero grams never
     * materializes in the posting join, so a non-positive threshold
     * could not return the (Jaccard-0) pairs it promises. */
   def exactNgramJaccard(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocsPerGram: Int = 10000, dropHotGrams: Boolean = false): DataFrame = {
     require(n > 0, "n must be > 0")
     require(threshold > 0,
       "threshold must be > 0: zero-overlap pairs never materialize in " +
         "the posting join, so threshold <= 0 would silently omit them")
-    val grams = df.filter(col(textCol).isNotNull)
+    require(maxDocsPerGram > 0, "maxDocsPerGram must be > 0")
+    val raw = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n)))
           .as("gram"))
+    // posting-list length per gram (window over the same key the
+    // posting join shuffles on); guard BEFORE pair enumeration so the
+    // k² candidates of a hot gram are never materialized
+    val sizedGrams = raw.withColumn("__df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gram"))))
+    val grams =
+      if (maxDocsPerGram == Int.MaxValue) raw
+      else if (dropHotGrams)
+        sizedGrams.filter(col("__df") <= maxDocsPerGram).drop("__df")
+      else
+        // assert_true raises with the message when the predicate fails;
+        // kept inside a filter (the expression's null result passes every
+        // row) so column pruning can't elide the check
+        sizedGrams.filter(assert_true(col("__df") <= maxDocsPerGram,
+          concat(lit("exactNgramJaccard: a gram is shared by "), col("__df"),
+            lit(s" documents (> maxDocsPerGram = $maxDocsPerGram) — the " +
+              "posting join would be quadratic in that count; raise " +
+              "maxDocsPerGram, set dropHotGrams = true, or use the LSH " +
+              "path (ngramJaccardNearDups)"))).isNull)
+          .drop("__df")
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n_g"))
     val shared = grams.select(col("gram"), col("id").as("id_a"))
       .join(grams.select(col("gram"), col("id").as("id_b")), "gram")
@@ -489,11 +525,11 @@ object Dedup {
     *
     * Scale shape: identical to [[nearDedup]] over existing ∪ incoming
     * — bucketed LSH self-join, never all-pairs. This entry point
-    * recomputes the existing side's signatures per batch, which is the
-    * correct semantic reference; at 100 TB, persist the signature /
-    * band-bucket relation once (the same materialization pattern as
-    * [[materializeComponents]]) and join each batch's buckets against
-    * it, which changes the constant, not the plan shape.
+    * recomputes the existing side's signatures per batch — it is the
+    * SEMANTIC REFERENCE; the production form is the signature-table
+    * overload ([[writeSignatureTable]] once, then
+    * `nearDedupIncremental(spark, sigTablePath, batch, …)` per batch),
+    * whose per-batch cost is proportional to the batch, not the corpus.
     *
     * @return the surviving rows of `incoming` (original columns)
     */
@@ -519,6 +555,186 @@ object Dedup {
       .select(col(idCol))
     incoming.join(survivors, Seq(idCol), "left_semi")
   }
+
+  private def sigTableMeta(path: String) = s"$path/meta"
+  private def sigTableSigs(path: String) = s"$path/sigs"
+  private def sigTableBuckets(path: String) = s"$path/buckets"
+
+  /** Materialize the MinHash signature/bucket relations for a corpus —
+    * the "build the expensive structure once, reuse it" contract of the
+    * reference's Index persist/reload (csvplus.go:655-705), applied to
+    * the dedup stack. Three parquet relations under `path`:
+    *
+    *  - `sigs`:    (id, sig array<long>[numPerm]) — one row per
+    *               token-ful document;
+    *  - `buckets`: (id, band, bucket) — the exploded LSH band buckets,
+    *               with the same `maxBucketSize` skew guard
+    *               [[minHashNearDups]] applies (a degenerate-boilerplate
+    *               bucket is dropped at WRITE time, once, instead of on
+    *               every batch);
+    *  - `meta`:    one row of the construction parameters, validated on
+    *               read so a batch can never silently join signatures
+    *               built with different shingle/permutation settings.
+    *
+    * At 100 TB both relations would additionally be bucketed by their
+    * join keys (id / (band, bucket)); the path form keeps the same plan
+    * shape with a scan + broadcast-semi-join per batch. Overwrites
+    * `path`. */
+  def writeSignatureTable(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 1000): Unit = {
+    val rowsPerBand = numPerm / bands
+    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    val sigs = df
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numPerm).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.write.mode("overwrite").parquet(sigTableSigs(path))
+    val buckets = sigs
+      .select(col("id"),
+        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    buckets
+      .withColumn("__graft_bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("__graft_bsz") <= maxBucketSize)
+      .drop("__graft_bsz")
+      .write.mode("overwrite").parquet(sigTableBuckets(path))
+    sigs.unpersist(blocking = false)
+    df.sparkSession.range(1)
+      .select(lit(shingleLen).as("shingle_len"), lit(numPerm).as("num_perm"),
+        lit(bands).as("bands"), lit(maxBucketSize).as("max_bucket_size"))
+      .write.mode("overwrite").parquet(sigTableMeta(path))
+  }
+
+  /** PRODUCTION incremental near-dedup: dedup an incoming batch against
+    * a corpus whose signature table was persisted once by
+    * [[writeSignatureTable]] — per-batch cost is proportional to the
+    * BATCH, never the corpus. Same survivor semantics as the
+    * corpus-recomputing reference form ([[nearDedupIncremental]]): the
+    * corpus never loses a document, an incoming near-duplicate of any
+    * corpus document (transitively, through any batch/corpus chain)
+    * is rejected, and batch-only clusters keep one survivor by `pick`.
+    *
+    * Why the restricted edge set suffices: the rejected set depends only
+    * on "does this batch doc's component contain a corpus doc", and the
+    * first corpus node on any batch→corpus path is reached via a
+    * batch–corpus edge, which this form materializes; paths continuing
+    * through corpus–corpus edges only connect components that are each
+    * already rejected. Batch-only components see the identical edge set.
+    * (The one semantic delta from the reference form: bucket-size
+    * capping is corpus-at-write + batch-at-read, not joint — a bucket
+    * that only crosses `maxBucketSize` when the two sides are combined
+    * is not dropped here.)
+    *
+    * Scale shape: signatures are computed for the batch only; the
+    * stored bucket relation is scanned once and reduced with a
+    * broadcast semi-join on the batch's (band, bucket) keys — no
+    * corpus-wide shuffle, no corpus signature recompute; corpus
+    * signatures are fetched only for the matched candidate ids. CC runs
+    * over the candidate-sized subgraph.
+    *
+    * Caller contract: id spaces disjoint (as in the reference form) and
+    * the batch small enough to broadcast its bucket keys.
+    *
+    * @return the surviving rows of `incoming` (original columns) */
+  def nearDedupIncremental(
+      spark: org.apache.spark.sql.SparkSession, sigTablePath: String,
+      incoming: DataFrame, idCol: String, textCol: String,
+      threshold: Double, pick: Seq[Column]): DataFrame = {
+    val meta = spark.read.parquet(sigTableMeta(sigTablePath)).head()
+    val shingleLen = meta.getAs[Int]("shingle_len")
+    val numPerm = meta.getAs[Int]("num_perm")
+    val bands = meta.getAs[Int]("bands")
+    val maxBucketSize = meta.getAs[Int]("max_bucket_size")
+    val rowsPerBand = numPerm / bands
+
+    val batch = incoming
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numPerm).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBuckets = batch
+      .select(col("id"),
+        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("__graft_bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("__graft_bsz") <= maxBucketSize)
+      .drop("__graft_bsz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // corpus rows in buckets the batch touches: scan + broadcast
+    // semi-join — the corpus side is never shuffled
+    val touched = batchBuckets.select(col("band"), col("bucket")).distinct()
+    val corpusMatch = spark.read.parquet(sigTableBuckets(sigTablePath))
+      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+
+    // candidates: batch×batch (self-join) ∪ batch×corpus — id spaces
+    // are disjoint, so the union cannot double-count a pair
+    val a = batchBuckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = batchBuckets.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val batchPairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val crossPairs = batchBuckets
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(corpusMatch.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"))
+    val candidates = batchPairs.union(crossPairs)
+      .dropDuplicates("id_a", "id_b")
+
+    // estimate Jaccard from signatures: batch sigs are cached; corpus
+    // sigs are fetched for the (candidate-sized) matched id set only
+    val neededCorpus = crossPairs.select(col("id_b").as("id")).distinct()
+    val corpusSigs = spark.read.parquet(sigTableSigs(sigTablePath))
+      .join(broadcast(neededCorpus), Seq("id"), "left_semi")
+    val sigs = batch.select(col("id"), col("sig")).union(corpusSigs)
+    val edges = candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        graft.plans.native.sigEqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / lit(numPerm.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+
+    val comps = connectedComponents(edges, "id_a", "id_b")
+    batch.unpersist(blocking = false)
+    batchBuckets.unpersist(blocking = false)
+    val batchIds = incoming.select(col(idCol).as("id"))
+    // a component containing ≥1 corpus doc rejects all its batch
+    // members (the corpus-side canonical always wins); batch-only
+    // components keep one survivor by `pick`
+    val corpusComps = comps.join(batchIds, Seq("id"), "left_anti")
+      .select(col("component")).distinct()
+    val batchComps = comps.join(batchIds, Seq("id"), "left_semi")
+    val rejectedIds = batchComps
+      .join(corpusComps, Seq("component"), "left_semi")
+      .select(col("id").as(idCol))
+    val batchOnlyComps = batchComps
+      .join(corpusComps, Seq("component"), "left_anti")
+      .select(col("id"), col("component"))
+    val ordering = if (pick.nonEmpty) pick else Seq(col(idCol).asc)
+    keepCanonical(incoming.join(rejectedIds, Seq(idCol), "left_anti"),
+      idCol, batchOnlyComps, ordering)
+  }
+
+  /** [[nearDedupIncremental]] against a persisted signature table with
+    * the default pick (smallest id). */
+  def nearDedupIncremental(
+      spark: org.apache.spark.sql.SparkSession, sigTablePath: String,
+      incoming: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    nearDedupIncremental(spark, sigTablePath, incoming, idCol, textCol,
+      threshold, Nil)
 
   /** 64-bit SimHash over whitespace tokens: bit i of the hash is the
     * sign of Σ_tokens (±1 depending on bit i of XXH64(token)).

@@ -291,9 +291,17 @@ object Multimodal {
           val cfc = new String(b, j.toInt, 4, "US-ASCII")
           val csz = u32(j.toInt + 4)
           if (j + 8 + csz > body + sz) return None
-          if (cfc == "avih" && csz >= 40)
-            return Some((u32((j + 8 + 32).toInt).toInt,
-              u32((j + 8 + 36).toInt).toInt, u32((j + 8 + 16).toInt).toInt))
+          if (cfc == "avih" && csz >= 40) {
+            val w = u32((j + 8 + 32).toInt)
+            val h = u32((j + 8 + 36).toInt)
+            val n = u32((j + 8 + 16).toInt)
+            // mirror the still-image parsers' defensive contract: a
+            // crafted avih with zero or >= 2^31 values must decode to
+            // None, never surface as a negative width/height/n_frames
+            return if (w <= 0 || h <= 0 || n <= 0 ||
+              w > Int.MaxValue || h > Int.MaxValue || n > Int.MaxValue) None
+            else Some((w.toInt, h.toInt, n.toInt))
+          }
           j += 8 + csz + (csz & 1)
         }
         return None // hdrl without a usable avih
@@ -865,6 +873,11 @@ object Multimodal {
       .empty[(Int, Int, Int, Int, Array[Byte])]
     var delayCs = 0
     var totalPixelBytes = 0L
+    // frame_no/stride semantics are PER STREAM: a multi-stream AVI
+    // interleaves 00dc/01dc/… chunks, so extraction locks onto the
+    // first video stream id seen and skips the others (an undecodable
+    // chunk in stream 01 must not null out stream 00's frames)
+    var videoStream: String = null
     def isStreamData(fc: String): Boolean =
       fc.length == 4 && fc(0).isDigit && fc(1).isDigit &&
         (fc.endsWith("dc") || fc.endsWith("db"))
@@ -884,7 +897,9 @@ object Multimodal {
         } else if (fc == "avih") {
           if (sz < 4) return false
           delayCs = (u32(body.toInt) / 10000L).toInt // μs per frame → cs
-        } else if (inMovi && isStreamData(fc)) {
+        } else if (inMovi && isStreamData(fc) &&
+          (videoStream == null || fc.startsWith(videoStream))) {
+          videoStream = fc.substring(0, 2)
           val payload = java.util.Arrays.copyOfRange(
             b, body.toInt, (body + sz).toInt)
           decodePixelsRgb(payload) match {
@@ -894,7 +909,7 @@ object Multimodal {
               frames += ((frames.length, delayCs, w, h, px))
             case None => return false // a video chunk that won't decode
           }
-        } // other chunks (strl, idx1, JUNK, …): skipped
+        } // other chunks (strl, idx1, JUNK, other streams' data): skipped
         i = body + sz + (sz & 1L) // chunks pad to even length
       }
       true

@@ -98,6 +98,108 @@ class ClusterStatsSpec extends GraftSpec {
     assert(kept == Set(12L), s"got $kept")
   }
 
+  test("signature-table incremental dedup matches the corpus-recomputing reference form") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val existing = Seq(
+      (1L, base + "tail"),
+      (2L, "unrelated words entirely in this one here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base + "tail"), // exact dup of existing 1 → dropped
+      (11L, base + "other ending"), // near-dup of existing 1 → dropped
+      (12L, "completely fresh content about catalyst physical planning"),
+      (13L, "completely fresh content about catalyst physical planning")
+    ).toDF("doc_id", "text") // 12/13 duplicate each other → 12 survives
+    val sigPath = graft.Scratch.path("test_sig_table")
+    Dedup.writeSignatureTable(existing, "doc_id", "text", sigPath)
+    // round-trip: the persisted relations carry what the write declared
+    val meta = spark.read.parquet(s"$sigPath/meta").head()
+    assert(meta.getAs[Int]("shingle_len") == 3 &&
+      meta.getAs[Int]("num_perm") == 64 && meta.getAs[Int]("bands") == 16)
+    val sigs = spark.read.parquet(s"$sigPath/sigs")
+    assert(sigs.count() == 2 &&
+      sigs.select(size(col("sig"))).as[Int].collect().forall(_ == 64))
+    assert(spark.read.parquet(s"$sigPath/buckets").count() == 2 * 16)
+    // the production path must produce the reference form's survivors
+    val viaTable = Dedup.nearDedupIncremental(spark, sigPath, incoming,
+      "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    val reference = Dedup.nearDedupIncremental(existing, incoming,
+      "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaTable == reference && viaTable == Set(12L), s"got $viaTable")
+    // a batch with no corpus overlap at all dedups among itself only
+    val freshOnly = Seq(
+      (20L, "twenty one two three four five six seven eight"),
+      (21L, "twenty one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val keptFresh = Dedup.nearDedupIncremental(spark, sigPath, freshOnly,
+      "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFresh == Set(20L), s"got $keptFresh")
+  }
+
+  test("exactNgramJaccard hot-gram guard fails loudly, or truncates on request") {
+    // five docs sharing one bigram ("shared gram"); everything else unique
+    val docs = (1 to 5).map(i =>
+      (i.toLong, s"shared gram unique$i tail$i")).toDF("doc_id", "text")
+    // uncapped: each pair shares exactly 1 of its 3+3 distinct bigrams
+    val uncapped = Dedup.exactNgramJaccard(docs, "doc_id", "text",
+      n = 2, threshold = 0.15, maxDocsPerGram = Int.MaxValue)
+    assert(uncapped.count() == 10, "5 choose 2 pairs at jaccard 1/5")
+    // default mode: a gram over the cap FAILS THE JOB with a diagnostic
+    val e = intercept[Throwable] {
+      Dedup.exactNgramJaccard(docs, "doc_id", "text",
+        n = 2, threshold = 0.15, maxDocsPerGram = 3).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxDocsPerGram")),
+      s"diagnostic must name the guard, got: ${messages(e)}")
+    // dropHotGrams: the hot gram leaves the gram space entirely → the
+    // surviving gram sets are disjoint → no pair reaches any threshold
+    val dropped = Dedup.exactNgramJaccard(docs, "doc_id", "text",
+      n = 2, threshold = 0.15, maxDocsPerGram = 3, dropHotGrams = true)
+    assert(dropped.count() == 0)
+    intercept[IllegalArgumentException] {
+      Dedup.exactNgramJaccard(docs, "doc_id", "text", maxDocsPerGram = 0)
+    }
+  }
+
+  test("memoized scratch relations go stale-safe when the input is regenerated") {
+    // the memo key carries a content-version (row count + max id), so
+    // REGENERATING a documents table at the same path within one JVM
+    // must produce fresh clusters, not the first run's memo (r8 verdict
+    // item #7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale_").toString
+    def writeDocs(rows: Seq[(Long, String, Long, String)]): Unit =
+      rows.toDF("doc_id", "text", "n_chars", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shared = "eight shared tokens make one shared eight gram here today"
+    writeDocs(Seq(
+      (1L, shared, 10L, "a"), (2L, shared + " tail", 11L, "a"),
+      (3L, "completely different text with no overlap at all whatsoever", 9L, "b")))
+    val first = SparkEntry.queries("q_dup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first(1L) == 1L && first(2L) == 1L && first(3L) == 3L)
+    // regenerate: doc 2 no longer duplicates doc 1, and a new doc 4 does
+    writeDocs(Seq(
+      (1L, shared, 10L, "a"),
+      (2L, "entirely new second document body with fresh words only", 11L, "a"),
+      (3L, "completely different text with no overlap at all whatsoever", 9L, "b"),
+      (4L, shared + " coda", 12L, "a")))
+    val second = SparkEntry.queries("q_dup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(second(4L) == 1L && second(2L) == 2L,
+      s"regenerated input must re-cluster, got $second")
+    // Scratch.clear() empties the scratch space and drops the memos;
+    // the next call rebuilds from live input and still answers correctly
+    graft.Scratch.clear()
+    val third = SparkEntry.queries("q_dup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(third == second)
+  }
+
   test("tokenless documents cluster to min(doc_id) with no pair enumeration") {
     // ≥3 tokenless docs: whitespace-only texts share the single empty
     // 8-gram, so they are one cluster labelled min id (2); the null-text

@@ -569,31 +569,35 @@ class MultimodalSpec extends GraftSpec {
   }
 
   /** Minimal MJPEG AVI fixture: RIFF → hdrl (avih carrying μs/frame) +
-    * movi with one '00dc' chunk per provided JPEG payload. */
-  private def aviBytes(usPerFrame: Long,
-                       frames: Seq[Array[Byte]]): Array[Byte] = {
+    * movi with one tagged stream-data chunk per provided payload. */
+  private def aviBytesTagged(usPerFrame: Long, nFrames: Int,
+                             chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def le32(v: Long): Unit =
       (0 until 4).foreach(i => bos.write(((v >> (8 * i)) & 0xFF).toInt))
     def s4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
-    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val moviSize = 4 + chunks.map { case (_, f) => 8 + f.length + (f.length & 1) }.sum
     val hdrlSize = 4 + 8 + 56
     val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
     s4("RIFF"); le32(riffSize); s4("AVI ")
     s4("LIST"); le32(hdrlSize); s4("hdrl")
     s4("avih"); le32(56); le32(usPerFrame)
     le32(0); le32(0); le32(0) // maxBytesPerSec, padding, flags
-    le32(frames.length) // dwTotalFrames
+    le32(nFrames) // dwTotalFrames
     le32(0); le32(0); le32(0) // initialFrames, streams, bufSize
     le32(8); le32(8) // dwWidth, dwHeight (fixture frames are 8×8)
     (0 until 16).foreach(_ => bos.write(0))
     s4("LIST"); le32(moviSize); s4("movi")
-    frames.foreach { f =>
-      s4("00dc"); le32(f.length); bos.write(f)
+    chunks.foreach { case (tag, f) =>
+      s4(tag); le32(f.length); bos.write(f)
       if ((f.length & 1) == 1) bos.write(0) // chunks pad to even
     }
     bos.toByteArray
   }
+
+  private def aviBytes(usPerFrame: Long,
+                       frames: Seq[Array[Byte]]): Array[Byte] =
+    aviBytesTagged(usPerFrame, frames.length, frames.map(("00dc", _)))
 
   test("decodeAviFrames walks RIFF to every MJPEG chunk with the avih delay") {
     // flat DC-only 8×8 grayscale frames: quant 8 → pixel = 128 + dc
@@ -615,6 +619,51 @@ class MultimodalSpec extends GraftSpec {
     val badChunk = aviBytes(40000L, Seq(Array.fill[Byte](16)(7)))
     assert(Multimodal.decodeAviFrames(badChunk).isEmpty)
     assert(Multimodal.decodeAviFrames("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("decodeAviFrames locks onto the first video stream of a multi-stream AVI") {
+    // stream 00 carries two decodable MJPEG frames; stream 01's chunks
+    // are garbage — per-stream extraction must keep 00's frames with
+    // contiguous frame_no and not null the container on 01 (r8 ADVICE)
+    val q = Array.fill(64)(0); q(0) = 8
+    def flat(dc: Int) = { val b = new Array[Int](64); b(0) = dc; b }
+    val j1 = jpegEncode(8, 8, 1, q, Seq(Seq(flat(10))))
+    val j2 = jpegEncode(8, 8, 1, q, Seq(Seq(flat(33))))
+    val junk = Array.fill[Byte](16)(7)
+    val avi = aviBytesTagged(40000L, 2,
+      Seq(("00dc", j1), ("01dc", junk), ("00dc", j2), ("01db", junk)))
+    val frames = Multimodal.decodeAviFrames(avi).get
+    assert(frames.length == 2)
+    assert(frames.map(_._1) == Seq(0, 1), "frame_no is per-stream")
+    assert(frames(0)._5.forall(p => (p & 0xFF) == 138) &&
+      frames(1)._5.forall(p => (p & 0xFF) == 161))
+    // the lock is onto the FIRST stream id seen, whatever it is
+    val avi01 = aviBytesTagged(40000L, 1,
+      Seq(("01dc", j1), ("00dc", junk)))
+    val f01 = Multimodal.decodeAviFrames(avi01).get
+    assert(f01.length == 1 && f01.head._5.forall(p => (p & 0xFF) == 138))
+  }
+
+  test("parseAviHeader rejects zero or out-of-range avih dims/frames") {
+    val q = Array.fill(64)(0); q(0) = 8
+    def flat(dc: Int) = { val b = new Array[Int](64); b(0) = dc; b }
+    val avi = aviBytes(40000L, Seq(jpegEncode(8, 8, 1, q, Seq(Seq(flat(1))))))
+    // dwWidth at offset 12 (RIFF) + 8+4 (LIST hdrl) + 8 (avih hdr) + 32
+    def patched(off: Int, v: Long): Array[Byte] = {
+      val c = avi.clone()
+      (0 until 4).foreach(i => c(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+      c
+    }
+    val wOff = 12 + 12 + 8 + 32
+    val nOff = 12 + 12 + 8 + 16
+    assert(Multimodal.parseAviHeader(patched(wOff, 0L)).isEmpty,
+      "zero width must not decode")
+    assert(Multimodal.parseAviHeader(patched(wOff, 0xFFFFFFFFL)).isEmpty,
+      ">= 2^31 width must not surface as a negative Int")
+    assert(Multimodal.parseAviHeader(patched(nOff, 0x80000000L)).isEmpty,
+      ">= 2^31 frame count must not surface as a negative Int")
+    assert(Multimodal.parseAviHeader(avi).contains((8, 8, 1)),
+      "the unpatched fixture still parses")
   }
 
   test("parseAviHeader surfaces avih dims and frame count via decodeMeta") {
