@@ -162,8 +162,14 @@ object ScaleRehearsal {
           "probe_id", "probe_vec", k = 10, nprobe = 4))
       }
       time(scale, "embedding_near_dup") {
-        force(Similarity.cosineNearDups(emb, "vec_id", "embedding",
-          threshold = 0.35, bits = 16, bands = 4))
+        // corpus-sized layout: bandBits ∝ log2(N) keeps candidates (and
+        // so cost) LINEAR in N. The r9 rehearsal measured the fixed-
+        // layout alternatives first: 16 TOTAL bits (16 buckets/band) →
+        // 7.6× on 10× rows; 12 bits/band (4096 buckets/band) → 95× on
+        // 100× rows — any FIXED bucket space is N²/constant. Auto-
+        // sizing is the production shape (see cosineNearDupsAuto).
+        force(Similarity.cosineNearDupsAuto(emb, "vec_id", "embedding",
+          threshold = 0.95))
       }
       time(scale, "inverted_index") {
         force(Corpus.invertedIndex(docs, "doc_id", "text"))

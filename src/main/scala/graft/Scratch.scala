@@ -25,6 +25,12 @@ object Scratch {
     * creation semantics, e.g. Spark's overwrite mode). */
   def path(tag: String): String = base.resolve(tag).toString
 
+  /** Remove one scratch entry (recursively). For STATEFUL scratch data
+    * — e.g. a signature table that accumulates appends — whose owner
+    * must rebuild from a clean slate to stay deterministic across
+    * reruns in one JVM. */
+  def remove(tag: String): Unit = deleteRecursively(base.resolve(tag))
+
   private val clearHooks =
     new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
 

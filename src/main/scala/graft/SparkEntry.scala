@@ -725,7 +725,12 @@ object SparkEntry {
       val aug = docs.select(col("doc_id"), col("text")).unionByName(
         docs.filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
           .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-      Dedup.simhashNearDups(aug, "doc_id", "text", maxHamming = 3)
+      // uncapped BY CHOICE: the planted oracle must surface every
+      // (original, copy) pair; planting doubles the copies' bucket
+      // occupancy, so the skew cap is disabled here (same reasoning as
+      // q_dedup_embedding; costs nothing at gate scale)
+      Dedup.simhashNearDups(aug, "doc_id", "text", maxHamming = 3,
+        maxBucketSize = Int.MaxValue)
         .filter(col("id_b") === col("id_a") + 100000L)
         .select(col("id_a"), col("id_b"), col("hamming"))
     },
@@ -757,8 +762,15 @@ object SparkEntry {
       val aug = emb.select(col("vec_id"), col("embedding")).unionByName(
         emb.filter(col("vec_id") % 5 === 0 && nonzero)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      // uncapped BY CHOICE: the planted oracle requires every
+      // (original, copy) pair to surface, and planting doubles the
+      // occupancy of the copies' buckets — the skew cap must not be
+      // able to drop a planted pair at any SF (the minhash gates carry
+      // assertPlantedBucketsFit for the same hazard; here disabling
+      // the cap is exact and costs nothing at gate scale)
       Similarity.cosineNearDups(aug, "vec_id", "embedding",
-        threshold = 0.35, bits = 16, bands = 4)
+        threshold = 0.35, bits = 16, bands = 4,
+        maxBucketSize = Int.MaxValue)
         .filter(col("id_b") === col("id_a") + 100000L)
         .select(col("id_a"), col("id_b"))
     },
@@ -2161,6 +2173,50 @@ object SparkEntry {
   locally {
     // Scratch.clear() must also drop the memoized paths into it
     Scratch.onClear(() => { ccMemo.clear(); ndMemo.clear(); sigMemo.clear() })
+  }
+
+  /** The two planted ingest batches shared by q_dedup_ingest and its
+    * streaming twin:
+    *  - batch 1 = fresh unique-token docs (+300000, mod-10=1 slice) ∪
+    *    exact copies of corpus mod-7 token-ful docs (+200000);
+    *  - batch 2 = EXACT COPIES of batch 1's fresh docs (+500000) ∪ new
+    *    fresh docs (+600000, mod-10=3) ∪ corpus mod-9 copies (+700000).
+    * Expected survivors = the two fresh slices exactly; the +500000
+    * copies are rejected ONLY IF batch 1's survivors were appended to
+    * the signature table (the behavior under test). The fresh text
+    * embeds the BASE doc_id, so a +500000 copy regenerates its
+    * +300000 original's text byte-identically. */
+  private def ingestBatches(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tokenful = col("text").isNotNull && col("text").rlike("\\S")
+    def freshDocs(mod: Int, offset: Long) =
+      docs.filter(col("doc_id") % 10 === mod)
+        .select((col("doc_id") + offset).as("doc_id"),
+          concat(lit("fresh document u"), col("doc_id"),
+            lit(" payload p"), col("doc_id"),
+            lit(" q"), col("doc_id")).as("text"))
+    val batch1 = freshDocs(1, 300000L).unionByName(
+      docs.filter(col("doc_id") % 7 === 0 && tokenful)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    val batch2 = freshDocs(1, 500000L)
+      .unionByName(freshDocs(3, 600000L))
+      .unionByName(docs.filter(col("doc_id") % 9 === 0 && tokenful)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+    (batch1, batch2)
+  }
+
+  /** Recursive file copy — snapshot a memoized scratch relation for a
+    * gate that MUTATES its copy (q_dedup_ingest appends to its
+    * signature table; the shared one must stay immutable). */
+  private def copyDir(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val s0 = Paths.get(src)
+    val d0 = Paths.get(dst)
+    val walk = Files.walk(s0)
+    try walk.forEach { p =>
+      val t = d0.resolve(s0.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
   }
 
   private val round3Queries: Map[String, Q] = Map(
@@ -3777,6 +3833,81 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // CHAIN ingest, planted TRUE oracle: two batches through
+    // Dedup.nearDedupIngest — dedup against the signature table, then
+    // APPEND the survivors' signatures so the next batch dedups against
+    // them too (the transitive-ingest contract: a doc admitted in batch
+    // 1 must reject its near-copy arriving in batch 2).
+    //   batch 1 = fresh unique-token docs (+300000) ∪ exact copies of
+    //             corpus mod-7 token-ful docs (+200000);
+    //   batch 2 = EXACT COPIES of batch 1's fresh docs (+500000) ∪ new
+    //             fresh docs (+600000) ∪ corpus mod-9 copies (+700000).
+    // Expected survivors = exactly the two fresh slices: the +500000
+    // copies are rejected ONLY IF batch 1's survivors were appended —
+    // that append is the behavior under test. The gate owns a PRIVATE
+    // throwaway signature table (appends make the shared one stateful):
+    // a file-level SNAPSHOT of the memoized shared table, re-taken each
+    // call so bench reruns stay deterministic — per-call cost is the
+    // copy of a batch-scale parquet dir, not a corpus recompute.
+    "q_dedup_ingest" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      assertPlantedBucketsFit(docs.select(col("doc_id"), col("text")),
+        3, 64, 16, 1000)
+      val tag = s"ingest_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val path = Scratch.path(tag)
+      copyDir(sharedSignatureTable(s, dir), path)
+      val (batch1, batch2) = ingestBatches(docs)
+      val surv1 = Dedup.nearDedupIngest(s, path, batch1,
+        "doc_id", "text", threshold = 0.7)
+      val surv2 = Dedup.nearDedupIngest(s, path, batch2,
+        "doc_id", "text", threshold = 0.7)
+      surv1.select(col("doc_id")).unionByName(surv2.select(col("doc_id")))
+    },
+
+    // …and the same chain executed as a REAL streaming query — the
+    // standing dedup-at-the-door shape: the two batches land as ordered
+    // files in a watched directory, a file-source stream processes each
+    // as its own micro-batch (maxFilesPerTrigger = 1) through
+    // foreachBatch → nearDedupIngest, survivors append to the result
+    // parquet. Same planted oracle as q_dedup_ingest: stream ≡ batch.
+    "q_dedup_ingest_stream" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      assertPlantedBucketsFit(docs.select(col("doc_id"), col("text")),
+        3, 64, 16, 1000)
+      val tag = s"ingest_stream_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val base = Scratch.path(tag)
+      copyDir(sharedSignatureTable(s, dir), s"$base/sig")
+      val (batch1, batch2) = ingestBatches(docs)
+      // stage the batches as ordered landing files: the file source
+      // picks up micro-batches in (modification-time, path) order, and
+      // arrival order decides which copy of a dup pair survives
+      val landing = java.nio.file.Paths.get(s"$base/landing")
+      java.nio.file.Files.createDirectories(landing)
+      Seq((batch1, "00001", 1000000000000L),
+          (batch2, "00002", 1000000002000L)).foreach { case (b, n, mtime) =>
+        val stage = s"$base/stage_$n"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = {
+          val walk = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          try walk.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally walk.close()
+        }
+        val target = landing.resolve(s"$n.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      Dedup.nearDedupIngestStreamed(s, s"$base/sig", landing.toString,
+        "doc_id", "text", threshold = 0.7, outPath = s"$base/out",
+        checkpointDir = Some(s"$base/ckpt"))
+      s.read.parquet(s"$base/out").select(col("doc_id"))
+    },
+
     // REAL Adam7-INTERLACED PNG decode, oracled ORDER-SENSITIVELY: an
     // 8×8 grayscale image whose seven interlace passes are synthesized
     // in pass order (filter None per scanline — the per-pass FILTER
@@ -3981,6 +4112,25 @@ object SparkEntry {
     "q_dedup_incremental" ->
       """SELECT doc_id + 300000 AS doc_id
         |FROM documents WHERE doc_id % 10 = 1""".stripMargin,
+
+    // chain ingest: survivors = batch 1's fresh slice ∪ batch 2's NEW
+    // fresh slice; batch 2's exact copies of batch 1's fresh docs
+    // (+500000) lose to the APPENDED batch-1 survivors, corpus copies
+    // lose to the original table
+    "q_dedup_ingest" ->
+      """SELECT doc_id + 300000 AS doc_id
+        |FROM documents WHERE doc_id % 10 = 1
+        |UNION ALL
+        |SELECT doc_id + 600000 AS doc_id
+        |FROM documents WHERE doc_id % 10 = 3""".stripMargin,
+
+    // stream ≡ batch: the streaming twin lands on the same survivors
+    "q_dedup_ingest_stream" ->
+      """SELECT doc_id + 300000 AS doc_id
+        |FROM documents WHERE doc_id % 10 = 1
+        |UNION ALL
+        |SELECT doc_id + 600000 AS doc_id
+        |FROM documents WHERE doc_id % 10 = 3""".stripMargin,
 
     // the 2×2 resize samples display k ∈ {0, 4, 32, 36} of the
     // de-interlaced image

@@ -736,6 +736,132 @@ object Dedup {
     nearDedupIncremental(spark, sigTablePath, incoming, idCol, textCol,
       threshold, Nil)
 
+  /** Append a batch's MinHash signatures to a persisted signature table
+    * — the maintenance half of the incremental-ingest loop: after a
+    * batch's survivors are admitted to the corpus, appending their
+    * signatures makes every LATER batch dedup against them too.
+    * Signatures are computed with the TABLE'S OWN construction
+    * parameters (read from `meta`), so a table can never hold mixed
+    * shingle/permutation settings.
+    *
+    * The write-time invariant "no stored bucket exceeds
+    * `max_bucket_size`" is maintained incrementally: the stored
+    * occupancy of the buckets this batch touches is counted (broadcast
+    * semi-join — cost ∝ batch, not corpus) and batch rows are admitted
+    * into a bucket only up to the remaining headroom (deterministic
+    * order: smallest id first). A bucket already at the cap accepts
+    * nothing — the same documented recall loss as write-time capping,
+    * never a quadratic blow-up.
+    *
+    * Caller contract: ids disjoint from everything already in the
+    * table (a re-appended id would double its rows in both relations),
+    * and `batch` must not itself read from `path` (materialize first —
+    * [[nearDedupIngest]] does). */
+  def appendToSignatureTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val meta = spark.read.parquet(sigTableMeta(path)).head()
+    val shingleLen = meta.getAs[Int]("shingle_len")
+    val numPerm = meta.getAs[Int]("num_perm")
+    val bands = meta.getAs[Int]("bands")
+    val maxBucketSize = meta.getAs[Int]("max_bucket_size")
+    val sigs = batch
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numPerm).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.write.mode("append").parquet(sigTableSigs(path))
+    val buckets = sigs
+      .select(col("id"),
+        explode(bandBuckets(col("sig"), bands, numPerm / bands)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val stored = spark.read.parquet(sigTableBuckets(path))
+      .join(broadcast(buckets.select(col("band"), col("bucket")).distinct()),
+        Seq("band", "bucket"), "left_semi")
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__stored"))
+    buckets
+      .withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
+      .join(stored, Seq("band", "bucket"), "left")
+      .filter(coalesce(col("__stored"), lit(0L)) + col("__rn") <= maxBucketSize)
+      .select(col("id"), col("band"), col("bucket"))
+      .write.mode("append").parquet(sigTableBuckets(path))
+    sigs.unpersist(blocking = false)
+  }
+
+  /** The full production ingest step: dedup `incoming` against the
+    * signature table ([[nearDedupIncremental]]), then append the
+    * SURVIVORS' signatures so the next batch also dedups against them —
+    * chained batches see corpus ∪ all earlier survivors, which is the
+    * transitive-ingest contract a training pipeline needs (a document
+    * admitted in batch N must reject its near-copy arriving in batch
+    * N+1). Returns the survivors.
+    *
+    * The survivors are materialized (localCheckpoint) BEFORE the
+    * append: their plan reads the very parquet relations the append
+    * mutates, so cutting the lineage first is what makes the returned
+    * frame stable however late it is consumed. Per-batch cost stays
+    * ∝ batch: the checkpoint writes batch-sized data, the append's
+    * corpus-side work is one semi-joined occupancy count. */
+  def nearDedupIngest(
+      spark: org.apache.spark.sql.SparkSession, sigTablePath: String,
+      incoming: DataFrame, idCol: String, textCol: String,
+      threshold: Double, pick: Seq[Column] = Nil): DataFrame = {
+    val survivors = nearDedupIncremental(spark, sigTablePath, incoming,
+      idCol, textCol, threshold, pick).localCheckpoint(true)
+    appendToSignatureTable(spark, sigTablePath, survivors, idCol, textCol)
+    survivors
+  }
+
+  /** CONTINUOUS-ingest form of [[nearDedupIngest]]: a Structured
+    * Streaming file source watches `streamDir` for document batches and
+    * every micro-batch is deduped against the signature table, its
+    * survivors appended to both the table and the `outPath` parquet —
+    * the standing dedup-at-the-door query a training pipeline runs on
+    * its landing zone. foreachBatch is the right harness (not a
+    * stateful streaming operator): the dedup state IS the persisted
+    * signature table, shared with the batch API, already
+    * restart-durable, and unbounded state a watermark could never
+    * bound — dropDuplicatesWithinWatermark dedups a FEED against
+    * itself in event-time; this dedups each batch against an
+    * EVER-GROWING CORPUS.
+    *
+    * `maxFilesPerTrigger = 1` processes landing files one micro-batch
+    * each, in (modification-time, path) order — the arrival order
+    * defines which copy of a near-dup pair is "first" and survives,
+    * exactly like the batch chain. Runs with Trigger.AvailableNow and
+    * blocks until the backlog drains; pass `checkpointDir` to make the
+    * processed-file log durable across restarts (exactly-once ingest —
+    * the reference's persist/reload contract, csvplus.go:655-705,
+    * extended to the stream). */
+  def nearDedupIngestStreamed(
+      spark: org.apache.spark.sql.SparkSession, sigTablePath: String,
+      streamDir: String, idCol: String, textCol: String,
+      threshold: Double, outPath: String,
+      checkpointDir: Option[String] = None,
+      pick: Seq[Column] = Nil): Unit = {
+    val schema = spark.read.parquet(streamDir).schema
+    val writer = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(streamDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        nearDedupIngest(spark, sigTablePath, batch, idCol, textCol,
+          threshold, pick)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = checkpointDir
+      .fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+    q.awaitTermination()
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the hash is the
     * sign of Σ_tokens (±1 depending on bit i of XXH64(token)).
     * Native codegen'd expression (graft.plans.SimHash64). */
@@ -749,12 +875,23 @@ object Dedup {
     * generation is complete for the requested radius (the default 3 →
     * the classic 4×16-bit split). maxHamming ≤ 15 keeps every band
     * ≥ 4 bits; beyond that the buckets degenerate and the candidate
-    * join stops pruning. */
+    * join stops pruning.
+    *
+    * `maxBucketSize` is the [[minHashNearDups]] skew guard: a bucket of
+    * k docs proposes k² candidates, and a boilerplate spike (identical
+    * texts → identical SimHashes → ONE bucket in every band) would make
+    * the self-join quadratic in the spike — at that density the PAIR
+    * form itself is the wrong tool (k² true pairs; use [[exact]] or the
+    * cluster form), so over-cap buckets are dropped from candidate
+    * generation. Dropping costs pigeonhole COMPLETENESS only inside the
+    * dropped buckets — a documented recall loss, never a silent
+    * blow-up. Pass Int.MaxValue for the exact completeness contract. */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming")
+    require(maxBucketSize > 0, "maxBucketSize must be > 0")
     val nBands = maxHamming + 1
     val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -767,8 +904,16 @@ object Dedup {
           shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) banded
+      else banded
+        .withColumn("__bsz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket"))))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -80,33 +80,59 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * a symmetric ±{1..} value derived from xxhash64 — no RNG, so plans
     * are reproducible and resumable (no Math.random in a distributed
-    * plan). Returns `bits` sign-bits packed as a long. */
-  def hyperplaneSignature(vec: Column, bits: Int): Column =
-    graft.plans.native.hyperplaneSig(vec, bits)
+    * plan). Returns `bits` sign-bits packed as a long; `seed` selects an
+    * independent plane set (seed 0 = the original planes). */
+  def hyperplaneSignature(vec: Column, bits: Int, seed: Long = 0L): Column =
+    graft.plans.native.hyperplaneSig(vec, bits, seed)
 
   /** Embedding near-duplicate pairs: hyperplane-LSH buckets propose,
-    * exact cosine disposes. Bands of the signature are the shuffle key;
-    * only bucket-colliding vectors ever pair up. */
+    * exact cosine disposes. Each band's bucket is an INDEPENDENT
+    * `bits/bands`-bit signature (its own hyperplane set, seeded by the
+    * band index), so the per-band bucket space is 2^(bits/bands) and
+    * the TOTAL bit budget is not capped by one 64-bit word — at 10⁹
+    * vectors, 4 bands × 30 bits is a valid configuration. Size the
+    * bucket space to the corpus: 2^(bits/bands) must comfortably exceed
+    * N / maxBucketSize, or buckets saturate and candidate generation
+    * degrades toward all-pairs (the 10× scale rehearsal measured
+    * exactly that with the old fixed-16-bucket layout). A true
+    * near-duplicate pair flips each plane's sign with probability
+    * θ/π ≈ acos(threshold)/π, so per-band recall is (1-θ/π)^(bits/bands)
+    * and more bands buy recall back.
+    *
+    * `maxBucketSize` is the same skew guard [[Dedup.minHashNearDups]]
+    * applies: a degenerate bucket (e.g. a spike of zero or constant
+    * vectors hashing identically) would otherwise make the self-join
+    * quadratic in its occupancy; buckets over the cap are dropped from
+    * candidate generation (documented recall loss, never a silent
+    * blow-up). Pass Int.MaxValue to disable (exact-audit callers).
+    *
+    * Candidate generation runs over (id, bucket) ONLY — the wide
+    * vectors stay out of the bucket self-join and are fetched once per
+    * surviving candidate pair (at 100 TB the vectors are the payload;
+    * shuffling them per-band would multiply the shuffle by `bands`). */
   def cosineNearDups(
       data: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double = 0.95, bits: Int = 96, bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bands > 0 && bits % bands == 0, "bands must divide bits")
     val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
-    val sigd = data.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneSignature(col(vecCol), bits).as("sig"))
+    require(bandBits <= 64, s"bits/bands must be <= 64, got $bandBits")
+    require(maxBucketSize > 0, "maxBucketSize must be > 0")
+    val sigd = data.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidate generation over (id, bucket) ONLY — the wide vectors
-    // stay out of the bucket self-join and are fetched once per
-    // surviving candidate pair (at 100 TB the vectors are the payload;
-    // shuffling them per-band would multiply the shuffle by `bands`).
     val banded = sigd.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val candidates = banded.alias("a")
-      .join(banded.alias("b"), Seq("band", "bucket"))
+      posexplode(array((0 until bands).map { b =>
+        hyperplaneSignature(col("v"), bandBits, seed = b.toLong)
+      }: _*)).as(Seq("band", "bucket")))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) banded
+      else banded
+        .withColumn("__bsz",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+    val candidates = capped.alias("a")
+      .join(capped.alias("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -117,6 +143,46 @@ object Similarity {
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** [[cosineNearDups]] with CORPUS-SIZED LSH parameters. A fixed band
+    * width keeps the bucket space constant, so candidate count grows
+    * ∝ N²/2^(bits/bands) — quadratic in N however wide the bands (the
+    * 100× scale rehearsal measured it directly: 95× cost on 100× rows
+    * with 12-bit bands). Tying the band width to the corpus instead —
+    *
+    *   bandBits = ⌈log₂(N / targetOccupancy)⌉
+    *
+    * — pins EXPECTED bucket occupancy at `targetOccupancy`, making the
+    * candidate count ≈ N · targetOccupancy · bands / 2: LINEAR in N by
+    * construction. The band count is then solved from the threshold:
+    * a pair exactly at `threshold` collides in one band with
+    * p₁ = (1 − acos(threshold)/π)^bandBits, and `recall` needs
+    * bands = ⌈ln(1−recall) / ln(1−p₁)⌉.
+    *
+    * One `count()` of the corpus picks the layout (an O(1)-row action —
+    * at 100 TB this is a metadata read). The bands cap (32) bounds the
+    * shuffle multiplier; hitting it means the threshold is too LOW for
+    * hyperplane LSH to prune effectively (acos(0.5)/π ≈ ⅓ of bits
+    * disagree per plane) — at that density use [[bruteForceTopK]] /
+    * [[ivfSearch]], which bound work per PROBE instead of per pair. */
+  def cosineNearDupsAuto(
+      data: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, targetOccupancy: Int = 16,
+      recall: Double = 0.9, maxBucketSize: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(targetOccupancy > 0, "targetOccupancy must be > 0")
+    require(recall > 0.0 && recall < 1.0,
+      s"recall must be in (0, 1), got $recall")
+    val n = math.max(1L, data.count())
+    val bandBits = math.max(4, math.min(62,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
+    val p1 = math.pow(1.0 - math.acos(threshold) / math.Pi, bandBits)
+    val bands = math.max(1, math.min(32,
+      math.ceil(math.log1p(-recall) / math.log1p(-p1)).toInt))
+    cosineNearDups(data, idCol, vecCol, threshold,
+      bits = bandBits * bands, bands = bands, maxBucketSize = maxBucketSize)
   }
 
   /** IVF index: k-means-lite centroids (deterministic init = lowest

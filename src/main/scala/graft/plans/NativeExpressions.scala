@@ -123,18 +123,21 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
-/** array<float|double> → long hyperplane-LSH signature. */
-case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
+/** array<float|double> → long hyperplane-LSH signature. `seed` picks an
+  * independent plane set (seed 0 = the original planes), letting callers
+  * draw several independent ≤64-bit signatures per vector. */
+case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
   }
   override def nullSafeEval(input: Any): Any =
-    VectorKernels.hyperplaneSig(input.asInstanceOf[ArrayData], bits, isFloat)
+    VectorKernels.hyperplaneSig(input.asInstanceOf[ArrayData], bits, isFloat, seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.VectorKernels.hyperplaneSig($c, $bits, $isFloat)")
+      c => s"graft.plans.VectorKernels.hyperplaneSig($c, $bits, $isFloat, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
 }
@@ -201,7 +204,8 @@ object native {
   def sigEqCount(a: Column, b: Column): Column =
     c(SigEqCount(e(a), e(b)))
   def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
-  def hyperplaneSig(v: Column, bits: Int): Column = c(HyperplaneSig(e(v), bits))
+  def hyperplaneSig(v: Column, bits: Int, seed: Long = 0L): Column =
+    c(HyperplaneSig(e(v), bits, seed))
   def bloomMightContain(keyHash: Column, bits: Array[Byte], k: Int): Column =
     c(BloomMightContain(e(keyHash), bits, k))
   def unicodeNormalize(text: Column, form: String): Column =

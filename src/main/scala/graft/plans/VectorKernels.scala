@@ -304,9 +304,14 @@ object VectorKernels {
   /** Hyperplane LSH signature: bit p = sign of ⟨v, plane_p⟩ where
     * plane_p[j] is a deterministic pseudo-random value in [-1, 1)
     * derived from XXH64 — reproducible across runs/executors (no RNG in
-    * a distributed plan). isFloat selects the element accessor. */
-  def hyperplaneSig(v: ArrayData, bits: Int, isFloat: Boolean): Long = {
+    * a distributed plan). `seed` selects an independent plane set (a
+    * golden-ratio multiple folded into the hash seed; seed 0 is the
+    * original plane set), so callers can draw more than 64 total bits
+    * as several independent ≤64-bit signatures — the per-BAND form LSH
+    * banding needs at scale. isFloat selects the element accessor. */
+  def hyperplaneSig(v: ArrayData, bits: Int, isFloat: Boolean, seed: Long): Long = {
     val dim = v.numElements()
+    val hashSeed = 42L + seed * 0x9E3779B97F4A7C15L
     var sig = 0L
     var p = 0
     while (p < bits) {
@@ -314,7 +319,7 @@ object VectorKernels {
       var j = 0
       while (j < dim) {
         val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
-        val h = XXH64.hashLong(p.toLong * 1000003L + j, 42L)
+        val h = XXH64.hashLong(p.toLong * 1000003L + j, hashSeed)
         val comp = (java.lang.Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
         dot += x * comp
         j += 1

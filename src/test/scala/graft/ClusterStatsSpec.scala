@@ -139,6 +139,62 @@ class ClusterStatsSpec extends GraftSpec {
     assert(keptFresh == Set(20L), s"got $keptFresh")
   }
 
+  test("nearDedupIngest appends survivors so later batches dedup against them") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again " * 3))
+      .toDF("doc_id", "text")
+    val sigPath = graft.Scratch.path("test_sig_ingest")
+    graft.Scratch.remove("test_sig_ingest")
+    Dedup.writeSignatureTable(existing, "doc_id", "text", sigPath)
+    val batch1 = Seq(
+      (10L, "completely fresh content about catalyst physical planning today"),
+      (11L, "the quick brown fox jumps over the lazy dog again " * 3)) // dup of 1
+      .toDF("doc_id", "text")
+    val surv1 = Dedup.nearDedupIngest(spark, sigPath, batch1,
+      "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv1 == Set(10L), s"got $surv1")
+    // batch 2: a copy of batch 1's SURVIVOR must now be rejected — that
+    // is the append contract; a fresh doc still survives
+    val batch2 = Seq(
+      (20L, "completely fresh content about catalyst physical planning today"),
+      (21L, "another new document entirely its own words throughout here"))
+      .toDF("doc_id", "text")
+    val surv2 = Dedup.nearDedupIngest(spark, sigPath, batch2,
+      "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv2 == Set(21L), s"got $surv2")
+    // the table grew by exactly the survivors (1 + 1 rows of sigs)
+    assert(spark.read.parquet(s"$sigPath/sigs").count() == 3)
+    // appended buckets respect the stored cap headroom: no (band,
+    // bucket) exceeds max_bucket_size
+    val over = spark.read.parquet(s"$sigPath/buckets")
+      .groupBy(col("band"), col("bucket")).count()
+      .filter(col("count") > 1000).count()
+    assert(over == 0)
+  }
+
+  test("appendToSignatureTable admits rows only up to a bucket's remaining headroom") {
+    // cap 2: table starts with ONE doc in every bucket it owns; a
+    // 3-copy batch of the same text can add at most 1 more per bucket
+    val text = "identical content for every row here now " * 2
+    val sigPath = graft.Scratch.path("test_sig_headroom")
+    graft.Scratch.remove("test_sig_headroom")
+    Dedup.writeSignatureTable(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", sigPath, maxBucketSize = 2)
+    Dedup.appendToSignatureTable(spark,
+      sigPath, Seq((2L, text), (3L, text), (4L, text)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val occ = spark.read.parquet(s"$sigPath/buckets")
+      .groupBy(col("band"), col("bucket")).count()
+      .select(max(col("count"))).head().getLong(0)
+    assert(occ == 2, s"max occupancy $occ must honor the stored cap")
+    // deterministic admission: smallest id first → doc 2 got the slots
+    val ids = spark.read.parquet(s"$sigPath/buckets")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"got $ids")
+  }
+
   test("exactNgramJaccard hot-gram guard fails loudly, or truncates on request") {
     // five docs sharing one bigram ("shared gram"); everything else unique
     val docs = (1 to 5).map(i =>

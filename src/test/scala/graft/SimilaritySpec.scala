@@ -40,6 +40,63 @@ class SimilaritySpec extends GraftSpec {
       threshold = 0.95, bits = 16, bands = 4)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     assert(pairs.contains((0L, 1000L)))
+    // the scale-default layout (12 independent bits per band) finds it
+    // too — a near-identical pair collides in some band at any width
+    val wide = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.95, bits = 96, bands = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(wide.contains((0L, 1000L)))
+  }
+
+  test("seeded hyperplane signatures are independent across bands") {
+    val sigs = vecs.select(
+      Similarity.hyperplaneSignature(col("embedding"), 16).as("s0"),
+      Similarity.hyperplaneSignature(col("embedding"), 16, seed = 0L).as("s0b"),
+      Similarity.hyperplaneSignature(col("embedding"), 16, seed = 1L).as("s1"),
+      Similarity.hyperplaneSignature(col("embedding"), 16, seed = 2L).as("s2"))
+      .collect()
+    // seed 0 is the default (original plane set)
+    assert(sigs.forall(r => r.getLong(0) == r.getLong(1)))
+    // different seeds draw different plane sets: across 1001 vectors the
+    // 16-bit signatures must not be identical wholesale
+    assert(sigs.exists(r => r.getLong(0) != r.getLong(2)))
+    assert(sigs.exists(r => r.getLong(2) != r.getLong(3)))
+  }
+
+  test("cosineNearDupsAuto sizes bands to the corpus and still finds the planted dup") {
+    // 1001 vectors → bandBits = ceil(log2(1001/16)) = 6; the planted
+    // near-identical pair collides in some band at any corpus-sized
+    // layout (collision prob per plane ≈ 1 at cosine ≈ 1)
+    val pairs = Similarity.cosineNearDupsAuto(vecs, "vec_id", "embedding",
+      threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((0L, 1000L)))
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupsAuto(vecs, "vec_id", "embedding", threshold = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupsAuto(vecs, "vec_id", "embedding", recall = 1.0)
+    }
+  }
+
+  test("cosineNearDups maxBucketSize drops degenerate buckets, never blows up") {
+    // 40 exact copies of one vector: every band has one 40-occupancy
+    // bucket. Over the cap the bucket leaves candidate generation
+    // (documented recall loss on a pathological spike); under it the
+    // full 40·39/2 pair set is verified
+    val dim = 8
+    val spike = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(dim)(0.5f))).toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDups(spike, "vec_id", "embedding",
+      threshold = 0.95, bits = 96, bands = 8, maxBucketSize = 1000)
+    assert(uncapped.count() == 40L * 39 / 2)
+    val capped = Similarity.cosineNearDups(spike, "vec_id", "embedding",
+      threshold = 0.95, bits = 96, bands = 8, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDups(spike, "vec_id", "embedding",
+        threshold = 0.95, bits = 96, bands = 7)
+    }
   }
 
   test("bruteForceTopK ranks by cosine desc and excludes the probe itself") {

@@ -145,6 +145,22 @@ class TextDedupSpec extends GraftSpec {
     }
   }
 
+  test("simhashNearDups maxBucketSize drops a boilerplate spike, never blows up") {
+    // 40 identical docs: one bucket of 40 in every band. Under the cap
+    // the full 40·39/2 pair set appears; over it the spike leaves
+    // candidate generation (documented recall loss on the pathological
+    // density where the PAIR form itself is quadratic by construction)
+    val spike = (1 to 40).map(i =>
+      (i.toLong, "the same boilerplate banner text on every single page"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashNearDups(spike, "doc_id", "text").count() == 40L * 39 / 2)
+    assert(Dedup.simhashNearDups(spike, "doc_id", "text",
+      maxBucketSize = 10).count() == 0)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(spike, "doc_id", "text", maxBucketSize = 0)
+    }
+  }
+
   test("decontaminate: hash-prefiltered result == plain string-join semantics") {
     import spark.implicits._
     val docs = Seq(
