@@ -635,8 +635,12 @@ object Dedup {
     * stored bucket relation is scanned once and reduced with a
     * broadcast semi-join on the batch's (band, bucket) keys — no
     * corpus-wide shuffle, no corpus signature recompute; corpus
-    * signatures are fetched only for the matched candidate ids. CC runs
-    * over the candidate-sized subgraph.
+    * signatures are fetched only for the matched candidate ids. Label
+    * propagation runs over the BATCH-BATCH edge slice only: corpus
+    * flags reduce to one semi-join (no corpus-corpus edges exist, so
+    * "my component touches the corpus" is a per-member edge fact, not
+    * a propagation result) — the usually corpus-heavy edge majority
+    * never enters CC.
     *
     * Caller contract: id spaces disjoint (as in the reference form) and
     * the batch small enough to broadcast its bucket keys.
@@ -677,50 +681,73 @@ object Dedup {
       .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
 
     // candidates: batch×batch (self-join) ∪ batch×corpus — id spaces
-    // are disjoint, so the union cannot double-count a pair
+    // are disjoint, so the two relations cannot share a pair, and they
+    // are kept SEPARATE through verification: batch-corpus edges never
+    // enter label propagation (see below)
     val a = batchBuckets.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = batchBuckets.select(col("band"), col("bucket"), col("id").as("id_b"))
     val batchPairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
     val crossPairs = batchBuckets
       .select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(corpusMatch.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .select(col("id_a"), col("id_b"))
-    val candidates = batchPairs.union(crossPairs)
       .dropDuplicates("id_a", "id_b")
 
     // estimate Jaccard from signatures: batch sigs are cached; corpus
     // sigs are fetched for the (candidate-sized) matched id set only
-    val neededCorpus = crossPairs.select(col("id_b").as("id")).distinct()
-    val corpusSigs = spark.read.parquet(sigTableSigs(sigTablePath))
-      .join(broadcast(neededCorpus), Seq("id"), "left_semi")
-    val sigs = batch.select(col("id"), col("sig")).union(corpusSigs)
-    val edges = candidates
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    def estimate(pairs: DataFrame, sigsB: DataFrame): DataFrame = pairs
+      .join(batch.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigsB, "id_b")
       .withColumn("est_jaccard",
         graft.plans.native.sigEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / lit(numPerm.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
+    val neededCorpus = crossPairs.select(col("id_b").as("id")).distinct()
+    val corpusSigs = spark.read.parquet(sigTableSigs(sigTablePath))
+      .join(broadcast(neededCorpus), Seq("id"), "left_semi")
+    val edgesBatch = estimate(batchPairs,
+      batch.select(col("id").as("id_b"), col("sig").as("sig_b")))
+    // batch docs with a confirmed corpus near-dup: the corpus flag
+    // needs NO label propagation — the graph has no corpus-corpus
+    // edges, so transitivity through a corpus node reduces to "some
+    // member of my batch component touches the corpus directly".
+    // Keeping the (usually corpus-heavy) edge majority out of CC is
+    // the difference between propagation rounds over the whole
+    // candidate graph and CC over the batch-batch slice only.
+    // Materialized eagerly (tiny: distinct batch ids) so the batch
+    // caches can be freed before the survivor query runs.
+    val directRejected = estimate(crossPairs,
+      corpusSigs.select(col("id").as("id_b"), col("sig").as("sig_b")))
+      .select(col("id_a").as("id")).distinct()
+      .localCheckpoint(true)
 
-    val comps = connectedComponents(edges, "id_a", "id_b")
+    // materialize the batch-batch edge slice once (tiny); in the
+    // common ingest shape — batches mostly duplicate the CORPUS, not
+    // themselves — it is empty and label propagation is skipped
+    // entirely (CC over zero edges is still several fixed-cost jobs)
+    val edgesB = edgesBatch.localCheckpoint(true)
+    val comps =
+      if (edgesB.isEmpty)
+        edgesB.select(col("id_a").as("id"), col("id_b").as("component")).limit(0)
+      else connectedComponents(edgesB, "id_a", "id_b")
     batch.unpersist(blocking = false)
     batchBuckets.unpersist(blocking = false)
-    val batchIds = incoming.select(col(idCol).as("id"))
-    // a component containing ≥1 corpus doc rejects all its batch
-    // members (the corpus-side canonical always wins); batch-only
-    // components keep one survivor by `pick`
-    val corpusComps = comps.join(batchIds, Seq("id"), "left_anti")
+    // a batch component with ≥1 directly-rejected member is rejected
+    // wholesale (the corpus-side canonical always wins); the remaining
+    // batch-only components keep one survivor by `pick`
+    val rejComps = comps.join(directRejected, Seq("id"), "left_semi")
       .select(col("component")).distinct()
-    val batchComps = comps.join(batchIds, Seq("id"), "left_semi")
-    val rejectedIds = batchComps
-      .join(corpusComps, Seq("component"), "left_semi")
+    val rejectedIds = comps.join(rejComps, Seq("component"), "left_semi")
+      .select(col("id"))
+      .union(directRejected)
+      .distinct()
       .select(col("id").as(idCol))
-    val batchOnlyComps = batchComps
-      .join(corpusComps, Seq("component"), "left_anti")
+    val batchOnlyComps = comps.join(rejComps, Seq("component"), "left_anti")
       .select(col("id"), col("component"))
     val ordering = if (pick.nonEmpty) pick else Seq(col(idCol).asc)
     keepCanonical(incoming.join(rejectedIds, Seq(idCol), "left_anti"),

@@ -174,6 +174,47 @@ class ClusterStatsSpec extends GraftSpec {
     assert(over == 0)
   }
 
+  test("nearDedupIngestStreamed drains a landing directory one micro-batch per file") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again " * 3))
+      .toDF("doc_id", "text")
+    val base = graft.Scratch.path("test_stream_ingest")
+    graft.Scratch.remove("test_stream_ingest")
+    Dedup.writeSignatureTable(existing, "doc_id", "text", s"$base/sig")
+    val landing = java.nio.file.Paths.get(s"$base/landing")
+    java.nio.file.Files.createDirectories(landing)
+    val batches = Seq(
+      Seq((10L, "completely fresh content about catalyst physical planning today"),
+          (11L, "the quick brown fox jumps over the lazy dog again " * 3)),
+      Seq((20L, "completely fresh content about catalyst physical planning today"),
+          (21L, "another new document entirely its own words throughout here")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$base/stage_$i"
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = {
+        val walk = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        try walk.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally walk.close()
+      }
+      val target = landing.resolve(f"0000$i.parquet")
+      java.nio.file.Files.move(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 2000L))
+    }
+    Dedup.nearDedupIngestStreamed(spark, s"$base/sig", landing.toString,
+      "doc_id", "text", threshold = 0.6, outPath = s"$base/out",
+      checkpointDir = Some(s"$base/ckpt"))
+    // batch 1: 11 duplicates the corpus -> only 10 survives; batch 2:
+    // 20 duplicates batch 1's APPENDED survivor -> only 21 survives
+    val out = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(10L, 21L), s"got $out")
+    // survivors' signatures were appended micro-batch by micro-batch
+    assert(spark.read.parquet(s"$base/sig/sigs").count() == 3)
+  }
+
   test("appendToSignatureTable admits rows only up to a bucket's remaining headroom") {
     // cap 2: table starts with ONE doc in every bucket it owns; a
     // 3-copy batch of the same text can add at most 1 more per bucket
