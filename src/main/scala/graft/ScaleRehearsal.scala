@@ -139,6 +139,12 @@ object ScaleRehearsal {
       time(scale, "exact_dedup") {
         force(Dedup.exact(docs, "doc_id", "text"))
       }
+      time(scale, "span_dedup") {
+        force(Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8))
+      }
+      time(scale, "span_remove") {
+        force(Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 8))
+      }
       time(scale, "decontaminate") {
         val bench = spark.read.parquet(s"$baseDir/documents.parquet")
           .limit(200).select(col("text"))

@@ -4187,15 +4187,90 @@ object SparkEntry {
         |FROM documents""".stripMargin
   )
 
+  private val round9Queries: Map[String, Q] = Map(
+    // span-level exact substring dedup (Lee et al. 2022): maximal runs
+    // of ≥8 consecutive tokens whose every 8-token window repeats
+    // corpus-wide. True oracle: DuckDB computes the same windows /
+    // gaps-and-islands merge. The corpus carries 1 015 naturally
+    // duplicated 8-grams at sf0.01, so no planting is needed.
+    "q_span_dedup" -> { (s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+    },
+
+    // the removal half: drop every token covered by a NON-first
+    // duplicated window (first corpus occurrence survives), rebuild the
+    // text, pass untouched docs through. Fully-duplicated docs come
+    // back as '' — the oracle checks that cardinality is preserved.
+    "q_span_remove" -> { (s, dir) =>
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8)
+    }
+  )
+
+  private val round9Oracles: Map[String, String] = Map(
+    "q_span_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS pos
+        |      FROM d WHERE len(toks) >= 8),
+        |w AS (SELECT doc_id, pos,
+        |             array_to_string(list_slice(toks, pos, pos + 7), ' ') AS gram
+        |      FROM p),
+        |g AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+        |dw AS (SELECT w.doc_id, w.pos, w.pos + 7 AS e FROM w JOIN g USING (gram)),
+        |m AS (SELECT doc_id, pos, e,
+        |             CASE WHEN pos > coalesce(max(e) OVER (
+        |                    PARTITION BY doc_id ORDER BY pos
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM dw),
+        |i AS (SELECT doc_id, pos, e,
+        |             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM m)
+        |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+        |       max(e) - min(pos) + 1 AS n_tokens
+        |FROM i GROUP BY doc_id, island""".stripMargin,
+
+    "q_span_remove" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS pos
+        |      FROM d WHERE len(toks) >= 8),
+        |w AS (SELECT doc_id, pos,
+        |             array_to_string(list_slice(toks, pos, pos + 7), ' ') AS gram
+        |      FROM p),
+        |r AS (SELECT doc_id, pos,
+        |             count(*) OVER (PARTITION BY gram) AS c,
+        |             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |      FROM w),
+        |cov AS (SELECT DISTINCT doc_id, cpos FROM (
+        |          SELECT doc_id, unnest(range(pos, pos + 8)) AS cpos
+        |          FROM r WHERE c >= 2 AND rn > 1) s),
+        |aff AS (SELECT DISTINCT doc_id FROM cov),
+        |tok AS (SELECT d.doc_id, unnest(toks) AS tok,
+        |               unnest(range(1, len(toks) + 1)) AS pos
+        |        FROM d JOIN aff USING (doc_id)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok
+        |         FROM tok t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.cpos
+        |         WHERE cov.doc_id IS NULL),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS t2
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN aff.doc_id IS NOT NULL THEN coalesce(reb.t2, '')
+        |            ELSE d.text END AS text
+        |FROM d LEFT JOIN aff ON d.doc_id = aff.doc_id
+        |       LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin
+  )
+
   def queries: Map[String, Q] =
     referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries ++
       round4Queries ++ round5Queries ++ round6Queries ++ round7Queries ++
-      round8Queries
+      round8Queries ++ round9Queries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] =
     referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles ++
       round4Oracles ++ round5Oracles ++ round6Oracles ++ round7Oracles ++
-      round8Oracles
+      round8Oracles ++ round9Oracles
 }

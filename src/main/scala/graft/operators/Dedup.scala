@@ -971,6 +971,143 @@ object Dedup {
     * @param sep literal (non-regex) paragraph separator, default "\n"
     * @return (doc_id, text) — only documents with ≥1 surviving paragraph
     */
+  // ─────────────── span-level exact substring dedup ───────────────
+
+  /** One row per k-token window of each document:
+    * `(doc_id, pos, gram)`, `pos` 1-based. Windows are built inside a
+    * single codegen'd projection (sequence → transform → slice →
+    * array_join), so the only cost before the first shuffle is the
+    * document scan itself. */
+  private def tokenWindows(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.filter(col(textCol).isNotNull && size(toks) >= k)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - k + 1),
+          i => struct(i.cast("long").as("pos"),
+            array_join(slice(toks, i, lit(k)), " ").as("gram")))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.gram").as("gram"))
+  }
+
+  /** Windows whose gram occurs ≥ minOccurrences times corpus-wide,
+    * with the gram group's first occurrence attached:
+    * `(doc_id, pos, gram, first{doc_id, pos})`.
+    *
+    * Scale shape: an 8-byte xxhash64 prefilter (decontaminate's trick)
+    * keeps singleton windows — the overwhelming majority of any real
+    * corpus — out of the shuffle-by-gram entirely; only hash-colliding
+    * windows carry their gram strings into the exact groupBy. The
+    * first-occurrence pick is `min(struct(doc, pos))` — map-side
+    * partial agg, so a boilerplate gram repeated a billion times costs
+    * one candidate per partition, never a sorted hot-key window. The
+    * two consumers of the survivor set exchange it by the same key, so
+    * Catalyst's ReuseExchange shares the shuffle. */
+  private def rankedDuplicateWindows(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minOccurrences: Int): DataFrame = {
+    val windows = tokenWindows(df, idCol, textCol, k)
+    val hot = windows
+      .groupBy(xxhash64(col("gram")).as("wh"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minOccurrences)
+      .select(col("wh"))
+    val survivors = windows
+      .join(hot, xxhash64(col("gram")) === col("wh"), "left_semi")
+    val stats = survivors
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("c") >= minOccurrences)
+      .select(col("gram"), col("first"))
+    survivors.join(stats, Seq("gram"))
+  }
+
+  /** Maximal duplicated token spans: every run of ≥ k consecutive
+    * tokens whose k-token windows all occur at least minOccurrences
+    * times corpus-wide (within-document repeats count). The span-level
+    * analogue of [[exact]]: exact substring dedup in the sense of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., 2022), with whitespace tokens standing in for BPE
+    * ids. Reference-analogue: csvplus dedups whole rows via
+    * UniqueIndexOn (csvplus.go:740); a training corpus needs the same
+    * contract at sub-document granularity.
+    *
+    * Overlapping and adjacent duplicated windows merge into one
+    * maximal span (gaps-and-islands over a per-document window — each
+    * partition is bounded by one document's length, never corpus-
+    * sized).
+    *
+    * @return (doc_id, span_start, span_end, n_tokens) — token
+    *         positions 1-based inclusive, one row per maximal span
+    */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minOccurrences: Int = 2): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2, got $k")
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2, got $minOccurrences")
+    val dup = rankedDuplicateWindows(df, idCol, textCol, k, minOccurrences)
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val islands = dup
+      .withColumn("brk",
+        when(prevMax.isNull || col("pos") > prevMax + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+    islands
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
+  /** Remove duplicated spans, keeping each duplicated window's first
+    * corpus occurrence (min (doc_id, pos)) intact: every token covered
+    * by a NON-first duplicated window is dropped, and the remaining
+    * tokens are re-joined in order. Documents with nothing to remove
+    * pass through untouched (the rebuild path is proportional to the
+    * AFFECTED documents, not the corpus); a document whose every token
+    * is covered comes back as the empty string, not a dropped row.
+    *
+    * @return (doc_id, text) — same cardinality as the non-null input
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minOccurrences: Int = 2): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2, got $k")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val covered = rankedDuplicateWindows(df, idCol, textCol, k, minOccurrences)
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .distinct()
+    val affected = covered.select(col("doc_id")).distinct()
+    val toks = base.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val kept = toks.join(covered,
+      toks("doc_id") === covered("doc_id") && col("pos") === col("cpos"),
+      "left_anti")
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")),
+        " ").as("rebuilt_text"))
+    base
+      .join(affected.withColumn("affected", lit(true)), Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("affected"), coalesce(col("rebuilt_text"), lit("")))
+          .otherwise(col("text")).as("text"))
+  }
+
   def paragraphDedup(
       df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {

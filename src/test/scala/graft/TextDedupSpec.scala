@@ -215,4 +215,51 @@ class TextDedupSpec extends GraftSpec {
       assert(r.getDouble(4) == 1d - st(2).toDouble / st(1).toDouble)
     }
   }
+
+  // ── span-level exact substring dedup ──
+
+  private lazy val spanDocs = Seq(
+    (0L, "a0 a1 a2 a3 a4 a5 x0 x1 x2 x3 x4 x5 b0 b1 b2 b3"), // 6-run shared with doc 1 at 7..12
+    (1L, "c0 c1 x0 x1 x2 x3 x4 x5 d0 d1 d2 d3 d4 d5 d6 d7"), // same run at 3..8
+    (2L, "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9"), // unique
+    (3L, "f0 f1 f2"), // shorter than k
+    (4L, null.asInstanceOf[String]),
+    (5L, "r0 r1 r2 r3 r4 z0 r0 r1 r2 r3 r4"), // within-doc repeat
+    (6L, "g0 g1 g2 g3 g4 g5 g6 g7"),
+    (7L, "g0 g1 g2 g3 g4 g5 g6 g7") // exact copy of 6
+  ).toDF("doc_id", "text")
+
+  test("duplicatedSpans finds and merges maximal duplicated runs") {
+    val spans = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (0L, 7L, 12L, 6L), // two overlapping windows merged into one span
+      (1L, 3L, 8L, 6L),
+      (5L, 1L, 5L, 5L), (5L, 7L, 11L, 5L), // within-doc repeat: two islands
+      (6L, 1L, 8L, 8L), (7L, 1L, 8L, 8L))) // whole-doc copies
+  }
+
+  test("removeDuplicatedSpans keeps first occurrence, rebuilds the rest") {
+    val out = Dedup.removeDuplicatedSpans(spanDocs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 7, s"cardinality: $out")
+    assert(out(0L) == "a0 a1 a2 a3 a4 a5 x0 x1 x2 x3 x4 x5 b0 b1 b2 b3",
+      "first occurrence untouched")
+    assert(out(1L) == "c0 c1 d0 d1 d2 d3 d4 d5 d6 d7")
+    assert(out(2L) == "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9")
+    assert(out(3L) == "f0 f1 f2")
+    assert(out(5L) == "r0 r1 r2 r3 r4 z0", "within-doc second run removed")
+    assert(out(6L) == "g0 g1 g2 g3 g4 g5 g6 g7")
+    assert(out(7L) == "", "fully-covered doc becomes empty string, not dropped")
+  }
+
+  test("duplicatedSpans honors minOccurrences") {
+    // every duplicated gram in the fixture occurs exactly twice
+    val spans3 = Dedup
+      .duplicatedSpans(spanDocs, "doc_id", "text", k = 5, minOccurrences = 3)
+      .collect()
+    assert(spans3.isEmpty)
+  }
 }
