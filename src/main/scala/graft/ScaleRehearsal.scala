@@ -177,6 +177,13 @@ object ScaleRehearsal {
         force(Similarity.cosineNearDupsAuto(emb, "vec_id", "embedding",
           threshold = 0.95))
       }
+      time(scale, "semantic_dedup") {
+        // cluster count ∝ corpus so per-cluster pairwise work stays
+        // pinned (the operator's documented sizing rule)
+        val n = emb.count()
+        force(Similarity.semanticDedup(emb, "vec_id", "embedding",
+          nClusters = math.max(8, (n / 250).toInt), threshold = 0.95))
+      }
       time(scale, "inverted_index") {
         force(Corpus.invertedIndex(docs, "doc_id", "text"))
       }

@@ -4204,6 +4204,61 @@ object SparkEntry {
     "q_span_remove" -> { (s, dir) =>
       Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
         k = 8)
+    },
+
+    // SEMANTIC dedup (SemDeDup: cluster, then dedup within cluster),
+    // planted TRUE oracle: exact copies of the mod-5 nonzero vectors at
+    // +100000 are appended; a copy is identical to its original, so it
+    // lands in the SAME cluster (identical input → identical argmax,
+    // whatever the k-means rounds converged to), their cosine is within
+    // rounding of 1.0 ≥ 0.99, and the original's smaller id always wins
+    // the group — so the REJECTED id set is exactly the planted slice,
+    // independent of float nondeterminism in the centroid updates.
+    // Clusters uncapped BY CHOICE: the oracle requires every planted
+    // pair to surface and planting doubles the copies' cluster
+    // occupancy (same reasoning as q_dedup_embedding's uncapped LSH).
+    // the CORPUS-SIZED LSH layout (cosineNearDupsAuto — the 100 TB
+    // path, previously spec-pinned only), planted TRUE oracle: an
+    // exact copy produces the IDENTICAL signature in every band at any
+    // band width, so the (original, copy) pair surfaces regardless of
+    // what layout the sizing rule picks — the auto form's recall
+    // target (0.9, for pairs AT the threshold) never applies to
+    // cosine ≈ 1 pairs. Buckets uncapped for the same reason as
+    // q_dedup_embedding (planting doubles the copies' occupancy).
+    "q_dedup_embedding_auto" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
+      require(maxId != null && maxId < 100000L,
+        s"planted-copy gate assumes vec_id < 100000; max is $maxId")
+      val nonzero = aggregate(col("embedding"), lit(0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0d
+      val aug = emb.select(col("vec_id"), col("embedding")).unionByName(
+        emb.filter(col("vec_id") % 5 === 0 && nonzero)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      Similarity.cosineNearDupsAuto(aug, "vec_id", "embedding",
+        threshold = 0.95, maxBucketSize = Int.MaxValue)
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"))
+    },
+
+    "q_dedup_semantic" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
+      require(maxId != null && maxId < 100000L,
+        s"planted-copy gate assumes vec_id < 100000; max is $maxId")
+      // zero vectors have no cosine direction — excluded from the plant
+      // (same contract as q_dedup_embedding)
+      val nonzero = aggregate(col("embedding"), lit(0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0d
+      val aug = emb.select(col("vec_id"), col("embedding")).unionByName(
+        emb.filter(col("vec_id") % 5 === 0 && nonzero)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val survivors = Similarity.semanticDedup(aug, "vec_id", "embedding",
+        nClusters = 16, threshold = 0.99, iters = 2,
+        maxClusterSize = Int.MaxValue)
+      aug.filter(col("vec_id") >= 100000L).select(col("vec_id"))
+        .join(survivors.select(col("id").as("vec_id")), Seq("vec_id"),
+          "left_anti")
     }
   )
 
@@ -4259,7 +4314,25 @@ object SparkEntry {
         |       CASE WHEN aff.doc_id IS NOT NULL THEN coalesce(reb.t2, '')
         |            ELSE d.text END AS text
         |FROM d LEFT JOIN aff ON d.doc_id = aff.doc_id
-        |       LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin
+        |       LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin,
+
+    // identical to q_dedup_embedding's oracle: every (original, copy)
+    // pair surfaces whatever layout the sizing rule picks
+    "q_dedup_embedding_auto" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+        |FROM embeddings
+        |WHERE vec_id % 5 = 0
+        |  AND coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x * x)), 0) > 0""".stripMargin,
+
+    // the rejected set is exactly the planted slice (see the gate's
+    // determinism argument)
+    "q_dedup_semantic" ->
+      """SELECT vec_id + 100000 AS vec_id
+        |FROM embeddings
+        |WHERE vec_id % 5 = 0
+        |  AND coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x * x)), 0) > 0""".stripMargin
   )
 
   def queries: Map[String, Q] =

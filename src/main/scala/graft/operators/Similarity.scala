@@ -185,6 +185,68 @@ object Similarity {
       bits = bandBits * bands, bands = bands, maxBucketSize = maxBucketSize)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means clusters bound the pairwise comparison —
+    * near-duplicate pairs are sought only WITHIN a cluster, pairs
+    * at/above `threshold` connect into duplicate groups, and each group
+    * keeps its lowest-id member. Complements [[cosineNearDupsAuto]]:
+    * LSH buckets by random direction and needs high thresholds to
+    * prune; clustering buckets by learned structure and stays usable
+    * at the ~0.9 "semantic duplicate" band where hyperplane collision
+    * probabilities are too flat.
+    *
+    * Scale shape: with k clusters of ~N/k vectors the all-pairs N²
+    * becomes N²/k — pick nClusters ∝ N / targetClusterSize to pin
+    * per-cluster work (the same sizing rule cosineNearDupsAuto applies
+    * to its bucket space). The vectors shuffle ONCE by centroid id for
+    * the within-cluster self-join; centroids themselves stay k × dim
+    * driver-side scalars (see [[ivfIndex]]). `maxClusterSize` guards a
+    * degenerate cluster the way `maxBucketSize` guards an LSH bucket:
+    * over-cap clusters are excluded from pair generation — documented
+    * recall loss, never a silent quadratic blow-up; pass Int.MaxValue
+    * to disable (exact-audit callers). Cross-cluster near-duplicates
+    * are invisible by construction — the SemDeDup trade-off; buy
+    * recall with more `iters`, not a lower threshold.
+    *
+    * Reference-analogue: csvplus resolves duplicate groups to one
+    * survivor via ResolveDuplicates (csvplus.go:809); this is the same
+    * contract with "same key" generalized to "same semantic cluster
+    * and cosine ≥ threshold".
+    *
+    * @return survivors `(id, centroid_id)` — every input vector that
+    *         is its duplicate-group's lowest id or has no
+    *         within-cluster duplicate
+    */
+  def semanticDedup(
+      data: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double = 0.95, iters: Int = 2,
+      maxClusterSize: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxClusterSize > 1, s"maxClusterSize must be > 1, got $maxClusterSize")
+    val (assign, _) = ivfIndex(data, idCol, vecCol, nClusters, iters)
+    val inPlay =
+      if (maxClusterSize == Int.MaxValue) assign
+      else assign
+        .withColumn("__csz",
+          count(lit(1)).over(Window.partitionBy(col("centroid_id"))))
+        .filter(col("__csz") <= maxClusterSize)
+        .drop("__csz")
+    val edges = inPlay
+      .select(col("centroid_id"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(inPlay.select(col("centroid_id"), col("id").as("id_b"),
+        col("v").as("v_b")), "centroid_id")
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val losers = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id"))
+    assign.join(losers, Seq("id"), "left_anti")
+      .select(col("id"), col("centroid_id"))
+  }
+
   /** IVF index: k-means-lite centroids (deterministic init = lowest
     * ids, `iters` Lloyd rounds), every vector assigned to its nearest
     * centroid. At scale the assignment table would be written bucketed
@@ -217,15 +279,22 @@ object Similarity {
         .zipWithIndex.map { case (r, i) => (i + 1, r.getSeq[Double](1)) }
 
     // nearest centroid id: max cosine, ties → smallest id, evaluated as
-    // a single whole-stage-codegen projection against literal centroids
+    // ONE codegen'd call against the flattened L2-normalized centroid
+    // matrix (a plan reference object — see plans.NearestCentroid). A
+    // greatest()-of-k expression tree was quadratic in practice: at
+    // k=800 the generated method blew past JIT limits and the 100×
+    // rehearsal measured 44 s for the assignment-dominated pass; the
+    // fused kernel keeps code size k-independent
     def nearest(cents: IndexedSeq[(Int, Seq[Double])]): Column = {
-      val scored = cents.map { case (cid, cv) =>
-        struct(cosine(col("v"), typedLit(cv)).as("c"), lit(-cid).as("nid"))
-      }
-      // greatest() needs >= 2 args; a single seed centroid (input had
-      // fewer rows than nCentroids) assigns everything to it
-      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
-      -best.getField("nid")
+      // centroid ids are 1..k consecutive by construction, so the
+      // kernel's (row position + 1) IS the centroid id
+      require(cents.map(_._1) == (1 to cents.size),
+        "ivfIndex: centroid ids must be consecutive from 1")
+      val flat = cents.flatMap { case (_, cv) =>
+        val n = math.sqrt(cv.map(x => x * x).sum)
+        if (n > 0) cv.map(_ / n) else cv
+      }.toArray
+      graft.plans.native.nearestCentroid(col("v"), flat, cents.size)
     }
     def assign(cents: IndexedSeq[(Int, Seq[Double])]): DataFrame =
       // empty input → no seed centroids; emit the (empty) frame with

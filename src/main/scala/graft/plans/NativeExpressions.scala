@@ -142,6 +142,36 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** array<float|double> vector → int 1-based id of its max-cosine
+  * centroid (ties → smallest id). The centroid matrix travels inside
+  * the expression as a flattened row-major double[] reference object
+  * (k × dim, rows L2-normalized at construction — see
+  * [[VectorKernels.nearestCentroid]]), the same transport
+  * [[BloomMightContain]] uses for its bitset: broadcast once with the
+  * serialized plan, probed via one codegen'd static call — the
+  * expression stays k-independent in code SIZE, so whole-stage codegen
+  * survives centroid counts in the hundreds or thousands. */
+case class NearestCentroid(child: Expression, cents: Array[Double], k: Int)
+    extends UnaryExpression {
+  require(k > 0, s"NearestCentroid: k must be positive, got $k")
+  require(cents.nonEmpty && cents.length % k == 0,
+    s"NearestCentroid: ${cents.length} matrix values do not tile k=$k rows")
+  override def dataType: DataType = IntegerType
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroid(cents, k, input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftCentroids", cents, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.nearestCentroid($centsRef, $k, $c, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 /** string → Unicode-normalized string. `form`: "NFC" | "NFD" | "NFKC"
   * | "NFKD". Normalization-sensitive operators (dedup, fingerprinting,
   * token counting) must run on normalized text or visually-identical
@@ -208,6 +238,8 @@ object native {
     c(HyperplaneSig(e(v), bits, seed))
   def bloomMightContain(keyHash: Column, bits: Array[Byte], k: Int): Column =
     c(BloomMightContain(e(keyHash), bits, k))
+  def nearestCentroid(v: Column, cents: Array[Double], k: Int): Column =
+    c(NearestCentroid(e(v), cents, k))
   def unicodeNormalize(text: Column, form: String): Column =
     c(UnicodeNormalize(e(text), form))
 }

@@ -301,6 +301,41 @@ object VectorKernels {
     if (d > 0) dot / d else 0.0
   }
 
+  /** Nearest-centroid id (1-based) by max cosine, ties → smallest id.
+    * `cents` is the k × dim centroid matrix flattened row-major with
+    * each row L2-NORMALIZED by the caller, so argmax cosine reduces to
+    * argmax dot product (the vector's own norm is a positive constant
+    * across centroids and cannot change the argmax; a zero vector or
+    * zero centroid scores 0, matching [[cosine]]'s convention). One
+    * fused k·dim loop per row — the assignment stays a single compact
+    * codegen'd call however large k grows, where a greatest()-of-k
+    * expression tree blows past the JIT's method limits in the
+    * hundreds. */
+  def nearestCentroid(
+      cents: Array[Double], k: Int, v: ArrayData, isFloat: Boolean): Int = {
+    val dim = cents.length / k
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearestCentroid: dimension mismatch (vector ${v.numElements()} " +
+          s"vs centroid $dim)")
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += cents(off + i) * x
+        i += 1
+      }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best + 1
+  }
+
   /** Hyperplane LSH signature: bit p = sign of ⟨v, plane_p⟩ where
     * plane_p[j] is a deterministic pseudo-random value in [-1, 1)
     * derived from XXH64 — reproducible across runs/executors (no RNG in

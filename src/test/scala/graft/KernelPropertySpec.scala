@@ -48,6 +48,39 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("nearestCentroid == argmax of cosine on 500 seeded random cases") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 500) {
+      val dim = 1 + rnd.nextInt(16)
+      val k = 1 + rnd.nextInt(12)
+      // occasional zero centroid / zero vector exercise the 0-score path
+      def vec(): Array[Double] =
+        if (rnd.nextInt(10) == 0) Array.fill(dim)(0.0)
+        else Array.fill(dim)(rnd.nextGaussian())
+      val cents = IndexedSeq.fill(k)(vec())
+      val v = vec()
+      val flat = cents.flatMap { cv =>
+        val n = math.sqrt(cv.map(x => x * x).sum)
+        if (n > 0) cv.map(_ / n) else cv
+      }.toArray
+      // reference: max cosine, ties → smallest 1-based id
+      val cos = cents.map { cv =>
+        val dot = cv.zip(v).map { case (a, b) => a * b }.sum
+        val d = math.sqrt(cv.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum)
+        if (d > 0) dot / d else 0.0
+      }
+      val want = cos.zipWithIndex.minBy { case (c, i) => (-c, i) }._2 + 1
+      val got = VectorKernels.nearestCentroid(
+        flat, k, new GenericArrayData(v), isFloat = false)
+      // dot-on-normalized vs cosine can diverge only within float ulps
+      // of an exact tie; accept either side of a <1e-12 gap
+      val gotCos = cos(got - 1)
+      assert(got == want || math.abs(gotCos - cos(want - 1)) < 1e-12,
+        s"dim=$dim k=$k got=$got want=$want cos=$cos")
+    }
+  }
+
   test("eqCount counts agreeing positions") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val rnd = new scala.util.Random(11)

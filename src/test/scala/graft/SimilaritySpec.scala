@@ -124,6 +124,45 @@ class SimilaritySpec extends GraftSpec {
     assert(rt > 0.99, s"dequantized cosine $rt should be ≈1")
   }
 
+  test("semanticDedup keeps the lowest id per duplicate group") {
+    // exact copies of vec 0 at ids 2000/2001 plus the planted near-dup
+    // at 1000: all four share a cluster (identical/near-identical
+    // vectors), so the group survivor is id 0 alone
+    val v0 = vecs.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val withCopies = vecs.unionByName(
+      Seq((2000L, v0), (2001L, v0)).toDF("vec_id", "embedding"))
+    val survivors = Similarity.semanticDedup(withCopies, "vec_id", "embedding",
+      nClusters = 3, threshold = 0.99, maxClusterSize = Int.MaxValue)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(survivors.contains(0L))
+    assert(!survivors.contains(2000L) && !survivors.contains(2001L))
+    // the 0.99 threshold spares the ~0.3-noise cluster members
+    assert(survivors.size >= 85,
+      s"only ${survivors.size} survivors — threshold cut too deep")
+    // survivors + losers partition the input
+    assert(survivors.subsetOf(
+      withCopies.collect().map(_.getAs[Long]("vec_id")).toSet))
+  }
+
+  test("semanticDedup maxClusterSize excludes over-cap clusters loudly-by-contract") {
+    // 30 exact copies in one cluster: under the cap they dedup to one
+    // survivor; over the cap the cluster leaves pair generation and all
+    // copies survive (documented recall loss, never a quadratic)
+    val spike = (0 until 30).map(i => (i.toLong, Seq.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val deduped = Similarity.semanticDedup(spike, "vec_id", "embedding",
+      nClusters = 2, threshold = 0.99, maxClusterSize = 100)
+    assert(deduped.count() == 1)
+    val capped = Similarity.semanticDedup(spike, "vec_id", "embedding",
+      nClusters = 2, threshold = 0.99, maxClusterSize = 10)
+    assert(capped.count() == 30)
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(spike, "vec_id", "embedding",
+        nClusters = 2, threshold = 1.5)
+    }
+  }
+
   test("IVF search recalls most of the brute-force top-k (clustered data)") {
     val probes = vecs.filter(col("vec_id").isin(0L, 1L, 2L))
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
