@@ -212,20 +212,31 @@ object Similarity {
     * Reference-analogue: csvplus resolves duplicate groups to one
     * survivor via ResolveDuplicates (csvplus.go:809); this is the same
     * contract with "same key" generalized to "same semantic cluster
-    * and cosine ≥ threshold".
+    * and cosine ≥ threshold" and `keep` standing in for the
+    * user-supplied resolver.
+    *
+    * `keep` picks the group survivor: `"minId"` (deterministic default),
+    * `"leastCentral"` (lowest cosine to its centroid — the SemDeDup
+    * paper's rule: of a group of semantic duplicates, the most atypical
+    * member preserves the most diversity), or `"mostCentral"` (the
+    * cleanest exemplar — the prototype-selection variant). Centrality
+    * ties fall back to the smaller id, so exact-copy groups stay
+    * deterministic under every policy.
     *
     * @return survivors `(id, centroid_id)` — every input vector that
-    *         is its duplicate-group's lowest id or has no
+    *         is its duplicate-group's survivor or has no
     *         within-cluster duplicate
     */
   def semanticDedup(
       data: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, threshold: Double = 0.95, iters: Int = 2,
-      maxClusterSize: Int = 10000): DataFrame = {
+      maxClusterSize: Int = 10000, keep: String = "minId"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(maxClusterSize > 1, s"maxClusterSize must be > 1, got $maxClusterSize")
-    val (assign, _) = ivfIndex(data, idCol, vecCol, nClusters, iters)
+    require(Set("minId", "leastCentral", "mostCentral")(keep),
+      s"keep must be minId | leastCentral | mostCentral, got '$keep'")
+    val (assign, cents) = ivfIndex(data, idCol, vecCol, nClusters, iters)
     val inPlay =
       if (maxClusterSize == Int.MaxValue) assign
       else assign
@@ -240,11 +251,33 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
-    val losers = Dedup.connectedComponents(edges, "id_a", "id_b")
-      .filter(col("id") =!= col("component"))
-      .select(col("id"))
-    assign.join(losers, Seq("id"), "left_anti")
-      .select(col("id"), col("centroid_id"))
+    val comps = Dedup.connectedComponents(edges, "id_a", "id_b")
+    if (keep == "minId") {
+      val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+      assign.join(losers, Seq("id"), "left_anti")
+        .select(col("id"), col("centroid_id"))
+    } else {
+      // centrality = cosine to the OWN cluster's centroid; the k-row
+      // centroid table broadcasts. One winner per component by
+      // (policy-signed centrality, id) — map-side-combined min_by, so a
+      // huge duplicate group costs one candidate per partition
+      val sign = if (keep == "leastCentral") lit(1d) else lit(-1d)
+      val grouped = comps
+        .join(assign, Seq("id"))
+        .join(broadcast(cents), Seq("centroid_id"))
+        .withColumn("__key",
+          struct((sign * cosine(col("v"), col("cvec"))).as("c"),
+            col("id").as("id")))
+      val winners = grouped
+        .groupBy(col("component"))
+        .agg(min_by(col("id"), col("__key")).as("id"))
+        .select(col("id"))
+      val singletons = assign
+        .join(comps.select(col("id")), Seq("id"), "left_anti")
+      singletons.select(col("id"), col("centroid_id")).unionByName(
+        assign.join(winners, Seq("id"), "left_semi")
+          .select(col("id"), col("centroid_id")))
+    }
   }
 
   /** IVF index: k-means-lite centroids (deterministic init = lowest

@@ -177,4 +177,15 @@ class PlanSpec extends GraftSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"pair dedup must partial-aggregate map-side:\n$p")
   }
+
+  test("span dedup: hash-prefiltered window groupBys, no cartesian") {
+    val p = formatted("q_span_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("xxhash64"),
+      s"the 8-byte window prefilter must reach the plan (singleton " +
+        s"windows stay out of the gram shuffle):\n$p")
+    // hot-hash count + gram stats both partial-aggregate map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"window counting must run map-side partials:\n$p")
+  }
 }

@@ -145,6 +145,36 @@ class SimilaritySpec extends GraftSpec {
       withCopies.collect().map(_.getAs[Long]("vec_id")).toSet))
   }
 
+  test("semanticDedup keep policies pick distinct group survivors") {
+    def rot(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // iters = 0 pins the centroids to the two lowest-id seeds exactly:
+    // cluster 1 anchored at 0° holds {0°, 0°, 0°, 3°, 6°} (all pairwise
+    // cosines ≥ cos 6° ≈ 0.9945 ≥ 0.994 → one duplicate group), cluster
+    // 2 anchored at 90° holds {90°, 88°}. Centrality strictly orders
+    // 0° > 3° > 6° against the (1, 0) centroid.
+    val vs = Seq(
+      0L -> rot(0), 1L -> rot(90), 2L -> rot(0), 3L -> rot(0),
+      20L -> rot(3), 21L -> rot(6), 30L -> rot(88)
+    ).toDF("vec_id", "embedding")
+    def surv(keep: String) =
+      Similarity.semanticDedup(vs, "vec_id", "embedding", nClusters = 2,
+        threshold = 0.994, iters = 0, maxClusterSize = Int.MaxValue,
+        keep = keep)
+        .collect().map(_.getAs[Long]("id")).toSet
+    assert(surv("minId") == Set(0L, 1L))
+    // exact-copy anchors tie at centrality 1.0 → min id wins
+    assert(surv("mostCentral") == Set(0L, 1L))
+    // the SemDeDup rule keeps each group's most atypical member
+    assert(surv("leastCentral") == Set(21L, 30L))
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(vs, "vec_id", "embedding", nClusters = 2,
+        keep = "best")
+    }
+  }
+
   test("semanticDedup maxClusterSize excludes over-cap clusters loudly-by-contract") {
     // 30 exact copies in one cluster: under the cap they dedup to one
     // survivor; over the cap the cluster leaves pair generation and all
