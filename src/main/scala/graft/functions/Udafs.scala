@@ -62,6 +62,41 @@ object Udafs {
   /** Column-API handle: `wavg(x, w)` inside `.agg(...)`. */
   val wavg: UserDefinedFunction = udaf(WeightedMean)
 
+  /** Element-wise sum of double vectors — the aggregate form of the
+    * k-means mean-update (and any per-group embedding centroid): one
+    * dim-length buffer per partition per group travels the shuffle,
+    * where the `posexplode → groupBy(group, pos)` composition first
+    * multiplies the input by `dim` rows (at 10⁹ × 1024-dim vectors
+    * that explode is 10¹² rows of pure CPU churn before the partial
+    * agg even starts). Null vectors are skipped; ragged dimensions
+    * throw (same contract as the cosine kernel); zero contributing
+    * rows yield NULL, mirroring SQL `sum`. */
+  object VecSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = Array.empty
+    private def add(b: Array[Double], v: Seq[Double]): Array[Double] =
+      if (b.isEmpty) v.toArray
+      else {
+        require(b.length == v.length,
+          s"vecSum: dimension mismatch (${b.length} vs ${v.length})")
+        var i = 0
+        while (i < b.length) { b(i) += v(i); i += 1 }
+        b
+      }
+    override def reduce(b: Array[Double], v: Seq[Double]): Array[Double] =
+      if (v == null) b else add(b, v)
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.isEmpty) b else if (b.isEmpty) a else add(a, b.toSeq)
+    override def finish(r: Array[Double]): Seq[Double] =
+      if (r.isEmpty) null else r.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** `vecSum(vec)` handle inside `.agg(...)`. */
+  val vecSum: UserDefinedFunction = udaf(VecSum)
+
   /** Misra-Gries buffer: at most `k` counters. */
   case class MG(counters: Map[String, Long])
 

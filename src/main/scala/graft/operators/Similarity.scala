@@ -336,17 +336,25 @@ object Similarity {
       else d.withColumn("centroid_id", nearest(cents))
 
     for (_ <- 0 until iters) {
-      // per-dimension means: scalar-only shuffle (centroid_id, pos, x),
-      // k × dim rows back to the driver; empty centroids keep their
-      // previous position (standard k-means edge case)
+      // mean update as ONE vector-sum aggregate per centroid
+      // (graft.functions.Udafs.vecSum): each partition contributes a
+      // single dim-length buffer per centroid and k rows return to the
+      // driver — the posexplode → groupBy(cid, pos) form it replaces
+      // multiplied the input by dim rows before the partial agg could
+      // reduce anything. Empty centroids keep their previous position
+      // (standard k-means edge case)
       val means = assign(centroids)
-        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .filter(col("centroid_id").isNotNull)
+        .groupBy(col("centroid_id"))
+        .agg(graft.functions.Udafs.vecSum(col("v")).as("s"),
+          count(col("v")).as("n"))
         .collect()
-      val byCentroid = means.groupBy(_.getAs[Int]("centroid_id")).map {
-        case (cid, rows) =>
-          cid -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
-      }
+      val byCentroid = means.flatMap { r =>
+        val n = r.getAs[Long]("n")
+        val s = r.getSeq[Double](r.fieldIndex("s"))
+        if (n == 0 || s == null) None
+        else Some(r.getAs[Int]("centroid_id") -> s.map(_ / n))
+      }.toMap
       centroids = centroids.map { case (cid, old) =>
         (cid, byCentroid.getOrElse(cid, old))
       }

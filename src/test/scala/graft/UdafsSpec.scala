@@ -31,6 +31,33 @@ class UdafsSpec extends GraftSpec {
     assert(run(df.repartition(7)) == got)
   }
 
+  test("vecSum: element-wise sums, null vectors skipped, partition-stable") {
+    val df = Seq(
+      ("a", Some(Seq(1.0, 2.0))), ("a", Some(Seq(10.0, 20.0))),
+      ("a", None), // skipped, not zeroed
+      ("b", Some(Seq(0.5, -0.5))),
+      ("c", None) // no contributing rows → null, mirroring SQL sum
+    ).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy($"g").agg(Udafs.vecSum($"v").as("s"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Double](1))))
+      .toMap
+    val got = run(df)
+    assert(got("a").contains(Seq(11.0, 22.0)))
+    assert(got("b").contains(Seq(0.5, -0.5)))
+    assert(got("c").isEmpty, "all-null group must yield null, not empty")
+    // merge path: identical across partitionings (one dim-length
+    // buffer per partition per group is the whole point)
+    assert(run(df.repartition(5)) == got)
+    // ragged dimensions fail loudly, same contract as the cosine kernel
+    val ragged = Seq(("a", Seq(1.0)), ("a", Seq(1.0, 2.0))).toDF("g", "v")
+    intercept[org.apache.spark.SparkException] {
+      ragged.groupBy($"g").agg(Udafs.vecSum($"v")).collect()
+    }
+  }
+
   test("wavg nulls follow the SQL sum(x*w)/sum(w) composition") {
     val df = Seq(
       (Some(1.0), Some(1.0)), (None, Some(9.0)), (Some(3.0), None), (Some(5.0), Some(1.0))
