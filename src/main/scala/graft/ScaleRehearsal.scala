@@ -150,6 +150,11 @@ object ScaleRehearsal {
           .limit(200).select(col("text"))
         force(Dedup.decontaminate(docs, "doc_id", "text", bench, "text"))
       }
+      time(scale, "contamination_score") {
+        val bench = spark.read.parquet(s"$baseDir/documents.parquet")
+          .limit(200).select(col("text"))
+        force(Dedup.contaminationScore(docs, "doc_id", "text", bench, "text"))
+      }
       time(scale, "paragraph_dedup") {
         force(Dedup.paragraphDedup(docs, "doc_id", "text"))
       }

@@ -4241,6 +4241,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     },
 
+    // the SCORE form of decontamination (same benchmark slice as
+    // q_decontaminate): per-doc fraction of distinct 8-grams found in
+    // the benchmark — true DuckDB oracle, counts exact, division IEEE
+    "q_contamination_score" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val rest = docs.filter(col("doc_id") % 97 =!= 0)
+      Dedup.contaminationScore(rest, "doc_id", "text", bench, "text", n = 8)
+    },
+
     "q_dedup_semantic" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
@@ -4315,6 +4325,28 @@ object SparkEntry {
         |            ELSE d.text END AS text
         |FROM d LEFT JOIN aff ON d.doc_id = aff.doc_id
         |       LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin,
+
+    // same gram construction as q_decontaminate's oracle (partial gram
+    // for short docs via greatest(), distinct per doc), counted instead
+    // of thresholded
+    "q_contamination_score" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        | SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(tk) - 8 + 1, 1) + 1), i -> array_to_string(tk[i:i+7], ' '))) AS gram
+        | FROM toks),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |cnt AS (
+        | SELECT g.doc_id, count(*) AS n_grams,
+        |        sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_c
+        | FROM grams g LEFT JOIN bench b USING (gram)
+        | WHERE g.doc_id % 97 <> 0
+        | GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, CAST(n_c AS BIGINT) AS n_contaminated,
+        | CAST(n_c AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination
+        |FROM cnt""".stripMargin,
 
     // identical to q_dedup_embedding's oracle: every (original, copy)
     // pair surfaces whatever layout the sizing rule picks

@@ -277,6 +277,65 @@ object Dedup {
     df.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-document benchmark-contamination REPORT: the fraction of each
+    * document's DISTINCT word n-grams (the same gram set
+    * [[decontaminate]] tests — partial gram for shorter-than-n docs,
+    * the empty gram for token-free text) that appear in the benchmark.
+    * [[decontaminate]] is the remove form (any shared gram → drop);
+    * audit pipelines need the score itself to threshold, rank, or
+    * report leakage instead of hard-dropping.
+    *
+    * Same two-pass scale shape as [[decontaminate]]: the corpus-wide
+    * pass moves only (id, 8-byte hash); only candidate documents —
+    * those sharing at least one hash with the benchmark — re-explode
+    * their gram STRINGS for the exact per-document count, so hash
+    * collisions cannot inflate a score. The denominator needs no
+    * shuffle at all: `size(array_distinct(wordNgrams(text)))` is a
+    * per-row projection. Non-candidates score 0 via the left join.
+    *
+    * @return (idCol, n_grams, n_contaminated, contamination) — one row
+    *         per non-null-text document; contamination = IEEE double
+    *         division of the two exact counts
+    */
+  def contaminationScore(
+      df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    require(n > 0, "n must be > 0")
+    val totals = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(array_distinct(TextFunctions.wordNgrams(col(textCol), n)))
+          .cast("long").as("n_grams"))
+    val benchHashes = benchmark
+      .select(explode(shingleHashes(col(benchTextCol), n)).as("__gh"))
+      .distinct()
+    val hashCandidates = df
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__gh"))
+      .join(benchHashes, Seq("__gh"), "left_semi")
+      .select(col(idCol)).distinct()
+    // token-free text has no shingle hashes but does carry the single
+    // empty gram in string semantics — route straight to verify, same
+    // as decontaminate
+    val tokenless = df.filter(
+      col(textCol).isNotNull && !col(textCol).rlike("\\S"))
+      .select(col(idCol))
+    val candidates = hashCandidates.union(tokenless).distinct()
+    val benchGrams = benchmark
+      .select(explode(TextFunctions.wordNgrams(col(benchTextCol), n))
+        .as("__gram"))
+      .distinct()
+    val hits = df.join(candidates, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n)))
+          .as("__gram"))
+      .join(benchGrams, Seq("__gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("contamination"))
+  }
+
   /** Eagerly localCheckpoint `df` and return BOTH the checkpointed
     * frame and an explicit handle to its backing RDD, captured from the
     * checkpoint RESULT (whose plan is by construction a single

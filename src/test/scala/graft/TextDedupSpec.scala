@@ -255,6 +255,27 @@ class TextDedupSpec extends GraftSpec {
     assert(out(7L) == "", "fully-covered doc becomes empty string, not dropped")
   }
 
+  test("contaminationScore counts distinct-gram overlap fractions") {
+    val bench = Seq((900L, "x y z w")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "a b x y z c"), // grams(3): {a b x, b x y, x y z, y z c} → 1/4
+      (1L, "p q r s"),     // no overlap → 0/2
+      (2L, "x y z w"),     // exact copy of the bench doc → 2/2
+      (3L, "x y"),         // partial gram "x y" ∉ bench grams → 0/1
+      (4L, null.asInstanceOf[String]) // excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(docs, "doc_id", "text", bench, "text",
+      n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    assert(got(0L) == ((4L, 1L, 0.25)))
+    assert(got(1L) == ((2L, 0L, 0.0)))
+    assert(got(2L) == ((2L, 2L, 1.0)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+  }
+
   test("duplicatedSpans honors minOccurrences") {
     // every duplicated gram in the fixture occurs exactly twice
     val spans3 = Dedup
