@@ -178,6 +178,17 @@ class PlanSpec extends GraftSpec {
       s"pair dedup must partial-aggregate map-side:\n$p")
   }
 
+  test("contamination score: shuffle-free denominator, hash-prefiltered hits") {
+    val p = formatted("q_contamination_score")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("array_distinct"),
+      s"the n_grams denominator must stay a per-row projection:\n$p")
+    // the corpus-wide candidate pass joins on the 8-byte shingle hash
+    assert(p.contains("shingle_hashes") || p.contains("ShingleHashes") ||
+      p.contains("__gh"),
+      s"the hash prefilter must reach the plan:\n$p")
+  }
+
   test("span dedup: hash-prefiltered window groupBys, no cartesian") {
     val p = formatted("q_span_dedup")
     assert(!p.contains("CartesianProduct"), p)
