@@ -4263,9 +4263,17 @@ object SparkEntry {
       val aug = emb.select(col("vec_id"), col("embedding")).unionByName(
         emb.filter(col("vec_id") % 5 === 0 && nonzero)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      // keep = leastCentral (the SemDeDup paper's rule) so the
+      // centrality path — broadcast-centroid join + min_by winner pick
+      // — runs under the driver's oracle, not only the spec: a planted
+      // copy TIES its original on centrality (identical vector, same
+      // cluster, same centroid → bit-identical cosine) and the tie
+      // falls back to the smaller id, so the rejected set is still
+      // exactly the planted slice under this policy too (minId stays
+      // the spec-pinned default)
       val survivors = Similarity.semanticDedup(aug, "vec_id", "embedding",
         nClusters = 16, threshold = 0.99, iters = 2,
-        maxClusterSize = Int.MaxValue)
+        maxClusterSize = Int.MaxValue, keep = "leastCentral")
       aug.filter(col("vec_id") >= 100000L).select(col("vec_id"))
         .join(survivors.select(col("id").as("vec_id")), Seq("vec_id"),
           "left_anti")
