@@ -255,6 +255,22 @@ class TextDedupSpec extends GraftSpec {
     assert(out(7L) == "", "fully-covered doc becomes empty string, not dropped")
   }
 
+  test("duplicatedSpans k=2 edge: self-overlapping runs merge into one span") {
+    val docs = Seq(
+      (0L, "a a a a b"),  // windows "a a" ×3 overlap → one span 1..4
+      (1L, "c d e c d"),  // "c d" twice within doc → spans 1..2, 4..5
+      (2L, "f g")         // unique single window
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(spans == Set((0L, 1L, 4L), (1L, 1L, 2L), (1L, 4L, 5L)))
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(docs, "doc_id", "text", k = 1)
+    }
+  }
+
   test("contaminationScore counts distinct-gram overlap fractions") {
     val bench = Seq((900L, "x y z w")).toDF("doc_id", "text")
     val docs = Seq(
