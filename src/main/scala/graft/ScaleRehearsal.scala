@@ -136,6 +136,25 @@ object ScaleRehearsal {
         force(Dedup.nearDedupIncremental(spark, sigPath, batch,
           "doc_id", "text", threshold = 0.7))
       }
+      // chained ingest: 3 constant-size batches through nearDedupIngest
+      // against a THROWAWAY signature table (appends are stateful). The
+      // property under measurement is per-batch cost STABILITY as the
+      // table absorbs each batch's survivors — the production contract
+      // behind the signature-table design. Table build is outside the
+      // timed region (it is incr_sig_write's number).
+      locally {
+        val chainPath = s"/tmp/graft_scale_chain_${scale.replace('.', '_')}"
+        Dedup.writeSignatureTable(docs, "doc_id", "text", chainPath)
+        (1 to 3).foreach { k =>
+          val batch = spark.read.parquet(s"$baseDir/documents.parquet")
+            .select((col("doc_id") + lit(60000000L + k * 1000000L)).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", s"$$1_cb$k").as("text"))
+          time(scale, s"incr_chain_b$k") {
+            force(Dedup.nearDedupIngest(spark, chainPath, batch,
+              "doc_id", "text", threshold = 0.7))
+          }
+        }
+      }
       time(scale, "exact_dedup") {
         force(Dedup.exact(docs, "doc_id", "text"))
       }
