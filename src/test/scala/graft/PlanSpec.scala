@@ -178,6 +178,13 @@ class PlanSpec extends GraftSpec {
       s"pair dedup must partial-aggregate map-side:\n$p")
   }
 
+  test("auto-sized embedding LSH gate: banded hash joins, no cartesian") {
+    val p = formatted("q_dedup_embedding_auto")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bucket candidates must come from equi-joins, never a nested loop:\n$p")
+  }
+
   test("contamination score: shuffle-free denominator, hash-prefiltered hits") {
     val p = formatted("q_contamination_score")
     assert(!p.contains("CartesianProduct"), p)

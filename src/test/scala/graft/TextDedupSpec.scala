@@ -292,6 +292,27 @@ class TextDedupSpec extends GraftSpec {
     assert(got(3L) == ((1L, 0L, 0.0)))
   }
 
+  test("contaminationScore > 0 iff decontaminate drops the document") {
+    // cross-operator invariant: the score's numerator counts exactly
+    // the gram overlap decontaminate thresholds on, so score > 0 must
+    // coincide with removal — on synthetic data with known overlap
+    val bench = Seq((900L, "x y z w"), (901L, "m n o")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "a b x y z c"), (1L, "p q r s"), (2L, "m n o"),
+      (3L, "q r s t u v"), (4L, "z w m")
+    ).toDF("doc_id", "text")
+    val scores = Dedup.contaminationScore(docs, "doc_id", "text",
+      bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val kept = Dedup.decontaminate(docs, "doc_id", "text", bench, "text",
+      n = 3)
+      .collect().map(_.getLong(0)).toSet
+    scores.foreach { case (id, s) =>
+      assert((s > 0.0) == !kept(id),
+        s"doc $id: score $s vs kept=${kept(id)}")
+    }
+  }
+
   test("duplicatedSpans honors minOccurrences") {
     // every duplicated gram in the fixture occurs exactly twice
     val spans3 = Dedup
