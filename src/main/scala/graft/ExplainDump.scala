@@ -11,6 +11,7 @@ object ExplainDump {
         "q_agg_pricing", "q_agg_revenue_nation", "q_take_while",
         "q_dedup_exact", "q_window_rank")
     val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -4277,6 +4277,72 @@ object SparkEntry {
       aug.filter(col("vec_id") >= 100000L).select(col("vec_id"))
         .join(survivors.select(col("id").as("vec_id")), Seq("vec_id"),
           "left_anti")
+    },
+
+    // CCNet-style boilerplate-line removal (document-frequency filter:
+    // a line in ≥3 DISTINCT docs is dropped EVERYWHERE, unlike
+    // q_para_dedup's keep-first). Lines synthesized like q_para_dedup
+    // ("batch" → newline) plus PLANTED chrome: a constant header on
+    // mod-3 docs and footer on mod-4 docs that must vanish from every
+    // doc — both high-df by construction, so the gate fails loudly if
+    // the df threshold or the every-occurrence drop is wrong.
+    "q_boilerplate" -> { (s, dir) =>
+      val base = regexp_replace(col("text"), "batch", "\n")
+      val withChrome = concat(
+        when(col("doc_id") % 3 === 0, lit("== site header ==\n"))
+          .otherwise(lit("")),
+        base,
+        when(col("doc_id") % 4 === 0, lit("\n== site footer =="))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), withChrome.as("text"))
+      Dedup.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+    },
+
+    // Gopher-style vocabulary coverage: per-doc out-of-vocabulary rate
+    // against the corpus top-500 terms (ties broken by term asc —
+    // deterministic cut). Integer counts + one IEEE division:
+    // engine-exact.
+    "q_oov_rate" -> { (s, dir) =>
+      graft.operators.Corpus.vocabCoverage(
+        t(s, dir, "documents"), "doc_id", "text", topV = 500)
+    },
+
+    // deterministic training-shard assignment: Knuth multiplicative
+    // hash in exact 64-bit integer arithmetic (mirrorable in any SQL
+    // engine), dense rank within each shard — the "global shuffle +
+    // split into N shards" layout step, no RNG in the plan
+    "q_shard_assign" -> { (s, dir) =>
+      graft.operators.Sampling.shardAssign(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        nShards = 16)
+        .orderBy(col("shard").asc, col("pos").asc)
+    },
+
+    // canonical-URL normalization for URL-level dedup: synthesized
+    // URLs sweep the rule grid (upper-case scheme/host, default and
+    // non-default ports on both schemes, utm_* params first/last/only,
+    // fragments) — the oracle recomputes the same canonicalization in
+    // DuckDB with the identical RE2-safe patterns, so one mis-stripped
+    // port or mangled query diverges hundreds of rows.
+    "q_url_canon" -> { (s, dir) =>
+      val d = col("doc_id")
+      val url = concat(
+        when(d % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        lit("WWW.Site-"), (d % 50).cast("string"), lit(".COM"),
+        when(d % 3 === 0, lit(":80"))
+          .when(d % 5 === 0, lit(":443"))
+          .otherwise(lit("")),
+        lit("/Docs/"), (d % 7).cast("string"),
+        when(d % 2 === 0,
+          concat(lit("?utm_source=feed&id="), d.cast("string"),
+            lit("&utm_campaign=x")))
+          .when(d % 9 === 0, lit("?utm_medium=email"))
+          .otherwise(concat(lit("?id="), d.cast("string"))),
+        when(d % 4 === 0, lit("#section-2")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canonical_url", TextFunctions.canonicalUrl(col("url")))
     }
   )
 
@@ -4372,7 +4438,105 @@ object SparkEntry {
         |FROM embeddings
         |WHERE vec_id % 5 = 0
         |  AND coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-        |        x -> x * x)), 0) > 0""".stripMargin
+        |        x -> x * x)), 0) > 0""".stripMargin,
+
+    // same line construction as the gate (q_para_dedup's "batch" →
+    // newline trick + planted chrome), df counted over DISTINCT docs
+    "q_boilerplate" ->
+      """WITH d0 AS (
+        | SELECT doc_id,
+        |   (CASE WHEN doc_id % 3 = 0 THEN '== site header ==' || chr(10)
+        |         ELSE '' END)
+        |   || replace(text, 'batch', chr(10))
+        |   || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '== site footer =='
+        |            ELSE '' END) AS text
+        | FROM documents),
+        |d AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |      FROM d0 WHERE text IS NOT NULL),
+        |ln AS (SELECT doc_id, pos, ls[pos] AS line
+        |       FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos
+        |             FROM d)),
+        |bo AS (SELECT line FROM (
+        |         SELECT line, count(DISTINCT doc_id) AS c
+        |         FROM ln GROUP BY line) WHERE c >= 3),
+        |kept AS (SELECT * FROM ln WHERE line NOT IN (SELECT line FROM bo)),
+        |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(reb.t2, '') AS text
+        |FROM d LEFT JOIN reb USING (doc_id)""".stripMargin,
+
+    // top-500 vocabulary by (count desc, term asc) — the same
+    // deterministic cut the operator takes
+    "q_oov_rate" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |   unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     x -> len(x) > 0)) AS term
+        | FROM documents WHERE text IS NOT NULL),
+        |cnt AS (SELECT term, count(*) AS n_t FROM toks GROUP BY term),
+        |voc AS (SELECT term FROM cnt ORDER BY n_t DESC, term ASC LIMIT 500)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM toks t LEFT JOIN voc v ON t.term = v.term
+        |GROUP BY t.doc_id""".stripMargin,
+
+    // identical exact-integer hash chain: ((id mod 2^31) · 2654435761)
+    // mod 2^32 — % and * are same-precedence left-associative in both
+    // engines
+    "q_shard_assign" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |   doc_id % 2147483648 * 2654435761 % 4294967296 AS hh
+        | FROM documents)
+        |SELECT doc_id, CAST(hh % 16 AS INTEGER) AS shard,
+        |  row_number() OVER (PARTITION BY hh % 16
+        |                     ORDER BY hh ASC, doc_id ASC) - 1 AS pos
+        |FROM h""".stripMargin,
+
+    // mirrors the gate's URL construction AND canonicalUrl's exact
+    // RE2-safe patterns
+    "q_url_canon" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |   (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+        |   || 'WWW.Site-' || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+        |   || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+        |            WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+        |   || '/Docs/' || CAST(doc_id % 7 AS VARCHAR)
+        |   || (CASE WHEN doc_id % 2 = 0
+        |            THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        |                 || '&utm_campaign=x'
+        |            WHEN doc_id % 9 = 0 THEN '?utm_medium=email'
+        |            ELSE '?id=' || CAST(doc_id AS VARCHAR) END)
+        |   || (CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END) AS url
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, url,
+        |   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |     AS scheme,
+        |   lower(regexp_extract(url,
+        |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |   regexp_extract(url,
+        |     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |   regexp_extract(url, '\?([^#]*)', 1) AS q
+        | FROM u),
+        |c2 AS (
+        | SELECT doc_id, url, scheme,
+        |   CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |        ELSE hostport END AS host,
+        |   CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |   coalesce(array_to_string(list_filter(string_split(q, '&'),
+        |     x -> len(x) > 0 AND NOT starts_with(x, 'utm_')), '&'), '')
+        |     AS q2
+        | FROM c)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host || path
+        |  || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canonical_url
+        |FROM c2""".stripMargin
   )
 
   def queries: Map[String, Q] =

@@ -17,6 +17,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata parquet may carry tz-naive timestamps (pyarrow writes
+      // isAdjustedToUTC=false); Spark 4 would read those as
+      // TIMESTAMP_NTZ, which watermarks and unix_micros reject. With
+      // the session pinned to UTC the LTZ read preserves the instants
+      // and matches DuckDB's naive-timestamp reading of the same files.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -120,6 +120,46 @@ object TextFunctions {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** Canonical URL for URL-level deduplication — the normalization web
+    * pipelines apply BEFORE content dedup so `HTTP://Host.COM:80/a#x`
+    * and `http://host.com/a` collapse to one key:
+    *
+    *  - scheme and host lower-cased (path/query case is significant
+    *    and preserved);
+    *  - default port stripped (`:80` for http, `:443` for https);
+    *  - fragment dropped;
+    *  - `utm_*` tracking parameters dropped, remaining query
+    *    parameters kept in original order (`?` dropped when none
+    *    survive);
+    *  - empty path normalized to `/`.
+    *
+    * Pure column algebra — `regexp_extract` + array ops, codegen'd, no
+    * UDF. The patterns avoid lookaround so the SAME expressions run on
+    * RE2-based engines (the correctness oracle mirrors them verbatim in
+    * DuckDB). Non-URL input (no `scheme://`) degrades gracefully: every
+    * extract returns `""` and the result is `:///`-prefixed garbage the
+    * caller can filter on, never an exception.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptQuery = array_join(
+      filter(split(query, "&"),
+        x => length(x) > 0 && !x.startsWith("utm_")),
+      "&")
+    concat(scheme, lit("://"), host, path,
+      when(keptQuery === "", lit(""))
+        .otherwise(concat(lit("?"), keptQuery)))
+  }
+
   /** [nTokens, totalGrams, distinctGrams] for word n-grams — one
     * native codegen'd pass over the text (graft.plans). */
   def repetitionStats(text: Column, n: Int): Column =

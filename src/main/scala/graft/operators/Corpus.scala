@@ -257,4 +257,45 @@ object Corpus {
           ((col("n_x").cast("double") / col("n_tok").cast("double")) *
             (col("n_y").cast("double") / col("n_tok").cast("double")))).as("lift"))
   }
+
+  /** Per-document vocabulary coverage against the corpus top-`topV`
+    * vocabulary — the Gopher-style "fraction of tokens outside a
+    * reference vocabulary" quality signal. A high out-of-vocabulary rate
+    * flags gibberish, the wrong language, or encoding damage.
+    *
+    * The vocabulary is the `topV` most frequent terms (whitespace
+    * tokens, lower-cased) with ties broken by term ascending — fully
+    * deterministic, so the output is engine-exact: counts are integers
+    * and `oov_rate` is a single correctly-rounded IEEE division.
+    *
+    * Scale shape: term counts are one map-side-combined groupBy; the
+    * top-V cut is a `TakeOrderedAndProject` (per-partition top-V, then
+    * a V-row merge — never a global sort of the vocabulary); the V-row
+    * vocabulary is explicitly broadcast into the per-token probe, so
+    * the only corpus-sized shuffles are the two groupBys keyed by term
+    * and doc. Documents with zero tokens have no rows to group and are
+    * absent from the output.
+    *
+    * @return (doc_id, n_tokens, n_oov, oov_rate)
+    */
+  def vocabCoverage(
+      df: DataFrame, idCol: String, textCol: String, topV: Int): DataFrame = {
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(terms(col(textCol))).as("term"))
+    val vocab = toks
+      .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("term").asc)
+      .limit(topV)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
 }

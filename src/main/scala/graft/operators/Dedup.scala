@@ -1188,4 +1188,52 @@ object Dedup {
           x => x.getField("line")),
         sep).as("text"))
   }
+
+  /** Boilerplate-line removal: drop every line whose exact text appears
+    * in at least `minDocs` DISTINCT documents, rebuild each document's
+    * text in original line order.
+    *
+    * This is the document-frequency half of CCNet-style line filtering:
+    * where [[paragraphDedup]] keeps the corpus-wide FIRST occurrence of
+    * a repeated line, this operator treats high-df lines (navigation
+    * chrome, cookie banners, boilerplate headers/footers) as noise and
+    * drops EVERY occurrence, including the first. Documents whose every
+    * line is boilerplate come back as `""` — cardinality is preserved
+    * (same contract as [[removeDuplicatedSpans]]).
+    *
+    * Scale shape: one line-level explode, a `distinct` + map-side-
+    * combined `groupBy(line).count` for the document frequency (each
+    * doc counts once however many times it repeats a line internally),
+    * and a left-anti join of the posting rows against the boilerplate
+    * set. The boilerplate relation is df-filtered and therefore tiny
+    * relative to the corpus — AQE typically broadcasts it. No windows,
+    * no driver-side state.
+    */
+  def removeBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(sep.nonEmpty, "sep must not be empty")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val lines = base
+      .select(col("doc_id"),
+        posexplode(split(col("text"),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    val boiler = lines
+      .select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDocs)
+      .select(col("line"))
+    val rebuilt = lines
+      .join(boiler, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")),
+        sep).as("__kept"))
+    base.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__kept"), lit("")).as("text"))
+  }
 }

@@ -172,4 +172,41 @@ object Sampling {
       .withColumn("batch_id", expr(s"$before div ${budget}L"))
       .drop(before)
   }
+
+  /** Deterministic pseudo-random shard assignment for training-data
+    * layout: every row gets a `shard` in [0, nShards) and a dense
+    * `pos` within its shard, both fully determined by the id — the
+    * "global shuffle then split into shards" step of a training
+    * pipeline, with no RNG in the plan (reruns, engines and cluster
+    * sizes all agree).
+    *
+    * The shuffle key is a Knuth multiplicative hash computed in exact
+    * 64-bit integer arithmetic: `h = (id mod 2^31) · 2654435761 mod
+    * 2^32` (the product is < 2^63, so it never overflows, and the
+    * identical expression is computable in any SQL engine — unlike
+    * xxhash/md5-prefix keys that need engine-specific hex plumbing).
+    * Shards are `h mod nShards`; `pos` is the rank of `(h, id)` within
+    * the shard.
+    *
+    * Scale shape: one hash-partitioned exchange on `shard` and one
+    * window per shard — each shard is ranked by exactly the task that
+    * will write it, which is the natural parallelism of sharded output
+    * (nShards concurrent writers). No global sort, no global window,
+    * no driver state. Pick nShards so a shard's rows fit one task
+    * (100 TB / 4096 shards ≈ 25 GB — size accordingly).
+    *
+    * @return input columns + (shard: int, pos: long)
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = tempCol(df, "__graft_shard_hash")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(h).asc, col(idCol).asc)
+    df.withColumn(h,
+        pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
+          lit(2654435761L), lit(4294967296L)))
+      .withColumn("shard", pmod(col(h), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop(h)
+  }
 }

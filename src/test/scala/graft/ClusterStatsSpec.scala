@@ -375,6 +375,54 @@ class ClusterStatsSpec extends GraftSpec {
     assert(minTwo.isEmpty, "no bigram repeats across this corpus")
   }
 
+  test("vocabCoverage: deterministic top-V cut, exact OOV counts") {
+    // term counts: a×4, b×3, c×2, z×1 — topV=2 keeps {a, b}
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "a b z"),
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = Corpus.vocabCoverage(docs, "doc_id", "text", topV = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)), "doc 1: c is OOV")
+    assert(out(2L) == ((3L, 1L, 1.0 / 3.0)), "doc 2: z is OOV")
+    assert(out(3L) == ((3L, 1L, 1.0 / 3.0)), "doc 3: c is OOV")
+    // the boundary tie (c×2 vs a hypothetical d×2) breaks by term asc:
+    // with topV=3 the vocabulary is {a, b, c} and z stays the only OOV
+    val three = Corpus.vocabCoverage(
+      docs.union(Seq((4L, "d d")).toDF("doc_id", "text")),
+      "doc_id", "text", topV = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(three(1L) == 0L && three(2L) == 1L && three(4L) == 2L,
+      "c (term asc) wins the c/d count tie at the V boundary")
+    // empty-token docs are absent, not divide-by-zero
+    val empty = Corpus.vocabCoverage(
+      Seq((9L, "   ")).toDF("doc_id", "text"), "doc_id", "text", topV = 1)
+    assert(empty.count() == 0L)
+    intercept[IllegalArgumentException](
+      Corpus.vocabCoverage(docs, "doc_id", "text", topV = 0))
+  }
+
+  test("canonicalUrl: scheme/host case, default ports, utm params, fragment") {
+    import graft.functions.TextFunctions.canonicalUrl
+    val cases = Seq(
+      ("HTTP://WWW.Ex.COM:80/A/b?utm_source=x&id=1#frag",
+        "http://www.ex.com/A/b?id=1"),
+      ("https://Ex.COM:443/", "https://ex.com/"),
+      ("https://ex.com:80/p", "https://ex.com:80/p"), // :80 not https default
+      ("http://ex.com:8080/p?a=1&utm_b=2&c=3", "http://ex.com:8080/p?a=1&c=3"),
+      ("http://EX.com", "http://ex.com/"),             // empty path → "/"
+      ("http://ex.com/p?utm_only=1", "http://ex.com/p") // all params dropped
+    ).toDF("url", "want")
+    val bad = cases
+      .withColumn("got", canonicalUrl(col("url")))
+      .filter(col("got") =!= col("want"))
+      .collect()
+    assert(bad.isEmpty,
+      bad.map(r => s"${r.getString(0)}: got ${r.getString(2)}").mkString("; "))
+  }
+
   // ── bloom-pruned join ──
 
   test("bloom parameters: power-of-two sizing, sane k") {

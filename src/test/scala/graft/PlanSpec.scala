@@ -206,4 +206,42 @@ class PlanSpec extends GraftSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"window counting must run map-side partials:\n$p")
   }
+
+  test("vocab coverage: top-V cut is a top-K, vocabulary broadcasts onto the probe") {
+    val p = formatted("q_oov_rate")
+    // the vocabulary cut must never globally sort the term counts
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V must plan as a top-K over the counts, not a full Sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the V-row vocabulary must broadcast into the token probe:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"term counts and per-doc counts must both run map-side partials:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus-sized probe side must never shuffle for the join:\n$p")
+  }
+
+  test("shard assign: one exchange on shard, per-shard window, no global sort") {
+    val p = formatted("q_shard_assign")
+    assert(p.contains("hashpartitioning(shard"),
+      s"ranking must distribute by shard (one task per shard):\n$p")
+    // a single-partition global window would appear as an
+    // Exchange SinglePartition feeding the Window — forbid it
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition stage (global window/sort) may appear:\n$p")
+  }
+
+  test("boilerplate removal: df filter joins back without cartesian; line df aggregates map-side") {
+    val p = formatted("q_boilerplate")
+    assert(!p.contains("CartesianProduct"), p)
+    // distinct (doc, line) + per-line df + rebuild = ≥4 HashAggregates
+    // with partial aggregation
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"line df must aggregate map-side:\n$p")
+  }
+
+  test("canonical url: shuffle-free scan projection") {
+    val p = formatted("q_url_canon")
+    assert(!p.contains("Exchange"),
+      s"canonicalization must be a pure per-row projection:\n$p")
+  }
 }

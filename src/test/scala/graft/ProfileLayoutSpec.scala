@@ -139,6 +139,29 @@ class ProfileLayoutSpec extends GraftSpec {
     assert(out.head.getString(1) == "x\ny\nz")
   }
 
+  test("removeBoilerplateLines drops every occurrence of high-df lines") {
+    val docs = Seq(
+      (1L, "banner\nunique one\nbanner"), // internal repeat counts ONCE
+      (2L, "banner\nunique two"),
+      (3L, "banner\nunique three"),
+      (4L, "only unique"),
+      (5L, "banner") // all lines boilerplate → "" (cardinality kept)
+    ).toDF("id", "txt")
+    val out = Dedup.removeBoilerplateLines(docs, "id", "txt", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one", "both banner copies removed, df counted per doc")
+    assert(out(2L) == "unique two" && out(3L) == "unique three")
+    assert(out(4L) == "only unique", "untouched doc passes through")
+    assert(out(5L) == "", "fully-boilerplate doc kept as empty text")
+    assert(out.size == 5)
+    // below the threshold nothing is removed (banner df = 4 < 5)
+    val keep = Dedup.removeBoilerplateLines(docs, "id", "txt", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keep(1L) == "banner\nunique one\nbanner")
+    intercept[IllegalArgumentException](
+      Dedup.removeBoilerplateLines(docs, "id", "txt", minDocs = 1))
+  }
+
   // ── layout ──
 
   test("writeClustered round-trips content and produces range-disjoint files") {

@@ -8,6 +8,27 @@ class SamplingSpec extends GraftSpec {
 
   import spark.implicits._
 
+  test("shardAssign: exact hash, dense per-shard positions, partition-stable") {
+    val df = (0L until 1000L).toDF("id")
+    val out = Sampling.shardAssign(df, "id", nShards = 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pos")))
+    assert(out.length == 1000, "every row assigned")
+    // shard matches the documented exact-integer formula
+    assert(out.forall { case (id, s, _) =>
+      s == ((id % 2147483648L) * 2654435761L % 4294967296L % 8).toInt })
+    // positions are dense 0..n-1 within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(0L until rows.length))
+    }
+    // repartitioning must not change a single assignment
+    val again = Sampling.shardAssign(df.repartition(13), "id", nShards = 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pos"))).toSet
+    assert(again == out.toSet, "assignment depends only on ids")
+    intercept[IllegalArgumentException](Sampling.shardAssign(df, "id", 0))
+  }
+
   test("deterministicSample: exactly k per group, stable across runs") {
     val a = Sampling.deterministicSample(people, Seq("name"), "id", 3)
       .collect().map(r => (r.getAs[String]("name"), r.getAs[String]("id"))).toSet
