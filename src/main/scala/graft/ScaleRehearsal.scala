@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Sampling, Similarity}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -78,13 +78,17 @@ object ScaleRehearsal {
       df.write.mode("overwrite").format("noop").save()
     val results = scala.collection.mutable.LinkedHashMap[
       (String, String), Double]()
+    // optional comma-separated subset (local iteration on one curve)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
     def time(scale: String, name: String)(body: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      body
-      val s = (System.nanoTime() - t0) / 1e9
-      results((name, scale)) = s
-      println(f"""{"query":"$name","scale":"$scale","sec":$s%.2f}""")
-      spark.catalog.clearCache()
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        body
+        val s = (System.nanoTime() - t0) / 1e9
+        results((name, scale)) = s
+        println(f"""{"query":"$name","scale":"$scale","sec":$s%.2f}""")
+        spark.catalog.clearCache()
+      }
     }
 
     // the rehearsal calls LIBRARY operators directly (not the SparkEntry
@@ -215,6 +219,22 @@ object ScaleRehearsal {
       time(scale, "bm25") {
         force(Corpus.bm25PerTerm(docs, "doc_id", "text",
           Seq("spark", "join", "vector"), k1 = 1.5, b = 0.75))
+      }
+      time(scale, "boilerplate_removal") {
+        // same "batch" → newline trick as the q_boilerplate gate; in
+        // replica universes the surrounding tokens carry _rk suffixes,
+        // so line content stays replica-disjoint (dup DENSITY realistic)
+        force(Dedup.removeBoilerplateLines(
+          docs.select(col("doc_id"),
+            regexp_replace(col("text"), "batch", "\n").as("text")),
+          "doc_id", "text", minDocs = 3))
+      }
+      time(scale, "vocab_coverage") {
+        force(Corpus.vocabCoverage(docs, "doc_id", "text", topV = 500))
+      }
+      time(scale, "shard_assign") {
+        force(Sampling.shardAssign(docs.select(col("doc_id")), "doc_id",
+          nShards = 64))
       }
     }
 
