@@ -195,10 +195,19 @@ object Sampling {
     * no driver state. Pick nShards so a shard's rows fit one task
     * (100 TB / 4096 shards ≈ 25 GB — size accordingly).
     *
+    * Contract: ids must be UNIQUE and non-null — a duplicated id ties
+    * the (hash, id) order and makes `pos` run-dependent between the
+    * copies; a null id hashes to null and collects in one null shard.
+    * Dedup/filter upstream (the repo's other id-keyed operators share
+    * this contract).
+    *
     * @return input columns + (shard: int, pos: long)
     */
   def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "input already has a shard/pos column — rename it first " +
+        "(shardAssign appends both)")
     val h = tempCol(df, "__graft_shard_hash")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col(h).asc, col(idCol).asc)
