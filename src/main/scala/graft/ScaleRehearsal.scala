@@ -236,6 +236,16 @@ object ScaleRehearsal {
         force(Sampling.shardAssign(docs.select(col("doc_id")), "doc_id",
           nShards = 64))
       }
+      time(scale, "doc_search") {
+        // constant query batch against the growing corpus — retrieval
+        // cost should track the queries' posting volume, not corpus size
+        val queryDocs = spark.read.parquet(s"$baseDir/documents.parquet")
+          .orderBy(col("doc_id")).limit(50)
+          .select((col("doc_id") + lit(90000000L)).as("doc_id"), col("text"))
+        force(Dedup.jaccardTopK(docs, "doc_id", "text",
+          queryDocs, "doc_id", "text", n = 3, k = 10,
+          dropHotGrams = true))
+      }
     }
 
     // warmup pass on the tiny SF so JIT/codegen don't land in the base

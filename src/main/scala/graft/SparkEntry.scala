@@ -4343,6 +4343,20 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), url.as("url"))
         .withColumn("canonical_url", TextFunctions.canonicalUrl(col("url")))
+    },
+
+    // exact top-k similar-document retrieval (the SEARCH form of the
+    // dedup stack): every mod-101 doc queries the rest of the corpus,
+    // top-5 by exact 3-gram Jaccard. True oracle: integer counts, one
+    // IEEE division, (jaccard desc, doc_id asc) ranking — a wrong
+    // posting join or union size diverges rows; a wrong tie-break
+    // diverges rnk.
+    "q_doc_search" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardTopK(
+        docs.filter(col("doc_id") % 101 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 101 === 0), "doc_id", "text",
+        n = 3, k = 5)
     }
   )
 
@@ -4536,7 +4550,41 @@ object SparkEntry {
         |SELECT doc_id, url,
         |  scheme || '://' || host || path
         |  || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canonical_url
-        |FROM c2""".stripMargin
+        |FROM c2""".stripMargin,
+
+    // same gram construction as q_jaccard_exact's oracle (partial gram
+    // for short docs, distinct per doc), search join instead of
+    // self-join, rank wrapped in a subquery
+    "q_doc_search" ->
+      """WITH qd AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s\x0B]+'), x -> len(x) > 0) AS tk
+        | FROM documents WHERE text IS NOT NULL AND doc_id % 101 = 0),
+        |cd AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s\x0B]+'), x -> len(x) > 0) AS tk
+        | FROM documents WHERE text IS NOT NULL AND doc_id % 101 <> 0),
+        |gq AS (
+        | SELECT doc_id AS q_id,
+        |  unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1), i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+        | FROM qd),
+        |gc AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1), i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+        | FROM cd),
+        |sq AS (SELECT q_id, count(*) AS n_q FROM gq GROUP BY q_id),
+        |sc AS (SELECT doc_id, count(*) AS n_d FROM gc GROUP BY doc_id),
+        |sh AS (SELECT q_id, doc_id, count(*) AS shared
+        |       FROM gq JOIN gc USING (gram) GROUP BY 1, 2),
+        |scored AS (
+        | SELECT q_id, doc_id, shared,
+        |   CAST(shared AS DOUBLE) / CAST(n_q + n_d - shared AS DOUBLE) AS jaccard
+        | FROM sh JOIN sq USING (q_id) JOIN sc USING (doc_id)),
+        |ranked AS (
+        | SELECT q_id, doc_id, shared, jaccard,
+        |   CAST(row_number() OVER (PARTITION BY q_id
+        |     ORDER BY jaccard DESC, doc_id ASC) AS INTEGER) AS rnk
+        | FROM scored)
+        |SELECT q_id, doc_id, shared, jaccard, rnk
+        |FROM ranked WHERE rnk <= 5""".stripMargin
   )
 
   def queries: Map[String, Q] =

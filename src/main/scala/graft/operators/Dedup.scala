@@ -195,27 +195,8 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n)))
           .as("gram"))
-    // posting-list length per gram (window over the same key the
-    // posting join shuffles on); guard BEFORE pair enumeration so the
-    // k² candidates of a hot gram are never materialized
-    val sizedGrams = raw.withColumn("__df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("gram"))))
-    val grams =
-      if (maxDocsPerGram == Int.MaxValue) raw
-      else if (dropHotGrams)
-        sizedGrams.filter(col("__df") <= maxDocsPerGram).drop("__df")
-      else
-        // assert_true raises with the message when the predicate fails;
-        // kept inside a filter (the expression's null result passes every
-        // row) so column pruning can't elide the check
-        sizedGrams.filter(assert_true(col("__df") <= maxDocsPerGram,
-          concat(lit("exactNgramJaccard: a gram is shared by "), col("__df"),
-            lit(s" documents (> maxDocsPerGram = $maxDocsPerGram) — the " +
-              "posting join would be quadratic in that count; raise " +
-              "maxDocsPerGram, set dropHotGrams = true, or use the LSH " +
-              "path (ngramJaccardNearDups)"))).isNull)
-          .drop("__df")
+    val grams = guardHotGrams(raw, maxDocsPerGram, dropHotGrams,
+      "exactNgramJaccard")
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n_g"))
     val shared = grams.select(col("gram"), col("id").as("id_a"))
       .join(grams.select(col("gram"), col("id").as("id_b")), "gram")
@@ -228,6 +209,101 @@ object Dedup {
         (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Posting-list length guard shared by the exact-gram operators: a
+    * gram appearing in d documents contributes O(d²) (self-join) or
+    * O(d · q) (search join) candidate pairs, so one boilerplate gram
+    * makes the join quadratic. Default is FAIL-LOUD (`assert_true`
+    * raises with the offending count); `dropHotGrams = true` opts into
+    * truncation instead. The count runs as a window over the same key
+    * the posting join shuffles on — no extra shuffle.
+    *
+    * `assert_true` stays inside a `filter` (its null result passes
+    * every row) so column pruning cannot elide the check. */
+  private def guardHotGrams(
+      raw: DataFrame, maxDocsPerGram: Int, dropHotGrams: Boolean,
+      caller: String): DataFrame = {
+    if (maxDocsPerGram == Int.MaxValue) raw
+    else {
+      val sized = raw.withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram"))))
+      if (dropHotGrams) sized.filter(col("__df") <= maxDocsPerGram).drop("__df")
+      else sized.filter(assert_true(col("__df") <= maxDocsPerGram,
+        concat(lit(s"$caller: a gram is shared by "), col("__df"),
+          lit(s" documents (> maxDocsPerGram = $maxDocsPerGram) — the " +
+            "posting join would be quadratic in that count; raise " +
+            "maxDocsPerGram, set dropHotGrams = true, or use the LSH " +
+            "path (ngramJaccardNearDups)"))).isNull)
+        .drop("__df")
+    }
+  }
+
+  /** Top-k most similar CORPUS documents for each QUERY document by
+    * exact word-n-gram Jaccard — the retrieval form of the dedup stack
+    * (dedup triage, attribution, provenance: "which existing documents
+    * is this one closest to?"). Nothing is approximated: candidates
+    * are exactly the pairs sharing ≥1 gram — a pair sharing none has
+    * Jaccard 0 and is correctly absent, so a query with fewer than k
+    * overlapping documents returns fewer than k rows.
+    *
+    * Engine-exact output: integer gram counts, one correctly-rounded
+    * IEEE division, ranking ties broken (jaccard desc, doc id asc).
+    *
+    * Scale shape: the corpus-sized shuffle is the posting join keyed
+    * by gram, behind the same loud `maxDocsPerGram` guard as
+    * [[exactNgramJaccard]] (applied to the UNION of both sides, so a
+    * gram hot on either side fails fast); ranking is a window
+    * partitioned by query id — one task per query's candidate list,
+    * never a global sort. Query batches are assumed much smaller than
+    * the corpus (the retrieval contract); for corpus-vs-corpus pairs
+    * use [[exactNgramJaccard]] / [[ngramJaccardNearDups]].
+    *
+    * @return (q_id, doc_id, shared, jaccard, rnk) with rnk ≤ k
+    */
+  def jaccardTopK(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      n: Int = 3, k: Int = 10,
+      maxDocsPerGram: Int = 10000, dropHotGrams: Boolean = false): DataFrame = {
+    require(n > 0, "n must be > 0")
+    require(k > 0, "k must be > 0")
+    require(maxDocsPerGram > 0, "maxDocsPerGram must be > 0")
+    def explodedGrams(df: DataFrame, id: String, text: String,
+        as: String): DataFrame =
+      df.filter(col(text).isNotNull)
+        .select(col(id).as(as),
+          explode(array_distinct(TextFunctions.wordNgrams(col(text), n)))
+            .as("gram"))
+    // guard the union: the join blow-up per gram is corpusDf × queryDf,
+    // so EITHER side's hot gram must trip the cap before enumeration
+    val guarded = guardHotGrams(
+      explodedGrams(corpus, idCol, textCol, "id")
+        .withColumn("__side", lit("c"))
+        .unionByName(explodedGrams(queries, qidCol, qtextCol, "id")
+          .withColumn("__side", lit("q"))),
+      maxDocsPerGram, dropHotGrams, "jaccardTopK")
+    val cg = guarded.filter(col("__side") === "c")
+      .select(col("id").as("doc_id"), col("gram"))
+    val qg = guarded.filter(col("__side") === "q")
+      .select(col("id").as("q_id"), col("gram"))
+    val cSizes = cg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_d"))
+    val qSizes = qg.groupBy(col("q_id")).agg(count(lit(1)).as("n_q"))
+    val shared = qg.join(cg, "gram")
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("shared"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("jaccard").desc, col("doc_id").asc)
+    shared
+      .join(qSizes, "q_id")
+      .join(cSizes, "doc_id")
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_q") + col("n_d") - col("shared")).cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("shared"), col("jaccard"),
+        col("rnk"))
   }
 
   /** Benchmark decontamination: remove documents sharing ANY word

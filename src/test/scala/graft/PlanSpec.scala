@@ -244,4 +244,15 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("Exchange"),
       s"canonicalization must be a pure per-row projection:\n$p")
   }
+
+  test("doc search: posting hash join, per-query window, no cartesian") {
+    val p = formatted("q_doc_search")
+    assert(!p.contains("CartesianProduct"),
+      s"the search join must key on gram, never all-pairs:\n$p")
+    assert(p.contains("hashpartitioning(q_id"),
+      s"ranking must distribute by query id (one task per candidate " +
+        s"list, no global sort):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"gram sizes and shared counts must run map-side partials:\n$p")
+  }
 }

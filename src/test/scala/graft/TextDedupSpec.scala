@@ -113,6 +113,48 @@ class TextDedupSpec extends GraftSpec {
     assert(!exact.keySet.exists { case (a, b) => Set(a, b).contains(2L) })
   }
 
+  test("jaccardTopK: exact scores, rank ties to smaller doc_id, k cap, guard trips") {
+    val corpus = Seq(
+      (10L, "a b c d"),   // grams(2): {a b, b c, c d}
+      (11L, "a b c x"),   // {a b, b c, c x}
+      (12L, "a b y z"),   // {a b, b y, y z}
+      (13L, "p q r s")    // no overlap with the query — must be absent
+    ).toDF("doc_id", "text")
+    val query = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.jaccardTopK(corpus, "doc_id", "text",
+      query, "doc_id", "text", n = 2, k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("shared"), r.getAs[Double]("jaccard"),
+          r.getAs[Int]("rnk")))).toMap
+    assert(out(10L) == ((3L, 1.0, 1)), "exact copy ranks first at 1.0")
+    assert(out(11L) == ((2L, 0.5, 2)), "2 shared / (3+3-2) = 0.5")
+    assert(out(12L) == ((1L, 0.2, 3)), "1 shared / (3+3-1) = 0.2")
+    assert(!out.contains(13L), "zero-overlap docs never materialize")
+    // k caps the list and the zero-overlap doc cannot back-fill it
+    val k2 = Dedup.jaccardTopK(corpus, "doc_id", "text",
+      query, "doc_id", "text", n = 2, k = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(k2 == Set(10L, 11L))
+    // the shared hot-gram guard sees the query side too: "a b" lives in
+    // 3 corpus + 1 query docs, so a cap of 3 must fail loudly...
+    val boom = intercept[Throwable] {
+      Dedup.jaccardTopK(corpus, "doc_id", "text",
+        query, "doc_id", "text", n = 2, k = 3, maxDocsPerGram = 3)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(boom).exists(_.contains("jaccardTopK")),
+      s"diagnostic must name the caller, got: ${messages(boom)}")
+    // ...and dropHotGrams = true downgrades it to documented truncation
+    val dropped = Dedup.jaccardTopK(corpus, "doc_id", "text",
+      query, "doc_id", "text", n = 2, k = 3, maxDocsPerGram = 3,
+      dropHotGrams = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("shared")).toMap
+    assert(dropped(10L) == 2L, "the hot gram no longer counts as shared")
+  }
+
   test("simhash: identical docs hamming 0; near-dups within 3; unrelated far") {
     val sig = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
