@@ -251,14 +251,28 @@ object Dedup {
     * Engine-exact output: integer gram counts, one correctly-rounded
     * IEEE division, ranking ties broken (jaccard desc, doc id asc).
     *
-    * Scale shape: the corpus-sized shuffle is the posting join keyed
-    * by gram, behind the same loud `maxDocsPerGram` guard as
-    * [[exactNgramJaccard]] (applied to the UNION of both sides, so a
-    * gram hot on either side fails fast); ranking is a window
-    * partitioned by query id — one task per query's candidate list,
-    * never a global sort. Query batches are assumed much smaller than
-    * the corpus (the retrieval contract); for corpus-vs-corpus pairs
-    * use [[exactNgramJaccard]] / [[ngramJaccardNearDups]].
+    * Scale shape — the retrieval contract is cost ∝ QUERY posting
+    * volume plus one linear corpus pass, never a corpus-sized shuffle:
+    *
+    *  - the corpus gram stream is semi-joined against the (broadcast)
+    *    query gram set FIRST, so everything downstream — the hot-gram
+    *    accounting, the posting join, the candidate ranking — runs on
+    *    the touched slice only (a gram no query contains costs
+    *    nothing, which is also why the `maxDocsPerGram` guard here
+    *    covers query-present grams only; corpus-vs-corpus hot grams
+    *    are [[exactNgramJaccard]]'s concern);
+    *  - per-document gram-set sizes are a map-side-combined groupBy
+    *    over the corpus stream — linear scan, one row per document in
+    *    the shuffle;
+    *  - ranking is a window partitioned by query id: one task per
+    *    query's candidate list, never a global sort.
+    *
+    * With `dropHotGrams = true` a hot gram leaves the gram space
+    * entirely (matching AND both denominators), consistent with
+    * [[exactNgramJaccard]]; the default fails the job loudly with the
+    * offending count. Query batches are assumed much smaller than the
+    * corpus; for corpus-vs-corpus pairs use [[exactNgramJaccard]] /
+    * [[ngramJaccardNearDups]].
     *
     * @return (q_id, doc_id, shared, jaccard, rnk) with rnk ≤ k
     */
@@ -276,20 +290,62 @@ object Dedup {
         .select(col(id).as(as),
           explode(array_distinct(TextFunctions.wordNgrams(col(text), n)))
             .as("gram"))
-    // guard the union: the join blow-up per gram is corpusDf × queryDf,
-    // so EITHER side's hot gram must trip the cap before enumeration
-    val guarded = guardHotGrams(
-      explodedGrams(corpus, idCol, textCol, "id")
-        .withColumn("__side", lit("c"))
-        .unionByName(explodedGrams(queries, qidCol, qtextCol, "id")
-          .withColumn("__side", lit("q"))),
-      maxDocsPerGram, dropHotGrams, "jaccardTopK")
-    val cg = guarded.filter(col("__side") === "c")
-      .select(col("id").as("doc_id"), col("gram"))
-    val qg = guarded.filter(col("__side") === "q")
-      .select(col("id").as("q_id"), col("gram"))
-    val cSizes = cg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_d"))
-    val qSizes = qg.groupBy(col("q_id")).agg(count(lit(1)).as("n_q"))
+    val qg0 = explodedGrams(queries, qidCol, qtextCol, "q_id")
+    val cg0 = explodedGrams(corpus, idCol, textCol, "doc_id")
+    val qGramSet = qg0.select(col("gram")).distinct()
+    val touched = cg0.join(qGramSet, Seq("gram"), "left_semi")
+    // combined document frequency of every query-present gram — the
+    // blow-up per gram is qDf × cDf, so the UNION count is what the
+    // cap bounds; this relation is query-sized, not corpus-sized
+    val hot = touched.select(col("gram"))
+      .unionByName(qg0.select(col("gram")))
+      .groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocsPerGram)
+    def guard(df: DataFrame): DataFrame = {
+      if (maxDocsPerGram == Int.MaxValue) df
+      else {
+        val joined = df.join(hot, Seq("gram"), "left")
+        val kept =
+          if (dropHotGrams) joined.filter(col("__df").isNull)
+          // assert_true inside a filter (its null result passes every
+          // row) so column pruning cannot elide the check
+          else joined.filter(assert_true(col("__df").isNull,
+            concat(lit("jaccardTopK: a gram is shared by "), col("__df"),
+              lit(s" documents (> maxDocsPerGram = $maxDocsPerGram) — " +
+                "the posting join would be quadratic in that count; " +
+                "raise maxDocsPerGram, set dropHotGrams = true, or use " +
+                "the LSH path (ngramJaccardNearDups)"))).isNull)
+        kept.drop("__df")
+      }
+    }
+    val cg = guard(touched)
+    val qg = guard(qg0)
+    // full gram-set sizes as a PURE PROJECTION (size ∘ array_distinct ∘
+    // wordNgrams — no explode, no shuffle; jaccard's denominator counts
+    // every gram, matched or not) minus, in drop mode, each document's
+    // hot-gram count. The corpus-side adjustment reads the TOUCHED
+    // slice, not the corpus stream: hot grams are query-present by
+    // construction, so every corpus occurrence of one lies in `touched`.
+    def gramSetSize(df: DataFrame, id: String, text: String,
+        idName: String): DataFrame =
+      df.filter(col(text).isNotNull)
+        .select(col(id).as(idName),
+          size(array_distinct(TextFunctions.wordNgrams(col(text), n)))
+            .cast("long").as("__all"))
+    def sizes(base: DataFrame, grams: DataFrame, idName: String,
+        out: String): DataFrame = {
+      if (dropHotGrams && maxDocsPerGram != Int.MaxValue) {
+        val drop = grams.join(hot, Seq("gram"), "left_semi")
+          .groupBy(col(idName)).agg(count(lit(1)).as("__hot"))
+        base.join(drop, Seq(idName), "left")
+          .select(col(idName),
+            (col("__all") - coalesce(col("__hot"), lit(0L))).as(out))
+      } else base.select(col(idName), col("__all").as(out))
+    }
+    val cSizes = sizes(gramSetSize(corpus, idCol, textCol, "doc_id"),
+      touched, "doc_id", "n_d")
+    val qSizes = sizes(gramSetSize(queries, qidCol, qtextCol, "q_id"),
+      qg0, "q_id", "n_q")
     val shared = qg.join(cg, "gram")
       .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("shared"))
     val w = org.apache.spark.sql.expressions.Window
