@@ -196,6 +196,39 @@ object ScaleRehearsal {
         force(Similarity.ivfSearch(assign, cents, probes,
           "probe_id", "probe_vec", k = 10, nprobe = 4))
       }
+      time(scale, "ann_pq") {
+        // train + encode + ADC shortlist + exact rerank, end to end:
+        // the scan side carries 8-int codes; only |probes|·shortlist
+        // full vectors are fetched for the rerank
+        val normed = emb.select(col("vec_id"),
+          Similarity.l2Normalize(col("embedding")).as("nv"))
+        val probes = normed.orderBy(col("vec_id")).limit(5)
+          .select(col("vec_id").as("probe_id"), col("nv").as("probe_vec"))
+        val cb = Similarity.pqTrain(normed, "vec_id", "nv",
+          m = 8, k = 16, iters = 2)
+        val codes = Similarity.pqEncode(normed, "nv", cb)
+          .select(col("vec_id"), col("pq_codes"))
+        force(Similarity.pqSearchRerank(codes, "vec_id", "pq_codes",
+          normed, "vec_id", "nv", probes, "probe_id", "probe_vec",
+          cb, k = 10, shortlist = 50))
+      }
+      time(scale, "ann_ivfpq") {
+        // the combined layout: coarse lists prune the code scan to
+        // nprobe/nCentroids of the corpus before ADC even runs
+        val normed = emb.select(col("vec_id"),
+          Similarity.l2Normalize(col("embedding")).as("nv"))
+        val probes = normed.orderBy(col("vec_id")).limit(5)
+          .select(col("vec_id").as("probe_id"), col("nv").as("probe_vec"))
+        val (assign, cents) = Similarity.ivfIndex(normed, "vec_id", "nv",
+          nCentroids = 16, iters = 2)
+        val cb = Similarity.pqTrain(normed, "vec_id", "nv",
+          m = 8, k = 16, iters = 2)
+        val coded = Similarity.pqEncode(assign, "v", cb)
+          .select(col("id"), col("centroid_id"), col("pq_codes"))
+        force(Similarity.ivfPqSearch(coded, "id", "pq_codes", cents,
+          normed, "vec_id", "nv", probes, "probe_id", "probe_vec",
+          cb, k = 10, nprobe = 4, shortlist = 50))
+      }
       time(scale, "embedding_near_dup") {
         // corpus-sized layout: bandBits ∝ log2(N) keeps candidates (and
         // so cost) LINEAR in N. The r9 rehearsal measured the fixed-

@@ -819,6 +819,74 @@ object SparkEntry {
           (coalesce(col("n_hit"), lit(0L)) >= 5L).as("recall_ok"))
     },
 
+    // product-quantization retrieval, SELF-AUDITING like q_ann_ivf:
+    // vectors are l2-normalized (so ADC dot ranks as cosine), PQ-coded
+    // to 8 ints (the 100 TB scan payload: 32× smaller than the 64-dim
+    // float vectors), ADC proposes a 50-deep shortlist and exact cosine
+    // over the FETCHED shortlist vectors disposes. Every probe returns
+    // exactly k = 10 and clears recall@10 ≥ 0.5 vs brute force — a
+    // regression guard on codebook training/encode/ADC, not a tight
+    // target
+    "q_ann_pq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val normed = emb.select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("nv"))
+      val cb = Similarity.pqTrain(normed, "vec_id", "nv", m = 8, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(normed, "nv", cb)
+        .select(col("vec_id"), col("pq_codes"))
+      val probes = normed.orderBy(col("vec_id")).limit(5)
+        .select(col("vec_id").as("probe_id"), col("nv").as("probe_vec"))
+      val pq = Similarity.pqSearchRerank(codes, "vec_id", "pq_codes",
+        normed, "vec_id", "nv", probes, "probe_id", "probe_vec",
+        cb, k = 10, shortlist = 50)
+        .select(col("probe_id"), col("neighbor_id"))
+      val bf = Similarity.bruteForceTopK(normed, "vec_id", "nv",
+        probes, "probe_id", "probe_vec", k = 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val nres = pq.groupBy(col("probe_id")).agg(count(lit(1)).as("n_results"))
+      val hits = pq.join(bf, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      probes.select(col("probe_id"))
+        .join(nres, Seq("probe_id"), "left")
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_results"), lit(0L)).as("n_results"),
+          (coalesce(col("n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    },
+
+    // combined IVF-PQ layout (Jégou et al. 2011), same self-audit
+    // contract: coarse lists prune the code scan to nprobe/16 of the
+    // corpus BEFORE ADC runs, ADC proposes, exact rerank disposes.
+    // recall floor 0.5 @10 vs brute force, k-results exact
+    "q_ann_ivfpq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val normed = emb.select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("nv"))
+      val probes = normed.orderBy(col("vec_id")).limit(5)
+        .select(col("vec_id").as("probe_id"), col("nv").as("probe_vec"))
+      val (assign, cents) = Similarity.ivfIndex(normed, "vec_id", "nv",
+        nCentroids = 16, iters = 2)
+      val cb = Similarity.pqTrain(normed, "vec_id", "nv", m = 8, k = 16, iters = 2)
+      val coded = Similarity.pqEncode(assign, "v", cb)
+        .select(col("id"), col("centroid_id"), col("pq_codes"))
+      val got = Similarity.ivfPqSearch(coded, "id", "pq_codes", cents,
+        normed, "vec_id", "nv", probes, "probe_id", "probe_vec",
+        cb, k = 10, nprobe = 4, shortlist = 50)
+        .select(col("probe_id"), col("neighbor_id"))
+      val bf = Similarity.bruteForceTopK(normed, "vec_id", "nv",
+        probes, "probe_id", "probe_vec", k = 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val nres = got.groupBy(col("probe_id")).agg(count(lit(1)).as("n_results"))
+      val hits = got.join(bf, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      probes.select(col("probe_id"))
+        .join(nres, Seq("probe_id"), "left")
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_results"), lit(0L)).as("n_results"),
+          (coalesce(col("n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    },
+
     // ── text analysis over documents ──
     "q_text_stats" -> { (s, dir) =>
       t(s, dir, "documents").select(
@@ -3509,6 +3577,20 @@ object SparkEntry {
     // vec_ids — returns exactly k = 10 neighbours and clears the
     // recall@10 ≥ 0.5 floor vs brute force
     "q_ann_ivf" ->
+      """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results,
+        |  true AS recall_ok
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin,
+
+    // q_ann_pq: same per-probe contract as q_ann_ivf — exactly k = 10
+    // reranked neighbours per probe, recall@10 ≥ 0.5 vs brute force
+    "q_ann_pq" ->
+      """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results,
+        |  true AS recall_ok
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin,
+
+    // q_ann_ivfpq: the combined coarse+PQ layout honors the identical
+    // per-probe contract
+    "q_ann_ivfpq" ->
       """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results,
         |  true AS recall_ok
         |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin,

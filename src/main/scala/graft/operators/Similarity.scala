@@ -366,6 +366,244 @@ object Similarity {
     (assign(centroids), centDf)
   }
 
+  /** A trained product-quantization codebook: `m` contiguous subspaces
+    * of `subDim` dims, `k` sub-centroids each. `flat` layout is
+    * `((mi*k + code-1)*subDim + j)` — the transport format the native
+    * kernels consume directly. m·k·subDim doubles (e.g. 8×256×16 =
+    * 32 768) — driver/broadcast-sized by construction, the same
+    * contract as [[ivfIndex]]'s centroid matrix. */
+  final case class PqCodebook(m: Int, k: Int, subDim: Int, flat: Array[Double]) {
+    require(flat.length == m * k * subDim,
+      s"PqCodebook: ${flat.length} values do not tile $m×$k×$subDim")
+    def dim: Int = m * subDim
+
+    /** One row per (subspace, code) with its sub-centroid — the
+      * persistence form ([[Similarity.pqCodebookFromDF]] reloads it;
+      * same build-once/reuse contract as Index.WriteTo, csvplus.go:655). */
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+      val rows = for (mi <- 0 until m; c <- 0 until k) yield {
+        val off = (mi * k + c) * subDim
+        Row(mi, c + 1, (0 until subDim).map(j => flat(off + j)))
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("subspace", IntegerType, nullable = false),
+          StructField("code", IntegerType, nullable = false),
+          StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    }
+  }
+
+  /** Reload a codebook persisted via [[PqCodebook.toDF]]. The frame is
+    * m·k rows — a driver-sized collect by construction. */
+  def pqCodebookFromDF(df: DataFrame): PqCodebook = {
+    val rows = df.select(col("subspace"), col("code"), col("cvec")).collect()
+    require(rows.nonEmpty, "pqCodebookFromDF: empty codebook frame")
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val k = rows.iterator.map(_.getInt(1)).max
+    val subDim = rows.head.getSeq[Double](2).size
+    require(rows.length == m * k,
+      s"pqCodebookFromDF: ${rows.length} rows do not tile m=$m × k=$k")
+    val flat = new Array[Double](m * k * subDim)
+    rows.foreach { r =>
+      val off = (r.getInt(0) * k + r.getInt(1) - 1) * subDim
+      val cv = r.getSeq[Double](2)
+      require(cv.size == subDim, "pqCodebookFromDF: ragged sub-centroid")
+      var j = 0; while (j < subDim) { flat(off + j) = cv(j); j += 1 }
+    }
+    PqCodebook(m, k, subDim, flat)
+  }
+
+  /** Train a product-quantization codebook: per-subspace k-means-lite
+    * (deterministic init = the k lowest-id vectors' subvectors, `iters`
+    * Lloyd rounds, true squared-L2 assignment). Mirrors [[ivfIndex]]'s
+    * layout — centroids live on the driver between rounds; each round
+    * is ONE distributed pass where the m-way assignment is a single
+    * codegen'd [[graft.plans.PqEncodeExpr]] call, followed by a
+    * (subspace, code) vector-sum aggregate whose result is m·k rows.
+    * The posexplode multiplies rows by m (≤ 16, a constant), not dim.
+    *
+    * For cosine search semantics, [[l2Normalize]] the vectors BEFORE
+    * training/encoding — then the ADC dot product ranks identically to
+    * cosine ([[pqSearch]] documents the contract).
+    *
+    * If the corpus has fewer than k vectors the trailing centroids
+    * repeat the last available seed (harmless: argmin picks the lowest
+    * code among duplicates, and empty codes keep their position —
+    * standard k-means edge case). */
+  def pqTrain(
+      data: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int = 16, iters: Int = 2): PqCodebook = {
+    require(m > 0 && k > 0, s"pqTrain: m and k must be positive, got m=$m k=$k")
+    val d = data.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = d.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Double](1))
+    require(seeds.nonEmpty, "pqTrain: empty input")
+    val dim = seeds.head.size
+    require(dim % m == 0, s"pqTrain: m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val flat = new Array[Double](m * k * subDim)
+    for (mi <- 0 until m; c <- 0 until k) {
+      val sv = seeds(math.min(c, seeds.length - 1))
+      val off = (mi * k + c) * subDim
+      var j = 0; while (j < subDim) { flat(off + j) = sv(mi * subDim + j); j += 1 }
+    }
+    var cb = PqCodebook(m, k, subDim, flat)
+    for (_ <- 0 until iters) {
+      val means = d
+        .select(posexplode(graft.plans.native.pqEncode(col("v"), cb.flat, m, k))
+          .as(Seq("subspace", "code")),
+          col("v"))
+        .withColumn("sv", slice(col("v"),
+          col("subspace") * subDim + 1, lit(subDim)))
+        .groupBy(col("subspace"), col("code"))
+        .agg(graft.functions.Udafs.vecSum(col("sv")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cb.flat.clone()
+      means.foreach { r =>
+        val n = r.getAs[Long]("n")
+        val s = r.getSeq[Double](r.fieldIndex("s"))
+        if (n > 0 && s != null && s.size == subDim) {
+          val off = (r.getInt(0) * k + r.getInt(1) - 1) * subDim
+          var j = 0; while (j < subDim) { next(off + j) = s(j) / n; j += 1 }
+        }
+      }
+      cb = PqCodebook(m, k, subDim, next)
+    }
+    cb
+  }
+
+  /** Encode vectors to PQ codes: adds `codesCol` (array<int>, length m,
+    * values 1..k). At 100 TB this is the ingest-side write: the code
+    * table is dim·4/m× smaller than the float vectors (64-dim float →
+    * 8 ints: the payload the search scan reads shrinks 32× before any
+    * varint/byte packing), and encode itself is one codegen'd
+    * projection — no shuffle, no UDF. */
+  def pqEncode(data: DataFrame, vecCol: String, cb: PqCodebook,
+      codesCol: String = "pq_codes"): DataFrame =
+    data.withColumn(codesCol,
+      graft.plans.native.pqEncode(col(vecCol), cb.flat, cb.m, cb.k))
+
+  /** PQ top-k search by asymmetric distance: every probe scored against
+    * every CODE row (the corpus side carries m ints, never the
+    * vectors), ranked by ADC dot (desc, id asc tie-break). Probes are
+    * broadcast; the code table streams — the same shape as
+    * [[bruteForceTopK]] but the scan payload is the quantized codes.
+    *
+    * RANKING CONTRACT: ADC approximates ⟨probe, vector⟩. Per probe the
+    * probe's own norm is constant, so dot-ranking equals cosine-ranking
+    * iff the corpus vectors were L2-NORMALIZED before
+    * [[pqTrain]]/[[pqEncode]] — do that at ingest (one projection).
+    * For exact final ordering wrap with [[pqSearchRerank]]. */
+  def pqSearch(
+      codes: DataFrame, idCol: String, codesCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      cb: PqCodebook, k: Int): DataFrame = {
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      transform(col(probeVecCol), x => x.cast("double")).as("pv"))
+    val scored = codes.select(col(idCol).as("id"), col(codesCol).as("codes"))
+      .crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("id"))
+      .withColumn("adc_dot",
+        graft.plans.native.pqAdc(col("codes"), col("pv"), cb.flat, cb.m, cb.k))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dot").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("id").as("neighbor_id"),
+        col("rank"), col("adc_dot"))
+  }
+
+  /** Production PQ retrieval: ADC proposes a `shortlist` per probe from
+    * the code table, exact cosine over the FETCHED shortlist vectors
+    * disposes — the scan streams m-int codes, and only
+    * |probes|·shortlist full vectors are ever joined in (at 100 TB the
+    * vectors are the payload; this bounds their movement by the
+    * shortlist, not the corpus). Output matches [[bruteForceTopK]]:
+    * (probe_id, neighbor_id, rank, cosine). */
+  def pqSearchRerank(
+      codes: DataFrame, idCol: String, codesCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      cb: PqCodebook, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"pqSearchRerank: shortlist=$shortlist < k=$k")
+    val cand = pqSearch(codes, idCol, codesCol, probes, probeIdCol,
+      probeVecCol, cb, shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      col(probeVecCol).as("pv"))
+    val rescored = cand
+      .join(vectors.select(col(vecIdCol).as("neighbor_id"), col(vecCol).as("nv")),
+        "neighbor_id")
+      .join(broadcast(p), "probe_id")
+      .withColumn("cosine", cosine(col("pv"), col("nv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** IVF-PQ retrieval — the canonical 100 TB ANN layout (Jégou et al.
+    * 2011, "Product quantization for nearest neighbor search"): the
+    * coarse quantizer ([[ivfIndex]]) prunes the scan to `nprobe`
+    * inverted lists, ADC over the m-int PQ codes proposes a
+    * `shortlist` per probe WITHIN those lists, and exact cosine over
+    * the fetched shortlist vectors disposes. Work per probe ∝
+    * (probed-list rows × m ints) + (shortlist × dim floats); neither
+    * the full-precision vectors nor the untouched lists are ever
+    * scanned. At scale the coded assignments would be written bucketed
+    * by `centroid_id` so the probe join prunes partitions.
+    *
+    * @param codedAssignments (idCol, "centroid_id", codesCol) — the
+    *   [[ivfIndex]] assignment table after [[pqEncode]]
+    * @param centroids [[ivfIndex]]'s (centroid_id, cvec) — broadcast
+    * @param vectors (vecIdCol, vecCol) full-precision vectors, joined
+    *   only for the shortlist rerank
+    */
+  def ivfPqSearch(
+      codedAssignments: DataFrame, idCol: String, codesCol: String,
+      centroids: DataFrame,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      cb: PqCodebook, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"ivfPqSearch: shortlist=$shortlist < k=$k")
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      transform(col(probeVecCol), x => x.cast("double")).as("pv"))
+    val pc = p.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("pv"), col("cvec")))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val lists = pc.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("centroid_id"))
+    val cand = lists
+      .join(codedAssignments.select(col(idCol).as("id"),
+        col("centroid_id"), col(codesCol).as("codes")), "centroid_id")
+      .filter(col("probe_id") =!= col("id"))
+      .withColumn("adc_dot",
+        graft.plans.native.pqAdc(col("codes"), col("pv"), cb.flat, cb.m, cb.k))
+    val ws = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dot").desc, col("id").asc)
+    val short = cand.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
+      .select(col("probe_id"), col("pv"), col("id").as("neighbor_id"))
+    val rescored = short
+      .join(vectors.select(col(vecIdCol).as("neighbor_id"), col(vecCol).as("nv")),
+        "neighbor_id")
+      .withColumn("cosine", cosine(col("pv"), col("nv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** IVF search: probe → `nprobe` nearest centroids → exact cosine only
     * within those inverted lists → top-k. The 100 TB path: work is
     * proportional to the probed lists, not the corpus. */

@@ -172,6 +172,57 @@ case class NearestCentroid(child: Expression, cents: Array[Double], k: Int)
     copy(child = newChild)
 }
 
+/** array<float|double> vector → array<int> of m 1-based PQ codes
+  * (L2-nearest sub-centroid per contiguous subspace). The codebook
+  * travels as a flattened reference object like [[NearestCentroid]]'s
+  * matrix — m·k·subDim doubles broadcast once with the plan. */
+case class PqEncodeExpr(child: Expression, cents: Array[Double], m: Int, k: Int)
+    extends UnaryExpression {
+  require(m > 0 && k > 0, s"PqEncodeExpr: m and k must be positive, got m=$m k=$k")
+  require(cents.nonEmpty && cents.length % (m * k) == 0,
+    s"PqEncodeExpr: ${cents.length} codebook values do not tile m=$m × k=$k rows")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqEncode(cents, m, k, input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftPqCodebook", cents, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.pqEncode($centsRef, $m, $k, $c, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** (array<int> PQ codes, array<float|double> probe) → double
+  * asymmetric-distance dot product against the same broadcast
+  * codebook the codes were produced with. */
+case class PqAdcExpr(left: Expression, right: Expression,
+    cents: Array[Double], m: Int, k: Int) extends BinaryExpression {
+  require(m > 0 && k > 0, s"PqAdcExpr: m and k must be positive, got m=$m k=$k")
+  require(cents.nonEmpty && cents.length % (m * k) == 0,
+    s"PqAdcExpr: ${cents.length} codebook values do not tile m=$m × k=$k rows")
+  override def dataType: DataType = DoubleType
+  private def probeFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(codes: Any, probe: Any): Any =
+    VectorKernels.pqAdc(cents, m, k, codes.asInstanceOf[ArrayData],
+      probe.asInstanceOf[ArrayData], probeFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftPqCodebook", cents, "double[]")
+    defineCodeGen(ctx, ev, (c, p) =>
+      s"graft.plans.VectorKernels.pqAdc($centsRef, $m, $k, $c, $p, $probeFloat)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** string → Unicode-normalized string. `form`: "NFC" | "NFD" | "NFKC"
   * | "NFKD". Normalization-sensitive operators (dedup, fingerprinting,
   * token counting) must run on normalized text or visually-identical
@@ -240,6 +291,10 @@ object native {
     c(BloomMightContain(e(keyHash), bits, k))
   def nearestCentroid(v: Column, cents: Array[Double], k: Int): Column =
     c(NearestCentroid(e(v), cents, k))
+  def pqEncode(v: Column, cents: Array[Double], m: Int, k: Int): Column =
+    c(PqEncodeExpr(e(v), cents, m, k))
+  def pqAdc(codes: Column, probe: Column, cents: Array[Double], m: Int, k: Int): Column =
+    c(PqAdcExpr(e(codes), e(probe), cents, m, k))
   def unicodeNormalize(text: Column, form: String): Column =
     c(UnicodeNormalize(e(text), form))
 }

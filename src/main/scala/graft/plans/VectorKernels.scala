@@ -336,6 +336,86 @@ object VectorKernels {
     best + 1
   }
 
+  /** Product-quantization encode: the vector is split into `m`
+    * contiguous subspaces of `subDim = cents.length / (m*k)` dimensions
+    * and each subvector is assigned its L2-NEAREST sub-centroid
+    * (1-based, ties → smallest id). `cents` layout is
+    * `((mi*k + code-1)*subDim + j)` — all of subspace 0's k centroids,
+    * then subspace 1's, etc. Unlike [[nearestCentroid]] (cosine
+    * assignment over whole normalized vectors) this is true squared-L2
+    * argmin: PQ subvectors are not unit-norm, so dot-product argmax
+    * would mis-assign. One fused m·k·subDim loop per row. */
+  def pqEncode(cents: Array[Double], m: Int, k: Int, v: ArrayData,
+      isFloat: Boolean): ArrayData = {
+    val subDim = cents.length / (m * k)
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pqEncode: dimension mismatch (vector ${v.numElements()} " +
+          s"vs m*subDim = ${m * subDim})")
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val vOff = mi * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (mi * k + c) * subDim
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val x = if (isFloat) v.getFloat(vOff + j).toDouble
+                  else v.getDouble(vOff + j)
+          val diff = x - cents(off + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(mi) = best + 1
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance dot product: Σ over subspaces of
+    * ⟨probe subvector, the sub-centroid `codes[mi]` points at⟩ — the
+    * probe stays exact (asymmetric), only the data side is quantized.
+    * Same `cents` layout as [[pqEncode]]. O(dim) per call; the PQ win
+    * is the DATA side of the join carrying m ints instead of dim
+    * floats, not the arithmetic. */
+  def pqAdc(cents: Array[Double], m: Int, k: Int, codes: ArrayData,
+      probe: ArrayData, probeFloat: Boolean): Double = {
+    val subDim = cents.length / (m * k)
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pqAdc: code length ${codes.numElements()} != m = $m")
+    if (probe.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pqAdc: probe dimension ${probe.numElements()} " +
+          s"vs m*subDim = ${m * subDim}")
+    var dot = 0.0
+    var mi = 0
+    while (mi < m) {
+      val code = codes.getInt(mi)
+      if (code < 1 || code > k)
+        throw new IllegalArgumentException(
+          s"pqAdc: code $code out of range 1..$k in subspace $mi")
+      val off = (mi * k + code - 1) * subDim
+      val pOff = mi * subDim
+      var j = 0
+      while (j < subDim) {
+        val x = if (probeFloat) probe.getFloat(pOff + j).toDouble
+                else probe.getDouble(pOff + j)
+        dot += cents(off + j) * x
+        j += 1
+      }
+      mi += 1
+    }
+    dot
+  }
+
   /** Hyperplane LSH signature: bit p = sign of ⟨v, plane_p⟩ where
     * plane_p[j] is a deterministic pseudo-random value in [-1, 1)
     * derived from XXH64 — reproducible across runs/executors (no RNG in

@@ -157,6 +157,22 @@ class PlanSpec extends GraftSpec {
       s"a shuffled cartesian would not survive any scale-up:\n$p")
   }
 
+  test("PQ retrieval: probes broadcast against the code scan, never a shuffled cartesian") {
+    val p = formatted("q_ann_pq")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"ADC scoring must broadcast the probe side over the code table:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a shuffled cartesian would not survive any scale-up:\n$p")
+  }
+
+  test("IVF-PQ retrieval: list pruning joins stay broadcast/hash, no cartesian") {
+    val p = formatted("q_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"),
+      s"a shuffled cartesian would not survive any scale-up:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe→centroid and shortlist joins must broadcast the probe side:\n$p")
+  }
+
   test("pixel gates: one shuffle-free MapPartitions over the synthesized payloads") {
     Seq("q_media_pixels_png", "q_media_pixels_gif", "q_media_pixels_jpeg",
       "q_media_pixels_jpeg_prog", "q_media_pixels_png_gray",

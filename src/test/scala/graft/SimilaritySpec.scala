@@ -207,4 +207,109 @@ class SimilaritySpec extends GraftSpec {
     val recall = (bf intersect ivf).size.toDouble / bf.size
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
+
+  // ── product quantization ──
+
+  private lazy val normed = vecs.select(col("vec_id"),
+    Similarity.l2Normalize(col("embedding")).as("nv"))
+
+  test("pqEncode emits m codes in 1..k, deterministically") {
+    val cb = Similarity.pqTrain(normed, "vec_id", "nv", m = 4, k = 8, iters = 2)
+    assert(cb.m == 4 && cb.k == 8 && cb.subDim == 4)
+    val codes = Similarity.pqEncode(normed, "nv", cb)
+      .select(col("vec_id"), col("pq_codes"))
+      .collect().map(r => r.getAs[Long](0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.size == 4 && c.forall(x => x >= 1 && x <= 8)))
+    // deterministic: a second train+encode pass is identical
+    val cb2 = Similarity.pqTrain(normed, "vec_id", "nv", m = 4, k = 8, iters = 2)
+    assert(cb.flat.sameElements(cb2.flat))
+    // the planted near-duplicate of vec 0 lands on the same codes
+    assert(codes(0L) == codes(1000L))
+  }
+
+  test("PQ codebook round-trips through its persistence DataFrame") {
+    val cb = Similarity.pqTrain(normed, "vec_id", "nv", m = 4, k = 8, iters = 1)
+    val back = Similarity.pqCodebookFromDF(cb.toDF(spark))
+    assert(back.m == cb.m && back.k == cb.k && back.subDim == cb.subDim)
+    assert(back.flat.sameElements(cb.flat))
+  }
+
+  test("pqSearchRerank ranks the planted duplicate first and recalls brute force") {
+    val cb = Similarity.pqTrain(normed, "vec_id", "nv", m = 4, k = 8, iters = 2)
+    val codes = Similarity.pqEncode(normed, "nv", cb)
+      .select(col("vec_id"), col("pq_codes"))
+    val probes = normed.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("probe_id"), col("nv").as("probe_vec"))
+    val pq = Similarity.pqSearchRerank(codes, "vec_id", "pq_codes",
+      normed, "vec_id", "nv", probes, "probe_id", "probe_vec",
+      cb, k = 10, shortlist = 30).collect()
+    // planted duplicate of vec 0 is its rank-1 neighbour
+    assert(pq.exists(r => r.getAs[Long]("probe_id") == 0L &&
+      r.getAs[Long]("neighbor_id") == 1000L && r.getAs[Int]("rank") == 1))
+    val bf = Similarity.bruteForceTopK(normed, "vec_id", "nv",
+      probes, "probe_id", "probe_vec", k = 10)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = pq.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf intersect got).size.toDouble / bf.size
+    assert(recall >= 0.7, s"PQ recall $recall < 0.7")
+  }
+
+  test("pqSearch ADC dot tracks the exact dot on quantized data") {
+    val cb = Similarity.pqTrain(normed, "vec_id", "nv", m = 4, k = 8, iters = 2)
+    val codes = Similarity.pqEncode(normed, "nv", cb)
+      .select(col("vec_id"), col("pq_codes"))
+    val probes = normed.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("probe_id"), col("nv").as("probe_vec"))
+    val adc = Similarity.pqSearch(codes, "vec_id", "pq_codes",
+      probes, "probe_id", "probe_vec", cb, k = 91).collect()
+    // unit vectors: every ADC dot must stay within the reconstruction
+    // error band of a legal cosine
+    assert(adc.forall(r => math.abs(r.getAs[Double]("adc_dot")) <= 1.5))
+    // the planted duplicate (cosine ≈ 1 to the probe) lands in the ADC
+    // top-10 of 91 — quantization can rank a few same-cluster vectors
+    // whose RECONSTRUCTIONS dot higher above it, which is exactly the
+    // error band rerank exists to fix, but it cannot push a true
+    // duplicate out of the shortlist
+    val dup = adc.find(_.getAs[Long]("neighbor_id") == 1000L).get
+    assert(dup.getAs[Int]("rank") <= 10,
+      s"planted dup ADC rank ${dup.getAs[Int]("rank")} > 10")
+    assert(dup.getAs[Double]("adc_dot") > 0.9)
+  }
+
+  test("ivfPqSearch composes coarse pruning with ADC + rerank and recalls brute force") {
+    val (assign, cents) = Similarity.ivfIndex(normed, "vec_id", "nv",
+      nCentroids = 3, iters = 2)
+    val cb = Similarity.pqTrain(normed, "vec_id", "nv", m = 4, k = 8, iters = 2)
+    val coded = Similarity.pqEncode(assign, "v", cb)
+      .select(col("id"), col("centroid_id"), col("pq_codes"))
+    val probes = normed.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("probe_id"), col("nv").as("probe_vec"))
+    val got = Similarity.ivfPqSearch(coded, "id", "pq_codes", cents,
+      normed, "vec_id", "nv", probes, "probe_id", "probe_vec",
+      cb, k = 10, nprobe = 2, shortlist = 30).collect()
+    // per-probe contract: exactly k results, dup of vec 0 at rank 1
+    assert(got.groupBy(_.getAs[Long]("probe_id")).forall(_._2.length == 10))
+    assert(got.exists(r => r.getAs[Long]("probe_id") == 0L &&
+      r.getAs[Long]("neighbor_id") == 1000L && r.getAs[Int]("rank") == 1))
+    val bf = Similarity.bruteForceTopK(normed, "vec_id", "nv",
+      probes, "probe_id", "probe_vec", k = 10)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val gotSet = got.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf intersect gotSet).size.toDouble / bf.size
+    assert(recall >= 0.7, s"IVF-PQ recall $recall < 0.7")
+  }
+
+  test("pqTrain rejects an m that does not divide the dimension") {
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqTrain(normed, "vec_id", "nv", m = 5, k = 4, iters = 1)
+    }
+  }
+
+  test("pqTrain pads seeds when the corpus has fewer vectors than k") {
+    val tiny = normed.filter(col("vec_id") < 3L)
+    val cb = Similarity.pqTrain(tiny, "vec_id", "nv", m = 2, k = 8, iters = 1)
+    assert(cb.k == 8)
+    val codes = Similarity.pqEncode(tiny, "nv", cb).select(col("pq_codes")).collect()
+    assert(codes.forall(_.getSeq[Int](0).forall(c => c >= 1 && c <= 8)))
+  }
 }
