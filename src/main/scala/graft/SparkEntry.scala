@@ -3132,6 +3132,19 @@ object SparkEntry {
         maxDocsPerGram = Int.MaxValue)
     },
 
+    // exact WEIGHTED (multiset) Jaccard over the same mod-2 slice —
+    // Σ min / Σ max of gram occurrence counts, the repetition-aware
+    // form distinct-set Jaccard cannot express (q_jaccard_exact's
+    // contract is blind to a doc repeating its own content). True
+    // DuckDB oracle: the same histogram arithmetic in SQL. Uncapped by
+    // choice like its set twin; the slice is the bound
+    "q_jaccard_weighted" -> { (s, dir) =>
+      Dedup.exactWeightedJaccard(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, threshold = 0.5,
+        maxDocsPerGram = Int.MaxValue)
+    },
+
     // REAL pixel decode, oracled end-to-end: synthesize a valid 4×4
     // 24-bpp BMP per row (54-byte header + 48 BGR pixel bytes from a
     // doc_id-dependent formula, assembled with hex/unhex column
@@ -3182,6 +3195,26 @@ object SparkEntry {
         |  CAST(n_shared AS DOUBLE) / CAST(sa.n_g + sb.n_g - n_shared AS DOUBLE) AS jaccard
         |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n_g + sb.n_g - n_shared AS DOUBLE) >= 0.5""".stripMargin,
+
+    // weighted twin: gram HISTOGRAMS (no list_distinct), Σ min over
+    // shared grams, Σ max = totA + totB − Σ min
+    "q_jaccard_weighted" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s\x0B]+'), x -> len(x) > 0) AS tk
+        | FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |g AS (
+        | SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1), i -> array_to_string(tk[i:i+2], ' '))) AS gram
+        | FROM d),
+        |h AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS t FROM h GROUP BY 1),
+        |shared AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(least(a.c, b.c)) AS smin
+        | FROM h a JOIN h b USING (gram) WHERE a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(smin AS DOUBLE) / CAST(ta.t + tb.t - smin AS DOUBLE) AS wjaccard
+        |FROM shared JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
+        |WHERE CAST(smin AS DOUBLE) / CAST(ta.t + tb.t - smin AS DOUBLE) >= 0.5""".stripMargin,
 
     "q_media_pixels" ->
       """WITH px AS (

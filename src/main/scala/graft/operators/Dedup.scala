@@ -40,6 +40,19 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     graft.plans.native.shingleHashes(text, n)
 
+  /** Occurrence-expanded shingle hashes for WEIGHTED (multiset)
+    * Jaccard: the k-th occurrence of a gram hashes distinctly, so the
+    * plain SET Jaccard of two expanded sets equals the weighted
+    * Jaccard Σ min(cₐ,c_b) / Σ max(cₐ,c_b) of the gram bags exactly
+    * (integer weights) — MinHash/LSH over these hashes estimates
+    * weighted Jaccard with unchanged machinery. Distinct-set Jaccard
+    * is blind to repetition (a doc and the same doc with its content
+    * repeated 50× share the same gram SET, Jaccard 1); the weighted
+    * form is the standard fix for boilerplate- and spam-heavy corpora.
+    * Native one-pass kernel (graft.plans.WeightedShingleHashesExpr). */
+  def shingleHashesWeighted(text: Column, n: Int): Column =
+    graft.plans.native.shingleHashesWeighted(text, n)
+
   /** MinHash signature: for each of `numPerm` hash functions
     * h_i(x) = XXH64(x, seed=i), the min over the shingle-hash set.
     * Native codegen'd expression (graft.plans.MinHashSig) — the same
@@ -72,6 +85,19 @@ object Dedup {
     minHashNearDupsCached(df, idCol, textCol, shingleLen, numPerm, bands,
       threshold, maxBucketSize)._1
 
+  /** [[minHashNearDups]] on WEIGHTED (multiset) Jaccard: identical
+    * LSH pipeline over [[shingleHashesWeighted]]'s occurrence-expanded
+    * hashes, so `est_jaccard` estimates Σ min / Σ max of the gram
+    * bags. Same skew guard, same scale shape — the expanded set is at
+    * most total-grams large (vs distinct-grams), a constant-factor
+    * cost for repetition-aware dedup. */
+  def minHashNearDupsWeighted(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame =
+    minHashNearDupsCached(df, idCol, textCol, shingleLen, numPerm, bands,
+      threshold, maxBucketSize, weighted = true)._1
+
   /** [[minHashNearDups]] + the persisted signature intermediate, so a
     * COMPOSING pipeline ([[nearDedup]]) can unpersist it as soon as the
     * downstream consumer has materialized — the public single-operator
@@ -79,9 +105,13 @@ object Dedup {
   private def minHashNearDupsCached(
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, numPerm: Int, bands: Int,
-      threshold: Double, maxBucketSize: Int): (DataFrame, DataFrame) = {
+      threshold: Double, maxBucketSize: Int,
+      weighted: Boolean = false): (DataFrame, DataFrame) = {
     val rowsPerBand = numPerm / bands
     require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    def shingleCol(t: Column): Column =
+      if (weighted) shingleHashesWeighted(t, shingleLen)
+      else shingleHashes(t, shingleLen)
 
     // materialize signatures once: they feed the band explode, both
     // sides of the self-join, and the estimate — recomputing the
@@ -90,7 +120,7 @@ object Dedup {
     // signature table, bucketed by doc id).
     val docs = df
       .select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleLen).as("sh"))
+        shingleCol(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numPerm))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -209,6 +239,49 @@ object Dedup {
         (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact all-pairs WEIGHTED (multiset) n-gram Jaccard,
+    * Σ min(cₐ,c_b) / Σ max(cₐ,c_b) over gram occurrence counts — the
+    * repetition-aware counterpart of [[exactNgramJaccard]] (which a
+    * doc can game by repeating its own content: same gram SET, set
+    * Jaccard 1). Same posting-join shape: the gram HISTOGRAM
+    * (id, gram, count) replaces the gram set, pairs materialize only
+    * on shared grams, Σ min is a per-pair sum of `least(cₐ,c_b)`, and
+    * Σ max = totₐ + tot_b − Σ min from per-doc totals joined back.
+    * Every aggregation is map-side partial; the same loud
+    * `maxDocsPerGram` guard applies (the histogram groupBy bounds a
+    * gram's posting length by its DOCUMENT frequency, same as the
+    * set form). */
+  def exactWeightedJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocsPerGram: Int = 10000, dropHotGrams: Boolean = false): DataFrame = {
+    require(n > 0, "n must be > 0")
+    require(threshold > 0,
+      "threshold must be > 0: zero-overlap pairs never materialize in " +
+        "the posting join, so threshold <= 0 would silently omit them")
+    require(maxDocsPerGram > 0, "maxDocsPerGram must be > 0")
+    val hist = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.wordNgrams(col(textCol), n)).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("c"))
+    val grams = guardHotGrams(hist, maxDocsPerGram, dropHotGrams,
+      "exactWeightedJaccard")
+    val totals = grams.groupBy(col("id")).agg(sum(col("c")).as("tot"))
+    val shared = grams.select(col("gram"), col("id").as("id_a"), col("c").as("c_a"))
+      .join(grams.select(col("gram"), col("id").as("id_b"), col("c").as("c_b")),
+        "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("c_a"), col("c_b"))).as("smin"))
+    shared
+      .join(totals.select(col("id").as("id_a"), col("tot").as("t_a")), "id_a")
+      .join(totals.select(col("id").as("id_b"), col("tot").as("t_b")), "id_b")
+      .withColumn("wjaccard", col("smin").cast("double") /
+        (col("t_a") + col("t_b") - col("smin")).cast("double"))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("wjaccard"))
   }
 
   /** Posting-list length guard shared by the exact-gram operators: a

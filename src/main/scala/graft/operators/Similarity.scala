@@ -30,12 +30,11 @@ object Similarity {
 
   /** L2-normalize a vector to unit length (zero vectors pass through
     * unchanged). After normalization, cosine reduces to a dot product —
-    * normalize once at ingest, search many times. */
-  def l2Normalize(v: Column): Column = {
-    val n = norm(v)
-    when(n > 0d, transform(v, x => x.cast("double") / n)).otherwise(
-      transform(v, x => x.cast("double")))
-  }
+    * normalize once at ingest, search many times. Native codegen'd
+    * kernel: the declarative aggregate+transform HOF pair it replaces
+    * ran interpreted at ~125 µs/row (dim 64) and dominated every PQ
+    * stage that touched it. */
+  def l2Normalize(v: Column): Column = graft.plans.native.l2Normalize(v)
 
   /** Symmetric int8 quantization for embedding storage: scale by
     * 127/max|x| and round — an 8× storage/shuffle reduction with the

@@ -41,6 +41,24 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** string text → array<long> occurrence-expanded word n-gram shingle
+  * hashes (the k-th occurrence of a gram hashes distinctly, so plain
+  * set Jaccard over these equals WEIGHTED multiset Jaccard — see
+  * VectorKernels.shingleHashesWeighted). */
+case class WeightedShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"WeightedShingleHashesExpr: n must be positive, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.shingleHashesWeighted(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.shingleHashesWeighted($c, $n)")
+  override protected def withNewChildInternal(
+      newChild: Expression): WeightedShingleHashesExpr =
+    copy(child = newChild)
+}
+
 /** array<long> shingle hashes → array<long> MinHash signature. */
 case class MinHashSig(child: Expression, numPerm: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -172,6 +190,22 @@ case class NearestCentroid(child: Expression, cents: Array[Double], k: Int)
     copy(child = newChild)
 }
 
+/** array<float|double> → array<double> unit-normalized (zero vectors
+  * cast through unchanged). One fused codegen'd pass. */
+case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.l2Normalize(input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.l2Normalize($c, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): L2NormalizeExpr =
+    copy(child = newChild)
+}
+
 /** array<float|double> vector → array<int> of m 1-based PQ codes
   * (L2-nearest sub-centroid per contiguous subspace). The codebook
   * travels as a flattened reference object like [[NearestCentroid]]'s
@@ -274,6 +308,8 @@ object native {
 
   def shingleHashes(text: Column, n: Int): Column =
     c(ShingleHashesExpr(e(text), n))
+  def shingleHashesWeighted(text: Column, n: Int): Column =
+    c(WeightedShingleHashesExpr(e(text), n))
   def langId(tokens: Column): Column = c(LangIdExpr(e(tokens)))
   def minhashSig(shingleHashes: Column, numPerm: Int): Column =
     c(MinHashSig(e(shingleHashes), numPerm))
@@ -291,6 +327,7 @@ object native {
     c(BloomMightContain(e(keyHash), bits, k))
   def nearestCentroid(v: Column, cents: Array[Double], k: Int): Column =
     c(NearestCentroid(e(v), cents, k))
+  def l2Normalize(v: Column): Column = c(L2NormalizeExpr(e(v)))
   def pqEncode(v: Column, cents: Array[Double], m: Int, k: Int): Column =
     c(PqEncodeExpr(e(v), cents, m, k))
   def pqAdc(codes: Column, probe: Column, cents: Array[Double], m: Int, k: Int): Column =

@@ -362,4 +362,77 @@ class TextDedupSpec extends GraftSpec {
       .collect()
     assert(spans3.isEmpty)
   }
+
+  // ── weighted (multiset) Jaccard ──
+
+  test("weighted shingle hashes: distinct, multiplicity-expanded, set-consistent") {
+    val t = "a b c a b c a b d"
+    val r = Seq((0L, t)).toDF("doc_id", "text")
+      .select(Dedup.shingleHashes(col("text"), 2).as("s"),
+        Dedup.shingleHashesWeighted(col("text"), 2).as("w"))
+      .head()
+    val s = r.getSeq[Long](0)
+    val w = r.getSeq[Long](1)
+    // 8 bigrams total, 4 distinct ("a b" ×3, "b c" ×2, "c a" ×2, "b d")
+    assert(s.size == 4)
+    assert(w.size == 8)
+    assert(w.distinct.size == 8) // occurrence expansion never collides
+  }
+
+  test("weighted Jaccard punishes self-repetition where set Jaccard cannot") {
+    val base = "the quick brown fox jumps over the lazy dog"
+    val rep = Seq.fill(5)(base).mkString(" ")
+    val d = Seq((0L, base), (1L, rep)).toDF("doc_id", "text")
+    val setJ = Dedup.exactNgramJaccard(d, "doc_id", "text",
+      n = 3, threshold = 0.1, maxDocsPerGram = Int.MaxValue)
+      .head().getAs[Double]("jaccard")
+    // repetition introduces only the wrap-around grams, so the SET
+    // measure stays near 1 — it cannot see the 5× duplication
+    assert(setJ > 0.5, s"set jaccard $setJ")
+    val wJ = Dedup.exactWeightedJaccard(d, "doc_id", "text",
+      n = 3, threshold = 0.1, maxDocsPerGram = Int.MaxValue)
+      .head().getAs[Double]("wjaccard")
+    // bags: ~7 shared min-counts vs ~39 max-counts → far below setJ
+    assert(wJ < 0.3, s"weighted jaccard $wJ should expose the repetition")
+    assert(wJ < setJ)
+  }
+
+  test("exactWeightedJaccard matches a hand-computed bag Jaccard") {
+    // bigrams of A: {xy:2, yx:1, yz:1} (x y x y z); B: {xy:1, yz:2, zy:1}
+    // (x y z y z)... compute expected directly instead: n=2
+    val d = Seq((0L, "x y x y z"), (1L, "x y z y z")).toDF("doc_id", "text")
+    // A bigrams: xy, yx, xy, yz → {xy:2, yx:1, yz:1}, tot 4
+    // B bigrams: xy, yz, zy, yz → {xy:1, yz:2, zy:1}, tot 4
+    // smin = min(2,1) + min(1,2) = 2; wJ = 2 / (4 + 4 - 2) = 1/3
+    val wJ = Dedup.exactWeightedJaccard(d, "doc_id", "text",
+      n = 2, threshold = 0.1, maxDocsPerGram = Int.MaxValue)
+      .head().getAs[Double]("wjaccard")
+    assert(math.abs(wJ - 1.0 / 3.0) < 1e-12, s"got $wJ")
+  }
+
+  test("minHashNearDupsWeighted: exact copies estimate 1.0; repetition scores below the set estimate") {
+    val pairs = Dedup.minHashNearDupsWeighted(docs, "doc_id", "text",
+      shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("est_jaccard"))).toMap
+    assert(pairs((0L, 3L)) == 1.0) // exact copies: identical bags
+    assert(pairs.contains((0L, 1L))) // near-dup still surfaces
+    // a self-repeated doc: weighted estimate must drop well below the
+    // set estimate (which stays ≈ 1)
+    val base = "the quick brown fox jumps over the lazy dog"
+    val rep = Seq.fill(5)(base).mkString(" ")
+    val d2 = Seq((0L, base), (1L, rep)).toDF("doc_id", "text")
+    // single-row bands (256 bands × 1 hash) make candidate generation
+    // near-certain at any Jaccard, so the assertions see the ESTIMATE,
+    // not LSH collision luck
+    val est = Dedup.minHashNearDupsWeighted(d2, "doc_id", "text",
+      shingleLen = 3, numPerm = 256, bands = 256, threshold = 0.01)
+      .collect()
+    val w = if (est.isEmpty) 0.0 else est.head.getAs[Double]("est_jaccard")
+    val s = Dedup.minHashNearDups(d2, "doc_id", "text",
+      shingleLen = 3, numPerm = 256, bands = 256, threshold = 0.01)
+      .head().getAs[Double]("est_jaccard")
+    assert(s > 0.6, s"set estimate $s")
+    assert(w < s - 0.2, s"weighted estimate $w vs set $s")
+  }
 }
