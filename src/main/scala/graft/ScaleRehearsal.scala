@@ -174,6 +174,17 @@ object ScaleRehearsal {
           .limit(200).select(col("text"))
         force(Dedup.decontaminate(docs, "doc_id", "text", bench, "text"))
       }
+      time(scale, "decontaminate_fuzzy") {
+        // constant-size benchmark vs the growing corpus: cost must
+        // track the corpus signature pass, not corpus × bench
+        val bench = spark.read.parquet(s"$baseDir/documents.parquet")
+          .limit(200).select(col("text"))
+        force(Dedup.decontaminateFuzzy(docs, "doc_id", "text", bench, "text"))
+      }
+      time(scale, "minhash_pairs_weighted") {
+        force(Dedup.minHashNearDupsWeighted(docs, "doc_id", "text",
+          shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5))
+      }
       time(scale, "contamination_score") {
         val bench = spark.read.parquet(s"$baseDir/documents.parquet")
           .limit(200).select(col("text"))

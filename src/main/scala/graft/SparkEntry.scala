@@ -1219,6 +1219,40 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     },
 
+    // FUZZY decontamination (LSH near-dup vs the benchmark — catches
+    // the paraphrase-level leak exact 8-gram overlap misses), planted
+    // TRUE oracle: corpus = rest ∪ an exact copy of every token-ful
+    // bench doc at +300000 ∪ a one-token-appended mutation of every
+    // bench doc with ≥ 4 distinct trigrams at +400000 (mutation
+    // Jaccard = |S|/(|S|+1) ≥ 0.8 exactly when |S| ≥ 4). The gate
+    // returns exactly the planted ids that were REMOVED; the oracle
+    // derives the same id set arithmetically. bands = 32 (2 rows/band)
+    // makes the J = 0.8 worst case collide with miss probability
+    // ~0.36³² ≈ 6e-15 — deterministic in practice at any SF
+    "q_decontaminate_fuzzy" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val tokenful = bench.filter(col("text").isNotNull && col("text").rlike("\\S"))
+      val copies = tokenful
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      val mutated = tokenful
+        .filter(size(array_distinct(
+          TextFunctions.wordNgrams(col("text"), 3))) >= 4)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(col("text"), lit(" zzmutquux")).as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(copies).unionByName(mutated)
+      val surv = Dedup.decontaminateFuzzy(corpus, "doc_id", "text",
+        bench, "text", shingleLen = 3, numPerm = 64, bands = 32,
+        threshold = 0.8)
+      val planted = copies.select(col("doc_id"))
+        .unionByName(mutated.select(col("doc_id")))
+      planted.join(surv.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("removed_id"))
+    },
+
     // deterministic domain mixing: per-source keep rates, md5-uniform
     "q_domain_mix" -> { (s, dir) =>
       graft.operators.Sampling.weightedKeep(
@@ -1900,6 +1934,25 @@ object SparkEntry {
         |bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram) WHERE g.doc_id % 97 <> 0)
         |SELECT d.doc_id, d.source FROM documents d
         |WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // q_decontaminate_fuzzy: every planted copy (+300000, token-ful
+    // bench docs) and every planted one-token mutation (+400000, bench
+    // docs with >= 4 distinct trigrams, so mutation Jaccard
+    // |S|/(|S|+1) >= 0.8) must be removed — the id arithmetic IS the
+    // oracle
+    "q_decontaminate_fuzzy" ->
+      """WITH bench AS (
+        | SELECT doc_id, text,
+        |   list_filter(regexp_split_to_array(text, '[\s\x0B]+'), x -> len(x) > 0) AS tk
+        | FROM documents
+        | WHERE doc_id % 97 = 0 AND text IS NOT NULL
+        |   AND regexp_matches(text, '[^\s\x0B]'))
+        |SELECT doc_id + 300000 AS removed_id FROM bench
+        |UNION ALL
+        |SELECT doc_id + 400000 AS removed_id FROM bench
+        |WHERE len(list_distinct(list_transform(
+        |  range(1, greatest(len(tk) - 2, 1) + 1),
+        |  i -> array_to_string(tk[i:i+2], ' ')))) >= 4""".stripMargin,
     "q_domain_mix" ->
       """SELECT doc_id, source FROM documents
         |WHERE cast(concat('0x', substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 <

@@ -482,6 +482,78 @@ object Dedup {
     df.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** FUZZY benchmark decontamination: removes corpus documents
+    * NEAR-DUPLICATE to any benchmark document — the paraphrase-level
+    * leak [[decontaminate]] cannot see (exact 8-gram overlap misses a
+    * reworded or lightly-edited benchmark item; near-dup matching is
+    * the standard second line of defense for eval-set leakage).
+    *
+    * Shape: a BIPARTITE MinHash/LSH match — corpus and benchmark sides
+    * each compute signatures once, band buckets join corpus × bench
+    * (never corpus × corpus), and candidates are verified with the
+    * EXACT shingle-set Jaccard (array_intersect over the hash sets) so
+    * LSH optimism cannot remove a good document; a hash collision
+    * perturbs Jaccard by at most one gram in ~2⁶⁴. Per-side
+    * `maxBucketSize` caps mirror [[minHashNearDups]]'s skew guard: a
+    * degenerate bucket on either side would otherwise make the
+    * bipartite join a per-bucket cross product. Work ∝ corpus grams +
+    * bench grams + (matched buckets) — never corpus × bench.
+    *
+    * Token-free documents carry no signature and cannot fuzzy-match;
+    * route exact leakage concerns through [[decontaminate]], which
+    * handles the empty-gram case (the two are complementary filters
+    * and compose by chaining).
+    *
+    * @return the surviving rows of `df` (contaminated documents
+    *         removed), like [[decontaminate]] */
+  def decontaminateFuzzy(
+      df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxBucketSize > 0, "maxBucketSize must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    def sigSide(src: DataFrame, id: Column, text: Column): DataFrame =
+      src.select(id.as("id"), shingleHashes(text, shingleLen).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", minhashSignature(col("sh"), numPerm))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bucketSide(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"),
+        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+    val corpus = sigSide(df, col(idCol), col(textCol))
+    // identical benchmark texts collapse to one id (xxhash64 of the
+    // text) — the match relation only needs SOME bench witness
+    val bench = sigSide(
+      benchmark.filter(col(benchTextCol).isNotNull)
+        .select(col(benchTextCol).as("__btext")).distinct(),
+      xxhash64(col("__btext")), col("__btext"))
+    val candidates = bucketSide(corpus)
+      .join(bucketSide(bench).select(col("band"), col("bucket"),
+        col("id").as("bench_id")), Seq("band", "bucket"))
+      .select(col("id"), col("bench_id"))
+      .dropDuplicates("id", "bench_id")
+    val contaminated = candidates
+      .join(corpus.select(col("id"), col("sh").as("sh_c")), "id")
+      .join(bench.select(col("id").as("bench_id"), col("sh").as("sh_b")),
+        "bench_id")
+      .filter(
+        size(array_intersect(col("sh_c"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_c"), col("sh_b"))).cast("double")
+          >= threshold)
+      .select(col("id")).distinct()
+    df.join(contaminated, col(idCol) === col("id"), "left_anti")
+  }
+
   /** Per-document benchmark-contamination REPORT: the fraction of each
     * document's DISTINCT word n-grams (the same gram set
     * [[decontaminate]] tests — partial gram for shorter-than-n docs,

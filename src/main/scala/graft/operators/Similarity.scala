@@ -488,6 +488,17 @@ object Similarity {
     data.withColumn(codesCol,
       graft.plans.native.pqEncode(col(vecCol), cb.flat, cb.m, cb.k))
 
+  /** [[pqEncode]] with all m codes PACKED into one 8-byte long (4 bits
+    * per subspace; requires k ≤ 16, m ≤ 16 — the default config).
+    * An array<int> code column still pays ~20 bytes of array header
+    * per row; the packed word is the format a 100 TB code table
+    * should scan and shuffle. [[pqSearch]]/[[pqSearchRerank]] accept
+    * either format (dispatch on the column type). */
+  def pqEncodePacked(data: DataFrame, vecCol: String, cb: PqCodebook,
+      codesCol: String = "pq_code"): DataFrame =
+    data.withColumn(codesCol,
+      graft.plans.native.pqEncodePacked(col(vecCol), cb.flat, cb.m, cb.k))
+
   /** PQ top-k search by asymmetric distance: every probe scored against
     * every CODE row (the corpus side carries m ints, never the
     * vectors), ranked by ADC dot (desc, id asc tie-break). Probes are
@@ -505,11 +516,14 @@ object Similarity {
       cb: PqCodebook, k: Int): DataFrame = {
     val p = probes.select(col(probeIdCol).as("probe_id"),
       transform(col(probeVecCol), x => x.cast("double")).as("pv"))
+    val packed = codes.schema(codesCol).dataType == org.apache.spark.sql.types.LongType
+    def adc(codesC: Column, probeC: Column): Column =
+      if (packed) graft.plans.native.pqAdcPacked(codesC, probeC, cb.flat, cb.m, cb.k)
+      else graft.plans.native.pqAdc(codesC, probeC, cb.flat, cb.m, cb.k)
     val scored = codes.select(col(idCol).as("id"), col(codesCol).as("codes"))
       .crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("id"))
-      .withColumn("adc_dot",
-        graft.plans.native.pqAdc(col("codes"), col("pv"), cb.flat, cb.m, cb.k))
+      .withColumn("adc_dot", adc(col("codes"), col("pv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc_dot").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -581,12 +595,17 @@ object Similarity {
     val lists = pc.withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= nprobe)
       .select(col("probe_id"), col("pv"), col("centroid_id"))
+    val packed = codedAssignments.schema(codesCol).dataType ==
+      org.apache.spark.sql.types.LongType
     val cand = lists
       .join(codedAssignments.select(col(idCol).as("id"),
         col("centroid_id"), col(codesCol).as("codes")), "centroid_id")
       .filter(col("probe_id") =!= col("id"))
       .withColumn("adc_dot",
-        graft.plans.native.pqAdc(col("codes"), col("pv"), cb.flat, cb.m, cb.k))
+        if (packed)
+          graft.plans.native.pqAdcPacked(col("codes"), col("pv"), cb.flat, cb.m, cb.k)
+        else
+          graft.plans.native.pqAdc(col("codes"), col("pv"), cb.flat, cb.m, cb.k))
     val ws = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc_dot").desc, col("id").asc)
     val short = cand.withColumn("srn", row_number().over(ws))

@@ -231,6 +231,56 @@ case class PqEncodeExpr(child: Expression, cents: Array[Double], m: Int, k: Int)
     copy(child = newChild)
 }
 
+/** array<float|double> vector → long: all m 4-bit PQ codes packed in
+  * one word (k ≤ 16, m ≤ 16) — the 8-byte scan/shuffle format for the
+  * code table at scale. */
+case class PqEncodePackedExpr(child: Expression, cents: Array[Double], m: Int, k: Int)
+    extends UnaryExpression {
+  require(m > 0 && m <= 16 && k > 0 && k <= 16,
+    s"PqEncodePackedExpr: packed codes need 1 <= m,k <= 16, got m=$m k=$k")
+  require(cents.nonEmpty && cents.length % (m * k) == 0,
+    s"PqEncodePackedExpr: ${cents.length} codebook values do not tile m=$m × k=$k rows")
+  override def dataType: DataType = LongType
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqEncodePacked(cents, m, k, input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftPqCodebook", cents, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.pqEncodePacked($centsRef, $m, $k, $c, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodePackedExpr =
+    copy(child = newChild)
+}
+
+/** (long packed codes, array<float|double> probe) → double ADC dot. */
+case class PqAdcPackedExpr(left: Expression, right: Expression,
+    cents: Array[Double], m: Int, k: Int) extends BinaryExpression {
+  require(m > 0 && m <= 16 && k > 0 && k <= 16,
+    s"PqAdcPackedExpr: packed codes need 1 <= m,k <= 16, got m=$m k=$k")
+  require(cents.nonEmpty && cents.length % (m * k) == 0,
+    s"PqAdcPackedExpr: ${cents.length} codebook values do not tile m=$m × k=$k rows")
+  override def dataType: DataType = DoubleType
+  private def probeFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(packed: Any, probe: Any): Any =
+    VectorKernels.pqAdcPacked(cents, m, k, packed.asInstanceOf[Long],
+      probe.asInstanceOf[ArrayData], probeFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftPqCodebook", cents, "double[]")
+    defineCodeGen(ctx, ev, (c, p) =>
+      s"graft.plans.VectorKernels.pqAdcPacked($centsRef, $m, $k, $c, $p, $probeFloat)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcPackedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** (array<int> PQ codes, array<float|double> probe) → double
   * asymmetric-distance dot product against the same broadcast
   * codebook the codes were produced with. */
@@ -332,6 +382,10 @@ object native {
     c(PqEncodeExpr(e(v), cents, m, k))
   def pqAdc(codes: Column, probe: Column, cents: Array[Double], m: Int, k: Int): Column =
     c(PqAdcExpr(e(codes), e(probe), cents, m, k))
+  def pqEncodePacked(v: Column, cents: Array[Double], m: Int, k: Int): Column =
+    c(PqEncodePackedExpr(e(v), cents, m, k))
+  def pqAdcPacked(packed: Column, probe: Column, cents: Array[Double], m: Int, k: Int): Column =
+    c(PqAdcPackedExpr(e(packed), e(probe), cents, m, k))
   def unicodeNormalize(text: Column, form: String): Column =
     c(UnicodeNormalize(e(text), form))
 }

@@ -469,6 +469,51 @@ object VectorKernels {
     new GenericArrayData(codes)
   }
 
+  /** [[pqEncode]] packed into ONE long: subspace mi's (code-1) sits in
+    * bits [4·mi, 4·mi+4). Requires k ≤ 16 and m ≤ 16 — the standard
+    * PQ configuration — and shrinks the per-row payload from an
+    * array<int> (20+ bytes of UnsafeArrayData header + 4·m data) to a
+    * bare 8-byte column: the scan/shuffle format the 100 TB code
+    * table actually wants. */
+  def pqEncodePacked(cents: Array[Double], m: Int, k: Int, v: ArrayData,
+      isFloat: Boolean): Long = {
+    val codes = pqEncode(cents, m, k, v, isFloat)
+    var packed = 0L
+    var mi = 0
+    while (mi < m) {
+      packed |= (codes.getInt(mi) - 1).toLong << (4 * mi)
+      mi += 1
+    }
+    packed
+  }
+
+  /** [[pqAdc]] over a packed long code word (layout of
+    * [[pqEncodePacked]]). */
+  def pqAdcPacked(cents: Array[Double], m: Int, k: Int, packed: Long,
+      probe: ArrayData, probeFloat: Boolean): Double = {
+    val subDim = cents.length / (m * k)
+    if (probe.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pqAdcPacked: probe dimension ${probe.numElements()} " +
+          s"vs m*subDim = ${m * subDim}")
+    var dot = 0.0
+    var mi = 0
+    while (mi < m) {
+      val code = ((packed >>> (4 * mi)) & 0xFL).toInt
+      val off = (mi * k + code) * subDim
+      val pOff = mi * subDim
+      var j = 0
+      while (j < subDim) {
+        val x = if (probeFloat) probe.getFloat(pOff + j).toDouble
+                else probe.getDouble(pOff + j)
+        dot += cents(off + j) * x
+        j += 1
+      }
+      mi += 1
+    }
+    dot
+  }
+
   /** Asymmetric-distance dot product: Σ over subspaces of
     * ⟨probe subvector, the sub-centroid `codes[mi]` points at⟩ — the
     * probe stays exact (asymmetric), only the data side is quantized.

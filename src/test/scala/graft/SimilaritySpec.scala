@@ -299,6 +299,35 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.7, s"IVF-PQ recall $recall < 0.7")
   }
 
+  test("packed PQ codes: one long per row, search results identical to the array form") {
+    val cb = Similarity.pqTrain(normed, "vec_id", "nv", m = 4, k = 8, iters = 2)
+    val arr = Similarity.pqEncode(normed, "nv", cb)
+      .select(col("vec_id"), col("pq_codes"))
+    val packed = Similarity.pqEncodePacked(normed, "nv", cb)
+      .select(col("vec_id"), col("pq_code"))
+    // pack/unpack agreement: nibble mi of the word is code(mi) - 1
+    val joined = arr.join(packed, "vec_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val word = r.getLong(2)
+      codes.zipWithIndex.foreach { case (c, mi) =>
+        assert(((word >>> (4 * mi)) & 0xF) == c - 1, s"vec ${r.getLong(0)} sub $mi")
+      }
+    }
+    val probes = normed.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("probe_id"), col("nv").as("probe_vec"))
+    val viaArr = Similarity.pqSearch(arr, "vec_id", "pq_codes",
+      probes, "probe_id", "probe_vec", cb, k = 10)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dot"))).toMap
+    val viaPacked = Similarity.pqSearch(packed, "vec_id", "pq_code",
+      probes, "probe_id", "probe_vec", cb, k = 10)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dot"))).toMap
+    assert(viaArr == viaPacked)
+  }
+
   test("pqTrain rejects an m that does not divide the dimension") {
     assertThrows[IllegalArgumentException] {
       Similarity.pqTrain(normed, "vec_id", "nv", m = 5, k = 4, iters = 1)

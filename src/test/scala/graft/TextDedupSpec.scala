@@ -363,6 +363,34 @@ class TextDedupSpec extends GraftSpec {
     assert(spans3.isEmpty)
   }
 
+  test("decontaminateFuzzy removes paraphrase-level leaks exact overlap misses") {
+    val bench = Seq(
+      "what is the capital of france the answer is paris of course today").toDF("text")
+    val corpus = Seq(
+      // 0: one-token edit of the bench item — NO shared 8-gram run of
+      // the exact kind after the early edit, but Jaccard >> 0.8
+      (0L, "what is the capital of france the answer is paris of course tonight"),
+      // 1: unrelated
+      (1L, "a completely different document about apples bananas oranges pears and plums"),
+      // 2: exact copy
+      (2L, "what is the capital of france the answer is paris of course today"),
+      // 3: token-free (no signature — must survive the fuzzy filter)
+      (3L, "   ")
+    ).toDF("doc_id", "text")
+    val surv = Dedup.decontaminateFuzzy(corpus, "doc_id", "text",
+      bench, "text", shingleLen = 3, numPerm = 64, bands = 32,
+      threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 3L), s"survivors $surv")
+    // exact decontaminate keeps the near-paraphrase when the shared
+    // 8-gram runs are broken (complementary filters)
+    val exactSurv = Dedup.decontaminate(
+      corpus.filter(col("doc_id") === 0L), "doc_id", "text",
+      bench, "text", n = 14)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactSurv == Set(0L))
+  }
+
   // ── weighted (multiset) Jaccard ──
 
   test("weighted shingle hashes: distinct, multiplicity-expanded, set-consistent") {
