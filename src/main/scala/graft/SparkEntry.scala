@@ -887,6 +887,38 @@ object SparkEntry {
           (coalesce(col("n_hit"), lit(0L)) >= 5L).as("recall_ok"))
     },
 
+    // STREAMING ANN: probe vectors as a real streaming query (file
+    // source → available-now → memory sink) scored against the STATIC
+    // packed-code table — the online-retrieval shape over a
+    // nightly-built index. stream ≡ batch: the same nearestByAdc plan
+    // over batch probes must produce the identical top-1 relation,
+    // and every probe scores exactly corpus−1 candidates; both facts
+    // are SQL constants
+    "q_ann_stream" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val normed = emb.select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("nv"))
+      val cb = Similarity.pqTrain(normed, "vec_id", "nv", m = 8, k = 16, iters = 2)
+      val codes = Similarity.pqEncodePacked(normed, "nv", cb)
+        .select(col("vec_id"), col("pq_code"))
+      val streamed = graft.streaming.VectorStreams.nearestByAdcStreamed(
+        s, s"$dir/embeddings.parquet", "vec_id", "embedding",
+        codes, "vec_id", "pq_code", cb)
+      val batch = graft.streaming.VectorStreams.nearestByAdc(
+        emb, "vec_id", "embedding", codes, "vec_id", "pq_code", cb)
+      emb.select(col("vec_id").as("probe_id"))
+        .join(streamed.select(col("probe_id"),
+          col("neighbor_id").as("s_nb"), col("n_scored").as("s_n")),
+          Seq("probe_id"), "left")
+        .join(batch.select(col("probe_id"),
+          col("neighbor_id").as("b_nb"), col("n_scored").as("b_n")),
+          Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("s_n"), lit(0L)).as("n_scored"),
+          (col("s_nb").isNotNull && col("s_nb") === col("b_nb") &&
+            col("s_n") === col("b_n")).as("stream_eq_batch"))
+    },
+
     // ── text analysis over documents ──
     "q_text_stats" -> { (s, dir) =>
       t(s, dir, "documents").select(
@@ -3680,6 +3712,14 @@ object SparkEntry {
       """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results,
         |  true AS recall_ok
         |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin,
+
+    // q_ann_stream: every probe scores corpus−1 candidates and the
+    // streaming execution equals the batch plan row for row
+    "q_ann_stream" ->
+      """SELECT vec_id AS probe_id,
+        |  (SELECT count(*) FROM embeddings) - 1 AS n_scored,
+        |  true AS stream_eq_batch
+        |FROM embeddings""".stripMargin,
 
     // planted-copy oracle: every mod-5 nonzero vector pairs with its
     // exact copy at +100000 (identical signatures collide in every

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.operators.Similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming ANN: probe vectors arrive as a stream and are scored
+  * against a STATIC PQ code table (a stream-static join — the
+  * production shape for online retrieval over a nightly-built index:
+  * the code table is the persisted artifact, probes are the live
+  * traffic). Assignment is stateless per probe except the final
+  * per-probe aggregate, so state is one row per probe key and the
+  * static side never re-shuffles per micro-batch.
+  *
+  * Reference-analogue: csvplus's Index is built once and probed many
+  * times (csvplus.go:655, 869); this is the same contract with the
+  * probe side lifted to a stream.
+  */
+object VectorStreams {
+
+  /** Top-1 ADC neighbour for every probe in `probes` against the
+    * packed-code table: ties broken toward the smaller neighbour id,
+    * self-matches excluded. Works identically over batch and
+    * streaming probe frames (the batch twin IS the streaming
+    * semantics — used by the stream≡batch gate). */
+  def nearestByAdc(
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      codes: DataFrame, idCol: String, codesCol: String,
+      cb: Similarity.PqCodebook): DataFrame = {
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      transform(col(probeVecCol), x => x.cast("double")).as("pv"))
+      .withColumn("__k", lit(1))
+    val c = codes.select(col(idCol).as("nb_id"), col(codesCol).as("codes"))
+      .withColumn("__k", lit(1))
+    val packed = codes.schema(codesCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    def adc(codesC: Column, probeC: Column): Column =
+      if (packed)
+        graft.plans.native.pqAdcPacked(codesC, probeC, cb.flat, cb.m, cb.k)
+      else graft.plans.native.pqAdc(codesC, probeC, cb.flat, cb.m, cb.k)
+    // equi-join on a constant key: a stream-static CROSS product is not
+    // a supported streaming join, the single-key hash join is — and the
+    // static side broadcasts (codes are m ints/8 bytes per row)
+    p.join(broadcast(c), "__k")
+      .filter(col("probe_id") =!= col("nb_id"))
+      .withColumn("adc_dot", adc(col("codes"), col("pv")))
+      .groupBy(col("probe_id"))
+      .agg(max_by(col("nb_id"),
+        struct(col("adc_dot").as("d"), (-col("nb_id")).as("t"))).as("neighbor_id"),
+        count(lit(1)).as("n_scored"))
+  }
+
+  /** [[nearestByAdc]] executed as a REAL streaming query: the probe
+    * parquet is read as a file-source stream (available-now trigger,
+    * complete-mode memory sink — the same harness contract as
+    * EventStreams.runStreamed), scored against the static code table,
+    * and the materialized result is returned for the stream≡batch
+    * compare. */
+  def nearestByAdcStreamed(
+      spark: SparkSession, probeParquet: String,
+      probeIdCol: String, probeVecCol: String,
+      codes: DataFrame, idCol: String, codesCol: String,
+      cb: Similarity.PqCodebook): DataFrame = {
+    val src = java.nio.file.Paths.get(probeParquet)
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) probeParquet
+      else {
+        val dir = java.nio.file.Paths.get(
+          graft.Scratch.path(s"annstream_${math.abs(probeParquet.hashCode)}"))
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.copy(src, dir.resolve(src.getFileName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dir.toString
+      }
+    val schema = spark.read.parquet(probeParquet).schema
+    val stream = spark.readStream.schema(schema).parquet(streamPath)
+    val name = "graft_annstream_" + math.abs(probeParquet.hashCode)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = nearestByAdc(stream, probeIdCol, probeVecCol,
+        codes, idCol, codesCol, cb)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
+  }
+}

@@ -328,6 +328,28 @@ class SimilaritySpec extends GraftSpec {
     assert(viaArr == viaPacked)
   }
 
+  test("nearestByAdc: top-1 per probe, self excluded, smaller-id tie-break") {
+    val cb = Similarity.pqTrain(normed, "vec_id", "nv", m = 4, k = 8, iters = 2)
+    val codes = Similarity.pqEncodePacked(normed, "nv", cb)
+      .select(col("vec_id"), col("pq_code"))
+    val probes = normed.filter(col("vec_id").isin(0L, 1000L))
+      .select(col("vec_id").as("pid"), col("nv").as("pv"))
+    val r = graft.streaming.VectorStreams.nearestByAdc(
+      probes, "pid", "pv", codes, "vec_id", "pq_code", cb).collect()
+    assert(r.length == 2)
+    // vec 0 and its planted dup share codes, so each probe's own twin
+    // ties the max ADC with every same-code vector; the deterministic
+    // winner is the smallest qualifying id (vec 0 itself for probe
+    // 1000); every probe scores exactly corpus − 1 candidates
+    assert(r.forall(_.getAs[Long]("n_scored") == 90L))
+    val byProbe = r.map(x => x.getAs[Long]("probe_id") -> x.getAs[Long]("neighbor_id")).toMap
+    assert(byProbe(1000L) == 0L || byProbe(1000L) < 1000L)
+    // determinism: a second evaluation returns the identical relation
+    val r2 = graft.streaming.VectorStreams.nearestByAdc(
+      probes, "pid", "pv", codes, "vec_id", "pq_code", cb).collect()
+    assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
+  }
+
   test("pqTrain rejects an m that does not divide the dimension") {
     assertThrows[IllegalArgumentException] {
       Similarity.pqTrain(normed, "vec_id", "nv", m = 5, k = 4, iters = 1)
