@@ -240,6 +240,13 @@ object ScaleRehearsal {
           normed, "vec_id", "nv", probes, "probe_id", "probe_vec",
           cb, k = 10, nprobe = 4, shortlist = 50))
       }
+      time(scale, "knn_graph") {
+        // list count ∝ corpus pins per-list candidate work (the
+        // operator's documented sizing rule), same as semantic_dedup
+        val n = emb.count()
+        force(Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 5, nCentroids = math.max(8, (n / 250).toInt), nprobe = 2))
+      }
       time(scale, "embedding_near_dup") {
         // corpus-sized layout: bandBits ∝ log2(N) keeps candidates (and
         // so cost) LINEAR in N. The r9 rehearsal measured the fixed-

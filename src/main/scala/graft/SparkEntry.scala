@@ -887,6 +887,38 @@ object SparkEntry {
           (coalesce(col("n_hit"), lit(0L)) >= 5L).as("recall_ok"))
     },
 
+    // k-NN GRAPH, planted TRUE oracle: exact copies of the mod-5
+    // nonzero vectors at +100000 share their originals' centroid lists
+    // (identical vectors, identical multi-assignment) and cosine ≈ 1 —
+    // far above any organic neighbour in a random corpus — so each
+    // planted pair must be MUTUAL rank-1 in the graph. maxListSize is
+    // uncapped by choice: the oracle requires every planted pair to
+    // meet (same reasoning as q_dedup_embedding's uncapped buckets)
+    "q_knn_graph" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
+      require(maxId != null && maxId < 100000L,
+        s"planted-copy gate assumes vec_id < 100000; max is $maxId")
+      val nonzero = aggregate(col("embedding"), lit(0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0d
+      val planted = emb.filter(col("vec_id") % 5 === 0 && nonzero)
+      val aug = emb.select(col("vec_id"), col("embedding")).unionByName(
+        planted.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val g = Similarity.knnGraph(aug, "vec_id", "embedding",
+        k = 5, nCentroids = 16, iters = 2, nprobe = 2,
+        maxListSize = Int.MaxValue)
+      val rank1 = g.filter(col("rank") === 1)
+        .select(col("id"), col("neighbor_id"))
+      planted.select(col("vec_id"))
+        .join(rank1.select(col("id").as("vec_id"),
+          col("neighbor_id").as("fwd")), Seq("vec_id"), "left")
+        .join(rank1.select((col("id") - 100000L).as("vec_id"),
+          col("neighbor_id").as("bwd")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (col("fwd") === col("vec_id") + 100000L &&
+            col("bwd") === col("vec_id")).as("mutual_rank1"))
+    },
+
     // STREAMING ANN: probe vectors as a real streaming query (file
     // source → available-now → memory sink) scored against the STATIC
     // packed-code table — the online-retrieval shape over a
@@ -3712,6 +3744,15 @@ object SparkEntry {
       """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results,
         |  true AS recall_ok
         |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin,
+
+    // q_knn_graph: every planted (original, copy) pair is mutual
+    // rank-1 — the id set is pure arithmetic, the boolean a constant
+    "q_knn_graph" ->
+      """SELECT vec_id, true AS mutual_rank1
+        |FROM embeddings
+        |WHERE vec_id % 5 = 0
+        |  AND coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x * x)), 0) > 0""".stripMargin,
 
     // q_ann_stream: every probe scores corpus−1 candidates and the
     // streaming execution equals the batch plan row for row

@@ -562,6 +562,74 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Approximate k-NN GRAPH: every vector's `k` nearest neighbours by
+    * exact cosine, with candidate generation bounded by IVF
+    * multi-assignment — each vector posts to its `nprobe` nearest
+    * centroid lists (one codegen'd [[graft.plans.NearestCentroids]]
+    * call), and only vectors sharing a list are ever compared, so a
+    * near-boundary pair still meets in SOME common list with high
+    * probability while the all-pairs N² never materializes. The graph
+    * is the backbone structure of modern corpus curation (graph
+    * clustering, density/outlier estimation, label propagation);
+    * [[semanticDedup]] is its thresholded special case.
+    *
+    * Scale shape: list membership is (id, list_id) rows — nprobe × N,
+    * vectors excluded (the [[cosineNearDups]] transport rule); the
+    * within-list self-join is N²/nCentroids per the cluster-size
+    * sizing rule (pick nCentroids ∝ N / targetListSize), vectors are
+    * fetched once per surviving candidate pair, and the final top-k
+    * is a per-source window over candidate edges only. `maxListSize`
+    * caps a degenerate list the way `maxBucketSize` caps an LSH
+    * bucket: over-cap lists are dropped from candidate generation —
+    * documented recall loss, never a silent quadratic.
+    *
+    * @return directed edges (id, neighbor_id, rank, cosine) — up to k
+    *         per source vector, rank 1 = nearest
+    */
+  def knnGraph(
+      data: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int, iters: Int = 2, nprobe: Int = 2,
+      maxListSize: Int = 10000): DataFrame = {
+    require(k > 0, s"knnGraph: k must be positive, got $k")
+    require(nprobe > 0, s"knnGraph: nprobe must be positive, got $nprobe")
+    require(maxListSize > 1, s"knnGraph: maxListSize must be > 1")
+    val (assign, centsDf) = ivfIndex(data, idCol, vecCol, nCentroids, iters)
+    // k × dim doubles — driver-sized by the ivfIndex contract
+    val cents = centsDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val flat = cents.flatMap { case (_, cv) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      if (n > 0) cv.map(_ / n) else cv
+    }
+    val d = assign.select(col("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lists = d.select(col("id"),
+      explode(graft.plans.native.nearestCentroids(
+        col("v"), flat, cents.length, nprobe)).as("list_id"))
+    val capped = lists
+      .withColumn("__lsz",
+        count(lit(1)).over(Window.partitionBy(col("list_id"))))
+      .filter(col("__lsz") <= maxListSize)
+      .drop("__lsz")
+    val cand = capped.alias("a")
+      .join(capped.alias("b"), Seq("list_id"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+      .dropDuplicates("src", "dst")
+    val directed = cand.unionByName(
+      cand.select(col("dst").as("src"), col("src").as("dst")))
+    val scored = directed
+      .join(d.select(col("id").as("src"), col("v").as("v_s")), "src")
+      .join(d.select(col("id").as("dst"), col("v").as("v_d")), "dst")
+      .withColumn("cosine", cosine(col("v_s"), col("v_d")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src").as("id"), col("dst").as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
   /** IVF-PQ retrieval — the canonical 100 TB ANN layout (Jégou et al.
     * 2011, "Product quantization for nearest neighbor search"): the
     * coarse quantizer ([[ivfIndex]]) prunes the scan to `nprobe`

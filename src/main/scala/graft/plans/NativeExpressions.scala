@@ -307,6 +307,32 @@ case class PqAdcExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** array<float|double> vector → array<int> of its `nprobe` nearest
+  * centroid ids, best-first (the multi-assignment form of
+  * [[NearestCentroid]], same flattened-matrix transport). */
+case class NearestCentroids(child: Expression, cents: Array[Double],
+    k: Int, nprobe: Int) extends UnaryExpression {
+  require(k > 0, s"NearestCentroids: k must be positive, got $k")
+  require(nprobe > 0, s"NearestCentroids: nprobe must be positive, got $nprobe")
+  require(cents.nonEmpty && cents.length % k == 0,
+    s"NearestCentroids: ${cents.length} matrix values do not tile k=$k rows")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroids(cents, k, nprobe,
+      input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftCentroids", cents, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorKernels.nearestCentroids($centsRef, $k, $nprobe, $c, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** string → Unicode-normalized string. `form`: "NFC" | "NFD" | "NFKC"
   * | "NFKD". Normalization-sensitive operators (dedup, fingerprinting,
   * token counting) must run on normalized text or visually-identical
@@ -377,6 +403,8 @@ object native {
     c(BloomMightContain(e(keyHash), bits, k))
   def nearestCentroid(v: Column, cents: Array[Double], k: Int): Column =
     c(NearestCentroid(e(v), cents, k))
+  def nearestCentroids(v: Column, cents: Array[Double], k: Int, nprobe: Int): Column =
+    c(NearestCentroids(e(v), cents, k, nprobe))
   def l2Normalize(v: Column): Column = c(L2NormalizeExpr(e(v)))
   def pqEncode(v: Column, cents: Array[Double], m: Int, k: Int): Column =
     c(PqEncodeExpr(e(v), cents, m, k))

@@ -551,6 +551,51 @@ object VectorKernels {
     dot
   }
 
+  /** The `nprobe` nearest centroid ids (1-based, by descending dot
+    * against rows the caller L2-normalized; ties → smaller id),
+    * returned best-first. The multi-assignment form of
+    * [[nearestCentroid]]: k-NN graph construction posts each vector to
+    * several lists so near-boundary neighbours share at least one
+    * list. Selection is an O(k·nprobe) insertion pass — nprobe is a
+    * small constant (2–4), k-independent code size. */
+  def nearestCentroids(
+      cents: Array[Double], k: Int, nprobe: Int, v: ArrayData,
+      isFloat: Boolean): ArrayData = {
+    val dim = cents.length / k
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearestCentroids: dimension mismatch (vector ${v.numElements()} " +
+          s"vs centroid $dim)")
+    val n = math.min(nprobe, k)
+    val bestIds = new Array[Int](n)
+    val bestDots = new Array[Double](n)
+    java.util.Arrays.fill(bestDots, Double.NegativeInfinity)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += cents(off + i) * x
+        i += 1
+      }
+      // insertion: strictly-greater keeps the earlier (smaller) id on ties
+      var pos = n
+      while (pos > 0 && dot > bestDots(pos - 1)) pos -= 1
+      if (pos < n) {
+        var j = n - 1
+        while (j > pos) {
+          bestDots(j) = bestDots(j - 1); bestIds(j) = bestIds(j - 1); j -= 1
+        }
+        bestDots(pos) = dot
+        bestIds(pos) = c + 1
+      }
+      c += 1
+    }
+    new GenericArrayData(bestIds)
+  }
+
   /** Hyperplane LSH signature: bit p = sign of ⟨v, plane_p⟩ where
     * plane_p[j] is a deterministic pseudo-random value in [-1, 1)
     * derived from XXH64 — reproducible across runs/executors (no RNG in

@@ -350,6 +350,49 @@ class SimilaritySpec extends GraftSpec {
     assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
   }
 
+  test("knnGraph: planted dup mutual rank-1, degree ≤ k, high recall vs brute force") {
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding",
+      k = 5, nCentroids = 3, iters = 2, nprobe = 2,
+      maxListSize = Int.MaxValue)
+      .collect()
+    val bySrc = g.groupBy(_.getAs[Long]("id"))
+    assert(bySrc.forall(_._2.length <= 5))
+    // ranks are 1..deg and cosine non-increasing in rank
+    bySrc.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // the planted near-duplicate pair is mutual rank-1
+    def rank1(src: Long): Long = g.find(r =>
+      r.getAs[Long]("id") == src && r.getAs[Int]("rank") == 1)
+      .get.getAs[Long]("neighbor_id")
+    assert(rank1(0L) == 1000L && rank1(1000L) == 0L)
+    // recall of the true top-5 relation (clustered data, 2-probe lists)
+    val probes = vecs.select(col("vec_id").as("probe_id"),
+      col("embedding").as("probe_vec"))
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      probes, "probe_id", "probe_vec", k = 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = g.map(r => (r.getAs[Long]("id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf intersect got).size.toDouble / bf.size
+    assert(recall >= 0.8, s"knn recall $recall < 0.8")
+  }
+
+  test("nearestCentroids multi-assignment agrees with the single-argmax kernel") {
+    val cents = IndexedSeq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+    val flat = cents.flatten.toArray
+    val r = Seq((1L, Seq(0.9f, 0.4f, 0.1f, 0f))).toDF("id", "v")
+      .select(
+        graft.plans.native.nearestCentroid(col("v"), flat, 3).as("one"),
+        graft.plans.native.nearestCentroids(col("v"), flat, 3, 2).as("two"))
+      .head()
+    assert(r.getSeq[Int](1).head == r.getInt(0)) // best-first
+    assert(r.getSeq[Int](1) == Seq(1, 2))        // then second-best
+  }
+
   test("pqTrain rejects an m that does not divide the dimension") {
     assertThrows[IllegalArgumentException] {
       Similarity.pqTrain(normed, "vec_id", "nv", m = 5, k = 4, iters = 1)
