@@ -112,6 +112,18 @@ object SparkEntry {
         .df
     },
 
+    // ORC round-trip: the other Spark-native columnar format (beyond
+    // parquet/CSV/JSONL) — typed write + read-back must preserve
+    // content exactly; the oracle reads the ORIGINAL table, so any
+    // type or value drift through the ORC writer path fails the hash
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val out = Scratch.path(s"orc_${math.abs(dir.hashCode)}")
+      t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    },
+
     // §2.1 FromReader: CSV from an in-memory byte stream (the reference
     // reads a driver-local buffer; faithful analogue)
     "q_csv_from_lines" -> { (s, dir) =>
@@ -434,6 +446,8 @@ object SparkEntry {
       "SELECT cast(r_regionkey AS varchar) AS r_regionkey, r_name FROM region",
     "q_csv_from_lines" ->
       "SELECT cast(n_nationkey AS varchar) AS n_nationkey, n_name, cast(n_regionkey AS varchar) AS n_regionkey FROM nation",
+    "q_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_take_rows" ->
       "SELECT * FROM (VALUES ('a','1'),('b','2'),('c','3')) AS t(k, v)",
     "q_csv_headerless" ->
@@ -2896,6 +2910,26 @@ object SparkEntry {
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
     },
 
+    // Z-order clustered write → read back with a 2-D box predicate:
+    // rows must equal the same filter on the original (layout changes
+    // organization, never content), and the interleaved z-value itself
+    // is oracled arithmetically (bit b of column c at position 2b+c)
+    "q_zorder" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 1024).as("zx"),
+        (col("l_suppkey") % 1024).as("zy"))
+      val out = Scratch.path(s"zorder_${math.abs(dir.hashCode)}")
+      graft.operators.Layout.writeZOrdered(li, out, Seq("zx", "zy"),
+        numFiles = 8, bits = 10)
+      s.read.parquet(out)
+        .filter(col("zx") >= 100 && col("zx") < 200 &&
+          col("zy") >= 10 && col("zy") < 40)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValue(
+            Seq(col("zx"), col("zy")), bits = 10).as("z"))
+    },
+
     // length-bucketed batching: equal-size token-count buckets with
     // exact ntile semantics but NO global window — per-value counts +
     // broadcast offsets + within-value rank (Sampling.ntileBuckets),
@@ -3004,6 +3038,18 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-06-01'
         |  AND o_orderdate < TIMESTAMP '1996-09-01'""".stripMargin,
+
+    // q_zorder: the same box filter over the original table, z
+    // recomputed in SQL with the kernel's exact bit layout
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(range(0, 10), i ->
+        |    (((l_partkey % 1024) // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i))
+        |    + (((l_suppkey % 1024) // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i + 1))
+        |  )) AS BIGINT) AS z
+        |FROM lineitem
+        |WHERE l_partkey % 1024 >= 100 AND l_partkey % 1024 < 200
+        |  AND l_suppkey % 1024 >= 10 AND l_suppkey % 1024 < 40""".stripMargin,
 
     "q_length_buckets" ->
       """SELECT doc_id,

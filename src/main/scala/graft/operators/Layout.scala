@@ -43,6 +43,41 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-order (Morton) value over `cols`: the low `bits` bits of each
+    * column interleaved — a lexicographic sort on this single value
+    * is a space-filling-curve sort balanced across ALL the columns,
+    * where [[writeClustered]]'s lexicographic multi-column clustering
+    * concentrates pruning power on the leading column only. Columns
+    * must be non-negative integers (offset/bucket upstream);
+    * cols.size × bits ≤ 63. Native codegen'd expression. */
+  def zValue(cols: Seq[org.apache.spark.sql.Column], bits: Int = 16)
+      : org.apache.spark.sql.Column = {
+    require(cols.nonEmpty, "zValue needs at least one column")
+    graft.plans.native.zValue(array(cols.map(_.cast("long")): _*), bits)
+  }
+
+  /** Write `df` parquet Z-ORDER-clustered on `clusterCols`: rows are
+    * range-partitioned and sorted by the interleaved Z-value, so a
+    * predicate on ANY clustered column maps to a bounded set of
+    * Z-ranges and parquet min/max statistics on the ORIGINAL columns
+    * prune most files/row groups — the multi-dimensional analogue of
+    * [[writeClustered]] (Delta/Iceberg expose the same operation as
+    * OPTIMIZE ZORDER BY). The Z column is computed for the shuffle
+    * and sort, then dropped: the layout benefit lives in file
+    * organization, not in a stored column. Values must be
+    * non-negative; pass `bits` per the columns' value range. */
+  def writeZOrdered(
+      df: DataFrame, path: String, clusterCols: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(clusterCols.nonEmpty, "clusterCols must not be empty")
+    require(numFiles > 0, "numFiles must be > 0")
+    df.withColumn("__graft_z", zValue(clusterCols.map(col), bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Compact a directory of many small parquet files into `numFiles`
     * larger ones WITHOUT a shuffle: `coalesce` glues existing
     * partitions together, preserving any clustering the data already

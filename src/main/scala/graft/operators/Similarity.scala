@@ -573,15 +573,23 @@ object Similarity {
     * clustering, density/outlier estimation, label propagation);
     * [[semanticDedup]] is its thresholded special case.
     *
-    * Scale shape: list membership is (id, list_id) rows — nprobe × N,
-    * vectors excluded (the [[cosineNearDups]] transport rule); the
-    * within-list self-join is N²/nCentroids per the cluster-size
-    * sizing rule (pick nCentroids ∝ N / targetListSize), vectors are
-    * fetched once per surviving candidate pair, and the final top-k
-    * is a per-source window over candidate edges only. `maxListSize`
-    * caps a degenerate list the way `maxBucketSize` caps an LSH
-    * bucket: over-cap lists are dropped from candidate generation —
-    * documented recall loss, never a silent quadratic.
+    * Scale shape — the INVERSE of the [[cosineNearDups]] transport
+    * rule, deliberately: near-dup pairs are sparse (fetch vectors per
+    * surviving candidate), but a k-NN graph generates listSize
+    * candidates PER NODE — orders of magnitude more candidate rows
+    * than vector rows — so here the vectors ride the list shuffle
+    * (nprobe × N rows, one exchange) and scoring + per-list top-k run
+    * WHERE THE JOIN LEFT THEM: the (list_id, src) window is satisfied
+    * by the join's list_id hash partitioning, so the full candidate
+    * stream never crosses the network again (the first cut fetched
+    * vectors per candidate — 100M-row joins at the 100× rehearsal —
+    * and memory-thrashed). Per-list top-k loses nothing: a pair
+    * outside the top-k of EVERY shared list is dominated by ≥ k
+    * closer candidates in each, so it cannot enter the merged top-k.
+    * Pick nCentroids ∝ N / targetListSize to pin per-list work;
+    * `maxListSize` caps a degenerate list the way `maxBucketSize`
+    * caps an LSH bucket — documented recall loss, never a silent
+    * quadratic.
     *
     * @return directed edges (id, neighbor_id, rank, cosine) — up to k
     *         per source vector, rank 1 = nearest
@@ -601,9 +609,7 @@ object Similarity {
       val n = math.sqrt(cv.map(x => x * x).sum)
       if (n > 0) cv.map(_ / n) else cv
     }
-    val d = assign.select(col("id"), col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lists = d.select(col("id"),
+    val lists = assign.select(col("id"), col("v"),
       explode(graft.plans.native.nearestCentroids(
         col("v"), flat, cents.length, nprobe)).as("list_id"))
     val capped = lists
@@ -611,20 +617,27 @@ object Similarity {
         count(lit(1)).over(Window.partitionBy(col("list_id"))))
       .filter(col("__lsz") <= maxListSize)
       .drop("__lsz")
-    val cand = capped.alias("a")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // score inside the list join: the (list_id, src) window is
+    // satisfied by the join's list_id partitioning, so the candidate
+    // stream reduces to ≤ k rows per (list, src) without another
+    // exchange. A pair sharing several lists is scored once per
+    // shared list (identical deterministic cosine) and deduped in the
+    // small merged stream
+    val perList = capped.alias("a")
       .join(capped.alias("b"), Seq("list_id"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("src"), col("b.id").as("dst"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("list_id"), col("a.id").as("src"), col("b.id").as("dst"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("list_id"), col("src"))
+          .orderBy(col("cosine").desc, col("dst").asc)))
+      .filter(col("__lrn") <= k)
+      .select(col("src"), col("dst"), col("cosine"))
       .dropDuplicates("src", "dst")
-    val directed = cand.unionByName(
-      cand.select(col("dst").as("src"), col("src").as("dst")))
-    val scored = directed
-      .join(d.select(col("id").as("src"), col("v").as("v_s")), "src")
-      .join(d.select(col("id").as("dst"), col("v").as("v_d")), "dst")
-      .withColumn("cosine", cosine(col("v_s"), col("v_d")))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("dst").asc)
-    scored.withColumn("rank", row_number().over(w))
+    perList.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src").as("id"), col("dst").as("neighbor_id"),
         col("rank"), col("cosine"))

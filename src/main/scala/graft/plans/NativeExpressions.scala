@@ -356,6 +356,19 @@ case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** array<long> non-negative values → long Z-order (Morton) interleave
+  * of the low `bits` bits of each. */
+case class ZValueExpr(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 63, s"ZValueExpr: bits must be in 1..63, got $bits")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.zValue(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.zValue($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): ZValueExpr =
+    copy(child = newChild)
+}
+
 /** long key-hash → boolean bloom membership. The bitset travels inside
   * the expression (broadcast to executors with the serialized plan, the
   * same transport a broadcast-hash-join bitmap uses) and is probed via
@@ -416,4 +429,5 @@ object native {
     c(PqAdcPackedExpr(e(packed), e(probe), cents, m, k))
   def unicodeNormalize(text: Column, form: String): Column =
     c(UnicodeNormalize(e(text), form))
+  def zValue(vals: Column, bits: Int): Column = c(ZValueExpr(e(vals), bits))
 }

@@ -551,6 +551,35 @@ object VectorKernels {
     dot
   }
 
+  /** Z-order (Morton) value: interleave the low `bits` bits of each of
+    * the n input values — bit b of column c lands at position b·n + c,
+    * so a lexicographic sort on the result is a space-filling-curve
+    * sort balanced across ALL columns (the multi-dimensional
+    * clustering [[graft.operators.Layout.writeClustered]]'s scaladoc
+    * points to). Inputs must be non-negative; n·bits ≤ 63. */
+  def zValue(vals: ArrayData, bits: Int): Long = {
+    val n = vals.numElements()
+    if (n * bits > 63)
+      throw new IllegalArgumentException(
+        s"zValue: $n columns × $bits bits exceeds 63")
+    var z = 0L
+    var c = 0
+    while (c < n) {
+      val v = vals.getLong(c)
+      if (v < 0)
+        throw new IllegalArgumentException(
+          s"zValue: negative input $v in column $c — offset to " +
+            "non-negative before interleaving")
+      var b = 0
+      while (b < bits) {
+        z |= ((v >>> b) & 1L) << (b * n + c)
+        b += 1
+      }
+      c += 1
+    }
+    z
+  }
+
   /** The `nprobe` nearest centroid ids (1-based, by descending dot
     * against rows the caller L2-normalized; ties → smaller id),
     * returned best-first. The multi-assignment form of

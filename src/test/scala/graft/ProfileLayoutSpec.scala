@@ -195,4 +195,63 @@ class ProfileLayoutSpec extends GraftSpec {
     assert(files.length == 2, s"expected 2 files, got ${files.length}")
     assert(spark.read.parquet(compactOut).count() == 100)
   }
+
+  test("zValue interleaves bits exactly (exhaustive 16×16 grid vs reference)") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      for (b <- 0 until bits) {
+        z |= ((x >>> b) & 1L) << (2 * b)
+        z |= ((y >>> b) & 1L) << (2 * b + 1)
+      }
+      z
+    }
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Layout.zValue(Seq(col("x"), col("y")), bits = 4).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y, 4), s"($x,$y)")
+    }
+    // the 256 grid z-values are a permutation of 0..255 (bijectivity)
+    assert(got.values.toSeq.sorted == (0L until 256L))
+  }
+
+  test("zValue rejects negatives and over-wide configurations") {
+    import spark.implicits._
+    assertThrows[Exception] {
+      Seq((-1L, 2L)).toDF("x", "y")
+        .select(graft.operators.Layout.zValue(Seq(col("x"), col("y")), 4))
+        .collect()
+    }
+    assertThrows[Exception] {
+      Seq((1L, 2L)).toDF("x", "y")
+        .select(graft.operators.Layout.zValue(Seq(col("x"), col("y")), 32))
+        .collect()
+    }
+  }
+
+  test("writeZOrdered preserves content and clusters the box query into few files") {
+    import spark.implicits._
+    val rows = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    val out = graft.Scratch.path("zorder_spec")
+    graft.operators.Layout.writeZOrdered(rows, out, Seq("x", "y"),
+      numFiles = 16, bits = 6)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 64 * 64)
+    assert(back.columns.toSet == Set("x", "y")) // the z column is dropped
+    // content identical
+    assert(back.select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toSet)
+    // locality: a 8×8 box (1/64 of the space) must touch a bounded
+    // subset of the 16 z-range files — with lexicographic-on-x
+    // clustering a y-box would touch EVERY file; the z-curve keeps a
+    // square box inside a few z-ranges (≤ 4 of 16 here, exact by
+    // construction for power-of-two-aligned boxes)
+    val withFile = back.withColumn("__f", input_file_name())
+      .filter(col("x") >= 16 && col("x") < 24 && col("y") >= 16 && col("y") < 24)
+    val nFiles = withFile.select("__f").distinct().count()
+    assert(nFiles <= 4, s"aligned 8×8 box touched $nFiles of 16 z-range files")
+  }
 }
