@@ -933,6 +933,41 @@ object SparkEntry {
             col("bwd") === col("vec_id")).as("mutual_rank1"))
     },
 
+    // PERSISTED PQ index (build once / append batches / search many —
+    // the Index.WriteTo contract applied to ANN), planted TRUE oracle:
+    // the index is built on the corpus, a batch of exact copies of the
+    // mod-5 nonzero vectors is APPENDED at +100000 (encoded with the
+    // stored codebook, cost ∝ batch), and searching with the originals
+    // as probes must return each probe's appended copy at rank 1
+    // (cosine ≈ 1 beats every organic neighbour; identical codes keep
+    // it inside any ADC shortlist). Build overwrites, then exactly one
+    // append — per-run state is deterministic
+    "q_pq_index" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
+      require(maxId != null && maxId < 100000L,
+        s"planted-copy gate assumes vec_id < 100000; max is $maxId")
+      val nonzero = aggregate(col("embedding"), lit(0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0d
+      val planted = emb.filter(col("vec_id") % 5 === 0 && nonzero)
+      val batch = planted
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val idxPath = Scratch.path(s"pqidx_${math.abs(dir.hashCode)}")
+      Similarity.writePqIndex(emb, "vec_id", "embedding", idxPath)
+      Similarity.appendToPqIndex(s, idxPath, batch, "vec_id", "embedding")
+      val probes = planted.orderBy(col("vec_id")).limit(5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val store = emb.select(col("vec_id"), col("embedding")).unionByName(batch)
+      val res = Similarity.searchPqIndex(s, idxPath, store,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        k = 1, shortlist = 50)
+      probes.select(col("probe_id"))
+        .join(res.filter(col("rank") === 1)
+          .select(col("probe_id"), col("neighbor_id")), Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (col("neighbor_id") === col("probe_id") + 100000L).as("top1_is_copy"))
+    },
+
     // STREAMING ANN: probe vectors as a real streaming query (file
     // source → available-now → memory sink) scored against the STATIC
     // packed-code table — the online-retrieval shape over a
@@ -3799,6 +3834,16 @@ object SparkEntry {
         |WHERE vec_id % 5 = 0
         |  AND coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
         |        x -> x * x)), 0) > 0""".stripMargin,
+
+    // q_pq_index: the five probed originals each retrieve their
+    // appended copy at rank 1
+    "q_pq_index" ->
+      """SELECT vec_id AS probe_id, true AS top1_is_copy
+        |FROM embeddings
+        |WHERE vec_id % 5 = 0
+        |  AND coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x * x)), 0) > 0
+        |ORDER BY vec_id LIMIT 5""".stripMargin,
 
     // q_ann_stream: every probe scores corpus−1 candidates and the
     // streaming execution equals the batch plan row for row

@@ -643,6 +643,60 @@ object Similarity {
         col("rank"), col("cosine"))
   }
 
+  /** Persist a searchable PQ index: the codebook (m·k rows) and the
+    * packed-code table land as parquet under `path`. The build-once/
+    * reuse-many contract of csvplus's Index.WriteTo (csvplus.go:655)
+    * applied to the ANN stack — the expensive part (codebook training
+    * + corpus encode) happens once; every later search or ingest
+    * batch reads the artifact. Returns the trained codebook. */
+  def writePqIndex(
+      data: DataFrame, idCol: String, vecCol: String, path: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2): PqCodebook = {
+    val spark = data.sparkSession
+    val normed = data.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("nv"))
+    val cb = pqTrain(normed, "id", "nv", m, k, iters)
+    cb.toDF(spark).write.mode("overwrite").parquet(s"$path/codebook")
+    pqEncodePacked(normed, "nv", cb).select(col("id"), col("pq_code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cb
+  }
+
+  /** Append a batch to a persisted PQ index: the batch is encoded with
+    * the EXISTING codebook (codebooks are stable artifacts — retrain
+    * is a rebuild, not an append, exactly like the dedup signature
+    * table's contract in Dedup.nearDedupIngest) and its codes are
+    * appended to the code table. Cost ∝ batch, never corpus. Batch
+    * ids must be fresh; the caller owns id discipline (same contract
+    * as the reference's unique index, csvplus.go:740). */
+  def appendToPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): PqCodebook = {
+    val cb = pqCodebookFromDF(spark.read.parquet(s"$path/codebook"))
+    pqEncodePacked(
+      batch.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("nv")),
+      "nv", cb)
+      .select(col("id"), col("pq_code"))
+      .write.mode("append").parquet(s"$path/codes")
+    cb
+  }
+
+  /** Search a persisted PQ index: ADC over the stored packed codes
+    * proposes a `shortlist`, exact cosine over `vectors` (the
+    * full-precision store, fetched for the shortlist only) disposes.
+    * The scan side is the 8-byte code column — the index artifact is
+    * dim·4/m× smaller than the vectors it indexes. */
+  def searchPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int, shortlist: Int): DataFrame = {
+    val cb = pqCodebookFromDF(spark.read.parquet(s"$path/codebook"))
+    val codes = spark.read.parquet(s"$path/codes")
+    pqSearchRerank(codes, "id", "pq_code",
+      vectors, vecIdCol, vecCol, probes, probeIdCol, probeVecCol,
+      cb, k, shortlist)
+  }
+
   /** IVF-PQ retrieval — the canonical 100 TB ANN layout (Jégou et al.
     * 2011, "Product quantization for nearest neighbor search"): the
     * coarse quantizer ([[ivfIndex]]) prunes the scan to `nprobe`

@@ -393,6 +393,27 @@ class SimilaritySpec extends GraftSpec {
     assert(r.getSeq[Int](1) == Seq(1, 2))        // then second-best
   }
 
+  test("persisted PQ index: build, append a batch, search finds the appended copy") {
+    val path = graft.Scratch.path("pq_index_spec")
+    val cb = Similarity.writePqIndex(vecs, "vec_id", "embedding", path,
+      m = 4, k = 8, iters = 2)
+    // appended batch encodes with the STORED codebook
+    val batch = vecs.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val cb2 = Similarity.appendToPqIndex(spark, path, batch, "vec_id", "embedding")
+    assert(cb2.flat.sameElements(cb.flat)) // append never retrains
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == vecs.count() + 1)
+    val store = vecs.select(col("vec_id"), col("embedding")).unionByName(batch)
+    val probes = vecs.filter(col("vec_id") === 7L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val res = Similarity.searchPqIndex(spark, path, store,
+      "vec_id", "embedding", probes, "probe_id", "probe_vec",
+      k = 1, shortlist = 20).collect()
+    assert(res.length == 1)
+    assert(res.head.getAs[Long]("neighbor_id") == 5007L) // the appended copy
+  }
+
   test("pqTrain rejects an m that does not divide the dimension") {
     assertThrows[IllegalArgumentException] {
       Similarity.pqTrain(normed, "vec_id", "nv", m = 5, k = 4, iters = 1)
