@@ -1366,6 +1366,37 @@ object SparkEntry {
         .select(col("doc_id").as("removed_id"))
     },
 
+    // the STREAMING twin of q_decontaminate_fuzzy: the same planted
+    // corpus is staged to scratch parquet and streamed through the
+    // stateless stream-static LSH match; every planted id must be
+    // flagged — stream ≡ batch against the identical oracle id set
+    "q_decontaminate_fuzzy_stream" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val tokenful = bench.filter(col("text").isNotNull && col("text").rlike("\\S"))
+      val copies = tokenful
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      val mutated = tokenful
+        .filter(size(array_distinct(
+          TextFunctions.wordNgrams(col("text"), 3))) >= 4)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(col("text"), lit(" zzmutquux")).as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(copies).unionByName(mutated)
+      val staged = Scratch.path(s"fuzzdecon_stream_${math.abs(dir.hashCode)}")
+      corpus.write.mode("overwrite").parquet(staged)
+      val contaminated = Dedup.decontaminateFuzzyStreamed(
+        s, staged, "doc_id", "text", bench, "text",
+        shingleLen = 3, numPerm = 64, bands = 32, threshold = 0.8)
+        .select(col("id").as("doc_id")).distinct()
+      copies.select(col("doc_id"))
+        .unionByName(mutated.select(col("doc_id")))
+        .join(contaminated, Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("removed_id"))
+    },
+
     // deterministic domain mixing: per-source keep rates, md5-uniform
     "q_domain_mix" -> { (s, dir) =>
       graft.operators.Sampling.weightedKeep(
@@ -2054,6 +2085,21 @@ object SparkEntry {
     // |S|/(|S|+1) >= 0.8) must be removed — the id arithmetic IS the
     // oracle
     "q_decontaminate_fuzzy" ->
+      """WITH bench AS (
+        | SELECT doc_id, text,
+        |   list_filter(regexp_split_to_array(text, '[\s\x0B]+'), x -> len(x) > 0) AS tk
+        | FROM documents
+        | WHERE doc_id % 97 = 0 AND text IS NOT NULL
+        |   AND regexp_matches(text, '[^\s\x0B]'))
+        |SELECT doc_id + 300000 AS removed_id FROM bench
+        |UNION ALL
+        |SELECT doc_id + 400000 AS removed_id FROM bench
+        |WHERE len(list_distinct(list_transform(
+        |  range(1, greatest(len(tk) - 2, 1) + 1),
+        |  i -> array_to_string(tk[i:i+2], ' ')))) >= 4""".stripMargin,
+
+    // streaming twin: identical planted id set
+    "q_decontaminate_fuzzy_stream" ->
       """WITH bench AS (
         | SELECT doc_id, text,
         |   list_filter(regexp_split_to_array(text, '[\s\x0B]+'), x -> len(x) > 0) AS tk

@@ -554,6 +554,78 @@ object Dedup {
     df.join(contaminated, col(idCol) === col("id"), "left_anti")
   }
 
+  /** [[decontaminateFuzzy]]'s match detection as a REAL streaming
+    * query: documents stream from a parquet directory (file source,
+    * available-now trigger), the benchmark side is STATIC
+    * (signatures + capped band buckets precomputed once and
+    * broadcast-joined per micro-batch), and every operator on the
+    * stream is STATELESS — per-row signature, bucket explode,
+    * stream-static joins, exact shingle-set-Jaccard filter — so state
+    * stores hold nothing and throughput is pure projection cost.
+    *
+    * Returns the CONTAMINATED ids materialized from the stream (may
+    * contain duplicates — one per matching bench bucket pair;
+    * `.distinct()` them). A stream cannot anti-join "documents that
+    * never matched" without end-of-stream knowledge; the production
+    * pattern is flag-and-filter downstream, and the batch operator
+    * remains the remove form. */
+  def decontaminateFuzzyStreamed(
+      spark: org.apache.spark.sql.SparkSession, docsPath: String,
+      idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val bench = benchmark.filter(col(benchTextCol).isNotNull)
+      .select(col(benchTextCol).as("__btext")).distinct()
+      .select(xxhash64(col("__btext")).as("bench_id"),
+        shingleHashes(col("__btext"), shingleLen).as("sh_b"))
+      .filter(size(col("sh_b")) > 0)
+      .withColumn("sig", minhashSignature(col("sh_b"), numPerm))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchBuckets = bench
+      .select(col("bench_id"),
+        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("bench_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val benchSh = bench.select(col("bench_id"), col("sh_b"))
+    val schema = spark.read.parquet(docsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(docsPath)
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numPerm))
+      .select(col("id"), col("sh"),
+        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("sh"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(broadcast(benchBuckets), Seq("band", "bucket"))
+      .join(broadcast(benchSh), Seq("bench_id"))
+      .filter(
+        size(array_intersect(col("sh"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh"), col("sh_b"))).cast("double")
+          >= threshold)
+      .select(col("id"))
+    val name = "graft_fuzzdecon_" + math.abs(docsPath.hashCode)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
+  }
+
   /** Per-document benchmark-contamination REPORT: the fraction of each
     * document's DISTINCT word n-grams (the same gram set
     * [[decontaminate]] tests — partial gram for shorter-than-n docs,

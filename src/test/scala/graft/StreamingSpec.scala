@@ -241,4 +241,24 @@ class StreamingSpec extends GraftSpec {
       (2L, 2L, 900L, 10.5),  // events 3,4
       (3L, 1L, 0L, 7.0)))    // event 5
   }
+
+  test("streamed fuzzy decontamination flags exactly the batch operator's removals") {
+    val bench = Seq(
+      "what is the capital of france the answer is paris of course today").toDF("text")
+    val corpus = Seq(
+      (0L, "what is the capital of france the answer is paris of course tonight"),
+      (1L, "a completely different document about apples bananas oranges pears and plums"),
+      (2L, "what is the capital of france the answer is paris of course today"),
+      (3L, "   ")
+    ).toDF("doc_id", "text")
+    val staged = graft.Scratch.path("fuzzdecon_stream_spec")
+    corpus.write.mode("overwrite").parquet(staged)
+    val flagged = graft.operators.Dedup.decontaminateFuzzyStreamed(
+      spark, staged, "doc_id", "text", bench, "text",
+      shingleLen = 3, numPerm = 64, bands = 32, threshold = 0.8)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    // batch survivors were {1, 3} (TextDedupSpec) — the stream flags
+    // the complement of the signature-bearing rows
+    assert(flagged == Set(0L, 2L), s"flagged $flagged")
+  }
 }
