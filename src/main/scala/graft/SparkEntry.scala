@@ -933,6 +933,46 @@ object SparkEntry {
             col("bwd") === col("vec_id")).as("mutual_rank1"))
     },
 
+    // HARD-NEGATIVE MINING, planted TRUE oracle: each of the 5 query
+    // vectors gets TWO exact copies planted — one at +100000 labeled
+    // as its positive (must be excluded), one at +200000 unlabeled
+    // (cosine ≈ 1, must surface as the rank-1 hard negative). Every
+    // query returns exactly n = 10 negatives; all three facts are SQL
+    // constants
+    "q_hard_negatives" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
+      require(maxId != null && maxId < 100000L,
+        s"planted-copy gate assumes vec_id < 100000; max is $maxId")
+      val nonzero = aggregate(col("embedding"), lit(0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0d
+      val queries = emb.filter(nonzero).orderBy(col("vec_id")).limit(5)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(queries.select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding")))
+        .unionByName(queries.select((col("vec_id") + 200000L).as("vec_id"),
+          col("embedding")))
+      val positives = queries.select(col("vec_id").as("q_id"),
+        (col("vec_id") + 100000L).as("pos_id"))
+      val res = Similarity.mineHardNegatives(corpus, "vec_id", "embedding",
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        "query_id", "qv", positives, "q_id", "pos_id", n = 10, k = 20)
+      val agg = res.groupBy(col("query_id")).agg(
+        count(lit(1)).as("n_results"),
+        max(when(col("neighbor_id") === col("query_id") + 100000L, 1)
+          .otherwise(0)).as("pos_leak"),
+        max(when(col("rank") === 1 &&
+          col("neighbor_id") === col("query_id") + 200000L, 1)
+          .otherwise(0)).as("hardest_planted"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(agg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_results"), lit(0L)).as("n_results"),
+          (coalesce(col("pos_leak"), lit(1)) === 0).as("pos_excluded"),
+          (coalesce(col("hardest_planted"), lit(0)) === 1).as("hardest_is_planted"))
+    },
+
     // PERSISTED PQ index (build once / append batches / search many —
     // the Index.WriteTo contract applied to ANN), planted TRUE oracle:
     // the index is built on the corpus, a batch of exact copies of the
@@ -3880,6 +3920,16 @@ object SparkEntry {
         |WHERE vec_id % 5 = 0
         |  AND coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
         |        x -> x * x)), 0) > 0""".stripMargin,
+
+    // q_hard_negatives: the 5 lowest NONZERO vec_ids are the queries;
+    // per-query contract is all constants
+    "q_hard_negatives" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |  true AS pos_excluded, true AS hardest_is_planted
+        |FROM embeddings
+        |WHERE coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x * x)), 0) > 0
+        |ORDER BY vec_id LIMIT 5""".stripMargin,
 
     // q_pq_index: the five probed originals each retrieve their
     // appended copy at rank 1

@@ -643,6 +643,50 @@ object Similarity {
         col("rank"), col("cosine"))
   }
 
+  /** Hard-negative mining for embedding/contrastive training data:
+    * for each query, the `n` corpus items MOST similar to it that are
+    * NOT its labeled positives — the negatives that actually move a
+    * contrastive loss (random negatives are trivially separable;
+    * "hard" ones sit near the decision boundary). Standard recipe in
+    * dense-retrieval training (DPR, ANCE): mine with an ANN index,
+    * drop the positives, keep the top of what remains.
+    *
+    * Shape: one [[bruteForceTopK]]/[[pqSearchRerank]]-style scored
+    * scan (queries broadcast), positives removed by a broadcast
+    * anti-join on (query, item) — the positives table is the small
+    * side by construction — then the per-query top-n window. Mining
+    * depth `k` must exceed `n` by at least the max positives per
+    * query or the window runs short (the require guards the common
+    * misconfiguration).
+    *
+    * @param queries   (queryIdCol, queryVecCol) — small, broadcast
+    * @param positives (queryIdCol, posIdCol) labeled positive pairs
+    * @return (query_id, neighbor_id, rank, cosine) — up to n hard
+    *         negatives per query, rank 1 = hardest
+    */
+  def mineHardNegatives(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      positives: DataFrame, posQueryCol: String, posIdCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(n > 0, s"mineHardNegatives: n must be positive, got $n")
+    require(k >= n, s"mineHardNegatives: mining depth k=$k < n=$n — " +
+      "mine deeper than the answer you keep")
+    val mined = bruteForceTopK(corpus, idCol, vecCol,
+      queries, queryIdCol, queryVecCol, k)
+    val pos = positives.select(col(posQueryCol).as("probe_id"),
+      col(posIdCol).as("neighbor_id"))
+    val negatives = mined.join(broadcast(pos),
+      Seq("probe_id", "neighbor_id"), "left_anti")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    negatives
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("probe_id").as("query_id"), col("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
   /** Persist a searchable PQ index: the codebook (m·k rows) and the
     * packed-code table land as parquet under `path`. The build-once/
     * reuse-many contract of csvplus's Index.WriteTo (csvplus.go:655)

@@ -414,6 +414,31 @@ class SimilaritySpec extends GraftSpec {
     assert(res.head.getAs[Long]("neighbor_id") == 5007L) // the appended copy
   }
 
+  test("mineHardNegatives excludes positives and ranks the planted near-dup hardest") {
+    // positives: (query 0 → its planted near-dup 1000); the hardest
+    // remaining negative must then be a same-cluster organic vector,
+    // and 1000 must not leak
+    val queries = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val positives = Seq((0L, 1000L)).toDF("q", "p")
+    val res = Similarity.mineHardNegatives(vecs, "vec_id", "embedding",
+      queries, "qid", "qv", positives, "q", "p", n = 5, k = 10).collect()
+    assert(res.length == 5)
+    assert(res.forall(_.getAs[Long]("neighbor_id") != 1000L))
+    assert(res.forall(_.getAs[Long]("neighbor_id") != 0L))
+    // without the positive label, 1000 IS the hardest negative
+    val res2 = Similarity.mineHardNegatives(vecs, "vec_id", "embedding",
+      queries, "qid", "qv", Seq.empty[(Long, Long)].toDF("q", "p"),
+      "q", "p", n = 5, k = 10).collect()
+    assert(res2.find(_.getAs[Int]("rank") == 1).get
+      .getAs[Long]("neighbor_id") == 1000L)
+    // misconfigured depth fails loudly
+    assertThrows[IllegalArgumentException] {
+      Similarity.mineHardNegatives(vecs, "vec_id", "embedding",
+        queries, "qid", "qv", positives, "q", "p", n = 10, k = 5)
+    }
+  }
+
   test("pqTrain rejects an m that does not divide the dimension") {
     assertThrows[IllegalArgumentException] {
       Similarity.pqTrain(normed, "vec_id", "nv", m = 5, k = 4, iters = 1)
