@@ -2550,6 +2550,20 @@ object SparkEntry {
           coalesce(col("component"), col("doc_id")).as("cluster_id"))
     },
 
+    // LEAKAGE-SAFE splitting: the split key is the near-dup COMPONENT
+    // representative (min-label CC over shared 8-grams — the
+    // q_dup_clusters relation), so a duplicate cluster can never
+    // straddle train/test; singletons key on their own id. True
+    // oracle: the same recursive-CTE components + md5-split arithmetic
+    "q_split_leakage_safe" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val comps = sharedGramComponents(s, dir).withColumnRenamed("id", "doc_id")
+      graft.operators.Sampling.splitByHashGrouped(
+        docs, "doc_id", comps, "doc_id", "component",
+        Seq(("train", 3.0), ("val", 1.0), ("test", 1.0)))
+        .select(col("doc_id"), col("split"))
+    },
+
     // cluster resolution: CC clusters → one canonical survivor each
     // (longest doc, ties to smallest id), singletons untouched
     "q_cluster_resolve" -> { (s, dir) =>
@@ -2814,6 +2828,29 @@ object SparkEntry {
         | UNION
         | SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id)
         |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // q_split_leakage_safe: q_dup_clusters' component relation feeding
+    // q_split_assign's md5 arithmetic, keyed on cluster_id
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 8 + 1, 1) + 1), i -> array_to_string(tk[i:i+7], ' '))) AS gram
+        | FROM toks),
+        |edges AS (
+        | SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        | FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |reach(id, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+        |clusters AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id,
+        | CASE WHEN u < 0.6 THEN 'train' WHEN u < 0.8 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  cast(concat('0x', substr(md5(cast(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        | FROM clusters)""".stripMargin,
     "q_cluster_resolve" ->
       """WITH RECURSIVE toks AS (
         | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),

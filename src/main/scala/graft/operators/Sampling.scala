@@ -87,6 +87,35 @@ object Sampling {
       when(col(idCol).isNull, lit(null).cast("string")).otherwise(labelled))
   }
 
+  /** LEAKAGE-SAFE [[splitByHash]]: assignment is keyed on a GROUP
+    * representative instead of the row id, so an entire group — in
+    * practice a near-duplicate component from
+    * [[Dedup.connectedComponents]] — lands in ONE split. Splitting by
+    * row id leaks: two near-identical documents hash independently
+    * and routinely straddle train/test, which inflates eval scores
+    * exactly the way benchmark contamination does (dedup-then-split
+    * is the standard fix; this keys the split ON the dedup structure
+    * so no document is dropped).
+    *
+    * `groups` maps member id → group key (rows absent from it are
+    * singletons and key on their own id, matching the min-label CC
+    * convention where a singleton's component IS its id). Broadcast
+    * or shuffle of the groups table only — the corpus keeps its
+    * partitioning; assignment itself stays the pure md5 function of
+    * the key, reproducible across engines and re-runs. */
+  def splitByHashGrouped(
+      df: DataFrame, idCol: String,
+      groups: DataFrame, groupIdCol: String, groupKeyCol: String,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    val g = groups.select(col(groupIdCol).as(idCol),
+      col(groupKeyCol).as("__graft_gkey"))
+    val keyed = df.join(g, Seq(idCol), "left")
+      .withColumn("__graft_skey",
+        coalesce(col("__graft_gkey"), col(idCol)))
+    splitByHash(keyed, "__graft_skey", splits, outCol)
+      .drop("__graft_gkey", "__graft_skey")
+  }
+
   /** Equal-size length buckets — SQL `ntile(n) OVER (ORDER BY orderCol,
     * tieCol)` semantics WITHOUT the global single-partition window
     * (which funnels every row through one task — the classic 100 TB

@@ -96,4 +96,27 @@ class SamplingSpec extends GraftSpec {
         items.withColumn("__graft_rn", lit(1)), Seq("source"), "doc_id", 1)
     }
   }
+
+  test("splitByHashGrouped: a whole group shares one split; singletons match splitByHash") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // groups: {0,1,2} -> rep 0, {10,11} -> rep 10; rest singleton
+    val groups = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val splits = Seq(("train", 3.0), ("val", 1.0), ("test", 1.0))
+    val got = Sampling.splitByHashGrouped(docs, "doc_id",
+      groups, "id", "component", splits)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == got(1L) && got(1L) == got(2L))
+    assert(got(10L) == got(11L))
+    // group members inherit the REPRESENTATIVE's plain assignment
+    val plain = Sampling.splitByHash(docs, "doc_id", splits)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(2L) == plain(0L))
+    assert(got(11L) == plain(10L))
+    // singletons are untouched
+    (20L until 200L).foreach(i => assert(got(i) == plain(i)))
+  }
 }
