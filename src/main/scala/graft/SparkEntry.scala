@@ -1437,6 +1437,19 @@ object SparkEntry {
         .select(col("doc_id").as("removed_id"))
     },
 
+    // token-budget domain mixing: each source keeps docs in md5 order
+    // until its TOKEN budget fills — the mixture knob in the units a
+    // training recipe specifies. True oracle: same window arithmetic
+    "q_token_budget_mix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      graft.operators.Sampling.tokenBudgetMix(
+        docs, "source", "doc_id", "n_tokens",
+        budgets = Map("src0" -> 2000L, "src1" -> 5000L, "src2" -> 500L),
+        defaultBudget = 1000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    },
+
     // deterministic domain mixing: per-source keep rates, md5-uniform
     "q_domain_mix" -> { (s, dir) =>
       graft.operators.Sampling.weightedKeep(
@@ -2828,6 +2841,24 @@ object SparkEntry {
         | UNION
         | SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id)
         |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // q_token_budget_mix: the same per-source md5-ordered exclusive
+    // prefix sum vs the budget CASE table
+    "q_token_budget_mix" ->
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |   len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, source, n_tokens,
+        |   coalesce(sum(n_tokens) OVER (
+        |     PARTITION BY source
+        |     ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        | FROM d)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens FROM w
+        |WHERE prior < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
+        |  WHEN 'src2' THEN 500 ELSE 1000 END""".stripMargin,
 
     // q_split_leakage_safe: q_dup_clusters' component relation feeding
     // q_split_assign's md5 arithmetic, keyed on cluster_id

@@ -87,6 +87,46 @@ object Sampling {
       when(col(idCol).isNull, lit(null).cast("string")).otherwise(labelled))
   }
 
+  /** Token-budget domain mixing — the pretraining mixture knob
+    * expressed in TOKENS, not documents: each domain keeps documents
+    * in deterministic md5 order until its token budget fills (the
+    * first document that would not fit, and everything after it, is
+    * dropped; a document is kept iff the tokens BEFORE it in its
+    * domain's order are under budget, so one oversized early document
+    * cannot starve the domain of its first pick). [[weightedKeep]]
+    * mixes by document RATE; this mixes by token SHARE, which is what
+    * a training recipe actually specifies.
+    *
+    * Scale shape: one per-domain window over md5 order (distributes
+    * across domains; within a domain the running sum is the same
+    * prefix-scan every pack/batch operator here uses). No RNG, no
+    * global sort — assignment is a pure function of (id, domain),
+    * reproducible across engines and re-runs.
+    *
+    * @param budgets token budget per domain; domains absent from the
+    *                map get `defaultBudget` (0 = drop unlisted
+    *                domains entirely)
+    * @return the kept rows, original columns unchanged
+    */
+  def tokenBudgetMix(
+      df: DataFrame, domainCol: String, idCol: String, tokensCol: String,
+      budgets: Map[String, Long], defaultBudget: Long = 0L): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "token budgets must be non-negative")
+    val budgetExpr = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (dom, b)) =>
+        when(col(domainCol) === dom, lit(b)).otherwise(acc)
+    }
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__graft_prior",
+        coalesce(sum(col(tokensCol).cast("long")).over(ord), lit(0L)))
+      .filter(col("__graft_prior") < budgetExpr)
+      .drop("__graft_prior")
+  }
+
   /** LEAKAGE-SAFE [[splitByHash]]: assignment is keyed on a GROUP
     * representative instead of the row id, so an entire group — in
     * practice a near-duplicate component from

@@ -119,4 +119,30 @@ class SamplingSpec extends GraftSpec {
     // singletons are untouched
     (20L until 200L).foreach(i => assert(got(i) == plain(i)))
   }
+
+  test("tokenBudgetMix fills each domain's token budget in md5 order") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L)).toDF("doc_id", "dom", "n_tok")
+    val kept = Sampling.tokenBudgetMix(docs, "dom", "doc_id", "n_tok",
+      budgets = Map("a" -> 100L, "b" -> 45L), defaultBudget = 0L)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    // budget 100 / 10-token docs = exactly 10 docs; 45 → first doc
+    // whose PRIOR is < 45 still fits → 5 docs (priors 0..40)
+    assert(kept.count(_._1 == "a") == 10)
+    assert(kept.count(_._1 == "b") == 5)
+    // deterministic: same call, same picks
+    val again = Sampling.tokenBudgetMix(docs, "dom", "doc_id", "n_tok",
+      budgets = Map("a" -> 100L, "b" -> 45L), defaultBudget = 0L)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    assert(kept.toSet == again.toSet)
+    // an oversized first doc is still kept (prior 0 < budget), and
+    // blocks the rest of its domain
+    val big = Seq((1L, "c", 1000L), (2L, "c", 10L)).toDF("doc_id", "dom", "n_tok")
+    val keptBig = Sampling.tokenBudgetMix(big, "dom", "doc_id", "n_tok",
+      budgets = Map("c" -> 50L)).collect()
+    assert(keptBig.length == 1)
+    // unlisted domains drop entirely at defaultBudget 0
+    assert(kept.forall(k => k._1 == "a" || k._1 == "b"))
+  }
 }
