@@ -108,11 +108,21 @@ object Similarity {
     * Candidate generation runs over (id, bucket) ONLY — the wide
     * vectors stay out of the bucket self-join and are fetched once per
     * surviving candidate pair (at 100 TB the vectors are the payload;
-    * shuffling them per-band would multiply the shuffle by `bands`). */
+    * shuffling them per-band would multiply the shuffle by `bands`).
+    *
+    * `multiProbe` additionally probes every ONE-BIT-FLIP neighbour of
+    * each bucket on one side of the self-join (Lv et al. 2007,
+    * "Multi-probe LSH"): a pair whose band signatures differ in
+    * exactly one plane still meets, lifting per-band recall from
+    * p^b to p^b + b(1−p)p^(b−1) at the cost of a (bandBits+1)× larger
+    * probe stream — recall bought with probes instead of bands, so
+    * the SIGNATURE storage and the per-band shuffle of the indexed
+    * side stay unchanged (the knob to reach for when the index is
+    * the expensive side, e.g. a persisted bucket table). */
   def cosineNearDups(
       data: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 96, bands: Int = 8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, multiProbe: Boolean = false): DataFrame = {
     require(bands > 0 && bits % bands == 0, "bands must divide bits")
     val bandBits = bits / bands
     require(bandBits <= 64, s"bits/bands must be <= 64, got $bandBits")
@@ -130,7 +140,16 @@ object Similarity {
           count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
         .filter(col("__bsz") <= maxBucketSize)
         .drop("__bsz")
-    val candidates = capped.alias("a")
+    // multi-probe expands the PROBE side only (flips after the cap:
+    // cap semantics stay defined on true bucket occupancy, and a probe
+    // into a capped-out hot bucket finds its rows already gone)
+    val probeSide =
+      if (!multiProbe) capped
+      else capped.select(col("id"), col("band"),
+        explode(array(col("bucket") +: (0 until bandBits).map { j =>
+          col("bucket").bitwiseXOR(lit(1L << j))
+        }: _*)).as("bucket"))
+    val candidates = probeSide.alias("a")
       .join(capped.alias("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

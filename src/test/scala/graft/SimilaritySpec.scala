@@ -48,6 +48,24 @@ class SimilaritySpec extends GraftSpec {
     assert(wide.contains((0L, 1000L)))
   }
 
+  test("multi-probe LSH: superset of the plain candidates, strictly more recall on tight bands") {
+    // 2 bands × 16 bits: tight enough that some true moderate-cosine
+    // pair differs by exactly one plane in every band and the plain
+    // join misses it — multi-probe must recover some of those while
+    // never losing a plain pair (probing only ADDS buckets)
+    def pairs(mp: Boolean): Set[(Long, Long)] =
+      Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.8, bits = 32, bands = 2, multiProbe = mp)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val plain = pairs(mp = false)
+    val probed = pairs(mp = true)
+    assert(plain.subsetOf(probed), "multi-probe lost a plain pair")
+    assert(probed.size > plain.size,
+      s"expected extra 1-bit-recovered pairs, got ${plain.size} -> ${probed.size}")
+    // the planted near-identical pair survives both modes
+    assert(plain.contains((0L, 1000L)) && probed.contains((0L, 1000L)))
+  }
+
   test("seeded hyperplane signatures are independent across bands") {
     val sigs = vecs.select(
       Similarity.hyperplaneSignature(col("embedding"), 16).as("s0"),
