@@ -1437,6 +1437,39 @@ object SparkEntry {
         .select(col("doc_id").as("removed_id"))
     },
 
+    // Count-Min sketch frequency estimates, SELF-AUDITING true oracle:
+    // the sketch is built distributed (element-wise-summed partials),
+    // then the top-5 true-count tokens are point-queried against it —
+    // CMS guarantees est ≥ true (cells only over-count) and the
+    // 2N/width bound holds at depth 4; both booleans are SQL
+    // constants, the token list is the deterministic top-5
+    "q_cms_counts" -> { (s, dir) =>
+      val depth = 4; val width = 2048
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val toks = docs.select(explode(filter(
+        split(lower(col("text")), "\\s+"), t => length(t) > 0)).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = toks.count()
+      val sketch = toks
+        .agg(graft.functions.Udafs.countMin(depth, width)(
+          xxhash64(col("tok"))).as("sk"))
+        .head().getSeq[Long](0)
+      val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(5).collect()
+      val bound = 2L * n / width
+      val rows = truth.map { r =>
+        val tok = r.getString(0); val true_ = r.getLong(1)
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(tok)
+        val kh = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        val est = graft.functions.Udafs.cmsEstimate(sketch, depth, width, kh)
+        (tok, est >= true_, est <= true_ + bound)
+      }
+      toks.unpersist()
+      import s.implicits._
+      rows.toSeq.toDF("tok", "ge_true", "within_bound")
+    },
+
     // token-budget domain mixing: each source keeps docs in md5 order
     // until its TOKEN budget fills — the mixture knob in the units a
     // training recipe specifies. True oracle: same window arithmetic
@@ -2841,6 +2874,18 @@ object SparkEntry {
         | UNION
         | SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id)
         |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // q_cms_counts: the deterministic top-5 tokens, both sketch
+    // guarantees as constants
+    "q_cms_counts" ->
+      """WITH toks AS (
+        | SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[\s\x0B]+'),
+        |   x -> len(x) > 0)) AS tok
+        | FROM documents WHERE text IS NOT NULL),
+        |top5 AS (
+        | SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        | ORDER BY c DESC, tok ASC LIMIT 5)
+        |SELECT tok, true AS ge_true, true AS within_bound FROM top5""".stripMargin,
 
     // q_token_budget_mix: the same per-source md5-ordered exclusive
     // prefix sum vs the budget CASE table

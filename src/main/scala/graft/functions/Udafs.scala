@@ -151,4 +151,73 @@ object Udafs {
 
   /** `topk(col)` handle with `k` counters. */
   def topkSketch(k: Int): UserDefinedFunction = udaf(new TopKSketch(k))
+
+  /** Count-Min sketch row index for `keyHash` in row `r`: an
+    * independent XXH64 draw per row, folded into [0, width). Shared by
+    * the aggregator and the query helper so estimates read the cells
+    * the build wrote. */
+  private def cmsIdx(keyHash: Long, r: Int, width: Int): Int =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(keyHash, 0x9E3779B97F4A7C15L * (r + 1)),
+      width.toLong).toInt
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over a hashed
+    * key column: `depth` rows × `width` counters; every occurrence
+    * increments one cell per row, a point query reads the MINIMUM of
+    * its cells. Guarantees (deterministic for fixed hashes):
+    * estimate ≥ true count always (cells only over-count), and
+    * estimate ≤ true + 2N/width with probability ≥ 1 − 2^(−depth)
+    * per key. The MERGEABLE frequency sketch for unbounded key
+    * domains: partials are element-wise sums (map-side combined, one
+    * depth×width buffer per partition per group), so a 100 TB
+    * frequency profile travels as a few KB per partition where the
+    * exact groupBy would shuffle every distinct key. Complements
+    * [[TopKSketch]]: MG answers "which keys are heavy", CMS answers
+    * "how often does THIS key occur" for any key, without storing
+    * keys at all. */
+  final class CountMinSketch(depth: Int, width: Int)
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(depth > 0 && depth <= 16, s"depth must be in 1..16, got $depth")
+    require(width > 0, s"width must be > 0, got $width")
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(b: Array[Long], keyHash: Long): Array[Long] = {
+      var r = 0
+      while (r < depth) {
+        b(r * width + cmsIdx(keyHash, r, width)) += 1L
+        r += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** `countMin(xxhash64(col))` handle inside `.agg(...)`. */
+  def countMin(depth: Int, width: Int): UserDefinedFunction =
+    udaf(new CountMinSketch(depth, width))
+
+  /** Point query against a built sketch (driver- or executor-side):
+    * min over the key's `depth` cells. */
+  def cmsEstimate(sketch: Seq[Long], depth: Int, width: Int,
+      keyHash: Long): Long = {
+    require(sketch.length == depth * width,
+      s"cmsEstimate: sketch length ${sketch.length} != $depth×$width")
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = sketch(r * width + cmsIdx(keyHash, r, width))
+      if (c < est) est = c
+      r += 1
+    }
+    est
+  }
 }

@@ -81,4 +81,31 @@ class UdafsSpec extends GraftSpec {
       .head()
     assert(allNull.isNullAt(0), "all-null x must yield null like SQL")
   }
+
+  test("countMin: estimates bound true counts from above, exact when collision-free") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val depth = 4; val width = 1024
+    // 3 distinct keys with known counts, far fewer than width:
+    // collisions across all 4 rows are as good as impossible, so the
+    // min-of-rows estimate is EXACT
+    val data = (Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++ Seq.fill(3)("gamma"))
+      .toDF("k").repartition(8) // exercise partial-buffer merging
+    val sketch = data
+      .agg(Udafs.countMin(depth, width)(xxhash64(col("k"))).as("sk"))
+      .head().getSeq[Long](0)
+    assert(sketch.length == depth * width)
+    assert(sketch.sum == 73L * depth) // every occurrence hits one cell per row
+    def est(k: String): Long = {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(k)
+      val kh = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      Udafs.cmsEstimate(sketch, depth, width, kh)
+    }
+    assert(est("alpha") == 50L)
+    assert(est("beta") == 20L)
+    assert(est("gamma") == 3L)
+    // an absent key can only read over-counts: estimate ≥ 0 and ≤ the
+    // worst single-cell load, never negative or structurally wrong
+    assert(est("never-seen") >= 0L)
+  }
 }
