@@ -1437,6 +1437,15 @@ object SparkEntry {
         .select(col("doc_id").as("removed_id"))
     },
 
+    // round-robin domain interleave: the deterministic data-loader
+    // order (position r·nDomains + d), no global sort. True oracle:
+    // identical rank/index arithmetic in SQL
+    "q_interleave" -> { (s, dir) =>
+      graft.operators.Sampling.interleaveByDomain(
+        t(s, dir, "documents"), "source", "doc_id")
+        .select(col("doc_id"), col("source"), col("global_pos"))
+    },
+
     // Count-Min sketch frequency estimates, SELF-AUDITING true oracle:
     // the sketch is built distributed (element-wise-summed partials),
     // then the top-5 true-count tokens are point-queried against it —
@@ -2874,6 +2883,21 @@ object SparkEntry {
         | UNION
         | SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id)
         |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // q_interleave: per-source md5 rank × domain count + sorted
+    // domain index
+    "q_interleave" ->
+      """WITH doms AS (
+        | SELECT source, row_number() OVER (ORDER BY source) - 1 AS d,
+        |   count(*) OVER () AS nd
+        | FROM (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL)),
+        |r AS (
+        | SELECT doc_id, source,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+        | FROM documents)
+        |SELECT doc_id, source, CAST(rk * nd + d AS BIGINT) AS global_pos
+        |FROM r JOIN doms USING (source)""".stripMargin,
 
     // q_cms_counts: the deterministic top-5 tokens, both sketch
     // guarantees as constants

@@ -156,6 +156,40 @@ object Sampling {
       .drop("__graft_gkey", "__graft_skey")
   }
 
+  /** Deterministic round-robin domain interleaving — the data-loader
+    * ORDER for mixed-domain training: position r·nDomains + d for the
+    * r-th document (md5 order) of domain d, so consecutive positions
+    * cycle through domains and no domain forms long runs (which bias
+    * gradient batches exactly like unshuffled data). A pure function
+    * of (id, domain): reproducible, resumable, and computed WITHOUT a
+    * global sort — one per-domain window plus a broadcast of the
+    * (tiny) domain list; the materialized order is then a clustered
+    * write on `outCol` ([[Layout.writeClustered]]).
+    *
+    * Positions are dense per domain but the interleave is exhausted
+    * domains' slots stay empty (a domain smaller than the largest
+    * stops contributing; consumers read position order, not
+    * contiguity — same contract as a strided sampler). */
+  def interleaveByDomain(
+      df: DataFrame, domainCol: String, idCol: String,
+      outCol: String = "global_pos"): DataFrame = {
+    tempCol(df, outCol)
+    val domains = df.select(col(domainCol)).distinct()
+      .filter(col(domainCol).isNotNull)
+      .collect().map(_.get(0).toString).sorted
+    require(domains.nonEmpty, "interleaveByDomain: no non-null domains")
+    val nd = domains.length
+    val dIdx = domains.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (dom, i)) =>
+        when(col(domainCol) === dom, lit(i.toLong)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn(outCol,
+      (row_number().over(w).cast("long") - 1L) * nd + dIdx)
+  }
+
   /** Equal-size length buckets — SQL `ntile(n) OVER (ORDER BY orderCol,
     * tieCol)` semantics WITHOUT the global single-partition window
     * (which funnels every row through one task — the classic 100 TB

@@ -120,6 +120,23 @@ class SamplingSpec extends GraftSpec {
     (20L until 200L).foreach(i => assert(got(i) == plain(i)))
   }
 
+  test("interleaveByDomain: positions cycle domains, are unique, and need no global sort") {
+    import spark.implicits._
+    val docs = (0L until 90L).map(i => (i, s"d${i % 3}")).toDF("doc_id", "dom")
+    val out = Sampling.interleaveByDomain(docs, "dom", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._3).distinct.length == 90)           // positions unique
+    out.foreach { case (_, dom, pos) =>
+      assert(pos % 3 == dom.drop(1).toLong)               // slot d of every cycle
+    }
+    // equal-size domains tile 0..89 completely
+    assert(out.map(_._3).sorted.toSeq == (0L until 90L))
+    // deterministic across evaluations
+    val again = Sampling.interleaveByDomain(docs, "dom", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    out.foreach { case (id, _, pos) => assert(again(id) == pos) }
+  }
+
   test("tokenBudgetMix fills each domain's token budget in md5 order") {
     import spark.implicits._
     val docs = (0L until 60L).map(i =>
