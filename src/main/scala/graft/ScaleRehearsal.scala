@@ -240,6 +240,16 @@ object ScaleRehearsal {
           normed, "vec_id", "nv", probes, "probe_id", "probe_vec",
           cb, k = 10, nprobe = 4, shortlist = 50))
       }
+      time(scale, "token_budget_mix") {
+        val toks = docs.withColumn("n_tokens",
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+        force(Sampling.tokenBudgetMix(toks, "source", "doc_id", "n_tokens",
+          budgets = Map("src0" -> 2000L, "src1" -> 5000L),
+          defaultBudget = 1000L))
+      }
+      time(scale, "interleave") {
+        force(Sampling.interleaveByDomain(docs, "source", "doc_id"))
+      }
       time(scale, "knn_graph") {
         // list count ∝ corpus pins per-list candidate work (the
         // operator's documented sizing rule), same as semantic_dedup

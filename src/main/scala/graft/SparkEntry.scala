@@ -1525,6 +1525,40 @@ object SparkEntry {
     // warehouse engine lives on; dims broadcast, fact tables shuffle
     // once on the join key) ──
 
+    // Q6 shape: forecast-revenue-change — pure scan + predicate +
+    // ungrouped aggregate, the canonical pushdown/codegen benchmark
+    // (no join, no shuffle beyond the final partial-agg merge). All
+    // filters reach the parquet scan; decimal-exact arithmetic
+    "q_tpch_q6" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").cast("decimal(18,2)").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+    },
+
+    // Q14 shape: promo-share — fact-dim join with BOTH branches of a
+    // conditional aggregate over the same decimal-exact revenue; the
+    // dim broadcasts, the ratio divides two exactly-agreed doubles
+    "q_tpch_q14" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val part = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100d) *
+            sum(when(col("p_type") === "ECONOMY", rev)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(rev).cast("double")).as("economy_share"))
+    },
+
     // Q3 shape: shipping-priority — 3-way join, filtered both sides,
     // grouped revenue, deterministic top-10
     "q_tpch_q3" -> { (s, dir) =>
@@ -2241,6 +2275,25 @@ object SparkEntry {
         |FROM events c JOIN events p
         | ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND c.ts >= p.ts - INTERVAL 1800 SECOND AND c.ts <= p.ts""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) *
+        |   cast(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND cast(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT 100 * cast(sum(CASE WHEN p_type = 'ECONOMY'
+        |    THEN cast(l_extendedprice AS DECIMAL(18,2)) *
+        |      (cast(1 AS DECIMAL(18,2)) - cast(l_discount AS DECIMAL(18,2)))
+        |    ELSE cast(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) *
+        |      (cast(1 AS DECIMAL(18,2)) - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS economy_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
         | cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (cast(1 AS DECIMAL(18,2)) - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

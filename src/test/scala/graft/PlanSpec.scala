@@ -24,6 +24,21 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("TPC-H Q6: scan-only plan — filters pushed, partial+final agg, no join") {
+    val p = formatted("q_tpch_q6")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"the shipdate range must reach the scan:\n$p")
+    assert(!p.contains("Join"), s"Q6 must not plan any join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
+  test("TPC-H Q14: part dim broadcasts, no cartesian") {
+    val p = formatted("q_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("TPC-H Q3: date filters pushed into the parquet scans") {
     val p = formatted("q_tpch_q3")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
