@@ -2682,6 +2682,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     },
 
+    // duplicate-cluster size histogram: the reporting form of the CC
+    // relation (same memoized components as q_dup_clusters). True
+    // oracle: the recursive CTE's sizes histogram
+    "q_cluster_sizes" -> { (s, dir) =>
+      Dedup.clusterSizeHistogram(
+        t(s, dir, "documents"), "doc_id", sharedGramComponents(s, dir))
+    },
+
+    // pairwise domain vocabulary overlap: exact Jaccard between the
+    // distinct token sets of every source pair — the mixture
+    // diagnostic. True oracle: same posting arithmetic in SQL
+    "q_vocab_overlap" -> { (s, dir) =>
+      graft.operators.Corpus.domainVocabOverlap(
+        t(s, dir, "documents"), "source", "text")
+    },
+
     // inverted index: (term, df, doc_id) posting rows, df ≥ 25 to keep
     // the gate output bounded while exercising the full build
     "q_inverted_index" -> { (s, dir) =>
@@ -2981,6 +2997,43 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens FROM w
         |WHERE prior < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
         |  WHEN 'src2' THEN 500 ELSE 1000 END""".stripMargin,
+
+    // q_cluster_sizes: the same CC relation folded to its size
+    // histogram
+    "q_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 8 + 1, 1) + 1), i -> array_to_string(tk[i:i+7], ' '))) AS gram
+        | FROM toks),
+        |edges AS (
+        | SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        | FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |reach(id, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+        |clusters AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+        |SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size""".stripMargin,
+
+    // q_vocab_overlap: distinct (source, token) sets, pairwise exact
+    // Jaccard
+    "q_vocab_overlap" ->
+      """WITH v AS (
+        | SELECT DISTINCT source AS dom,
+        |   unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     x -> len(x) > 0)) AS term
+        | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |sz AS (SELECT dom, count(*) AS v FROM v GROUP BY dom),
+        |sh AS (
+        | SELECT a.dom AS dom_a, b.dom AS dom_b, count(*) AS n_shared
+        | FROM v a JOIN v b USING (term) WHERE a.dom < b.dom
+        | GROUP BY 1, 2)
+        |SELECT dom_a, dom_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(sa.v + sb.v - n_shared AS DOUBLE) AS jaccard
+        |FROM sh JOIN sz sa ON sa.dom = dom_a JOIN sz sb ON sb.dom = dom_b""".stripMargin,
 
     // q_split_leakage_safe: q_dup_clusters' component relation feeding
     // q_split_assign's md5 arithmetic, keyed on cluster_id

@@ -278,6 +278,38 @@ object Corpus {
     *
     * @return (doc_id, n_tokens, n_oov, oov_rate)
     */
+  /** Pairwise VOCABULARY OVERLAP between domains — the mixture
+    * diagnostic behind "are src3 and src7 the same crawl?": distinct
+    * token sets per domain, exact Jaccard for every domain pair that
+    * shares at least one token. The posting join is keyed by token
+    * with at most nDomains rows per side per token, so the join output
+    * is bounded by |vocab| · nDomains² — domains are few by
+    * construction (a mixture has tens of sources, not millions);
+    * output is ≤ nDomains² rows. Same Σ-shared / sizes arithmetic as
+    * [[Dedup.exactNgramJaccard]], over (domain, token) instead of
+    * (doc, gram).
+    *
+    * @return (dom_a, dom_b, n_shared, jaccard) with dom_a < dom_b
+    */
+  def domainVocabOverlap(
+      df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val vocab = df.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+      .select(col(domainCol).as("dom"), explode(terms(col(textCol))).as("term"))
+      .distinct()
+    val sizes = vocab.groupBy(col("dom")).agg(count(lit(1)).as("v"))
+    val shared = vocab.select(col("term"), col("dom").as("dom_a"))
+      .join(vocab.select(col("term"), col("dom").as("dom_b")), "term")
+      .filter(col("dom_a") < col("dom_b"))
+      .groupBy(col("dom_a"), col("dom_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("dom").as("dom_a"), col("v").as("v_a")), "dom_a")
+      .join(sizes.select(col("dom").as("dom_b"), col("v").as("v_b")), "dom_b")
+      .select(col("dom_a"), col("dom_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("v_a") + col("v_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
   def vocabCoverage(
       df: DataFrame, idCol: String, textCol: String, topV: Int): DataFrame = {
     require(topV >= 1, s"topV must be >= 1, got $topV")

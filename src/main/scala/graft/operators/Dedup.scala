@@ -554,6 +554,20 @@ object Dedup {
     df.join(contaminated, col(idCol) === col("id"), "left_anti")
   }
 
+  /** Duplicate-cluster SIZE HISTOGRAM — the reporting form of the CC
+    * relation ("how much of the corpus sits in 2-clusters vs
+    * 100-clusters?" is the first question any dedup audit asks).
+    * Documents absent from `components` are singletons (cluster of
+    * size 1), matching the min-label convention. Two map-side-combined
+    * groupBys; output is |distinct sizes| rows. */
+  def clusterSizeHistogram(
+      df: DataFrame, idCol: String, components: DataFrame): DataFrame =
+    df.select(col(idCol))
+      .join(components.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** [[decontaminateFuzzy]]'s match detection as a REAL streaming
     * query: documents stream from a parquet directory (file source,
     * available-now trigger), the benchmark side is STATIC
