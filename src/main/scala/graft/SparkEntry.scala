@@ -2682,6 +2682,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     },
 
+    // per-source corpus stats as a REAL streaming aggregation
+    // (landing-zone monitoring); complete mode on bounded input ≡ the
+    // batch aggregate, so the oracle is plain SQL over documents
+    "q_corpus_stats_stream" -> { (s, dir) =>
+      graft.streaming.VectorStreams.corpusStatsStreamed(
+        s, s"$dir/documents.parquet", "source", "text")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"))
+    },
+
     // duplicate-cluster size histogram: the reporting form of the CC
     // relation (same memoized components as q_dup_clusters). True
     // oracle: the recursive CTE's sizes histogram
@@ -2997,6 +3006,14 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens FROM w
         |WHERE prior < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
         |  WHEN 'src2' THEN 500 ELSE 1000 END""".stripMargin,
+
+    // q_corpus_stats_stream: the batch aggregate the stream must equal
+    "q_corpus_stats_stream" ->
+      """SELECT source, count(*) AS n_docs,
+        | sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |   x -> len(x) > 0))) AS n_tokens,
+        | sum(length(text)) AS n_chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     // q_cluster_sizes: the same CC relation folded to its size
     // histogram

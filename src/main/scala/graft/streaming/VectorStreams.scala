@@ -51,6 +51,50 @@ object VectorStreams {
         count(lit(1)).as("n_scored"))
   }
 
+  /** Per-source corpus statistics over a DOCUMENT stream (landing-zone
+    * monitoring: how many docs / tokens has each source delivered?):
+    * a streaming aggregation whose state is one row per source.
+    * Available-now + complete mode on bounded input equals the batch
+    * aggregate exactly, so the driver's SQL oracle checks a real
+    * Structured Streaming execution — same contract as
+    * EventStreams.hourlyTypeCountsStreamed. */
+  def corpusStatsStreamed(
+      spark: SparkSession, docsParquet: String,
+      sourceCol: String, textCol: String): DataFrame = {
+    // the file stream source requires a DIRECTORY; stage a single-file
+    // input into one (same convention as EventStreams.runStreamed)
+    val src = java.nio.file.Paths.get(docsParquet)
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) docsParquet
+      else {
+        val dir = java.nio.file.Paths.get(
+          graft.Scratch.path(s"corpstats_${math.abs(docsParquet.hashCode)}"))
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.copy(src, dir.resolve(src.getFileName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dir.toString
+      }
+    val schema = spark.read.parquet(docsParquet).schema
+    val stream = spark.readStream.schema(schema).parquet(streamPath)
+    val agg = stream
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+    val name = "graft_corpstats_" + math.abs(docsParquet.hashCode)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
+  }
+
   /** [[nearestByAdc]] executed as a REAL streaming query: the probe
     * parquet is read as a file-source stream (available-now trigger,
     * complete-mode memory sink — the same harness contract as
