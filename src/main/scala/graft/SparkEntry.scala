@@ -2682,6 +2682,36 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     },
 
+    // compression-ratio quality signal over SYNTHESIZED payloads with
+    // known redundancy structure: per doc_id a highly-repetitive
+    // string (one token repeated 60×) and a diverse one (chained md5
+    // hex, ~16-symbol alphabet). zlib's exact bytes are JVM-internal,
+    // but the ORDERING contract is robust: repetitive < 0.3,
+    // diverse > 0.4, repetitive < diverse, real text in (0, 1] — all
+    // SQL constants over the documents id set
+    "q_compression_quality" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val rep = TextFunctions.compressionRatio(
+        concat(repeat(concat(lit("tok"), (col("doc_id") % 7).cast("string"),
+          lit(" ")), 60)))
+      val div = TextFunctions.compressionRatio(
+        concat(md5(col("doc_id").cast("string")),
+          md5((col("doc_id") + 1).cast("string")),
+          md5((col("doc_id") + 2).cast("string")),
+          md5((col("doc_id") + 3).cast("string"))))
+      val real = TextFunctions.compressionRatio(col("text"))
+      docs.select(col("doc_id"),
+        (rep < 0.3).as("rep_compresses"),
+        (div > 0.4).as("div_resists"),
+        (rep < div).as("ordering_holds"),
+        // null/short text → vacuously in range: deflate's ~11-byte
+        // header makes tiny payloads exceed ratio 1 legitimately; at
+        // ≥ 100 raw bytes the worst incompressible case stays ≤ 1.2
+        coalesce(when(length(col("text")) >= 100,
+          real > 0d && real <= 1.2d).otherwise(lit(true)), lit(true))
+          .as("real_in_range"))
+    },
+
     // per-source corpus stats as a REAL streaming aggregation
     // (landing-zone monitoring); complete mode on bounded input ≡ the
     // batch aggregate, so the oracle is plain SQL over documents
@@ -3006,6 +3036,13 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens FROM w
         |WHERE prior < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
         |  WHEN 'src2' THEN 500 ELSE 1000 END""".stripMargin,
+
+    // q_compression_quality: ordering contracts are constants over
+    // the id set
+    "q_compression_quality" ->
+      """SELECT doc_id, true AS rep_compresses, true AS div_resists,
+        |  true AS ordering_holds, true AS real_in_range
+        |FROM documents""".stripMargin,
 
     // q_corpus_stats_stream: the batch aggregate the stream must equal
     "q_corpus_stats_stream" ->

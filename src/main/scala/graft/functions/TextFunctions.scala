@@ -193,4 +193,14 @@ object TextFunctions {
       least(stopRatio * lit(5d), lit(1d)) * lit(0.3) +
       when(meanLen >= 3d && meanLen <= 10d, lit(1d)).otherwise(lit(0d)) * lit(0.3)
   }
+
+  /** Deflate compression ratio (compressed bytes / raw bytes; empty →
+    * 1.0) — the zlib redundancy signal the Gopher/FineWeb quality
+    * pipelines threshold on: template spam and keyword stuffing
+    * compress far below natural prose; near-1 ratios flag
+    * random-looking content. ORDINAL across JVMs (exact bytes depend
+    * on the bundled zlib); deterministic within one. Native codegen'd
+    * kernel with a per-thread reused Deflater. */
+  def compressionRatio(text: Column): Column =
+    graft.plans.native.deflateRatio(text)
 }

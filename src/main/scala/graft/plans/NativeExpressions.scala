@@ -356,6 +356,20 @@ case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** string text → double deflate compression ratio (compressed/raw;
+  * empty → 1.0). Ordinal quality signal — see
+  * VectorKernels.deflateRatio. */
+case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.deflateRatio(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.deflateRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
+    copy(child = newChild)
+}
+
 /** array<long> non-negative values → long Z-order (Morton) interleave
   * of the low `bits` bits of each. */
 case class ZValueExpr(child: Expression, bits: Int) extends UnaryExpression {
@@ -430,4 +444,5 @@ object native {
   def unicodeNormalize(text: Column, form: String): Column =
     c(UnicodeNormalize(e(text), form))
   def zValue(vals: Column, bits: Int): Column = c(ZValueExpr(e(vals), bits))
+  def deflateRatio(text: Column): Column = c(DeflateRatioExpr(e(text)))
 }

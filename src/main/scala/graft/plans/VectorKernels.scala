@@ -551,6 +551,34 @@ object VectorKernels {
     dot
   }
 
+  /** Per-thread Deflater at a FIXED level — reused across rows (a
+    * Deflater allocates native zlib state; per-row construction would
+    * dominate the kernel). ended/reset per call. */
+  private val deflaters: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() =>
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION))
+
+  /** Deflate compression ratio of the UTF-8 bytes: compressed size /
+    * raw size (empty text → 1.0). A one-number redundancy signal —
+    * the Gopher/FineWeb-style quality feature: boilerplate, template
+    * spam, and keyword stuffing compress far below natural prose,
+    * while high ratios flag random-looking (encrypted/binary-pasted)
+    * content. Deterministic for a fixed JVM's zlib at the default
+    * level; treat cross-JVM values as ordinal, not exact (the gates
+    * assert ORDERING properties only). */
+  def deflateRatio(text: UTF8String): Double = {
+    val raw = text.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](1024)
+    var compressed = 0L
+    while (!d.finished()) compressed += d.deflate(buf)
+    compressed.toDouble / raw.length
+  }
+
   /** Z-order (Morton) value: interleave the low `bits` bits of each of
     * the n input values — bit b of column c lands at position b·n + c,
     * so a lexicographic sort on the result is a space-filling-curve

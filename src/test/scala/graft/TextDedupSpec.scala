@@ -391,6 +391,29 @@ class TextDedupSpec extends GraftSpec {
     assert(exactSurv == Set(0L))
   }
 
+  test("compressionRatio orders redundancy and is deterministic") {
+    val rep = "the cat sat " * 80
+    val prose = "A different idea appears in every clause of this sentence, " +
+      "naming fresh objects, colors, verbs, and numbers like seventeen."
+    // chained MD5 hex — genuinely high-entropy over a 16-symbol alphabet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexy = Iterator.iterate("seed")(s =>
+      md.digest(s.getBytes).map("%02x".format(_)).mkString)
+      .drop(1).take(16).mkString
+    val r = Seq((0L, rep), (1L, prose), (2L, hexy), (3L, ""))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.compressionRatio(col("t")).as("cr"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) < 0.1, s"repetition ${r(0L)}")         // collapses
+    assert(r(1L) > r(0L), "prose above repetition")
+    assert(r(2L) > r(0L) && r(2L) > 0.4, s"hex noise resists: ${r(2L)}")
+    assert(r(3L) == 1.0)                                 // empty convention
+    // deterministic across evaluations (per-thread Deflater reuse)
+    val again = Seq((0L, rep)).toDF("id", "t")
+      .select(TextFunctions.compressionRatio(col("t"))).head().getDouble(0)
+    assert(again == r(0L))
+  }
+
   // ── weighted (multiset) Jaccard ──
 
   test("weighted shingle hashes: distinct, multiplicity-expanded, set-consistent") {
