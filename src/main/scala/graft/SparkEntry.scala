@@ -112,18 +112,6 @@ object SparkEntry {
         .df
     },
 
-    // ORC round-trip: the other Spark-native columnar format (beyond
-    // parquet/CSV/JSONL) — typed write + read-back must preserve
-    // content exactly; the oracle reads the ORIGINAL table, so any
-    // type or value drift through the ORC writer path fails the hash
-    "q_orc_roundtrip" -> { (s, dir) =>
-      val out = Scratch.path(s"orc_${math.abs(dir.hashCode)}")
-      t(s, dir, "nation")
-        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-        .write.mode("overwrite").orc(out)
-      s.read.orc(out)
-    },
-
     // §2.1 FromReader: CSV from an in-memory byte stream (the reference
     // reads a driver-local buffer; faithful analogue)
     "q_csv_from_lines" -> { (s, dir) =>
@@ -446,8 +434,6 @@ object SparkEntry {
       "SELECT cast(r_regionkey AS varchar) AS r_regionkey, r_name FROM region",
     "q_csv_from_lines" ->
       "SELECT cast(n_nationkey AS varchar) AS n_nationkey, n_name, cast(n_regionkey AS varchar) AS n_regionkey FROM nation",
-    "q_orc_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_take_rows" ->
       "SELECT * FROM (VALUES ('a','1'),('b','2'),('c','3')) AS t(k, v)",
     "q_csv_headerless" ->
