@@ -1423,6 +1423,19 @@ object SparkEntry {
         .select(col("doc_id").as("removed_id"))
     },
 
+    // per-domain quality-quantile filter: keep the top 25% of each
+    // source by quality score (tie → doc_id) — FineWeb-style curation
+    // where a global threshold would let one strong domain
+    // monopolize. True oracle: the q_quality_score arithmetic feeding
+    // the same rank/ceil cut
+    "q_quality_filter" -> { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      graft.operators.Sampling.keepTopFraction(
+        scored, "source", "quality", "doc_id", fraction = 0.25)
+        .select(col("doc_id"), col("source"), col("quality"))
+    },
+
     // round-robin domain interleave: the deterministic data-loader
     // order (position r·nDomains + d), no global sort. True oracle:
     // identical rank/index arithmetic in SQL
@@ -2977,6 +2990,33 @@ object SparkEntry {
         | UNION
         | SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id)
         |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // q_quality_filter: the q_quality_score expression ranked
+    // per-source with the same ceil cut
+    "q_quality_filter" ->
+      """WITH toks AS (
+        | SELECT doc_id, source, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS ltk
+        | FROM documents),
+        |feats AS (
+        | SELECT doc_id, source,
+        |  cast(len(tk) AS DOUBLE) AS n_tok,
+        |  cast(coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS DOUBLE) AS n_chars,
+        |  cast(len(list_filter(ltk, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) AS n_stop
+        | FROM toks),
+        |scored AS (
+        | SELECT doc_id, source,
+        |  least(n_tok / 100.0, 1.0) * 0.4 +
+        |  least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
+        |  (CASE WHEN (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality
+        | FROM feats),
+        |ranked AS (
+        | SELECT doc_id, source, quality,
+        |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n
+        | FROM scored)
+        |SELECT doc_id, source, quality FROM ranked
+        |WHERE rn <= ceil(CAST(n AS DOUBLE) * 0.25)""".stripMargin,
 
     // q_interleave: per-source md5 rank × domain count + sorted
     // domain index

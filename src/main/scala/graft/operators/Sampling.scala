@@ -156,6 +156,31 @@ object Sampling {
       .drop("__graft_gkey", "__graft_skey")
   }
 
+  /** Keep the top `fraction` of each group by score — the
+    * quality-quantile filter (FineWeb-style curation keeps the best
+    * q% per dump/domain rather than a global absolute threshold,
+    * which one strong domain would otherwise monopolize). Keeps rows
+    * ranked ≤ ⌈fraction · |group|⌉ by (score desc, tieCol asc) — the
+    * ceiling guarantees every non-empty group keeps at least one row,
+    * and the explicit tie column makes the cut deterministic when
+    * scores collide (discrete-valued quality scores collide often).
+    * Two windows over the same group partitioning — one shuffle. */
+  def keepTopFraction(
+      df: DataFrame, groupCol: String, scoreCol: String, tieCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1,
+      s"fraction must be in (0, 1], got $fraction")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .withColumn("__graft_n", count(lit(1)).over(cnt))
+      .filter(col("__graft_rn") <=
+        ceil(col("__graft_n").cast("double") * lit(fraction)))
+      .drop("__graft_rn", "__graft_n")
+  }
+
   /** Deterministic round-robin domain interleaving — the data-loader
     * ORDER for mixed-domain training: position r·nDomains + d for the
     * r-th document (md5 order) of domain d, so consecutive positions

@@ -93,4 +93,108 @@ class KernelPropertySpec extends AnyFunSuite {
         new GenericArrayData(a), new GenericArrayData(b)) == want)
     }
   }
+
+  test("pqEncode == per-subspace L2 argmin; pqAdc == dot with the reconstruction (500 cases)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 500) {
+      val m = 1 + rnd.nextInt(4)
+      val subDim = 1 + rnd.nextInt(4)
+      val k = 1 + rnd.nextInt(8)
+      val dim = m * subDim
+      val cents = Array.fill(m * k * subDim)(rnd.nextGaussian())
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val got = VectorKernels.pqEncode(cents, m, k, new GenericArrayData(v), isFloat = false)
+      // reference argmin per subspace (ties → smallest code)
+      val want = (0 until m).map { mi =>
+        val d2 = (0 until k).map { c =>
+          val off = (mi * k + c) * subDim
+          (0 until subDim).map { j =>
+            val diff = v(mi * subDim + j) - cents(off + j); diff * diff
+          }.sum
+        }
+        d2.zipWithIndex.minBy { case (d, i) => (d, i) }._2 + 1
+      }
+      assert((0 until m).map(got.getInt) == want, s"m=$m k=$k subDim=$subDim")
+      // ADC(probe, codes) must equal ⟨probe, reconstruction(codes)⟩
+      val probe = Array.fill(dim)(rnd.nextGaussian())
+      val recon = (0 until dim).map { i =>
+        val mi = i / subDim
+        cents((mi * k + got.getInt(mi) - 1) * subDim + (i % subDim))
+      }
+      val wantDot = probe.zip(recon).map { case (a, b) => a * b }.sum
+      val gotDot = VectorKernels.pqAdc(cents, m, k, got,
+        new GenericArrayData(probe), probeFloat = false)
+      assert(math.abs(gotDot - wantDot) < 1e-9, s"adc $gotDot vs $wantDot")
+      // the packed form agrees bit-for-bit when k,m fit 4 bits
+      if (k <= 16 && m <= 16) {
+        val packed = VectorKernels.pqEncodePacked(cents, m, k,
+          new GenericArrayData(v), isFloat = false)
+        (0 until m).foreach { mi =>
+          assert(((packed >>> (4 * mi)) & 0xF) == got.getInt(mi) - 1)
+        }
+        val packedDot = VectorKernels.pqAdcPacked(cents, m, k, packed,
+          new GenericArrayData(probe), probeFloat = false)
+        assert(packedDot == gotDot)
+      }
+    }
+  }
+
+  test("l2Normalize: unit norm, direction preserved, zero passthrough (500 cases)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(37)
+    for (_ <- 1 to 500) {
+      val dim = 1 + rnd.nextInt(32)
+      val v =
+        if (rnd.nextInt(10) == 0) Array.fill(dim)(0.0)
+        else Array.fill(dim)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(6) - 3))
+      val got = VectorKernels.l2Normalize(new GenericArrayData(v), isFloat = false)
+      val out = (0 until dim).map(got.getDouble).toArray
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0) assert(out.sameElements(v))
+      else {
+        assert(math.abs(math.sqrt(out.map(x => x * x).sum) - 1.0) < 1e-12)
+        // direction: out ∝ v with a positive factor
+        val i = v.indexWhere(_ != 0.0)
+        val ratio = out(i) / v(i)
+        assert(ratio > 0)
+        v.indices.foreach(j =>
+          assert(math.abs(out(j) - v(j) * ratio) < 1e-9 * math.max(1.0, math.abs(v(j)))))
+      }
+    }
+  }
+
+  test("shingleHashesWeighted: distinct expansion whose dedup cardinality matches the gram bag (2000 strings)") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 2000; n <- Seq(1, 2, 3)) {
+      val s = randomText(rnd)
+      val grams = refGrams(s, n)
+      if (refTokens(s).nonEmpty) {
+        val got = VectorKernels.shingleHashesWeighted(UTF8String.fromString(s), n)
+        val hashes = (0 until got.numElements()).map(got.getLong)
+        assert(hashes.size == grams.size, s"total multiplicity text=$s n=$n")
+        assert(hashes.distinct.size == hashes.size, "occurrence expansion must be collision-free")
+        // weighted-Jaccard identity on the SAME string: expansion of s
+        // vs itself intersects fully
+        val again = VectorKernels.shingleHashesWeighted(UTF8String.fromString(s), n)
+        assert((0 until again.numElements()).map(again.getLong) == hashes)
+      }
+    }
+  }
+
+  test("zValue: bijective on the 2^2b grid and matches the reference interleave") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(43)
+    for (_ <- 1 to 500) {
+      val bits = 1 + rnd.nextInt(8)
+      val x = rnd.nextInt(1 << bits).toLong
+      val y = rnd.nextInt(1 << bits).toLong
+      var want = 0L
+      for (b <- 0 until bits) {
+        want |= ((x >>> b) & 1L) << (2 * b)
+        want |= ((y >>> b) & 1L) << (2 * b + 1)
+      }
+      assert(VectorKernels.zValue(new GenericArrayData(Array(x, y)), bits) == want)
+    }
+  }
 }

@@ -120,6 +120,27 @@ class SamplingSpec extends GraftSpec {
     (20L until 200L).foreach(i => assert(got(i) == plain(i)))
   }
 
+  test("keepTopFraction keeps exactly the ceil cut per group with deterministic ties") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, s"g${i % 2}", (i % 4).toDouble))
+      .toDF("id", "g", "score")
+    val kept = Sampling.keepTopFraction(rows, "g", "score", "id", 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // 20 per group → ceil(20·0.25) = 5 kept per group
+    assert(kept.count(_._2 == "g0") == 5 && kept.count(_._2 == "g1") == 5)
+    // the top score tier (score 3.0: 5 members per group) fills the cut
+    // exactly; tie-break by id keeps the 5 SMALLEST ids of that tier
+    val g1 = kept.filter(_._2 == "g1").map(_._1).sorted.toSeq
+    assert(g1 == Seq(3L, 7L, 11L, 15L, 19L))
+    // fraction 1.0 keeps everything; tiny groups keep at least one row
+    assert(Sampling.keepTopFraction(rows, "g", "score", "id", 1.0).count() == 40)
+    val tiny = Seq((1L, "x", 0.5)).toDF("id", "g", "score")
+    assert(Sampling.keepTopFraction(tiny, "g", "score", "id", 0.01).count() == 1)
+    intercept[IllegalArgumentException] {
+      Sampling.keepTopFraction(rows, "g", "score", "id", 0.0)
+    }
+  }
+
   test("interleaveByDomain: positions cycle domains, are unique, and need no global sort") {
     import spark.implicits._
     val docs = (0L until 90L).map(i => (i, s"d${i % 3}")).toDF("doc_id", "dom")
