@@ -5346,15 +5346,146 @@ object SparkEntry {
         |FROM ranked WHERE rnk <= 5""".stripMargin
   )
 
+  private val round9bQueries: Map[String, Q] = Map(
+    // DSIR (Xie et al. 2023) hashed-bigram importance scoring, TRUE
+    // exact-arithmetic oracle: the poly-31 code-point feature hash is
+    // engine-mirrorable (DuckDB replays it via list_reduce/unicode),
+    // counts and dot products are integers in DECIMAL(38,0)/HUGEINT,
+    // and only the final emission casts to double (values ≪ 2^53 at
+    // verify SF, so the cast is exact in both engines). Target
+    // distribution = the English slice; raw = the full corpus. The
+    // log-likelihood-ratio production form (Corpus.dsirWeights) is
+    // spec-tested instead — ln differs in the last ulp between the JVM
+    // and libm (measured), so no transcendental may reach an oracled
+    // column.
+    "q_dsir" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.dsirAffinity(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        buckets = 512)
+        .select(col("doc_id"), col("n_feats"),
+          col("tgt_aff").cast("double").as("tgt_aff"),
+          col("raw_aff").cast("double").as("raw_aff"),
+          col("score").cast("double").as("score"))
+    },
+
+    // the selection half: top-50 docs by the exact DSIR score
+    // (score desc, doc_id asc) — the cut is TakeOrderedAndProject
+    // (PlanSpec-pinned), and the ordering is bit-reproducible because
+    // the score is exact integer arithmetic end-to-end.
+    "q_dsir_select" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.dsirSelect(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        buckets = 512, keepN = 50)
+        .select(col("doc_id"), col("score").cast("double").as("score"))
+    },
+
+    // sign random projection (Johnson–Lindenstrauss), TRUE bit-exact
+    // oracle: the ±1 matrix comes from an engine-mirrorable integer
+    // hash and the kernel's ascending-index sum order is part of the
+    // contract, so DuckDB replays the projection to the last ulp (+,
+    // /, √ are IEEE correctly-rounded — no transcendental anywhere).
+    // Exploded to (vec_id, j, y) rows so the float compare hits the
+    // driver's exact float path instead of array-stringification.
+    "q_embedding_rp" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          posexplode(graft.operators.Similarity.randomProject(
+            col("embedding"), outDim = 8, seed = 7L)).as(Seq("j", "y")))
+    }
+  )
+
+  // shared oracle CTE: the DSIR feature map + count tables (buckets =
+  // 512, target = lang 'en'), replaying the kernel's poly-31 hash
+  private val dsirOracleCtes: String =
+    """WITH d AS (
+      | SELECT doc_id, lang,
+      |        list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                    x -> len(x) > 0) AS ts
+      | FROM documents WHERE text IS NOT NULL),
+      |bg AS (
+      | SELECT doc_id, lang,
+      |   list_transform(
+      |     [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))],
+      |     g -> CAST(list_reduce(
+      |            list_prepend(CAST(0 AS BIGINT),
+      |              [CAST(unicode(ch) AS BIGINT)
+      |               for ch in regexp_split_to_array(g, '')]),
+      |            (a, b) -> (a * 31 + b) % 2147483648) % 512 AS INTEGER)) AS bks
+      | FROM d),
+      |feats AS (
+      | SELECT doc_id, lang, unnest(bks) AS bucket FROM bg),
+      |fcnt AS (
+      | SELECT doc_id, bucket, count(*) AS n FROM feats GROUP BY 1, 2),
+      |ctab AS (
+      | SELECT bucket, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
+      |rtab AS (
+      | SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+      |tot AS (
+      | SELECT (SELECT coalesce(sum(ct), 0) FROM ctab) AS t,
+      |        (SELECT coalesce(sum(cr), 0) FROM rtab) AS r),
+      |scored AS (
+      | SELECT doc_id, sum(n) AS n_feats,
+      |   sum(CAST(n AS HUGEINT) * CAST(coalesce(ct, 0) AS HUGEINT)) AS tgt_aff,
+      |   sum(CAST(n AS HUGEINT) * CAST(coalesce(cr, 0) AS HUGEINT)) AS raw_aff,
+      |   sum(CAST(n AS HUGEINT) *
+      |       (CAST(coalesce(ct, 0) AS HUGEINT) * CAST(r AS HUGEINT) -
+      |        CAST(coalesce(cr, 0) AS HUGEINT) * CAST(t AS HUGEINT))) AS score
+      | FROM fcnt LEFT JOIN ctab USING (bucket)
+      |           LEFT JOIN rtab USING (bucket), tot
+      | GROUP BY doc_id),
+      |alldocs AS (
+      | SELECT doc_id, coalesce(n_feats, 0) AS n_feats,
+      |        CAST(coalesce(tgt_aff, 0) AS DOUBLE) AS tgt_aff,
+      |        CAST(coalesce(raw_aff, 0) AS DOUBLE) AS raw_aff,
+      |        CAST(coalesce(score, 0) AS DOUBLE) AS score
+      | FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+      |      LEFT JOIN scored USING (doc_id))
+      |""".stripMargin
+
+  private val round9bOracles: Map[String, String] = Map(
+    "q_dsir" ->
+      (dsirOracleCtes +
+        "SELECT doc_id, n_feats, tgt_aff, raw_aff, score FROM alldocs"),
+
+    "q_dsir_select" ->
+      (dsirOracleCtes +
+        "SELECT doc_id, score FROM alldocs ORDER BY score DESC, doc_id ASC LIMIT 50"),
+
+    "q_embedding_rp" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |p AS (
+        | SELECT vec_id,
+        |   list_transform(range(0, 8), j ->
+        |     list_reduce(
+        |       list_prepend(CAST(0.0 AS DOUBLE),
+        |         [CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) *
+        |          (CASE WHEN list_reduce(
+        |                  [(i * 1315423911 + j * 2654435761
+        |                    + 7 * 2246822519 + 12345) % 2147483647, 1, 2],
+        |                  (x, unused) -> (x * x + x + 41) % 2147483647)
+        |                     < 1073741824
+        |                THEN CAST(1.0 AS DOUBLE)
+        |                ELSE CAST(-1.0 AS DOUBLE) END)
+        |          for i in range(0, len(embedding))]),
+        |       (a, b) -> a + b) / sqrt(CAST(8.0 AS DOUBLE))) AS ys
+        | FROM e)
+        |SELECT vec_id, CAST(j AS INTEGER) AS j, ys[CAST(j AS INTEGER) + 1] AS y
+        |FROM p, unnest(range(0, 8)) AS u(j)""".stripMargin
+  )
+
   def queries: Map[String, Q] =
     referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries ++
       round4Queries ++ round5Queries ++ round6Queries ++ round7Queries ++
-      round8Queries ++ round9Queries
+      round8Queries ++ round9Queries ++ round9bQueries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] =
     referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles ++
       round4Oracles ++ round5Oracles ++ round6Oracles ++ round7Oracles ++
-      round8Oracles ++ round9Oracles
+      round8Oracles ++ round9Oracles ++ round9bOracles
 }

@@ -330,4 +330,158 @@ object Corpus {
         (col("n_oov").cast("double") / col("n_tokens").cast("double"))
           .as("oov_rate"))
   }
+
+  // ---------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+  // ---------------------------------------------------------------------
+
+  /** Per-document hashed adjacent-token bigram feature counts — the
+    * DSIR feature map. One row per (doc, bucket) with the occurrence
+    * count; docs with < 2 tokens produce no rows (callers left-join).
+    *
+    * Scale shape: one codegen'd kernel pass per doc
+    * ([[graft.plans.native.hashedBigramBuckets]]) → explode → map-side-
+    * combined `groupBy(doc, bucket)`. The shuffle carries at most
+    * min(bigrams, buckets) rows per doc; the bucket space is uniform by
+    * hash, so no key skew.
+    *
+    * @return (doc_id, bucket, n)
+    */
+  def dsirFeatures(
+      df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.plans.native.hashedBigramBuckets(
+          lower(col(textCol)), buckets)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Bucket count table of a corpus under the DSIR feature map — the
+    * "fit a hashed multinomial" half, persisted-friendly (bucket-sized:
+    * at most `buckets` rows regardless of corpus size).
+    *
+    * @return (bucket, c) with every occupied bucket's occurrence count
+    */
+  def dsirCountTable(
+      df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame =
+    dsirFeatures(df, idCol, textCol, buckets)
+      .groupBy(col("bucket")).agg(sum(col("n")).as("c"))
+
+  /** EXACT-arithmetic DSIR affinity scores: for every raw doc, the
+    * integer dot products of its hashed-bigram counts with the target
+    * and raw corpus count tables, plus the cross-multiplied linear
+    * score `Σ_b n[b]·(ct[b]·R − cr[b]·T)` (T, R = total target / raw
+    * feature mass). A doc whose features concentrate where the TARGET
+    * corpus is denser than the raw corpus scores positive — the
+    * transcendental-free surrogate for the log-likelihood-ratio weight
+    * ([[dsirWeights]]), kept in DECIMAL(38,0) so it is reproducible
+    * bit-for-bit on any engine (the production log form cannot be: ln
+    * differs in the last ulp between libm and the JVM — measured).
+    *
+    * Scale shape: both count tables are bucket-sized → broadcast joins
+    * onto the per-doc feature rows; the totals are 1-row aggregates
+    * broadcast as scalars; the per-doc reduction is a map-side-combined
+    * groupBy. Nothing shuffles more than the feature rows themselves.
+    *
+    * @return (doc_id, n_feats, tgt_aff, raw_aff, score) — score is
+    *         DECIMAL(38,0); overflow (corpus mass beyond ~10^19ish per
+    *         term) surfaces as a loud Spark overflow error under ANSI
+    *         or null, never silent wraparound
+    */
+  def dsirAffinity(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    val feats = dsirFeatures(raw, idCol, textCol, buckets)
+    val ct = dsirCountTable(target, idCol, textCol, buckets)
+      .select(col("bucket"), col("c").as("ct"))
+    val cr = dsirCountTable(raw, idCol, textCol, buckets)
+      .select(col("bucket"), col("c").as("cr"))
+    val totT = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("t")).select(col("t"))
+    val totR = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("r")).select(col("r"))
+    val dec = "decimal(38,0)"
+    val scored = feats
+      .join(broadcast(ct), Seq("bucket"), "left")
+      .join(broadcast(cr), Seq("bucket"), "left")
+      .crossJoin(broadcast(totT))
+      .crossJoin(broadcast(totR))
+      .select(col("doc_id"), col("n"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        col("t"), col("r"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_feats"),
+        sum(col("n").cast(dec) * col("ct").cast(dec)).as("tgt_aff"),
+        sum(col("n").cast(dec) * col("cr").cast(dec)).as("raw_aff"),
+        sum(col("n").cast(dec) *
+          (col("ct").cast(dec) * col("r").cast(dec) -
+            col("cr").cast(dec) * col("t").cast(dec))).as("score"))
+    // docs with < 2 tokens have no features: affinity 0 by definition
+    raw.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("tgt_aff"), lit(0L).cast(dec)).as("tgt_aff"),
+        coalesce(col("raw_aff"), lit(0L).cast(dec)).as("raw_aff"),
+        coalesce(col("score"), lit(0L).cast(dec)).as("score"))
+  }
+
+  /** Production DSIR importance weights: per-doc log-likelihood ratio
+    * `log w = Σ_b n[b]·(ln λt[b] − ln λr[b])` under add-one-smoothed
+    * hashed multinomials (λx[b] = (cx[b]+1)/(X+buckets)). Ranking by
+    * this weight is the published selection rule; use [[dsirAffinity]]
+    * when a bit-reproducible (engine-independent) ordering is required.
+    *
+    * @return (doc_id, n_feats, log_w)
+    */
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    val feats = dsirFeatures(raw, idCol, textCol, buckets)
+    val ct = dsirCountTable(target, idCol, textCol, buckets)
+      .select(col("bucket"), col("c").as("ct"))
+    val cr = dsirCountTable(raw, idCol, textCol, buckets)
+      .select(col("bucket"), col("c").as("cr"))
+    val totT = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("t"))
+    val totR = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("r"))
+    val scored = feats
+      .join(broadcast(ct), Seq("bucket"), "left")
+      .join(broadcast(cr), Seq("bucket"), "left")
+      .crossJoin(broadcast(totT))
+      .crossJoin(broadcast(totR))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_feats"),
+        sum(col("n").cast("double") *
+          (log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+            (col("t") + buckets.toLong).cast("double")) -
+            log((coalesce(col("cr"), lit(0L)) + 1L).cast("double") /
+              (col("r") + buckets.toLong).cast("double")))).as("log_w"))
+    raw.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("log_w"), lit(0d)).as("log_w"))
+  }
+
+  /** Top-`keepN` DSIR selection by the exact-arithmetic score
+    * (score desc, doc_id asc tie-break — fully deterministic). The cut
+    * is a `TakeOrderedAndProject` (per-partition top-N + driver merge
+    * of N-row heads), never a global sort.
+    *
+    * @return the selected (doc_id, score) rows
+    */
+  def dsirSelect(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int, keepN: Int): DataFrame = {
+    require(keepN >= 1, s"keepN must be >= 1, got $keepN")
+    dsirAffinity(raw, target, idCol, textCol, buckets)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(keepN)
+      .select(col("doc_id"), col("score"))
+  }
 }

@@ -52,6 +52,23 @@ object Similarity {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 
+  /** Sign random projection (Johnson–Lindenstrauss): compress
+    * `dim`-dimensional embeddings to `outDim` dimensions with a ±1
+    * projection matrix drawn from a seeded integer hash — no matrix is
+    * materialized or broadcast, the kernel regenerates signs on the
+    * fly, and the result is BIT-REPRODUCIBLE on any engine (the sum
+    * order and the hash are part of the contract — see
+    * [[graft.plans.VectorKernels.signProject]]). Distances are
+    * preserved within the JL bound in expectation; use as the cheap
+    * front of an ANN pipeline (project → index → shortlist → exact
+    * rerank in the ORIGINAL space).
+    *
+    * Scale shape: a shuffle-free codegen'd projection — output rows
+    * carry outDim doubles instead of dim floats, shrinking every
+    * downstream shuffle by dim/(2·outDim)×. */
+  def randomProject(vec: Column, outDim: Int, seed: Long = 0L): Column =
+    graft.plans.native.signProject(vec, outDim, seed)
+
   /** Exact brute-force top-k: every probe against every vector, ranked
     * by cosine (desc, id asc tie-break). Probes must be small (they are
     * broadcast); the data side streams. O(N·P·dim) — the correctness

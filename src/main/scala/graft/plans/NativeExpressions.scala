@@ -404,6 +404,44 @@ case class BloomMightContain(child: Expression, bits: Array[Byte], k: Int)
     copy(child = newChild)
 }
 
+/** string → array<int> hashed adjacent-token bigram feature buckets
+  * (DSIR). The poly-31 code-point hash is engine-mirrorable — see
+  * [[VectorKernels.hashedBigramBuckets]] for the exact contract the
+  * SQL oracle replays. */
+case class HashedBigramBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets > 0, s"HashedBigramBucketsExpr: buckets must be positive, got $buckets")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.hashedBigramBuckets(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.hashedBigramBuckets($c, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): HashedBigramBucketsExpr =
+    copy(child = newChild)
+}
+
+/** array<float|double> → array<double> sign random projection
+  * (Johnson–Lindenstrauss); bit-reproducible across engines — see
+  * [[VectorKernels.signProject]] for the exact contract. */
+case class SignProjectExpr(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression {
+  require(outDim > 0, s"SignProjectExpr: outDim must be positive, got $outDim")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.signProject(input.asInstanceOf[ArrayData], outDim, seed, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.signProject($c, $outDim, ${seed}L, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): SignProjectExpr =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object native {
   private def c(e: Expression): Column = GraftShim.column(e)
@@ -445,4 +483,8 @@ object native {
     c(UnicodeNormalize(e(text), form))
   def zValue(vals: Column, bits: Int): Column = c(ZValueExpr(e(vals), bits))
   def deflateRatio(text: Column): Column = c(DeflateRatioExpr(e(text)))
+  def hashedBigramBuckets(text: Column, buckets: Int): Column =
+    c(HashedBigramBucketsExpr(e(text), buckets))
+  def signProject(v: Column, outDim: Int, seed: Long = 0L): Column =
+    c(SignProjectExpr(e(v), outDim, seed))
 }

@@ -727,6 +727,111 @@ object VectorKernels {
     }
   }
 
+  /** Hashed adjacent-token bigram feature buckets (DSIR, Xie et al.
+    * 2023 "Data Selection for Language Models via Importance
+    * Resampling"): tokenize on ASCII whitespace, join each adjacent
+    * token pair with a single space, hash the bigram with the
+    * ENGINE-MIRRORABLE poly-31 code-point hash
+    * `h = fold(cp)(h·31 + cp) mod 2^31`, bucket = `h mod buckets`.
+    *
+    * The hash is deliberately NOT xxhash: a SQL oracle must replay it
+    * exactly, and poly-31 over Unicode code points is expressible as a
+    * `list_reduce` over `unicode(ch)` in DuckDB while staying exact in
+    * 64-bit integers (the accumulator is < 2^31 before each step, so
+    * `h·31 + cp < 2^36`). One array slot per bigram OCCURRENCE —
+    * counting happens downstream where partial aggregation applies.
+    * Fewer than two tokens → empty array. */
+  def hashedBigramBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    // token boundaries over chars (ASCII \s matches isWs on bytes for
+    // the BMP; supplementary chars are never whitespace)
+    var nTok = 0
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    var i = 0
+    while (i < len) {
+      while (i < len && isWsChar(s.charAt(i))) i += 1
+      if (i < len) {
+        starts(nTok) = i
+        while (i < len && !isWsChar(s.charAt(i))) i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    if (nTok < 2) return new GenericArrayData(Array.emptyIntArray)
+    // per-token poly-31 partial: hash of "tok" resumed into "tok a b"
+    // chains, computed per bigram from the raw chars
+    val out = new Array[Int](nTok - 1)
+    var t = 0
+    while (t < nTok - 1) {
+      var h = 0L
+      var k = starts(t)
+      while (k < ends(t)) {
+        val cp = s.codePointAt(k)
+        h = (h * 31L + cp) % 2147483648L
+        k += Character.charCount(cp)
+      }
+      h = (h * 31L + ' '.toInt) % 2147483648L
+      k = starts(t + 1)
+      while (k < ends(t + 1)) {
+        val cp = s.codePointAt(k)
+        h = (h * 31L + cp) % 2147483648L
+        k += Character.charCount(cp)
+      }
+      out(t) = (h % buckets).toInt
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // char twin of isWs for the String-based DSIR kernel
+  private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B
+
+  /** Sign random projection (Johnson–Lindenstrauss / Achlioptas ±1):
+    * y_j = (Σ_i s(i,j)·x_i) / √outDim, the sum strictly in ascending-i
+    * order so the result is bit-reproducible on any engine (double
+    * addition is order-dependent; +, /, √ are all IEEE
+    * correctly-rounded). The sign matrix never materializes: s(i,j)
+    * comes from the ENGINE-MIRRORABLE two-round quadratic congruential
+    * PRF over p = 2^31−1
+    * `x₀ = (i·1315423911 + j·2654435761 + seed·2246822519 + 12345) mod p;
+    *  x ← (x² + x + 41) mod p  (twice)`,
+    * sign = + iff x < 2^30 — every step fits exact 64-bit integers
+    * (x < p so x² < 2^62), so a SQL oracle replays it verbatim. A
+    * plain multiplicative hash is NOT enough here: it is affine in
+    * (i, j), which makes projection ROWS nearly collinear (measured
+    * row correlation up to 0.96); the quadratic rounds bring the max
+    * inter-row correlation down to the random-matrix baseline. */
+  def signProject(v: ArrayData, outDim: Int, seed: Long, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val inv = math.sqrt(outDim.toDouble)
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      i = 0
+      while (i < n) {
+        var h = (i.toLong * 1315423911L + j.toLong * 2654435761L +
+          seed * 2246822519L + 12345L) % 2147483647L
+        h = (h * h + h + 41L) % 2147483647L
+        h = (h * h + h + 41L) % 2147483647L
+        if (h < 1073741824L) acc += x(i) else acc -= x(i)
+        i += 1
+      }
+      out(j) = acc / inv
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Probe-side bloom membership: false = definitely absent (safe to
     * prune), true = possibly present (exact join decides). Same probe
     * sequence as [[bloomSet]]; runs inside whole-stage codegen. */

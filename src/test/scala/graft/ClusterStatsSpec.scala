@@ -710,4 +710,86 @@ class ClusterStatsSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(all.length == 10 && all.find(_._1 == 9L).get._2 == 10)
   }
+
+  test("dsirWeights == scala log-likelihood-ratio reference") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "stock prices rose sharply today"),
+      (3L, "the dog sat on the rug"),
+      (4L, "one"), // < 2 tokens: zero features, weight 0
+      (5L, "the cat sat still")
+    ).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id").isin(1L, 3L)) // pet-ish docs
+    val buckets = 64
+
+    // plain-scala reference: hashed bigram multinomials with +1 smoothing
+    def poly(s: String): Int = {
+      var h = 0L
+      s.foreach(c => h = (h * 31L + c.toInt) % 2147483648L)
+      (h % buckets).toInt
+    }
+    def feats(text: String): Seq[Int] = {
+      val t = text.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      t.zip(t.drop(1)).map { case (a, b) => poly(a + " " + b) }
+    }
+    val rawDocs = Seq(
+      1L -> "the cat sat on the mat", 2L -> "stock prices rose sharply today",
+      3L -> "the dog sat on the rug", 4L -> "one", 5L -> "the cat sat still")
+    val ct = rawDocs.filter(d => Set(1L, 3L)(d._1)).flatMap(d => feats(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = rawDocs.flatMap(d => feats(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = ct.values.sum
+    val r = cr.values.sum
+    val want = rawDocs.map { case (id, text) =>
+      id -> feats(text).map { b =>
+        math.log((ct.getOrElse(b, 0L) + 1L).toDouble / (t + buckets).toDouble) -
+          math.log((cr.getOrElse(b, 0L) + 1L).toDouble / (r + buckets).toDouble)
+      }.sum
+    }.toMap
+
+    val got = Corpus.dsirWeights(raw, target, "doc_id", "text", buckets)
+      .collect().map(row => row.getLong(0) -> row.getDouble(2)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) < 1e-9, s"doc $id: got ${got(id)} want $w")
+    }
+    // target docs must outrank the out-of-domain doc
+    assert(got(1L) > got(2L) && got(3L) > got(2L),
+      "in-target docs should carry higher importance weight")
+    // the featureless doc scores exactly 0
+    assert(got(4L) == 0.0)
+  }
+
+  test("dsirAffinity: exact integers, featureless docs zero, select deterministic") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "a b a b"), (2L, "x y"), (3L, "a b"), (4L, "solo")
+    ).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") === 1L)
+    // 97 buckets, NOT a power of two: poly-31 of swapped single-char
+    // tokens differs by 31²−1 = 960, so "a b" / "b a" COLLIDE at any
+    // bucket count dividing 960 (16, 32, 64…); at 97 the three bigrams
+    // hash apart (23, 13, 33 — computed by the reference hash)
+    val aff = Corpus.dsirAffinity(raw, target, "doc_id", "text", buckets = 97)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2).longValueExact(),
+          r.getDecimal(3).longValueExact(), r.getDecimal(4).longValueExact())))
+      .toMap
+    // target doc 1 "a b a b": bigrams ab, ba, ab → features {ab:2, ba:1}
+    // raw adds doc 2 {xy:1}, doc 3 {ab:1}; doc 4 featureless
+    // T = 3, R = 5; ct(ab)=2 ct(ba)=1; cr(ab)=3 cr(ba)=1 cr(xy)=1
+    val (n1, t1, r1, s1) = aff(1L)
+    assert(n1 == 3L && t1 == 2 * 2 + 1 * 1 && r1 == 2 * 3 + 1 * 1)
+    assert(s1 == (2L * (2 * 5 - 3 * 3) + 1L * (1 * 5 - 1 * 3)))
+    val (n4, t4, r4, s4) = aff(4L)
+    assert(n4 == 0L && t4 == 0L && r4 == 0L && s4 == 0L)
+    // selection: top-2 by exact score, tie-break doc_id asc, stable
+    val sel = Corpus.dsirSelect(raw, target, "doc_id", "text",
+      buckets = 97, keepN = 2).collect().map(_.getLong(0)).toSeq
+    assert(sel.head == 1L, "the target doc itself must score highest")
+    assert(sel == Corpus.dsirSelect(raw, target, "doc_id", "text",
+      buckets = 97, keepN = 2).collect().map(_.getLong(0)).toSeq)
+  }
 }

@@ -197,4 +197,55 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(VectorKernels.zValue(new GenericArrayData(Array(x, y)), bits) == want)
     }
   }
+
+  test("hashedBigramBuckets == poly-31 reference on 2000 seeded random strings") {
+    def poly(s: String, buckets: Int): Int = {
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31L + cp) % 2147483648L
+        i += Character.charCount(cp)
+      }
+      (h % buckets).toInt
+    }
+    def ref(text: String, buckets: Int): Seq[Int] = {
+      val toks = refTokens(text)
+      toks.zip(toks.drop(1)).map { case (a, b) => poly(a + " " + b, buckets) }
+    }
+    val rnd = new scala.util.Random(91)
+    for (_ <- 1 to 2000; buckets <- Seq(2, 97, 512)) {
+      val s = randomText(rnd)
+      val got = VectorKernels.hashedBigramBuckets(UTF8String.fromString(s), buckets)
+      val gotSeq = (0 until got.numElements()).map(got.getInt)
+      assert(gotSeq == ref(s, buckets), s"text=${s.replace("\n", "\\n")} buckets=$buckets")
+    }
+  }
+
+  test("signProject == ascending-order ±1 reference on 500 seeded random vectors") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def sign(i: Int, j: Int, seed: Long): Double = {
+      var h = (i.toLong * 1315423911L + j.toLong * 2654435761L +
+        seed * 2246822519L + 12345L) % 2147483647L
+      h = (h * h + h + 41L) % 2147483647L
+      h = (h * h + h + 41L) % 2147483647L
+      if (h < 1073741824L) 1.0 else -1.0
+    }
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 500) {
+      val dim = rnd.nextInt(64) // zero-length vectors included
+      val outDim = 1 + rnd.nextInt(12)
+      val seed = rnd.nextInt(1000).toLong
+      val xs = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val want = (0 until outDim).map { j =>
+        var acc = 0.0
+        for (i <- 0 until dim) acc += sign(i, j, seed) * xs(i).toDouble
+        acc / math.sqrt(outDim.toDouble)
+      }
+      val got = VectorKernels.signProject(
+        new GenericArrayData(xs), outDim, seed, isFloat = true)
+      assert((0 until outDim).map(got.getDouble) == want,
+        s"dim=$dim outDim=$outDim seed=$seed")
+    }
+  }
 }

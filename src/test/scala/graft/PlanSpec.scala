@@ -286,4 +286,18 @@ class PlanSpec extends GraftSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"gram sizes and shared counts must run map-side partials:\n$p")
   }
+
+  test("dsir: bucket tables broadcast onto features, no shuffled cartesian, top-N cut") {
+    val p = formatted("q_dsir")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row total scalars may nest-loop (broadcast):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-sized count tables must broadcast onto the feature rows:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      s"feature counts / count tables / per-doc reduction must all run " +
+        s"map-side partials:\n$p")
+    val sel = formatted("q_dsir_select")
+    assert(sel.contains("TakeOrderedAndProject"),
+      s"the keepN cut must be a top-N, never a global sort:\n$sel")
+  }
 }

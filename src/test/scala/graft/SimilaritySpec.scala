@@ -470,4 +470,36 @@ class SimilaritySpec extends GraftSpec {
     val codes = Similarity.pqEncode(tiny, "nv", cb).select(col("pq_codes")).collect()
     assert(codes.forall(_.getSeq[Int](0).forall(c => c >= 1 && c <= 8)))
   }
+
+  test("randomProject preserves pairwise distances within the JL band (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val dim = 48
+    val rows = (0L until 40L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "v")
+    val proj = df.select(col("vec_id"),
+      Similarity.randomProject(col("v"), outDim = 24, seed = 3L).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val ratios = for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+    } yield d2(proj(i), proj(j)) / d2(orig(i), orig(j))
+    // deterministic seeded draw: the squared-distance ratio has std
+    // ≈ √(2/24) ≈ 0.29 per pair, so over 780 pairs the extremes reach
+    // several σ — the sharp guarantees are on the MEAN and the bulk
+    assert(ratios.forall(r => r > 0.0 && r < 6.0),
+      s"worst ratios: ${ratios.min} / ${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.85 && mean < 1.15, s"mean ratio $mean drifted from 1")
+    val inBand = ratios.count(r => r > 0.5 && r < 1.5).toDouble / ratios.size
+    assert(inBand > 0.85, s"only ${inBand * 100}%% of pairs within ±50%")
+    // projection is deterministic: same seed → identical bits
+    val again = df.select(Similarity.randomProject(col("v"), 24, 3L).as("p"))
+      .collect().map(_.getSeq[Double](0)).flatten.toSeq
+    val third = df.select(Similarity.randomProject(col("v"), 24, 3L).as("p"))
+      .collect().map(_.getSeq[Double](0)).flatten.toSeq
+    assert(again == third)
+  }
 }
