@@ -5381,6 +5381,36 @@ object SparkEntry {
         .select(col("doc_id"), col("score").cast("double").as("score"))
     },
 
+    // two-sample Kolmogorov–Smirnov drift per event_type (even vs odd
+    // event ids as the two snapshots), TRUE oracle: D is computed as
+    // the exact integer max |i·m − j·n| over the merged sample, so
+    // the statistic replays bit-identically; only the final division
+    // is floating-point (IEEE-exact, one op).
+    "q_drift_ks" -> { (s, dir) =>
+      graft.operators.Stats.ksDrift(
+        t(s, dir, "events"), "event_type", "value",
+        col("event_id") % 2 === 1)
+    },
+
+    // fixed-point PageRank over the customer↔supplier purchase graph
+    // (who-bought-from-whom, both directions) — iterative graph
+    // analytics with a TRUE oracle: rank mass is integer multiples of
+    // 10^-12 and every step is add/multiply/floor-divide, so 5 rounds
+    // replay bit-identically in DuckDB (unrolled CTEs). Float PageRank
+    // could never be oracled — summation order moves the last ulp.
+    "q_pagerank" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2L).as("c"),
+          (col("l_suppkey") * 2L + 1L).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      graft.operators.Graph.pageRankFixedPoint(edges, "src", "dst", iters = 5)
+        .select(col("node").as("node_id"), col("rank_fp"))
+    },
+
     // sign random projection (Johnson–Lindenstrauss), TRUE bit-exact
     // oracle: the ±1 matrix comes from an engine-mirrorable integer
     // hash and the kernel's ascending-index sum order is part of the
@@ -5445,7 +5475,64 @@ object SparkEntry {
       |      LEFT JOIN scored USING (doc_id))
       |""".stripMargin
 
+  // q_pagerank oracle: the fixed-point round unrolled once per
+  // iteration (recursive CTEs restrict aggregation over the recursive
+  // relation; 5 chained CTEs replay the exact integer contract)
+  private val pagerankOracle: String = {
+    val round = (k: Int) =>
+      s"""r$k AS (
+         | SELECT node, tp + (85 * coalesce(c, 0)) // 100 AS r
+         | FROM nodes LEFT JOIN (
+         |   SELECT dst AS node, sum(rr // outdeg) AS c
+         |   FROM e JOIN (SELECT node AS sn, r AS rr FROM r${k - 1})
+         |          ON e.src = sn
+         |        JOIN deg ON e.src = deg.src
+         |   GROUP BY dst) USING (node), params)""".stripMargin
+    """WITH pairs AS (
+      | SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+      | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (
+      | SELECT c AS src, p AS dst FROM pairs
+      | UNION ALL SELECT p, c FROM pairs),
+      |nodes AS (
+      | SELECT DISTINCT src AS node FROM e
+      | UNION SELECT DISTINCT dst FROM e),
+      |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      |params AS (
+      | SELECT 1000000000000 // count(*) AS base,
+      |        ((1000000000000 // count(*)) * 15) // 100 AS tp
+      | FROM nodes),
+      |r0 AS (SELECT node, base AS r FROM nodes, params),
+      |""".stripMargin +
+      (1 to 5).map(round).mkString(",\n") +
+      "\nSELECT node AS node_id, CAST(r AS BIGINT) AS rank_fp FROM r5"
+  }
+
   private val round9bOracles: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle,
+
+    "q_drift_ks" ->
+      """WITH pv AS (
+        | SELECT event_type AS grp, value AS v,
+        |        sum(CASE WHEN event_id % 2 = 1 THEN 0 ELSE 1 END) AS ca,
+        |        sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (
+        | SELECT grp,
+        |   sum(ca) OVER (PARTITION BY grp ORDER BY v) AS ia,
+        |   sum(cb) OVER (PARTITION BY grp ORDER BY v) AS jb,
+        |   sum(ca) OVER (PARTITION BY grp) AS n_a,
+        |   sum(cb) OVER (PARTITION BY grp) AS n_b
+        | FROM pv)
+        |SELECT grp AS event_type,
+        |       CAST(max(n_a) AS BIGINT) AS n_a,
+        |       CAST(max(n_b) AS BIGINT) AS n_b,
+        |       CAST(max(abs(ia * n_b - jb * n_a)) AS BIGINT) AS d_num,
+        |       CAST(max(abs(ia * n_b - jb * n_a)) AS DOUBLE)
+        |         / CAST(max(n_a) * max(n_b) AS DOUBLE) AS d
+        |FROM c GROUP BY grp
+        |HAVING max(n_a) > 0 AND max(n_b) > 0""".stripMargin,
+
     "q_dsir" ->
       (dsirOracleCtes +
         "SELECT doc_id, n_feats, tgt_aff, raw_aff, score FROM alldocs"),

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics (PageRank) in DETERMINISTIC fixed-point
+  * arithmetic.
+  *
+  * Why fixed-point: float PageRank is summation-order-dependent — two
+  * runs (or two engines) produce last-ulp-different ranks, which makes
+  * results non-reproducible and un-oracle-able. Here rank mass is an
+  * integer multiple of 1/`scale`, every step is integer add / multiply
+  * / floor-divide, so the result is bit-identical on ANY engine and
+  * ANY partitioning: floor division is applied per-edge BEFORE the
+  * contribution sum, and integer addition is associative. The rounding
+  * the floors introduce is ≤ outdeg/scale per node per round — at the
+  * default scale = 10^12, noise in the 12th decimal digit.
+  *
+  * Scale shape: the per-round cost is one hash join of the rank table
+  * (N rows) onto the edge table (E rows, pre-joined with out-degrees
+  * ONCE) plus a map-side-combined `groupBy(dst)` — the textbook
+  * distributed PageRank round. Ranks are `localCheckpoint`ed per round
+  * so the plan stays flat across iterations instead of growing a
+  * 5-round join tree. Nothing collects to the driver except the node
+  * count (one scalar).
+  */
+object Graph {
+
+  /** Fixed-point PageRank over a directed edge list.
+    *
+    * Contract (replayed verbatim by the SQL oracle):
+    * {{{
+    * base        = scale div N                 // N = |distinct nodes|
+    * teleport    = (base · (dampDen − dampNum)) div dampDen
+    * r₀[v]       = base
+    * r_{t+1}[v]  = teleport +
+    *               (dampNum · Σ_{u→v} (r_t[u] div outdeg[u])) div dampDen
+    * }}}
+    * Dangling nodes (no out-edges) contribute nothing — their mass
+    * leaks, the standard simplified variant; nodes with no in-edges
+    * settle at `teleport`. All divisions are floor divisions on
+    * non-negative integers.
+    *
+    * @param edges (srcCol, dstCol) directed edges; duplicates count as
+    *              parallel edges (dedupe upstream if unwanted)
+    * @return (node, rank_fp) — rank_fp ≈ rank · scale, LongType
+    */
+  def pageRankFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(scale > 0 && dampNum > 0 && dampDen >= dampNum,
+      s"need scale > 0 and 0 < dampNum <= dampDen, got " +
+        s"scale=$scale dampNum=$dampNum dampDen=$dampDen")
+    require(scale <= Long.MaxValue / dampNum,
+      s"scale * dampNum must fit a signed 64-bit integer " +
+        s"(total mass times the damping numerator): scale=$scale dampNum=$dampNum")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val base = scale / n
+    val teleport = base * (dampDen - dampNum) / dampDen
+    // out-degrees ride the edge table once — the per-round join then
+    // only moves the N-row rank table, not a second E-row relation
+    val eDeg = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(base).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("c"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"${dampNum}L * coalesce(c, 0L) div ${dampDen}L")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+}

@@ -294,4 +294,48 @@ object Stats {
       when(vx > 0d && vy > 0d, cov / (sqrt(vx) * sqrt(vy)))
         .otherwise(lit(null).cast("double")).as("corr"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance per group, in EXACT
+    * rational arithmetic — the distribution-drift monitor for snapshot
+    * pairs (old vs new crawl, batch vs batch): D = max_x |F_A(x) −
+    * F_B(x)| computed as `max |i·m − j·n|` over the merged sample
+    * (i, j = cumulative counts, n, m = sample sizes), so the statistic
+    * is bit-reproducible on any engine; the single final division to a
+    * double is IEEE-exact. Rows where `sideCol` is true form sample B.
+    * Groups with an empty side are omitted (D is undefined there).
+    *
+    * Scale shape: one map-side-combined `groupBy(group, value)` (ties
+    * collapse before any sort), one window sorted WITHIN each group
+    * (distributed across groups — no global sort), one final groupBy
+    * max. Skewed group sizes parallelize per group like any windowed
+    * aggregation.
+    *
+    * @return (group, n_a, n_b, d_num, d) with d = d_num / (n_a·n_b)
+    */
+  def ksDrift(
+      df: DataFrame, groupCol: String, valueCol: String,
+      sideCol: Column): DataFrame = {
+    val perValue = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .agg(
+        sum(when(sideCol, 0L).otherwise(1L)).as("ca"),
+        sum(when(sideCol, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // both windows share the grp partitioning — one exchange, reused
+    val cum = perValue.select(col("grp"),
+      sum(col("ca")).over(w).as("ia"),
+      sum(col("cb")).over(w).as("jb"),
+      sum(col("ca")).over(wAll).as("n_a"),
+      sum(col("cb")).over(wAll).as("n_b"))
+    cum
+      .groupBy(col("grp"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("ia") * col("n_b") - col("jb") * col("n_a"))).as("d_num"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .select(col("grp").as(groupCol), col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("d"))
+  }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Graph
+
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  /** Plain-Scala replay of the fixed-point contract. */
+  private def refPageRank(
+      edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val base = scale / nodes.size
+    val tp = base * 15L / 100L
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .groupBy(_._2)
+        .view.mapValues(_.map { case (u, _) => r(u) / outdeg(u) }.sum)
+        .toMap
+      r = nodes.map(v => v -> (tp + 85L * contrib.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRankFixedPoint == scala reference on a seeded random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    val got = Graph.pageRankFixedPoint(df, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refPageRank(edges, 4)
+    assert(got == want)
+    // bit-determinism: a second run is identical (integer arithmetic
+    // has no summation-order sensitivity)
+    val again = Graph.pageRankFixedPoint(df, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("two-node cycle is a fixed point at rank scale/2") {
+    val df = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRankFixedPoint(df, "src", "dst", iters = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 500000000000L, 2L -> 500000000000L))
+  }
+
+  test("star: center outranks leaves; leaves settle at teleport; dangling mass leaks") {
+    // b, c, d → a; a has no out-edges (dangling)
+    val df = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRankFixedPoint(df, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = 1000000000000L / 4
+    val tp = base * 15L / 100L
+    assert(got(2L) == tp && got(3L) == tp && got(4L) == tp,
+      "no-in-edge nodes settle at the teleport mass")
+    assert(got(1L) == tp + 85L * (3L * tp) / 100L,
+      "after round 1 the leaves hold tp, so the center converges to tp + 0.85·3·tp")
+    assert(got(1L) > got(2L))
+    // dangling: total mass strictly below scale (a redistributes nothing)
+    assert(got.values.sum < 1000000000000L)
+  }
+
+  test("parameter guards reject bad damping / scale") {
+    val df = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](
+      Graph.pageRankFixedPoint(df, "src", "dst", iters = -1))
+    intercept[IllegalArgumentException](
+      Graph.pageRankFixedPoint(df, "src", "dst", iters = 1, dampNum = 101L))
+    intercept[IllegalArgumentException](
+      Graph.pageRankFixedPoint(df, "src", "dst", iters = 1,
+        scale = Long.MaxValue, dampNum = 85L))
+  }
+}

@@ -300,4 +300,15 @@ class PlanSpec extends GraftSpec {
     assert(sel.contains("TakeOrderedAndProject"),
       s"the keepN cut must be a top-N, never a global sort:\n$sel")
   }
+
+  test("ks drift: windows partition by group (no global sort), one value shuffle") {
+    val p = formatted("q_drift_ks")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(grp"),
+      s"the cumulative windows must distribute by group:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"nothing may funnel through one partition:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"per-value tie collapse and the final max must run map-side partials:\n$p")
+  }
 }

@@ -118,6 +118,32 @@ class ProfileLayoutSpec extends GraftSpec {
     assert(out("flat")._2.isEmpty, "zero y-variance must be NULL, not NaN")
   }
 
+  test("ksDrift: exact D for hand-computed samples; empty sides omitted") {
+    // group g1: A = {1, 2, 3}, B = {2, 3, 4} → ECDFs diverge by exactly
+    // 1/3 at every step: D_num = max|i·m − j·n| = 3 over n·m = 9
+    // group g2: identical samples → D = 0
+    // group g3: only side A → omitted
+    val df = Seq(
+      ("g1", 1.0, false), ("g1", 2.0, false), ("g1", 3.0, false),
+      ("g1", 2.0, true), ("g1", 3.0, true), ("g1", 4.0, true),
+      ("g2", 5.0, false), ("g2", 7.0, false),
+      ("g2", 5.0, true), ("g2", 7.0, true),
+      ("g3", 9.0, false)
+    ).toDF("g", "v", "b")
+    val out = Stats.ksDrift(df, "g", "v", col("b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("g1") == ((3L, 3L, 3L, 3.0 / 9.0)))
+    assert(out("g2") == ((2L, 2L, 0L, 0.0)))
+    assert(!out.contains("g3"), "a group with an empty side has no D")
+    // disjoint supports: D = 1 exactly
+    val disj = Stats.ksDrift(
+      Seq(("g", 1.0, false), ("g", 2.0, false), ("g", 10.0, true))
+        .toDF("g", "v", "b"), "g", "v", col("b"))
+      .collect().head
+    assert(disj.getLong(3) == 2L && disj.getDouble(4) == 1.0)
+  }
+
   // ── paragraph dedup ──
 
   test("paragraphDedup keeps first corpus-wide occurrence and reassembles in order") {
