@@ -5381,6 +5381,21 @@ object SparkEntry {
         .select(col("doc_id"), col("score").cast("double").as("score"))
     },
 
+    // subword tokenization: vocab trained distributed (top-100 char
+    // n-grams, deterministic tie-break), then greedy longest-match
+    // tokenization of the whole corpus — TRUE oracle: DuckDB retrains
+    // the identical vocabulary and replays the greedy scan with a
+    // recursive CTE over the distinct-word set. The 100-entry vocab is
+    // a bounded driver collect (the NearestCentroid transport — it
+    // ships with the plan, not a shuffle).
+    "q_subword" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Corpus
+        .trainSubwordVocab(docs, "text", size = 100)
+        .collect().map(_.getString(0)).toSeq
+      graft.operators.Corpus.subwordFrequencies(docs, "text", vocab)
+    },
+
     // two-sample Kolmogorov–Smirnov drift per event_type (even vs odd
     // event ids as the two snapshots), TRUE oracle: D is computed as
     // the exact integer max |i·m − j·n| over the merged sample, so
@@ -5510,6 +5525,39 @@ object SparkEntry {
 
   private val round9bOracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+
+    "q_subword" ->
+      """WITH RECURSIVE
+        |d AS (
+        | SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                    x -> len(x) > 0) AS ts
+        | FROM documents WHERE text IS NOT NULL),
+        |wocc AS (SELECT unnest(ts) AS w FROM d),
+        |wc AS (SELECT w, count(*) AS nw FROM wocc GROUP BY w),
+        |grams AS (
+        | SELECT substr(w, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS gram, nw
+        | FROM wc, unnest(range(1, len(w) + 1)) AS up(p),
+        |          unnest(range(2, 7)) AS ul(l)
+        | WHERE p + l - 1 <= len(w)),
+        |vocab AS (
+        | SELECT gram, sum(nw) AS cnt FROM grams GROUP BY gram
+        | ORDER BY cnt DESC, gram ASC LIMIT 100),
+        |vl AS (SELECT list(gram) AS vs FROM vocab),
+        |st AS (
+        | SELECT w, 1 AS pos, CAST(NULL AS VARCHAR) AS tok FROM wc
+        | UNION ALL
+        | SELECT w, pos + len(t) AS pos, t AS tok FROM (
+        |   SELECT w, pos,
+        |     CASE WHEN len(list_filter(vs, v -> substr(w, pos, len(v)) = v)) = 0
+        |          THEN substr(w, pos, 1)
+        |          ELSE list_reduce(
+        |                 list_filter(vs, v -> substr(w, pos, len(v)) = v),
+        |                 (a, b) -> CASE WHEN len(b) > len(a) THEN b ELSE a END)
+        |     END AS t
+        |   FROM st, vl WHERE pos <= len(w)))
+        |SELECT st.tok AS token, sum(wc.nw) AS n
+        |FROM st JOIN wc USING (w) WHERE st.tok IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q_drift_ks" ->
       """WITH pv AS (

@@ -468,6 +468,54 @@ object Corpus {
         coalesce(col("log_w"), lit(0d)).as("log_w"))
   }
 
+  // ---------------------------------------------------------------------
+  // Subword tokenization — frequency-trained vocab + greedy matching
+  // ---------------------------------------------------------------------
+
+  /** Train a subword vocabulary: the `size` most frequent character
+    * n-grams (lengths [minLen, maxLen], code points) across all
+    * whitespace words, ties broken gram-ascending — fully
+    * deterministic. The cut is a `TakeOrderedAndProject` (per-partition
+    * top-N), never a global sort; the candidate stream aggregates
+    * map-side before the vocabulary-sized heads merge.
+    *
+    * @return (gram, cnt), exactly min(size, distinct grams) rows
+    */
+  def trainSubwordVocab(
+      df: DataFrame, textCol: String, size: Int,
+      minLen: Int = 2, maxLen: Int = 6): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    df.filter(col(textCol).isNotNull)
+      .select(explode(graft.plans.native.charNgramsByWord(
+        lower(col(textCol)), minLen, maxLen)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(size)
+  }
+
+  /** Greedy longest-match subword tokens per document against a fixed
+    * (driver-held, plan-shipped) vocabulary — the application half of
+    * [[trainSubwordVocab]]. Unknown characters pass through as
+    * themselves, so the tokenization is total. Appends `sub_tokens`.
+    *
+    * Scale shape: one codegen'd kernel pass, shuffle-free; the
+    * vocabulary rides the plan as a reference object (a 50k-entry
+    * vocab is ~1 MB — the standard broadcast regime). */
+  def subwordTokenize(
+      df: DataFrame, textCol: String, vocab: Seq[String]): DataFrame =
+    df.withColumn("sub_tokens",
+      graft.plans.native.greedySubTokens(lower(col(textCol)), vocab.toArray))
+
+  /** Corpus-wide subword frequencies under a fixed vocabulary.
+    *
+    * @return (token, n) — one row per distinct emitted subword
+    */
+  def subwordFrequencies(
+      df: DataFrame, textCol: String, vocab: Seq[String]): DataFrame =
+    subwordTokenize(df.filter(col(textCol).isNotNull), textCol, vocab)
+      .select(explode(col("sub_tokens")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
   /** Top-`keepN` DSIR selection by the exact-arithmetic score
     * (score desc, doc_id asc tie-break — fully deterministic). The cut
     * is a `TakeOrderedAndProject` (per-partition top-N + driver merge

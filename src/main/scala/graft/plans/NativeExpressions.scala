@@ -442,6 +442,42 @@ case class SignProjectExpr(child: Expression, outDim: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** string → array<string> all char-n-gram substrings per whitespace
+  * word (subword-vocab training candidates). */
+case class CharNgramsByWordExpr(child: Expression, minLen: Int, maxLen: Int)
+    extends UnaryExpression {
+  require(1 <= minLen && minLen <= maxLen,
+    s"CharNgramsByWordExpr: need 1 <= minLen <= maxLen, got [$minLen, $maxLen]")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.charNgramsByWord(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], minLen, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.charNgramsByWord($c, $minLen, $maxLen)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgramsByWordExpr =
+    copy(child = newChild)
+}
+
+/** string → array<string> greedy longest-match subword tokens. The
+  * vocabulary travels as a reference object with the plan (the
+  * [[NearestCentroid]] transport); per-executor it is interned into a
+  * hash set once. */
+case class GreedySubTokensExpr(child: Expression, vocab: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.greedySubTokens(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("graftSubwordVocab", vocab, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.greedySubTokens($c, $vocabRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GreedySubTokensExpr =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object native {
   private def c(e: Expression): Column = GraftShim.column(e)
@@ -487,4 +523,8 @@ object native {
     c(HashedBigramBucketsExpr(e(text), buckets))
   def signProject(v: Column, outDim: Int, seed: Long = 0L): Column =
     c(SignProjectExpr(e(v), outDim, seed))
+  def charNgramsByWord(text: Column, minLen: Int, maxLen: Int): Column =
+    c(CharNgramsByWordExpr(e(text), minLen, maxLen))
+  def greedySubTokens(text: Column, vocab: Array[String]): Column =
+    c(GreedySubTokensExpr(e(text), vocab))
 }

@@ -789,6 +789,88 @@ object VectorKernels {
   private def isWsChar(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B
 
+  /** All code-point substrings of length [minLen, maxLen] of every
+    * whitespace token — the candidate stream for subword-vocabulary
+    * training. One row per OCCURRENCE (frequency counting happens in
+    * the downstream aggregation). Contract mirrored by the SQL oracle:
+    * words from \s+ splitting, positions/lengths in code points. */
+  def charNgramsByWord(text: UTF8String, minLen: Int, maxLen: Int): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isWsChar(s.charAt(i))) i += 1
+      if (i < s.length) {
+        val start = i
+        while (i < s.length && !isWsChar(s.charAt(i))) i += 1
+        // code-point index of each char offset inside the word
+        val w = s.substring(start, i)
+        val cps = w.codePoints().toArray
+        var p = 0
+        while (p < cps.length) {
+          var l = minLen
+          while (l <= maxLen && p + l <= cps.length) {
+            out.add(UTF8String.fromString(
+              new String(cps, p, l)))
+            l += 1
+          }
+          p += 1
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Greedy longest-match subword tokenization of every whitespace
+    * token against a fixed vocabulary: at each code-point position try
+    * the longest vocabulary entry first; when nothing matches, emit the
+    * single code point and advance (every character is implicitly in
+    * the vocabulary — no <unk>). Deterministic and engine-mirrorable:
+    * the SQL oracle replays the same scan with a recursive CTE. */
+  def greedySubTokens(text: UTF8String, vocab: Array[String]): ArrayData = {
+    val (set, maxLen) = vocabCache(vocab)
+    val s = text.toString
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isWsChar(s.charAt(i))) i += 1
+      if (i < s.length) {
+        val start = i
+        while (i < s.length && !isWsChar(s.charAt(i))) i += 1
+        val cps = s.substring(start, i).codePoints().toArray
+        var p = 0
+        while (p < cps.length) {
+          var l = math.min(maxLen, cps.length - p)
+          var tok: String = null
+          while (tok == null && l >= 1) {
+            val cand = new String(cps, p, l)
+            if (set.contains(cand)) tok = cand else l -= 1
+          }
+          if (tok == null) { tok = new String(cps, p, 1); l = 1 }
+          out.add(UTF8String.fromString(tok))
+          p += l
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  // per-vocab-array memo of (hash set, max entry length in code points):
+  // the same Array[String] reference travels with the serialized plan,
+  // so identity-keying caches the set once per executor
+  private val vocabSets =
+    new java.util.concurrent.ConcurrentHashMap[Array[String], (java.util.HashSet[String], Int)]()
+  private def vocabCache(vocab: Array[String]): (java.util.HashSet[String], Int) =
+    vocabSets.computeIfAbsent(vocab, v => {
+      val set = new java.util.HashSet[String]()
+      var maxLen = 1
+      v.foreach { g =>
+        set.add(g)
+        maxLen = math.max(maxLen, g.codePointCount(0, g.length))
+      }
+      (set, maxLen)
+    })
+
   /** Sign random projection (Johnson–Lindenstrauss / Achlioptas ±1):
     * y_j = (Σ_i s(i,j)·x_i) / √outDim, the sum strictly in ascending-i
     * order so the result is bit-reproducible on any engine (double

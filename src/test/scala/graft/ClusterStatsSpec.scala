@@ -792,4 +792,34 @@ class ClusterStatsSpec extends GraftSpec {
     assert(sel == Corpus.dsirSelect(raw, target, "doc_id", "text",
       buckets = 97, keepN = 2).collect().map(_.getLong(0)).toSeq)
   }
+
+  test("trainSubwordVocab: frequency order, gram-asc ties, greedy tokenize round-trip") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banana banana band"),
+      (2L, "bandana banana")
+    ).toDF("doc_id", "text")
+    val vocab = Corpus.trainSubwordVocab(docs, "text", size = 5,
+      minLen = 2, maxLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "an" appears 2× in each banana (×3), 1× in band, 2× in bandana = 9
+    assert(vocab.head._1 == "an" && vocab.head._2 == 9L,
+      s"most frequent gram should be 'an' ×9, got ${vocab.toSeq}")
+    // counts are strictly ordered; equal counts break gram-ascending
+    assert(vocab.sliding(2).forall { case Array((ga, ca), (gb, cb)) =>
+      ca > cb || (ca == cb && ga < gb) }, s"order violated: ${vocab.toSeq}")
+
+    // greedy application: longest match wins, unknowns pass through
+    val toks = Corpus.subwordTokenize(
+      Seq((1L, "banana xq")).toDF("doc_id", "text"), "text",
+      vocab = Seq("ban", "ana", "na", "an"))
+      .select(col("sub_tokens")).collect().head.getSeq[String](0)
+    assert(toks == Seq("ban", "ana", "x", "q"), s"got $toks")
+
+    // corpus frequencies: concatenation is lossless, counts exact
+    val freqs = Corpus.subwordFrequencies(docs, "text", Seq("ban", "ana"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // banana → ban+ana (×3), band → ban+d, bandana → ban+d+ana
+    assert(freqs == Map("ban" -> 5L, "ana" -> 4L, "d" -> 2L), s"got $freqs")
+  }
 }

@@ -222,6 +222,57 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("charNgramsByWord == per-word substring reference on 2000 seeded strings") {
+    def ref(text: String, minLen: Int, maxLen: Int): Seq[String] =
+      refTokens(text).flatMap { w =>
+        val cps = w.codePoints().toArray
+        for {
+          p <- 0 until cps.length
+          l <- minLen to maxLen if p + l <= cps.length
+        } yield new String(cps, p, l)
+      }
+    val rnd = new scala.util.Random(29)
+    for (_ <- 1 to 2000) {
+      val s = randomText(rnd)
+      val got = VectorKernels.charNgramsByWord(UTF8String.fromString(s), 2, 6)
+      val gotSeq = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      assert(gotSeq == ref(s, 2, 6), s"text=${s.replace("\n", "\\n")}")
+    }
+  }
+
+  test("greedySubTokens == greedy reference; concatenation restores each word") {
+    def refGreedy(text: String, vocab: Set[String]): Seq[String] = {
+      val maxLen = (vocab.map(g => g.codePointCount(0, g.length)) + 1).max
+      refTokens(text).flatMap { w =>
+        val cps = w.codePoints().toArray
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var p = 0
+        while (p < cps.length) {
+          val l = (math.min(maxLen, cps.length - p) to 1 by -1)
+            .find(l => vocab(new String(cps, p, l))).getOrElse(1)
+          out += new String(cps, p, l)
+          p += l
+        }
+        out.toSeq
+      }
+    }
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 1000) {
+      val s = randomText(rnd)
+      // random small vocab drawn from the text's own substrings + noise
+      val grams = (0 until 6).map { _ =>
+        val t = randomText(rnd).replaceAll("\\s", "")
+        if (t.isEmpty) "z" else t.substring(0, math.min(t.length, 1 + rnd.nextInt(4)))
+      }.toSet
+      val got = VectorKernels.greedySubTokens(
+        UTF8String.fromString(s), grams.toArray)
+      val gotSeq = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      assert(gotSeq == refGreedy(s, grams), s"text=$s vocab=$grams")
+      // lossless: concatenating the subtokens restores the tokens
+      assert(gotSeq.mkString == refTokens(s).mkString)
+    }
+  }
+
   test("signProject == ascending-order ±1 reference on 500 seeded random vectors") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     def sign(i: Int, j: Int, seed: Long): Double = {

@@ -301,6 +301,14 @@ class PlanSpec extends GraftSpec {
       s"the keepN cut must be a top-N, never a global sort:\n$sel")
   }
 
+  test("subword frequencies: join-free kernel scan with map-side partial aggs") {
+    val p = formatted("q_subword")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the vocab ships inside the expression — no join may appear:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"token counting must partial-aggregate before the shuffle:\n$p")
+  }
+
   test("ks drift: windows partition by group (no global sort), one value shuffle") {
     val p = formatted("q_drift_ks")
     assert(!p.contains("CartesianProduct"), p)
