@@ -1,8 +1,9 @@
 package graft
 
-import graft.operators.{Corpus, Dedup, Sampling, Similarity}
+import graft.operators.{Corpus, Dedup, Graph, Sampling, Similarity, Stats}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale rehearsal (r8 verdict #2): measure the dedup/CC/ANN stack at
@@ -296,6 +297,53 @@ object ScaleRehearsal {
       time(scale, "shard_assign") {
         force(Sampling.shardAssign(docs.select(col("doc_id")), "doc_id",
           nShards = 64))
+      }
+      time(scale, "dsir_select") {
+        // hashed-bigram importance scoring against the English slice
+        force(Corpus.dsirSelect(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 4096, keepN = 1000))
+      }
+      time(scale, "subword_vocab_apply") {
+        // train the top-2000 char-n-gram vocab, then tokenize the
+        // whole corpus with it (both halves in one timing: the train
+        // collect is vocabulary-sized, the apply is a kernel scan)
+        val vocab = Corpus.trainSubwordVocab(docs, "text", size = 2000)
+          .collect().map(_.getString(0)).toSeq
+        force(Corpus.subwordFrequencies(docs, "text", vocab))
+      }
+      time(scale, "embedding_rp") {
+        force(emb.select(col("vec_id"),
+          Similarity.randomProject(col("embedding"), outDim = 16, seed = 7L)
+            .as("p")))
+      }
+      time(scale, "pagerank_5it") {
+        // per-source doc chains, both directions: E ≈ 2N edges whose
+        // volume grows linearly with the corpus
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val chain = docs.select(col("doc_id"), col("source"))
+          .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        val edges = chain
+          .select(col("doc_id").as("src"), col("nxt").as("dst"))
+          .unionByName(chain.select(col("nxt").as("src"),
+            col("doc_id").as("dst")))
+        force(Graph.pageRankFixedPoint(edges, "src", "dst", iters = 5))
+      }
+      time(scale, "ks_drift") {
+        force(Stats.ksDrift(
+          docs.select(col("lang"), col("n_chars"), col("doc_id")),
+          "lang", "n_chars", col("doc_id") % 2 === 1))
+      }
+      time(scale, "hist_drift") {
+        force(Stats.histDrift(
+          docs.select(col("lang"), col("n_chars"), col("doc_id")),
+          "lang", "n_chars", col("doc_id") % 2 === 1,
+          lo = 0.0, hi = 4000.0, nBins = 40))
+      }
+      time(scale, "temperature_mix") {
+        force(Sampling.temperatureMix(
+          docs.select(col("doc_id"), col("lang")),
+          "lang", "doc_id", total = 1000L, sqrtTimes = 2))
       }
       time(scale, "doc_search") {
         // constant query batch against the growing corpus — retrieval

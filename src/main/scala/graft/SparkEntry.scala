@@ -5381,6 +5381,16 @@ object SparkEntry {
         .select(col("doc_id"), col("score").cast("double").as("score"))
     },
 
+    // temperature-based domain mixing (share^α sampling, α = ¼ via two
+    // sqrts — the one power IEEE computes correctly rounded, so the
+    // largest-remainder quota allocation replays bit-identically in
+    // SQL): exactly 200 docs over the lang distribution, flattened
+    "q_temperature_mix" -> { (s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", total = 200L, sqrtTimes = 2)
+    },
+
     // subword tokenization: vocab trained distributed (top-100 char
     // n-grams, deterministic tie-break), then greedy longest-match
     // tokenization of the whole corpus — TRUE oracle: DuckDB retrains
@@ -5407,6 +5417,25 @@ object SparkEntry {
         col("event_id") % 2 === 1)
     },
 
+    // binned-histogram χ² drift — the streaming-friendly drift monitor
+    // (state = (group, bin) counts, bounded). Exact contract: integer
+    // cross-multiplied proportion differences in DECIMAL(38,0)/HUGEINT,
+    // bin terms summed IN BIN ORDER, so the χ² replays bit-identically.
+    "q_drift_hist" -> { (s, dir) =>
+      graft.operators.Stats.histDrift(
+        t(s, dir, "events"), "event_type", "value",
+        col("event_id") % 2 === 1, lo = 0.0, hi = 500.0, nBins = 25)
+    },
+
+    // the same monitor executed as a REAL streaming aggregation
+    // (available-now ≡ batch is the oracle contract, like every
+    // `_stream` twin)
+    "q_drift_hist_stream" -> { (s, dir) =>
+      graft.streaming.EventStreams.histDriftStreamed(
+        s, s"$dir/events.parquet", "event_type", "value",
+        col("event_id") % 2 === 1, lo = 0.0, hi = 500.0, nBins = 25)
+    },
+
     // fixed-point PageRank over the customer↔supplier purchase graph
     // (who-bought-from-whom, both directions) — iterative graph
     // analytics with a TRUE oracle: rank mass is integer multiples of
@@ -5424,6 +5453,32 @@ object SparkEntry {
         .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
       graft.operators.Graph.pageRankFixedPoint(edges, "src", "dst", iters = 5)
         .select(col("node").as("node_id"), col("rank_fp"))
+    },
+
+    // project → search composition (the purpose of the JL projection):
+    // top-1 retrieval in the 16-dim PROJECTED space, planted TRUE
+    // oracle — an exact copy projects to the identical vector, so its
+    // projected cosine is exactly 1 and the original (smaller id wins
+    // the tie) must come back as the top hit for every planted probe,
+    // regardless of how much the projection distorts everyone else.
+    "q_ann_rp" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
+      require(maxId != null && maxId < 100000L,
+        s"planted-copy gate assumes vec_id < 100000; max is $maxId")
+      val nonzero = aggregate(col("embedding"), lit(0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0d
+      val aug = emb.select(col("vec_id"), col("embedding")).unionByName(
+        emb.filter(col("vec_id") % 5 === 0 && nonzero)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val proj = aug.select(col("vec_id"),
+        graft.operators.Similarity.randomProject(
+          col("embedding"), outDim = 16, seed = 7L).as("p"))
+      val probes = proj.filter(col("vec_id") >= 100000L)
+        .select(col("vec_id").as("q_id"), col("p").as("qp"))
+      graft.operators.Similarity
+        .bruteForceTopK(proj, "vec_id", "p", probes, "q_id", "qp", k = 1)
+        .select(col("probe_id"), col("neighbor_id"))
     },
 
     // sign random projection (Johnson–Lindenstrauss), TRUE bit-exact
@@ -5523,8 +5578,70 @@ object SparkEntry {
       "\nSELECT node AS node_id, CAST(r AS BIGINT) AS rank_fp FROM r5"
   }
 
+  // shared by q_drift_hist and its streaming twin (stream ≡ batch)
+  private val histDriftOracle: String =
+    """WITH b AS (
+      | SELECT event_type AS grp,
+      |   CAST(least(greatest(floor((value - 0.0) / 20.0), 0.0), 24.0)
+      |        AS INTEGER) AS bin,
+      |   CASE WHEN event_id % 2 = 1 THEN 0 ELSE 1 END AS isa
+      | FROM events WHERE value IS NOT NULL),
+      |c AS (SELECT grp, bin, sum(isa) AS ca, sum(1 - isa) AS cb
+      |      FROM b GROUP BY 1, 2),
+      |tt AS (SELECT grp, sum(ca) AS n_a, sum(cb) AS n_b FROM c GROUP BY 1),
+      |terms AS (
+      | SELECT c.grp, bin, n_a, n_b,
+      |   CAST((CAST(ca AS HUGEINT) * CAST(n_b AS HUGEINT)
+      |         - CAST(cb AS HUGEINT) * CAST(n_a AS HUGEINT))
+      |      * (CAST(ca AS HUGEINT) * CAST(n_b AS HUGEINT)
+      |         - CAST(cb AS HUGEINT) * CAST(n_a AS HUGEINT)) AS DOUBLE)
+      |   / (CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)
+      |      * CAST(CAST(ca AS HUGEINT) * CAST(n_b AS HUGEINT)
+      |             + CAST(cb AS HUGEINT) * CAST(n_a AS HUGEINT) AS DOUBLE))
+      |     AS term
+      | FROM c JOIN tt USING (grp) WHERE n_a > 0 AND n_b > 0)
+      |SELECT grp AS event_type,
+      |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+      |  count(*) AS n_bins_hit,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(term ORDER BY bin)), (a, b) -> a + b) AS chi2
+      |FROM terms GROUP BY grp""".stripMargin
+
   private val round9bOracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+    "q_drift_hist" -> histDriftOracle,
+    "q_drift_hist_stream" -> histDriftOracle,
+
+    "q_temperature_mix" ->
+      """WITH cnt AS (
+        | SELECT lang AS dom, count(*) AS n FROM documents
+        | WHERE lang IS NOT NULL GROUP BY 1),
+        |w AS (SELECT dom, n, sqrt(sqrt(CAST(n AS DOUBLE))) AS wd FROM cnt),
+        |tot AS (
+        | SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(wd ORDER BY dom)), (a, b) -> a + b) AS bigw
+        | FROM w),
+        |ideal AS (SELECT dom, n, 200 * wd / bigw AS ideal FROM w, tot),
+        |based AS (
+        | SELECT dom, n, CAST(floor(ideal) AS BIGINT) AS base,
+        |        ideal - floor(ideal) AS frac
+        | FROM ideal),
+        |rem AS (SELECT 200 - sum(base) AS r FROM based),
+        |ranked AS (
+        | SELECT dom, n, base,
+        |        row_number() OVER (ORDER BY frac DESC, dom ASC) AS rk
+        | FROM based),
+        |quota AS (
+        | SELECT dom,
+        |        least(base + CASE WHEN rk <= r THEN 1 ELSE 0 END, n) AS q
+        | FROM ranked, rem),
+        |sel AS (
+        | SELECT doc_id, lang AS dom,
+        |   row_number() OVER (PARTITION BY lang
+        |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        | FROM documents WHERE lang IS NOT NULL)
+        |SELECT doc_id, dom AS lang FROM sel JOIN quota USING (dom)
+        |WHERE rnk <= q""".stripMargin,
 
     "q_subword" ->
       """WITH RECURSIVE
@@ -5588,6 +5705,14 @@ object SparkEntry {
     "q_dsir_select" ->
       (dsirOracleCtes +
         "SELECT doc_id, score FROM alldocs ORDER BY score DESC, doc_id ASC LIMIT 50"),
+
+    "q_ann_rp" ->
+      """SELECT vec_id + 100000 AS probe_id, vec_id AS neighbor_id
+        |FROM embeddings
+        |WHERE vec_id % 5 = 0 AND embedding IS NOT NULL
+        |  AND list_reduce(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (a, b) -> a + b) > 0""".stripMargin,
 
     "q_embedding_rp" ->
       """WITH e AS (

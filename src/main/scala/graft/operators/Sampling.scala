@@ -331,6 +331,68 @@ object Sampling {
     *
     * @return input columns + (shard: int, pos: long)
     */
+  /** Temperature-based domain mixing (the multilingual-corpus sampling
+    * rule: pick domain d with probability ∝ share_d^α, α < 1 flattens
+    * the head): selects exactly `total` documents (fewer only if a
+    * flattened quota exceeds a domain's size) with per-domain quotas
+    * allocated by largest-remainder rounding of `total·w_d / Σw`,
+    * w_d = n_d^α. α is expressed as `1 / 2^sqrtTimes` — sqrt is the
+    * ONE power function IEEE guarantees correctly rounded, so with
+    * α ∈ {1, ½, ¼, …} the whole allocation (including tie-breaks) is
+    * bit-reproducible on any engine; arbitrary-α `pow` is not.
+    *
+    * Within each domain, membership is the rank under the md5-derived
+    * order — a pure function of the id, so re-runs and late data never
+    * swap selected documents (the [[splitByHash]] leak-proofing
+    * argument).
+    *
+    * Scale shape: the count table is domain-sized (a bounded driver
+    * collect, like a vocabulary); selection is one per-domain window
+    * rank — no global sort, no RNG.
+    *
+    * @return the selected rows of `df`, unchanged schema
+    */
+  def temperatureMix(
+      df: DataFrame, domainCol: String, idCol: String,
+      total: Long, sqrtTimes: Int): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    require(sqrtTimes >= 0 && sqrtTimes <= 6,
+      s"sqrtTimes must be in [0, 6] (alpha = 1/2^k), got $sqrtTimes")
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("dom"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty) return df.limit(0)
+    // the exact arithmetic the SQL oracle replays: sqrt chain, the
+    // Σw fold in domain-ascending order, (total·w)/W left-to-right
+    val w = counts.map { case (d, n) =>
+      (d, n, (0 until sqrtTimes).foldLeft(n.toDouble)((x, _) => math.sqrt(x)))
+    }
+    val bigW = w.foldLeft(0.0)((acc, x) => acc + x._3)
+    val ideal = w.map { case (d, n, wd) => (d, n, total.toDouble * wd / bigW) }
+    val based = ideal.map { case (d, n, i) =>
+      (d, n, math.floor(i).toLong, i - math.floor(i))
+    }
+    val rem = total - based.map(_._3).sum
+    val bump = based.sortBy { case (d, _, _, frac) => (-frac, d) }
+      .zipWithIndex
+      .map { case ((d, n, base, _), idx) =>
+        d -> math.min(base + (if (idx < rem) 1L else 0L), n)
+      }.toMap
+    val quota = bump.foldLeft(lit(0L)) { case (acc, (d, q)) =>
+      when(col(domainCol).cast("string") === d, lit(q)).otherwise(acc)
+    }
+    val rnk = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col(domainCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol)))
+    df.filter(col(domainCol).isNotNull)
+      .withColumn("__graft_rnk", rnk)
+      .filter(col("__graft_rnk") <= quota)
+      .drop("__graft_rnk")
+  }
+
   def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     require(!df.columns.contains("shard") && !df.columns.contains("pos"),

@@ -338,4 +338,84 @@ object Stats {
         (col("d_num").cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("d"))
   }
+
+  /** Per-(group, bin, side) histogram counts on a fixed [lo, hi) grid
+    * with clamped edge bins — the INCREMENTALLY-AGGREGATABLE half of
+    * [[histDrift]] (state is one row per occupied (group, bin), so the
+    * same aggregation runs as a bounded-state streaming query; see
+    * EventStreams.histDriftCountsStreamed).
+    *
+    * @return (grp, bin, ca, cb)
+    */
+  def histDriftCounts(
+      df: DataFrame, groupCol: String, valueCol: String, sideCol: Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo,
+      s"need nBins >= 1 and hi > lo, got nBins=$nBins lo=$lo hi=$hi")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(width)), lit(0d)),
+      lit((nBins - 1).toDouble)).cast("int")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), bin.as("bin"))
+      .agg(
+        sum(when(sideCol, 0L).otherwise(1L)).as("ca"),
+        sum(when(sideCol, 1L).otherwise(0L)).as("cb"))
+  }
+
+  /** Finalize [[histDriftCounts]] into a per-group χ² drift score —
+    * runs equally on the batch counts or on a streaming query's
+    * materialized state. Exact-arithmetic contract: with per-group
+    * totals nₐ, n_b, each bin contributes
+    * `(ca·n_b − cb·nₐ)² / ((nₐ·n_b) · (ca·n_b + cb·nₐ))`
+    * (the proportion-difference χ² with every subtraction exact in
+    * integers), and the bin terms are summed IN BIN ORDER, so the
+    * score is bit-reproducible on any engine. Groups with an empty
+    * side are omitted. */
+  def finalizeHistDrift(counts: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    // totals via a whole-partition window, NOT a self-join: one
+    // exchange on grp, and it stays valid on a streaming memory-sink
+    // view (whose self-join trips Spark's attribute dedup)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withTot = counts
+      .select(col("grp"), col("bin"), col("ca"), col("cb"),
+        sum(col("ca")).over(wAll).as("n_a"),
+        sum(col("cb")).over(wAll).as("n_b"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+    val diff = col("ca").cast(dec) * col("n_b").cast(dec) -
+      col("cb").cast(dec) * col("n_a").cast(dec)
+    // every product stays exact in DECIMAL(38,0); only the two final
+    // factors and the division are floating-point (each one correctly
+    // rounded, so the term is bit-deterministic)
+    val term = (diff * diff).cast("double") /
+      ((col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double") *
+        (col("ca").cast(dec) * col("n_b").cast(dec) +
+          col("cb").cast(dec) * col("n_a").cast(dec)).cast("double"))
+    withTot
+      .select(col("grp"), col("n_a"), col("n_b"), col("bin"), term.as("term"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_bins_hit"),
+        aggregate(sort_array(collect_list(struct(col("bin"), col("term")))),
+          lit(0d), (acc, x) => acc + x.getField("term")).as("chi2"))
+  }
+
+  /** Binned-histogram distribution drift per group (χ² distance
+    * between the side-A and side-B bin proportions) — the
+    * streaming-friendly companion of [[ksDrift]]: KS needs the full
+    * order statistics, the histogram form needs only (group, bin)
+    * counts, which is exactly what a watermark-free streaming
+    * aggregation can maintain with bounded state.
+    *
+    * @return (group, n_a, n_b, n_bins_hit, chi2)
+    */
+  def histDrift(
+      df: DataFrame, groupCol: String, valueCol: String, sideCol: Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame =
+    finalizeHistDrift(
+      histDriftCounts(df, groupCol, valueCol, sideCol, lo, hi, nBins))
+      .select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+        col("n_bins_hit"), col("chi2"))
 }

@@ -294,4 +294,47 @@ object EventStreams {
       .select(col("user_id"), col("session_start"), col("n_events"),
         col("duration_sec"), col("total_value"))
   }
+
+  /** Streaming half of the histogram drift monitor: the per-(group,
+    * bin, side) counts of Stats.histDriftCounts maintained by a REAL
+    * streaming aggregation (state = one row per occupied (group, bin)
+    * — bounded by groups × nBins regardless of stream length), then
+    * finalized into the per-group χ² from the materialized state. The
+    * production shape for continuous drift dashboards: counts update
+    * per micro-batch, the vocabulary-sized finalize runs on read.
+    * Available-now + complete mode on bounded input ≡ the batch
+    * operator, which is the driver-oracle contract. */
+  def histDriftStreamed(
+      spark: SparkSession, parquetPath: String,
+      groupCol: String, valueCol: String, sideCol: org.apache.spark.sql.Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val src = java.nio.file.Paths.get(parquetPath)
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) parquetPath
+      else {
+        val dir = java.nio.file.Paths.get(
+          graft.Scratch.path(s"histdrift_${math.abs(parquetPath.hashCode)}"))
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.copy(src, dir.resolve(src.getFileName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dir.toString
+      }
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema).parquet(streamPath)
+    val counts = graft.operators.Stats.histDriftCounts(
+      stream, groupCol, valueCol, sideCol, lo, hi, nBins)
+    val name = "graft_histdrift_" + math.abs(parquetPath.hashCode)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = counts.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    graft.operators.Stats.finalizeHistDrift(spark.table(name))
+      .select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+        col("n_bins_hit"), col("chi2"))
+  }
 }

@@ -144,6 +144,33 @@ class ProfileLayoutSpec extends GraftSpec {
     assert(disj.getLong(3) == 2L && disj.getDouble(4) == 1.0)
   }
 
+  test("histDrift: exact χ² for hand-computed bins; clamping; zero when identical") {
+    // one group, [0,40) in 2 bins (width 20):
+    // A = {1, 1, 30}  → bins (0,0,1) → ca = (2,1), n_a = 3
+    // B = {1, 30, 30} → bins (0,1,1) → cb = (1,2), n_b = 3
+    // per bin: |ca·n_b − cb·n_a| = 3 → term = 9 / (9 · 9) = 1/9 each
+    val df = Seq(
+      ("g", 1.0, false), ("g", 1.0, false), ("g", 30.0, false),
+      ("g", 1.0, true), ("g", 30.0, true), ("g", 30.0, true)
+    ).toDF("g", "v", "b")
+    val out = Stats.histDrift(df, "g", "v", col("b"), 0.0, 40.0, 2)
+      .collect().head
+    assert(out.getLong(1) == 3L && out.getLong(2) == 3L && out.getLong(3) == 2L)
+    assert(out.getDouble(4) == 1.0 / 9.0 + 1.0 / 9.0, s"chi2 = ${out.getDouble(4)}")
+    // identical sides → exactly zero drift
+    val same = Stats.histDrift(
+      Seq(("g", 5.0, false), ("g", 5.0, true)).toDF("g", "v", "b"),
+      "g", "v", col("b"), 0.0, 40.0, 4).collect().head
+    assert(same.getDouble(4) == 0.0)
+    // out-of-range values clamp into the edge bins instead of dropping
+    val clamped = Stats.histDrift(
+      Seq(("g", -99.0, false), ("g", 999.0, true)).toDF("g", "v", "b"),
+      "g", "v", col("b"), 0.0, 40.0, 4).collect().head
+    assert(clamped.getLong(3) == 2L, "both outliers must land in (clamped) bins")
+    intercept[IllegalArgumentException](
+      Stats.histDrift(df, "g", "v", col("b"), 40.0, 0.0, 4))
+  }
+
   // ── paragraph dedup ──
 
   test("paragraphDedup keeps first corpus-wide occurrence and reassembles in order") {

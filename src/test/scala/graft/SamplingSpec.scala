@@ -183,4 +183,40 @@ class SamplingSpec extends GraftSpec {
     // unlisted domains drop entirely at defaultBudget 0
     assert(kept.forall(k => k._1 == "a" || k._1 == "b"))
   }
+
+  test("temperatureMix: exact quotas at clean powers; flattening; caps; determinism") {
+    import graft.operators.Sampling
+    // a: 16 docs, b: 1 doc; alpha = 1/2 → w = (4, 1), ideal = (4, 1):
+    // quotas land exactly with no remainder to distribute
+    val df = ((1 to 16).map(i => (i.toLong, "a")) :+ (100L, "b"))
+      .toDF("id", "dom")
+    val half = Sampling.temperatureMix(df, "dom", "id", total = 5L, sqrtTimes = 1)
+      .collect().map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length)
+    assert(half.toMap == Map("a" -> 4, "b" -> 1))
+    // alpha = 1 reproduces the raw shares: 16/17 vs 1/17 of 5 → (5, 0)
+    // after largest-remainder (fracs 4.71→0.71 for a, 0.29 for b)
+    val raw = Sampling.temperatureMix(df, "dom", "id", total = 5L, sqrtTimes = 0)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length)
+    assert(raw.toMap == Map("a" -> 5))
+    // alpha = 1/4 flattens further: w = (2, 1) → ideal (10/3, 5/3) →
+    // base (3, 1); the remainder goes to b (frac 0.67 > 0.33) but b's
+    // quota caps at its single doc — the documented undershoot contract
+    // (no redistribution), so 4 docs come back, not 5
+    val quarter = Sampling.temperatureMix(df, "dom", "id", total = 5L, sqrtTimes = 2)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(quarter == Map("a" -> 3, "b" -> 1),
+      s"flattened mix must keep the tail domain and cap at its size: $quarter")
+    // quotas cap at domain size: asking for more than exists
+    val capped = Sampling.temperatureMix(df, "dom", "id", total = 40L, sqrtTimes = 1)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(capped("b") == 1 && capped("a") <= 16)
+    // membership is a pure function of the id — identical re-runs
+    val a = Sampling.temperatureMix(df, "dom", "id", 5L, 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.temperatureMix(df, "dom", "id", 5L, 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "dom", "id", 5L, sqrtTimes = 9))
+  }
 }
