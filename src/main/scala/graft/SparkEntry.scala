@@ -5585,7 +5585,7 @@ object SparkEntry {
       |   CAST(least(greatest(floor((value - 0.0) / 20.0), 0.0), 24.0)
       |        AS INTEGER) AS bin,
       |   CASE WHEN event_id % 2 = 1 THEN 0 ELSE 1 END AS isa
-      | FROM events WHERE value IS NOT NULL),
+      | FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
       |c AS (SELECT grp, bin, sum(isa) AS ca, sum(1 - isa) AS cb
       |      FROM b GROUP BY 1, 2),
       |tt AS (SELECT grp, sum(ca) AS n_a, sum(cb) AS n_b FROM c GROUP BY 1),

@@ -354,15 +354,25 @@ object Sampling {
     */
   def temperatureMix(
       df: DataFrame, domainCol: String, idCol: String,
-      total: Long, sqrtTimes: Int): DataFrame = {
+      total: Long, sqrtTimes: Int, maxDomains: Int = 100000): DataFrame = {
     require(total >= 0, s"total must be >= 0, got $total")
     require(sqrtTimes >= 0 && sqrtTimes <= 6,
       s"sqrtTimes must be in [0, 6] (alpha = 1/2^k), got $sqrtTimes")
+    // the count table is collected to the driver — that is only sound
+    // for a DOMAIN-cardinality column. A high-cardinality key (URL,
+    // doc id) must fail loudly here, not OOM the driver: probe one row
+    // beyond the cap instead of counting everything first.
     val counts = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).cast("string").as("dom"))
       .agg(count(lit(1)).as("n"))
+      .limit(maxDomains + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
+    require(counts.length <= maxDomains,
+      s"temperatureMix saw more than $maxDomains distinct '$domainCol' " +
+        "values — this operator drives a driver-held quota table and is " +
+        "meant for domain-cardinality keys; raise maxDomains only if the " +
+        "driver can hold the table")
     if (counts.isEmpty) return df.limit(0)
     // the exact arithmetic the SQL oracle replays: sqrt chain, the
     // Σw fold in domain-ascending order, (total·w)/W left-to-right

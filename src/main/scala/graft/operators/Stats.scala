@@ -356,7 +356,10 @@ object Stats {
     val bin = least(greatest(
       floor((col(valueCol).cast("double") - lit(lo)) / lit(width)), lit(0d)),
       lit((nBins - 1).toDouble)).cast("int")
-    df.filter(col(valueCol).isNotNull)
+    // NaN is excluded EXPLICITLY: floor(NaN) stays NaN through the
+    // clamp, and NaN→int is engine-divergent (Spark 0, DuckDB error) —
+    // a poisoned value must not silently land in bin 0
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .groupBy(col(groupCol).as("grp"), bin.as("bin"))
       .agg(
         sum(when(sideCol, 0L).otherwise(1L)).as("ca"),

@@ -857,10 +857,14 @@ object VectorKernels {
 
   // per-vocab-array memo of (hash set, max entry length in code points):
   // the same Array[String] reference travels with the serialized plan,
-  // so identity-keying caches the set once per executor
+  // so identity-keying caches the set once per executor. Bounded: a
+  // long-lived executor that sees many DISTINCT vocab plans (or a test
+  // loop) must not accumulate dead sets — evict wholesale past a small
+  // cap (re-interning a live vocab is cheap; leaking is not).
   private val vocabSets =
     new java.util.concurrent.ConcurrentHashMap[Array[String], (java.util.HashSet[String], Int)]()
-  private def vocabCache(vocab: Array[String]): (java.util.HashSet[String], Int) =
+  private def vocabCache(vocab: Array[String]): (java.util.HashSet[String], Int) = {
+    if (vocabSets.size > 64) vocabSets.clear()
     vocabSets.computeIfAbsent(vocab, v => {
       val set = new java.util.HashSet[String]()
       var maxLen = 1
@@ -870,6 +874,7 @@ object VectorKernels {
       }
       (set, maxLen)
     })
+  }
 
   /** Sign random projection (Johnson–Lindenstrauss / Achlioptas ±1):
     * y_j = (Σ_i s(i,j)·x_i) / √outDim, the sum strictly in ascending-i
