@@ -5381,6 +5381,38 @@ object SparkEntry {
         .select(col("doc_id"), col("score").cast("double").as("score"))
     },
 
+    // REAL BPE merge training (Sennrich et al. 2016) over the corpus
+    // word counts — 10 rounds of most-frequent-adjacent-pair merging,
+    // TRUE oracle: DuckDB replays every round with unrolled CTEs (the
+    // same leftmost-greedy fold, the same count-desc/pair-asc argmax).
+    // BPE's per-round driver argmax is the algorithm, not a scale bug:
+    // state is the distinct-word table, one row crosses per round.
+    "q_bpe_merges" -> { (s, dir) =>
+      val model = graft.operators.Corpus.trainBpeMerges(
+        t(s, dir, "documents"), "text", nMerges = 10)
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        model.merges.zipWithIndex.map { case ((a, b), i) =>
+          org.apache.spark.sql.Row(i + 1, a, b)
+        }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("round",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("first",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("second",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+    },
+
+    // the tokenization the trained merges induce on the training
+    // corpus (the final symbol state IS the applied model — weighted
+    // by word frequency)
+    "q_bpe_tokens" -> { (s, dir) =>
+      graft.operators.Corpus.trainBpeMerges(
+        t(s, dir, "documents"), "text", nMerges = 10)
+        .tokenFrequencies
+    },
+
     // temperature-based domain mixing (share^α sampling, α = ¼ via two
     // sqrts — the one power IEEE computes correctly rounded, so the
     // largest-remainder quota allocation replays bit-identically in
@@ -5607,8 +5639,60 @@ object SparkEntry {
       |    list(term ORDER BY bin)), (a, b) -> a + b) AS chi2
       |FROM terms GROUP BY grp""".stripMargin
 
+  // q_bpe oracles: every merge round unrolled as CTEs replaying the
+  // exact count-desc/pair-asc argmax and the leftmost-greedy fold
+  private def bpeOracleCtes(rounds: Int): String = {
+    val round = (k: Int) =>
+      s"""pairs_$k AS MATERIALIZED (
+         | SELECT sy[i] AS a, sy[i + 1] AS b, sum(nw) AS cnt
+         | FROM (SELECT string_split(s, chr(1)) AS sy, nw FROM ws_${k - 1}),
+         |      unnest(range(1, len(sy))) AS u(i)
+         | GROUP BY 1, 2),
+         |best_$k AS MATERIALIZED (
+         | SELECT a, b FROM pairs_$k
+         | ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |ws_$k AS MATERIALIZED (
+         | SELECT w, nw,
+         |   CASE WHEN (SELECT count(*) FROM best_$k) = 0 THEN s
+         |   ELSE (SELECT list_reduce(string_split(ws_${k - 1}.s, chr(1)),
+         |          (acc, c) -> CASE
+         |            WHEN (acc = best_$k.a OR
+         |                  right(acc, len(best_$k.a) + 1) = chr(1) || best_$k.a)
+         |                 AND c = best_$k.b
+         |            THEN acc || c
+         |            ELSE acc || chr(1) || c END)
+         |         FROM best_$k) END AS s
+         | FROM ws_${k - 1})""".stripMargin
+    """WITH wc AS MATERIALIZED (
+      | SELECT w, count(*) AS nw
+      | FROM (SELECT unnest(list_filter(
+      |          regexp_split_to_array(lower(text), '\s+'),
+      |          x -> len(x) > 0)) AS w
+      |       FROM documents WHERE text IS NOT NULL)
+      | GROUP BY w),
+      |ws_0 AS MATERIALIZED (
+      | SELECT w, nw,
+      |        array_to_string(regexp_split_to_array(w, ''), chr(1)) AS s
+      | FROM wc),
+      |""".stripMargin + (1 to rounds).map(round).mkString(",\n")
+  }
+
   private val round9bOracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+
+    "q_bpe_merges" ->
+      (bpeOracleCtes(10) + "\nSELECT * FROM (" +
+        (1 to 10).map(k =>
+          s"SELECT $k AS round, a AS first, b AS second FROM best_$k")
+          .mkString(" UNION ALL ") + ")"),
+
+    "q_bpe_tokens" ->
+      (bpeOracleCtes(10) +
+        """
+          |SELECT token, sum(nw) AS n
+          |FROM (SELECT unnest(string_split(s, chr(1))) AS token, nw
+          |      FROM ws_10)
+          |GROUP BY token""".stripMargin),
     "q_drift_hist" -> histDriftOracle,
     "q_drift_hist_stream" -> histDriftOracle,
 

@@ -516,6 +516,77 @@ object Corpus {
       .select(explode(col("sub_tokens")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
 
+  // ---------------------------------------------------------------------
+  // BPE merge training — byte-pair encoding over the word-count table
+  // ---------------------------------------------------------------------
+
+  /** The trained BPE artifact: the ordered merge list plus the final
+    * per-word symbol state (word, nw, -joined symbols). */
+  final case class BpeModel(
+      merges: Seq[(String, String)], state: DataFrame) {
+    /** Corpus subtoken frequencies under the trained merges — the
+      * training state IS the tokenization of the training corpus, so
+      * no second pass is needed.
+      * @return (token, n) */
+    def tokenFrequencies: DataFrame = state
+      .select(explode(split(col("s"), "\u0001")).as("token"), col("nw"))
+      .groupBy(col("token")).agg(sum(col("nw")).as("n"))
+  }
+
+  /** Train `nMerges` byte-pair-encoding merges (Sennrich et al. 2016)
+    * over the corpus word counts: each round counts adjacent symbol
+    * pairs weighted by word frequency, picks the most frequent pair
+    * (count desc, pair asc — fully deterministic), and rewrites every
+    * leftmost-greedy occurrence into the merged symbol.
+    *
+    * Scale shape: the state is the DISTINCT-WORD table (vocabulary-
+    * sized — millions of rows at web scale, not corpus-sized), each
+    * round is one map-side-combined pair count plus one codegen'd
+    * merge scan, and only the single argmax row crosses to the driver
+    * per round (BPE is inherently sequential in the merge list — the
+    * per-round driver step is the algorithm, not an accident).
+    * `localCheckpoint` per round keeps the plan flat across rounds.
+    */
+  def trainBpeMerges(
+      df: DataFrame, textCol: String, nMerges: Int): BpeModel = {
+    require(nMerges >= 1 && nMerges <= 10000,
+      s"nMerges must be in [1, 10000], got $nMerges")
+    var state = df.filter(col(textCol).isNotNull)
+      .select(explode(terms(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      .select(col("w"), col("nw"),
+        graft.plans.native.bpeInitSymbols(col("w")).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    var k = 0
+    while (k < nMerges && !exhausted) {
+      val sy = split(col("s"), "\u0001")
+      val best = state
+        .select(col("nw"), sy.as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("nw"), explode(transform(
+          sequence(lit(0), size(col("sy")) - 2),
+          i => struct(element_at(col("sy"), i + 1).as("a"),
+            element_at(col("sy"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("nw")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect() // exactly one row per round — the argmax IS the algorithm
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        merges += ((a, b))
+        state = state
+          .withColumn("s", graft.plans.native.bpeMergeStep(col("s"), a, b))
+          .localCheckpoint(true)
+        k += 1
+      }
+    }
+    BpeModel(merges.toSeq, state)
+  }
+
   /** Top-`keepN` DSIR selection by the exact-arithmetic score
     * (score desc, doc_id asc tie-break — fully deterministic). The cut
     * is a `TakeOrderedAndProject` (per-partition top-N + driver merge

@@ -48,7 +48,9 @@ object Graph {
   def pageRankFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long = 1000000000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(scale > 0 && dampNum > 0 && dampDen >= dampNum,
       s"need scale > 0 and 0 < dampNum <= dampDen, got " +
@@ -56,7 +58,11 @@ object Graph {
     require(scale <= Long.MaxValue / dampNum,
       s"scale * dampNum must fit a signed 64-bit integer " +
         s"(total mass times the damping numerator): scale=$scale dampNum=$dampNum")
+    // materialize the edge list ONCE — nodes and out-degrees both
+    // derive from it, and without this the upstream edge construction
+    // (often a join) would execute once per derivation
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -70,8 +76,7 @@ object Graph {
         e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint(true)
     var ranks = nodes.select(col("node"), lit(base).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val contrib = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("r div outdeg").as("share"))
@@ -81,7 +86,13 @@ object Graph {
         .select(col("node"),
           (lit(teleport) +
             expr(s"${dampNum}L * coalesce(c, 0L) div ${dampDen}L")).as("r"))
-        .localCheckpoint(true)
+      // lineage truncation every few rounds, not every round: an eager
+      // materialization per round is pure fixed cost at small N, and a
+      // handful of stacked join rounds is a fine plan depth — the
+      // checkpoint exists so a 50-round run cannot accrete a 50-deep
+      // tree, not to flush each round
+      if (k % checkpointEvery == 0 && k < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }

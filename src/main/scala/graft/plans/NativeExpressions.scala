@@ -478,6 +478,37 @@ case class GreedySubTokensExpr(child: Expression, vocab: Array[String])
     copy(child = newChild)
 }
 
+/** string word → -joined per-code-point BPE symbol state. */
+case class BpeInitSymbolsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.bpeInitSymbols(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.bpeInitSymbols($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeInitSymbolsExpr =
+    copy(child = newChild)
+}
+
+/** One BPE merge round (pair (a, b) → a||b, leftmost-greedy) over a
+  * -joined symbol string. */
+case class BpeMergeStepExpr(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  require(a.nonEmpty && b.nonEmpty, "BPE merge pair symbols must be non-empty")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.bpeMergeStep(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("graftBpeA", a, "java.lang.String")
+    val bRef = ctx.addReferenceObj("graftBpeB", b, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.bpeMergeStep($c, $aRef, $bRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeStepExpr =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object native {
   private def c(e: Expression): Column = GraftShim.column(e)
@@ -525,6 +556,9 @@ object native {
     c(SignProjectExpr(e(v), outDim, seed))
   def charNgramsByWord(text: Column, minLen: Int, maxLen: Int): Column =
     c(CharNgramsByWordExpr(e(text), minLen, maxLen))
+  def bpeInitSymbols(word: Column): Column = c(BpeInitSymbolsExpr(e(word)))
+  def bpeMergeStep(state: Column, a: String, b: String): Column =
+    c(BpeMergeStepExpr(e(state), a, b))
   def greedySubTokens(text: Column, vocab: Array[String]): Column =
     c(GreedySubTokensExpr(e(text), vocab))
 }

@@ -876,6 +876,53 @@ object VectorKernels {
     })
   }
 
+  private final val BpeSep = '\u0001'
+
+  /** BPE symbol-state init: one symbol per Unicode CODE POINT, joined
+    * by the  separator (which can never appear inside a symbol).
+    * Code points — not Java chars — so the contract matches SQL
+    * engines that split by character. */
+  def bpeInitSymbols(w: UTF8String): UTF8String = {
+    val s = w.toString
+    val sb = new java.lang.StringBuilder(s.length * 2)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (i > 0) sb.append(BpeSep)
+      sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** One BPE merge round over a -joined symbol string: replace
+    * every LEFTMOST-GREEDY non-overlapping adjacent (a, b) occurrence
+    * with the concatenation a||b. The fold appends symbol c directly
+    * (no separator) when the accumulated last symbol is exactly `a`
+    * and c = b — a just-merged token can never equal `a` again (it is
+    * strictly longer), so no merged-flag is needed; the SQL oracle
+    * replays the identical fold. */
+  def bpeMergeStep(s: UTF8String, a: String, b: String): UTF8String = {
+    val syms = s.toString.split(BpeSep)
+    val sb = new java.lang.StringBuilder(s.numChars() + 1)
+    var lastStart = 0 // char offset of the last symbol inside sb
+    var i = 0
+    while (i < syms.length) {
+      val c = syms(i)
+      val lastIsA = sb.length() > 0 &&
+        sb.length() - lastStart == a.length &&
+        sb.indexOf(a, lastStart) == lastStart
+      if (lastIsA && c == b) {
+        sb.append(c) // merge: last symbol becomes a||b
+      } else {
+        if (sb.length() > 0) { sb.append(BpeSep); lastStart = sb.length() }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Sign random projection (Johnson–Lindenstrauss / Achlioptas ±1):
     * y_j = (Σ_i s(i,j)·x_i) / √outDim, the sum strictly in ascending-i
     * order so the result is bit-reproducible on any engine (double

@@ -793,6 +793,38 @@ class ClusterStatsSpec extends GraftSpec {
       buckets = 97, keepN = 2).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("trainBpeMerges: hand-verified merge sequence, final state, token frequencies") {
+    import spark.implicits._
+    // word counts banana×3, bandana×2, band×4, nab×1 — the merge
+    // sequence is hand-computable: pair counts round 1 have (a,n)=9
+    // (2 per banana, 2 per bandana... weighted) as the winner, then
+    // (b,an), (ban,d), (an,a), (ban,ana)
+    val docs = Seq(
+      (1L, "banana banana banana"),
+      (2L, "bandana bandana"),
+      (3L, "band band band band nab")
+    ).toDF("doc_id", "text")
+    val model = Corpus.trainBpeMerges(docs, "text", nMerges = 5)
+    assert(model.merges == Seq(
+      ("a", "n"), ("b", "an"), ("ban", "d"), ("an", "a"), ("ban", "ana")))
+    val st = model.state.collect()
+      .map(r => r.getString(0) -> r.getString(2).split('\u0001').toSeq).toMap
+    assert(st("banana") == Seq("banana"))
+    assert(st("bandana") == Seq("band", "ana"))
+    assert(st("band") == Seq("band"))
+    assert(st("nab") == Seq("n", "a", "b"))
+    val freqs = model.tokenFrequencies.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freqs == Map(
+      "banana" -> 3L, "band" -> 6L, "ana" -> 2L,
+      "n" -> 1L, "a" -> 1L, "b" -> 1L), s"got $freqs")
+    // merge exhaustion: asking for more merges than pairs exist stops
+    val tiny = Corpus.trainBpeMerges(
+      Seq((1L, "ab ab")).toDF("doc_id", "text"), "text", nMerges = 50)
+    assert(tiny.merges == Seq(("a", "b")),
+      "after (a,b) every word is one symbol — no pairs remain")
+  }
+
   test("trainSubwordVocab: frequency order, gram-asc ties, greedy tokenize round-trip") {
     import spark.implicits._
     val docs = Seq(

@@ -273,6 +273,34 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMergeStep == leftmost-greedy reference on 2000 seeded symbol strings") {
+    val sep = '\u0001'
+    def refMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(47)
+    val alpha = Seq("a", "b", "ab", "ba", "aa", "x")
+    for (_ <- 1 to 2000) {
+      val syms = (0 until 1 + rnd.nextInt(12)).map(_ => alpha(rnd.nextInt(alpha.length)))
+      val a = alpha(rnd.nextInt(alpha.length))
+      val b = alpha(rnd.nextInt(alpha.length))
+      val got = VectorKernels.bpeMergeStep(
+        UTF8String.fromString(syms.mkString(sep.toString)), a, b).toString
+      assert(got.split(sep).toSeq == refMerge(syms, a, b),
+        s"syms=$syms pair=($a,$b) got=${got.split(sep).toSeq}")
+    }
+    // init: per code point
+    assert(VectorKernels.bpeInitSymbols(UTF8String.fromString("abc")).toString
+      == s"a${sep}b${sep}c")
+  }
+
   test("signProject == ascending-order ±1 reference on 500 seeded random vectors") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     def sign(i: Int, j: Int, seed: Long): Double = {
