@@ -340,6 +340,9 @@ object ScaleRehearsal {
           "lang", "n_chars", col("doc_id") % 2 === 1,
           lo = 0.0, hi = 4000.0, nBins = 40))
       }
+      time(scale, "bpe_train10") {
+        force(Corpus.trainBpeMerges(docs, "text", nMerges = 10).state)
+      }
       time(scale, "temperature_mix") {
         force(Sampling.temperatureMix(
           docs.select(col("doc_id"), col("lang")),

@@ -5413,6 +5413,19 @@ object SparkEntry {
         .tokenFrequencies
     },
 
+    // train-once / apply-everywhere: merges trained on the English
+    // slice tokenize the German slice through the codegen'd apply
+    // kernel (the merge list rides the plan — no join, no shuffle
+    // before the final count)
+    "q_bpe_apply" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Corpus.trainBpeMerges(
+        docs.filter(col("lang") === "en"), "text", nMerges = 10)
+      model.tokenize(docs.filter(col("lang") === "de"), "text")
+        .select(explode(col("sub_tokens")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    },
+
     // temperature-based domain mixing (share^α sampling, α = ¼ via two
     // sqrts — the one power IEEE computes correctly rounded, so the
     // largest-remainder quota allocation replays bit-identically in
@@ -5641,7 +5654,24 @@ object SparkEntry {
 
   // q_bpe oracles: every merge round unrolled as CTEs replaying the
   // exact count-desc/pair-asc argmax and the leftmost-greedy fold
-  private def bpeOracleCtes(rounds: Int): String = {
+  // the leftmost-greedy merge fold over `prev`'s symbol state with
+  // round-k's winning pair — shared by training (ws_k) and the
+  // apply-to-new-corpus chain (app_k)
+  private def bpeFoldCte(name: String, prev: String, k: Int): String =
+    s"""$name AS MATERIALIZED (
+       | SELECT w, nw,
+       |   CASE WHEN (SELECT count(*) FROM best_$k) = 0 THEN s
+       |   ELSE (SELECT list_reduce(string_split($prev.s, chr(1)),
+       |          (acc, c) -> CASE
+       |            WHEN (acc = best_$k.a OR
+       |                  right(acc, len(best_$k.a) + 1) = chr(1) || best_$k.a)
+       |                 AND c = best_$k.b
+       |            THEN acc || c
+       |            ELSE acc || chr(1) || c END)
+       |         FROM best_$k) END AS s
+       | FROM $prev)""".stripMargin
+
+  private def bpeOracleCtes(rounds: Int, trainWhere: String = "text IS NOT NULL"): String = {
     val round = (k: Int) =>
       s"""pairs_$k AS MATERIALIZED (
          | SELECT sy[i] AS a, sy[i + 1] AS b, sum(nw) AS cnt
@@ -5651,24 +5681,13 @@ object SparkEntry {
          |best_$k AS MATERIALIZED (
          | SELECT a, b FROM pairs_$k
          | ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         |ws_$k AS MATERIALIZED (
-         | SELECT w, nw,
-         |   CASE WHEN (SELECT count(*) FROM best_$k) = 0 THEN s
-         |   ELSE (SELECT list_reduce(string_split(ws_${k - 1}.s, chr(1)),
-         |          (acc, c) -> CASE
-         |            WHEN (acc = best_$k.a OR
-         |                  right(acc, len(best_$k.a) + 1) = chr(1) || best_$k.a)
-         |                 AND c = best_$k.b
-         |            THEN acc || c
-         |            ELSE acc || chr(1) || c END)
-         |         FROM best_$k) END AS s
-         | FROM ws_${k - 1})""".stripMargin
-    """WITH wc AS MATERIALIZED (
+         |""".stripMargin + bpeFoldCte(s"ws_$k", s"ws_${k - 1}", k)
+    s"""WITH wc AS MATERIALIZED (
       | SELECT w, count(*) AS nw
       | FROM (SELECT unnest(list_filter(
-      |          regexp_split_to_array(lower(text), '\s+'),
+      |          regexp_split_to_array(lower(text), '\\s+'),
       |          x -> len(x) > 0)) AS w
-      |       FROM documents WHERE text IS NOT NULL)
+      |       FROM documents WHERE $trainWhere)
       | GROUP BY w),
       |ws_0 AS MATERIALIZED (
       | SELECT w, nw,
@@ -5692,6 +5711,32 @@ object SparkEntry {
           |SELECT token, sum(nw) AS n
           |FROM (SELECT unnest(string_split(s, chr(1))) AS token, nw
           |      FROM ws_10)
+          |GROUP BY token""".stripMargin),
+
+    // train on the English slice, tokenize the German slice: the
+    // apply chain replays the 10 trained merges (in training order)
+    // over the NEW corpus's word table with the same fold
+    "q_bpe_apply" ->
+      (bpeOracleCtes(10, trainWhere = "text IS NOT NULL AND lang = 'en'") +
+        """,
+          |appw AS MATERIALIZED (
+          | SELECT w, count(*) AS nw
+          | FROM (SELECT unnest(list_filter(
+          |          regexp_split_to_array(lower(text), '\s+'),
+          |          x -> len(x) > 0)) AS w
+          |       FROM documents WHERE text IS NOT NULL AND lang = 'de')
+          | GROUP BY w),
+          |app_0 AS MATERIALIZED (
+          | SELECT w, nw,
+          |        array_to_string(regexp_split_to_array(w, ''), chr(1)) AS s
+          | FROM appw),
+          |""".stripMargin +
+        (1 to 10).map(k => bpeFoldCte(s"app_$k", s"app_${k - 1}", k))
+          .mkString(",\n") +
+        """
+          |SELECT token, sum(nw) AS n
+          |FROM (SELECT unnest(string_split(s, chr(1))) AS token, nw
+          |      FROM app_10)
           |GROUP BY token""".stripMargin),
     "q_drift_hist" -> histDriftOracle,
     "q_drift_hist_stream" -> histDriftOracle,

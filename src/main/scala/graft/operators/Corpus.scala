@@ -531,6 +531,16 @@ object Corpus {
     def tokenFrequencies: DataFrame = state
       .select(explode(split(col("s"), "\u0001")).as("token"), col("nw"))
       .groupBy(col("token")).agg(sum(col("nw")).as("n"))
+
+    /** Tokenize NEW text under the trained merges — the train-once /
+      * apply-everywhere production path. The merge list rides the plan
+      * as a reference object; the apply is one shuffle-free codegen'd
+      * kernel scan replaying every merge in training order per word.
+      * Appends `sub_tokens`. */
+    def tokenize(df: DataFrame, textCol: String): DataFrame =
+      df.withColumn("sub_tokens", graft.plans.native.bpeApply(
+        lower(col(textCol)),
+        merges.flatMap { case (a, b) => Seq(a, b) }.toArray))
   }
 
   /** Train `nMerges` byte-pair-encoding merges (Sennrich et al. 2016)

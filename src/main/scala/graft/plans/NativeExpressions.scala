@@ -509,6 +509,25 @@ case class BpeMergeStepExpr(child: Expression, a: String, b: String)
     copy(child = newChild)
 }
 
+/** string text → array<string> BPE subtokens under a TRAINED merge
+  * list (flattened pairs ride the plan as a reference object). */
+case class BpeApplyExpr(child: Expression, mergePairs: Array[String])
+    extends UnaryExpression {
+  require(mergePairs.length % 2 == 0,
+    s"mergePairs must be flattened (a, b) pairs; got ${mergePairs.length} entries")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.bpeApplyAll(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mergePairs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pairsRef = ctx.addReferenceObj("graftBpeMerges", mergePairs, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.bpeApplyAll($c, $pairsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyExpr =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object native {
   private def c(e: Expression): Column = GraftShim.column(e)
@@ -559,6 +578,8 @@ object native {
   def bpeInitSymbols(word: Column): Column = c(BpeInitSymbolsExpr(e(word)))
   def bpeMergeStep(state: Column, a: String, b: String): Column =
     c(BpeMergeStepExpr(e(state), a, b))
+  def bpeApply(text: Column, mergePairs: Array[String]): Column =
+    c(BpeApplyExpr(e(text), mergePairs))
   def greedySubTokens(text: Column, vocab: Array[String]): Column =
     c(GreedySubTokensExpr(e(text), vocab))
 }

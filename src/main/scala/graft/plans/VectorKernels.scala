@@ -923,6 +923,57 @@ object VectorKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Apply a TRAINED BPE merge list to raw text: tokenize on ASCII
+    * whitespace, init each word per code point, then replay every
+    * merge in training order (same leftmost-greedy fold as
+    * [[bpeMergeStep]]). `mergePairs` is the flattened
+    * [a₁, b₁, a₂, b₂, …] array riding the plan as a reference object.
+    * One row in, the word-concatenated subtoken array out — the
+    * train-once / tokenize-everything production path. */
+  def bpeApplyAll(text: UTF8String, mergePairs: Array[String]): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isWsChar(s.charAt(i))) i += 1
+      if (i < s.length) {
+        val start = i
+        while (i < s.length && !isWsChar(s.charAt(i))) i += 1
+        val w = s.substring(start, i)
+        // init: one symbol per code point
+        var syms = {
+          val cps = w.codePoints().toArray
+          val a = new Array[String](cps.length)
+          var p = 0
+          while (p < cps.length) { a(p) = new String(cps, p, 1); p += 1 }
+          a
+        }
+        var m = 0
+        while (m + 1 < mergePairs.length) {
+          val a = mergePairs(m)
+          val b = mergePairs(m + 1)
+          if (syms.length >= 2) {
+            val buf = new Array[String](syms.length)
+            var n = 0
+            var p = 0
+            while (p < syms.length) {
+              if (p + 1 < syms.length && syms(p) == a && syms(p + 1) == b) {
+                buf(n) = a + b; n += 1; p += 2
+              } else { buf(n) = syms(p); n += 1; p += 1 }
+            }
+            syms = java.util.Arrays.copyOf(buf, n)
+          }
+          m += 2
+        }
+        var p = 0
+        while (p < syms.length) {
+          out.add(UTF8String.fromString(syms(p))); p += 1
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Sign random projection (Johnson–Lindenstrauss / Achlioptas ±1):
     * y_j = (Σ_i s(i,j)·x_i) / √outDim, the sum strictly in ascending-i
     * order so the result is bit-reproducible on any engine (double

@@ -301,6 +301,30 @@ class KernelPropertySpec extends AnyFunSuite {
       == s"a${sep}b${sep}c")
   }
 
+  test("bpeApplyAll == init + sequential bpeMergeStep folds on 1000 seeded cases") {
+    val sep = '\u0001'
+    val rnd = new scala.util.Random(53)
+    val alpha = "aabbx "
+    for (_ <- 1 to 1000) {
+      val text = (0 until rnd.nextInt(24)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val merges = (0 until rnd.nextInt(4)).map { _ =>
+        val g = () => (0 until 1 + rnd.nextInt(2)).map(_ => alpha.trim()(rnd.nextInt(4))).mkString
+        (g(), g())
+      }
+      val pairs = merges.flatMap { case (a, b) => Seq(a, b) }.toArray
+      val got = VectorKernels.bpeApplyAll(UTF8String.fromString(text), pairs)
+      val gotSeq = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      val want = text.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { w =>
+        var st = VectorKernels.bpeInitSymbols(UTF8String.fromString(w))
+        merges.foreach { case (a, b) =>
+          st = VectorKernels.bpeMergeStep(st, a, b)
+        }
+        st.toString.split(sep).toSeq
+      }
+      assert(gotSeq == want, s"text=$text merges=$merges got=$gotSeq want=$want")
+    }
+  }
+
   test("signProject == ascending-order ±1 reference on 500 seeded random vectors") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     def sign(i: Int, j: Int, seed: Long): Double = {
