@@ -5426,6 +5426,33 @@ object SparkEntry {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
     },
 
+    // deterministic augmentation: seeded word dropout — membership is
+    // a pure function of (doc, position, seed), so task retries and
+    // engines agree token-for-token (RNG dropout breaks exactly-once
+    // on retry). TRUE oracle: DuckDB replays the quadratic PRF.
+    "q_word_dropout" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.wordDropout(
+            col("doc_id"), col("text"), rate = 0.3, seed = 11L)
+            .as("kept_text"))
+    },
+
+    // T5-style denoising pairs via block-deterministic span
+    // corruption: masked blocks collapse to <extra_id_b> sentinels in
+    // the corrupted text, the target lists each sentinel with the
+    // tokens it hides. Pure per-block function — no sequential scan.
+    "q_span_corrupt" -> { (s, dir) =>
+      val pair = graft.functions.TextFunctions.spanCorrupt(
+        col("doc_id"), col("text"), blockLen = 3, rate = 0.25, seed = 13L)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          pair.getField("corrupted").as("corrupted"),
+          pair.getField("target").as("target"))
+    },
+
     // temperature-based domain mixing (share^α sampling, α = ¼ via two
     // sqrts — the one power IEEE computes correctly rounded, so the
     // largest-remainder quota allocation replays bit-identically in
@@ -5740,6 +5767,57 @@ object SparkEntry {
           |GROUP BY token""".stripMargin),
     "q_drift_hist" -> histDriftOracle,
     "q_drift_hist_stream" -> histDriftOracle,
+
+    // the augmentation PRF, replayed: two quadratic rounds over
+    // p = 2^31−1 via the same list_reduce idiom as q_embedding_rp
+    "q_word_dropout" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |        list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> len(x) > 0) AS ts
+        | FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  array_to_string(
+        |    [ts[CAST(i AS INTEGER) + 1] for i in range(0, len(ts))
+        |     if list_reduce(
+        |          [(doc_id * 1315423911 + i * 2654435761
+        |            + 11 * 2246822519 + 54321) % 2147483647, 1, 2],
+        |          (x, u) -> (x * x + x + 41) % 2147483647)
+        |        >= CAST(floor(0.3 * 2147483647) AS BIGINT)],
+        |    ' ') AS kept_text
+        |FROM d""".stripMargin,
+
+    "q_span_corrupt" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |        list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> len(x) > 0) AS ts
+        | FROM documents WHERE text IS NOT NULL),
+        |blocks AS (
+        | SELECT doc_id, ts, CAST(unnest(range(0, (len(ts) + 2) // 3)) AS BIGINT) AS b
+        | FROM d),
+        |withm AS (
+        | SELECT doc_id, b,
+        |   array_to_string(list_slice(ts, 3 * b + 1,
+        |     least(3 * b + 3, len(ts))), ' ') AS btoks,
+        |   list_reduce(
+        |     [(doc_id * 1315423911 + b * 2654435761
+        |       + 13 * 2246822519 + 54321) % 2147483647, 1, 2],
+        |     (x, u) -> (x * x + x + 41) % 2147483647)
+        |     < CAST(floor(0.25 * 2147483647) AS BIGINT) AS masked
+        | FROM blocks),
+        |agg AS (
+        | SELECT doc_id,
+        |   string_agg(CASE WHEN masked THEN '<extra_id_' || b || '>'
+        |                   ELSE btoks END, ' ' ORDER BY b) AS corrupted,
+        |   string_agg(CASE WHEN masked
+        |                   THEN '<extra_id_' || b || '>' || ' ' || btoks
+        |              END, ' ' ORDER BY b) AS target
+        | FROM withm GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(agg.corrupted, '') AS corrupted,
+        |       coalesce(agg.target, '') AS target
+        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH cnt AS (

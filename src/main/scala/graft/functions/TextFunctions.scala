@@ -203,4 +203,38 @@ object TextFunctions {
     * kernel with a per-thread reused Deflater. */
   def compressionRatio(text: Column): Column =
     graft.plans.native.deflateRatio(text)
+
+  // ── deterministic augmentation / denoising-objective construction ──
+
+  private def prfThreshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0, 1], got $rate")
+    math.floor(rate * 2147483647.0).toLong
+  }
+
+  /** Deterministic word dropout: token i of document `id` drops with
+    * probability ≈ `rate` under a seeded integer PRF — membership is a
+    * pure function of (id, position, seed), so re-runs, retries and
+    * engines agree token-for-token (an RNG-based dropout would break
+    * exactly-once semantics on task retry). Survivors re-join with
+    * single spaces. Shuffle-free codegen'd projection. */
+  def wordDropout(id: Column, text: Column, rate: Double, seed: Long): Column =
+    graft.plans.native.wordDropout(id.cast("long"), text,
+      prfThreshold(rate), seed)
+
+  /** Block-deterministic span corruption (T5-style denoising pairs):
+    * token blocks of `blockLen` mask with probability ≈ `rate`; a
+    * masked block collapses to `<extra_id_b>` (b = block index) in the
+    * corrupted text, and the target lists each sentinel with the
+    * original tokens it hides. Returns struct(corrupted, target).
+    * Sentinels carry the block index rather than a running counter —
+    * the construction stays a pure per-block function (no sequential
+    * scan), which is what makes it reproducible AND cheap at scale. */
+  def spanCorrupt(id: Column, text: Column, blockLen: Int,
+      rate: Double, seed: Long): Column = {
+    val joined = graft.plans.native.spanCorrupt(id.cast("long"), text,
+      blockLen, prfThreshold(rate), seed)
+    val parts = split(joined, "\u0001", 2)
+    struct(element_at(parts, 1).as("corrupted"),
+      element_at(parts, 2).as("target"))
+  }
 }

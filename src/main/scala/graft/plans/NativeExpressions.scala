@@ -528,6 +528,41 @@ case class BpeApplyExpr(child: Expression, mergePairs: Array[String])
     copy(child = newChild)
 }
 
+/** (long id, string text) → string with deterministically-dropped
+  * words ([[VectorKernels.wordDropout]]). */
+case class WordDropoutExpr(left: Expression, right: Expression,
+    threshold: Long, seed: Long) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(id: Any, text: Any): Any =
+    VectorKernels.wordDropout(id.asInstanceOf[Long],
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], threshold, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (i, t) =>
+      s"graft.plans.VectorKernels.wordDropout($i, $t, ${threshold}L, ${seed}L)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordDropoutExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (long id, string text) → corrupted-text  target under the
+  * block-deterministic span-corruption contract
+  * ([[VectorKernels.spanCorrupt]]). */
+case class SpanCorruptExpr(left: Expression, right: Expression,
+    blockLen: Int, threshold: Long, seed: Long) extends BinaryExpression {
+  require(blockLen >= 1, s"SpanCorruptExpr: blockLen must be >= 1, got $blockLen")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(id: Any, text: Any): Any =
+    VectorKernels.spanCorrupt(id.asInstanceOf[Long],
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      blockLen, threshold, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (i, t) =>
+      s"graft.plans.VectorKernels.spanCorrupt($i, $t, $blockLen, ${threshold}L, ${seed}L)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanCorruptExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the native expressions. */
 object native {
   private def c(e: Expression): Column = GraftShim.column(e)
@@ -580,6 +615,11 @@ object native {
     c(BpeMergeStepExpr(e(state), a, b))
   def bpeApply(text: Column, mergePairs: Array[String]): Column =
     c(BpeApplyExpr(e(text), mergePairs))
+  def wordDropout(id: Column, text: Column, threshold: Long, seed: Long): Column =
+    c(WordDropoutExpr(e(id), e(text), threshold, seed))
+  def spanCorrupt(id: Column, text: Column, blockLen: Int,
+      threshold: Long, seed: Long): Column =
+    c(SpanCorruptExpr(e(id), e(text), blockLen, threshold, seed))
   def greedySubTokens(text: Column, vocab: Array[String]): Column =
     c(GreedySubTokensExpr(e(text), vocab))
 }

@@ -974,6 +974,97 @@ object VectorKernels {
     new GenericArrayData(out.toArray)
   }
 
+  // shared seeded PRF for the augmentation kernels: the two-round
+  // quadratic congruential mix over p = 2^31−1 (same family as the
+  // sign-projection hash — a plain multiplicative hash is affine in
+  // its inputs and correlates across positions). Exact int64, SQL-
+  // replayable.
+  def augPrf(id: Long, i: Long, seed: Long): Long = {
+    var x = (id * 1315423911L + i * 2654435761L + seed * 2246822519L +
+      54321L) % 2147483647L
+    x = (x * x + x + 41L) % 2147483647L
+    x = (x * x + x + 41L) % 2147483647L
+    x
+  }
+
+  /** Deterministic word dropout: token i of document `id` is dropped
+    * iff augPrf(id, i, seed) < threshold (threshold = ⌊rate·(2³¹−1)⌋,
+    * computed once). Survivors re-join with single spaces — whitespace
+    * runs normalize, which is part of the contract. Reproducible:
+    * membership is a pure function of (id, position, seed), so re-runs
+    * and engines agree token-for-token. */
+  def wordDropout(id: Long, text: UTF8String, threshold: Long, seed: Long): UTF8String = {
+    val s = text.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var tok = 0L
+    while (i < s.length) {
+      while (i < s.length && isWsChar(s.charAt(i))) i += 1
+      if (i < s.length) {
+        val start = i
+        while (i < s.length && !isWsChar(s.charAt(i))) i += 1
+        if (augPrf(id, tok, seed) >= threshold) {
+          if (sb.length() > 0) sb.append(' ')
+          sb.append(s, start, i)
+        }
+        tok += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Block-deterministic span corruption (the T5 denoising objective
+    * re-expressed for distributed reproducibility): tokens partition
+    * into fixed blocks of `blockLen`; block b of document `id` is
+    * masked iff augPrf(id, b, seed) < threshold. In the CORRUPTED
+    * text a masked block collapses to the sentinel `<extra_id_b>`; the
+    * TARGET is the concatenation of every masked block's sentinel
+    * followed by its original tokens. Sentinels carry the BLOCK index
+    * (not a running counter) — that keeps the construction a pure
+    * per-block function, replayable by plain SQL list comprehensions
+    * with no sequential fold.
+    * Returns the corrupted text and the target joined by the U+0001
+    * separator (the caller splits into two columns). */
+  def spanCorrupt(id: Long, text: UTF8String, blockLen: Int,
+      threshold: Long, seed: Long): UTF8String = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isWsChar(s.charAt(i))) i += 1
+      if (i < s.length) {
+        val start = i
+        while (i < s.length && !isWsChar(s.charAt(i))) i += 1
+        toks.add(s.substring(start, i))
+      }
+    }
+    val out = new java.lang.StringBuilder(s.length)
+    val tgt = new java.lang.StringBuilder()
+    var b = 0
+    var t = 0
+    while (t < toks.size()) {
+      val end = math.min(t + blockLen, toks.size())
+      if (augPrf(id, b, seed) < threshold) {
+        if (out.length() > 0) out.append(' ')
+        out.append("<extra_id_").append(b).append('>')
+        if (tgt.length() > 0) tgt.append(' ')
+        tgt.append("<extra_id_").append(b).append('>')
+        var k = t
+        while (k < end) { tgt.append(' ').append(toks.get(k)); k += 1 }
+      } else {
+        var k = t
+        while (k < end) {
+          if (out.length() > 0) out.append(' ')
+          out.append(toks.get(k))
+          k += 1
+        }
+      }
+      t = end
+      b += 1
+    }
+    UTF8String.fromString(out.toString + BpeSep + tgt.toString)
+  }
+
   /** Sign random projection (Johnson–Lindenstrauss / Achlioptas ±1):
     * y_j = (Σ_i s(i,j)·x_i) / √outDim, the sum strictly in ascending-i
     * order so the result is bit-reproducible on any engine (double

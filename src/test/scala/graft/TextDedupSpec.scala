@@ -486,4 +486,58 @@ class TextDedupSpec extends GraftSpec {
     assert(s > 0.6, s"set estimate $s")
     assert(w < s - 0.2, s"weighted estimate $w vs set $s")
   }
+
+  test("wordDropout: deterministic, rate endpoints, measured rate near target") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val doc = (1 to 2000).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, doc)).toDF("doc_id", "text")
+    def kept(rate: Double, seed: Long): Seq[String] =
+      df.select(TextFunctions.wordDropout(col("doc_id"), col("text"), rate, seed))
+        .collect().head.getString(0).split(" ").toSeq.filter(_.nonEmpty)
+    assert(kept(0.0, 1L).size == 2000, "rate 0 keeps everything")
+    assert(kept(1.0, 1L).isEmpty, "rate 1 drops everything")
+    val k = kept(0.3, 11L)
+    assert(math.abs(k.size / 2000.0 - 0.7) < 0.05,
+      s"kept fraction ${k.size / 2000.0} should be ≈ 0.7")
+    assert(k == kept(0.3, 11L), "same seed → identical output")
+    assert(k != kept(0.3, 12L), "different seed → different draw")
+    // survivors keep their original relative order
+    val idx = k.map(w => w.drop(1).toInt)
+    assert(idx == idx.sorted)
+  }
+
+  test("spanCorrupt: corrupted+target reconstructs the original token stream") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m"),
+      (2L, "one two three"),
+      (3L, "   "), // token-free
+      (4L, (1 to 300).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pair = TextFunctions.spanCorrupt(
+      col("doc_id"), col("text"), blockLen = 3, rate = 0.5, seed = 2L)
+    val rows = docs.select(col("doc_id"),
+      pair.getField("corrupted").as("c"), pair.getField("target").as("t"),
+      col("text")).collect()
+    var sawMask = false
+    rows.foreach { r =>
+      val (c, t, orig) = (r.getString(1), r.getString(2), r.getString(3))
+      // parse target into sentinel → tokens
+      val tgt = scala.collection.mutable.Map[String, Seq[String]]()
+      var cur: String = null
+      t.split(" ").filter(_.nonEmpty).foreach { tok =>
+        if (tok.startsWith("<extra_id_")) { cur = tok; tgt(cur) = Seq() }
+        else tgt(cur) = tgt(cur) :+ tok
+      }
+      if (tgt.nonEmpty) sawMask = true
+      val rebuilt = c.split(" ").filter(_.nonEmpty).flatMap { tok =>
+        if (tok.startsWith("<extra_id_")) tgt(tok) else Seq(tok)
+      }.toSeq
+      val norm = orig.split("\\s+").toSeq.filter(_.nonEmpty)
+      assert(rebuilt == norm, s"doc ${r.getLong(0)}: $rebuilt vs $norm")
+    }
+    assert(sawMask, "rate 0.5 must mask at least one block somewhere")
+  }
 }
