@@ -309,6 +309,17 @@ class PlanSpec extends GraftSpec {
       s"token counting must partial-aggregate before the shuffle:\n$p")
   }
 
+  test("augmentation gates: shuffle-free kernel projections") {
+    Seq("q_word_dropout", "q_span_corrupt").foreach { q =>
+      val p = formatted(q)
+      assert(!p.contains("Exchange"),
+        s"$q must be a pure scan+project — augmentation at 100 TB is " +
+          s"scan-speed or it is the bottleneck:\n$p")
+      assert(p.contains("[codegen id :"),
+        s"$q's kernel must run inside whole-stage codegen:\n$p")
+    }
+  }
+
   test("ks drift: windows partition by group (no global sort), one value shuffle") {
     val p = formatted("q_drift_ks")
     assert(!p.contains("CartesianProduct"), p)
