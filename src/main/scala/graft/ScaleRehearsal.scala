@@ -348,6 +348,40 @@ object ScaleRehearsal {
           docs.select(col("doc_id"), col("lang")),
           "lang", "doc_id", total = 1000L, sqrtTimes = 2))
       }
+      time(scale, "perceptron_train6") {
+        // 6 batch-perceptron rounds over the corpus feature table:
+        // cost should be rounds × (scan + one-row partial agg)
+        val feats = docs.filter(col("text").isNotNull)
+          .select(
+            when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+            lit(1L).as("x_bias"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("x_tokens"),
+            graft.functions.TextFunctions.stopwordCount(col("text"))
+              .cast("long").as("x_stop"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+              .as("x_digits")).cache()
+        graft.operators.Classifier.trainPerceptron(feats, "y",
+          Seq("x_bias", "x_tokens", "x_stop", "x_digits"), rounds = 6)
+        feats.unpersist()
+      }
+      time(scale, "fuzzy_join") {
+        // constant 500-row dirty batch resolved against the growing
+        // corpus of source names: candidates must track the batch's
+        // variant keys, never corpus × batch
+        val names = docs.select(col("doc_id"),
+          concat(col("source"), lit("_"),
+            col("doc_id").cast("string")).as("nm"))
+        val dirty = spark.read.parquet(s"$baseDir/documents.parquet")
+          .orderBy(col("doc_id")).limit(500)
+          .select((col("doc_id") + lit(70000000L)).as("doc_id"),
+            concat(col("source"), lit("~"),
+              (col("doc_id") % 1000000L).cast("string")).as("nm"))
+        force(graft.operators.FuzzyJoin.fuzzyJoin(
+          names, "doc_id", "nm", dirty, "doc_id", "nm",
+          maxDist = 1, maxBucketSize = 100000))
+      }
       time(scale, "doc_search") {
         // constant query batch against the growing corpus — retrieval
         // cost should track the queries' posting volume, not corpus size

@@ -5944,15 +5944,175 @@ object SparkEntry {
         |FROM p, unnest(range(0, 8)) AS u(j)""".stripMargin
   )
 
+  /** Feature table for the perceptron gates: engine-mirrorable INTEGER
+    * features (token count, stopword count, digit count, bias) and the
+    * ±1 label "is this the English slice" — the trained counterpart of
+    * the rule-based quality score. Shared by train + apply gates. */
+  private def perceptronFeats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        lit(1L).as("x_bias"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("x_tokens"),
+        TextFunctions.stopwordCount(col("text")).cast("long").as("x_stop"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+          .as("x_digits"))
+
+  private val perceptronFeatureCols =
+    Seq("x_bias", "x_tokens", "x_stop", "x_digits")
+  private val perceptronRoundsN = 6
+
+  /** Unrolled batch-perceptron rounds as DuckDB CTEs: w_0 is the zero
+    * vector; each w_k aggregates the misclassified gradient under
+    * w_{k-1} (one row crosses the join) and carries the round's error
+    * count. Everything is BIGINT — integer addition is associative, so
+    * the trajectory is summation-order-independent and the driver can
+    * hash-compare it. */
+  private def perceptronOracleCtes(rounds: Int): String = {
+    val m = (p: String) =>
+      s"$p.w0*f.x0 + $p.w1*f.x1 + $p.w2*f.x2 + $p.w3*f.x3"
+    val head =
+      """WITH pfeats AS MATERIALIZED (
+        | SELECT doc_id,
+        |   CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |   CAST(1 AS BIGINT) AS x0,
+        |   len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS x1,
+        |   len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0), x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS x2,
+        |   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS x3
+        | FROM documents WHERE text IS NOT NULL),
+        |w_0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+        |        CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      val cond = s"f.y * (${m("p")}) <= 0"
+      s"""w_$k AS MATERIALIZED (
+         | SELECT p.w0 + coalesce(sum(CASE WHEN $cond THEN f.y*f.x0 END), 0) AS w0,
+         |        p.w1 + coalesce(sum(CASE WHEN $cond THEN f.y*f.x1 END), 0) AS w1,
+         |        p.w2 + coalesce(sum(CASE WHEN $cond THEN f.y*f.x2 END), 0) AS w2,
+         |        p.w3 + coalesce(sum(CASE WHEN $cond THEN f.y*f.x3 END), 0) AS w3,
+         |        count(CASE WHEN $cond THEN 1 END) AS errs
+         | FROM pfeats f CROSS JOIN w_${k - 1} p
+         | GROUP BY p.w0, p.w1, p.w2, p.w3)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  private val round9cQueries: Map[String, Q] = Map(
+    // distributed TRAINED quality classifier — batch perceptron over
+    // integer features, label = "is the English slice". TRUE oracle:
+    // the whole training trajectory (per-round error count + weights)
+    // is exact 64-bit integer arithmetic, so DuckDB replays every
+    // round with unrolled CTEs (the BPE-gate pattern). Scale shape:
+    // each round is ONE map-side-partial aggregate producing a single
+    // 5-wide row; weights are driver-held (dim longs — the k-means
+    // centroid regime) and ride the next round's plan as literals.
+    "q_perceptron" -> { (s, dir) =>
+      val feats = perceptronFeats(s, dir).cache()
+      val model = try {
+        graft.operators.Classifier.trainPerceptron(
+          feats, "y", perceptronFeatureCols, rounds = perceptronRoundsN)
+      } finally feats.unpersist()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        model.rounds.map { r =>
+          org.apache.spark.sql.Row(r.round, r.nErrors,
+            r.weights(0), r.weights(1), r.weights(2), r.weights(3))
+        }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("round",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_errors",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("w_bias",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("w_tokens",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("w_stopwords",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("w_digits",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    },
+
+    // train-then-apply: every doc scored by the trained weights — the
+    // production quality-filter shape. The apply side is a shuffle-free
+    // codegen'd projection (weights are literals in the plan,
+    // PlanSpec-pinned); margin/pred are exact integers, TRUE oracle.
+    "q_perceptron_apply" -> { (s, dir) =>
+      val feats = perceptronFeats(s, dir).cache()
+      val model = try {
+        graft.operators.Classifier.trainPerceptron(
+          feats, "y", perceptronFeatureCols, rounds = perceptronRoundsN)
+      } finally feats.unpersist()
+      graft.operators.Classifier.applyPerceptron(
+        perceptronFeats(s, dir), perceptronFeatureCols, model.weights)
+        .select(col("doc_id"), col("margin"), col("pred"))
+    },
+
+    // fuzzy (edit-distance) join — entity resolution over dirty keys.
+    // The right side is the customer names with ONE deterministic
+    // character corruption (position keyed on c_custkey, '~' never
+    // occurs in names); the join must recover every pair within
+    // Levenshtein 1 — planted (original, corrupted-self) pairs AND the
+    // natural near-collisions between distinct customers' names. TRUE
+    // oracle: DuckDB computes the full quadratic levenshtein join at
+    // verify SF; the engine gets there via FastSS deletion-variant
+    // candidates + exact verify (equi-join only — no cartesian,
+    // FuzzyJoinSpec/PlanSpec-pinned).
+    "q_fuzzy_join" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val p = (col("c_custkey") % length(col("c_name"))) + lit(1L)
+      val pert = cust.select(col("c_custkey").as("key"),
+        concat(col("c_name").substr(lit(1), (p - 1).cast("int")), lit("~"),
+          col("c_name").substr(p.cast("int") + 1,
+            (length(col("c_name")) - p).cast("int"))).as("name"))
+      graft.operators.FuzzyJoin.fuzzyJoin(
+        cust, "c_custkey", "c_name", pert, "key", "name", maxDist = 1)
+        .select(col("l_id").as("l_key"), col("r_id").as("r_key"), col("dist"))
+    }
+  )
+
+  private val round9cOracles: Map[String, String] = Map(
+    "q_perceptron" ->
+      (perceptronOracleCtes(perceptronRoundsN) + "\nSELECT * FROM (" +
+        (1 to perceptronRoundsN).map(k =>
+          s"SELECT CAST($k AS INTEGER) AS round, errs AS n_errors, " +
+            s"w0 AS w_bias, w1 AS w_tokens, w2 AS w_stopwords, " +
+            s"w3 AS w_digits FROM w_$k")
+          .mkString(" UNION ALL ") + ")"),
+
+    "q_perceptron_apply" ->
+      (perceptronOracleCtes(perceptronRoundsN) +
+        s"""
+           |SELECT f.doc_id,
+           |  p.w0*f.x0 + p.w1*f.x1 + p.w2*f.x2 + p.w3*f.x3 AS margin,
+           |  CASE WHEN p.w0*f.x0 + p.w1*f.x1 + p.w2*f.x2 + p.w3*f.x3 > 0
+           |       THEN 1 ELSE -1 END AS pred
+           |FROM pfeats f CROSS JOIN w_$perceptronRoundsN p""".stripMargin),
+
+    "q_fuzzy_join" ->
+      """WITH pert AS MATERIALIZED (
+        | SELECT c_custkey AS r_key,
+        |   substring(c_name, 1, CAST(c_custkey % length(c_name) AS INTEGER))
+        |   || '~' ||
+        |   substring(c_name, CAST(c_custkey % length(c_name) AS INTEGER) + 2,
+        |             length(c_name) - CAST(c_custkey % length(c_name) AS INTEGER) - 1)
+        |   AS r_name
+        | FROM customer)
+        |SELECT a.c_custkey AS l_key, p.r_key,
+        |       CAST(levenshtein(a.c_name, p.r_name) AS INTEGER) AS dist
+        |FROM customer a CROSS JOIN pert p
+        |WHERE levenshtein(a.c_name, p.r_name) <= 1""".stripMargin
+  )
+
   def queries: Map[String, Q] =
     referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries ++
       round4Queries ++ round5Queries ++ round6Queries ++ round7Queries ++
-      round8Queries ++ round9Queries ++ round9bQueries
+      round8Queries ++ round9Queries ++ round9bQueries ++ round9cQueries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] =
     referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles ++
       round4Oracles ++ round5Oracles ++ round6Oracles ++ round7Oracles ++
-      round8Oracles ++ round9Oracles ++ round9bOracles
+      round8Oracles ++ round9Oracles ++ round9bOracles ++ round9cOracles
 }

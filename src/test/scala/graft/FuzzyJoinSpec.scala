@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.FuzzyJoin
+import org.apache.spark.sql.functions._
+
+/** Deletion-neighborhood fuzzy join: exact agreement with a
+  * brute-force Levenshtein cross join (the soundness claim — FastSS
+  * candidates must contain EVERY pair within maxDist), the d=2 case,
+  * and the loud hot-key guard. */
+class FuzzyJoinSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def bruteForce(
+      ls: Seq[(Long, String)], rs: Seq[(Long, String)], d: Int) =
+    (for {
+      (li, lstr) <- ls; (ri, rstr) <- rs
+      dist = levDist(lstr, rstr) if dist <= d
+    } yield (li, ri, dist)).toSet
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  private val names = Seq(
+    1L -> "amelia smith", 2L -> "amelia smyth", 3L -> "oliver jones",
+    4L -> "olivier jones", 5L -> "jack wilson", 6L -> "jak wilson",
+    7L -> "harry evans", 8L -> "completely different")
+  private val dirty = Seq(
+    10L -> "amelia smith", 11L -> "amelia simth", 12L -> "oliver jnes",
+    13L -> "jack wilsonn", 14L -> "harry evan", 15L -> "zzz qqq")
+
+  test("d=1 matches brute-force Levenshtein exactly") {
+    val got = FuzzyJoin.fuzzyJoin(
+      names.toDF("id", "s"), "id", "s",
+      dirty.toDF("id", "s"), "id", "s", maxDist = 1)
+      .select("l_id", "r_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == bruteForce(names, dirty, 1))
+    assert(got.contains((1L, 10L, 0)) && got.contains((2L, 10L, 1)))
+  }
+
+  test("d=2 matches brute-force (substitution+transposition-ish pairs)") {
+    val got = FuzzyJoin.fuzzyJoin(
+      names.toDF("id", "s"), "id", "s",
+      dirty.toDF("id", "s"), "id", "s", maxDist = 2)
+      .select("l_id", "r_id", "dist").as[(Long, Long, Int)].collect().toSet
+    val want = bruteForce(names, dirty, 2)
+    assert(got == want)
+    assert(want.exists(_._3 == 2), "fixture should exercise dist-2 pairs")
+  }
+
+  test("NULL and empty strings never match") {
+    val l = Seq((1L, "abc"), (2L, null), (3L, "")).toDF("id", "s")
+    val r = Seq((9L, "abc")).toDF("id", "s")
+    val got = FuzzyJoin.fuzzyJoin(l, "id", "s", r, "id", "s", 1)
+      .select("l_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  test("hot variant key fails loudly by default, drops quietly on opt-in") {
+    val hot = (1L to 50L).map(i => (i, "aaaa")).toDF("id", "s")
+    val e = intercept[Exception] {
+      FuzzyJoin.fuzzyJoin(hot, "id", "s", hot, "id", "s",
+        maxDist = 1, maxBucketSize = 10).count()
+    }
+    assert(e.getMessage.contains("maxBucketSize"))
+    val dropped = FuzzyJoin.fuzzyJoin(hot, "id", "s", hot, "id", "s",
+      maxDist = 1, maxBucketSize = 10, dropHotKeys = true).count()
+    assert(dropped == 0L)
+  }
+
+  test("candidate join is an equi-join, never a cartesian") {
+    val p = FuzzyJoin.fuzzyJoin(
+      names.toDF("id", "s"), "id", "s",
+      dirty.toDF("id", "s"), "id", "s", maxDist = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+}

@@ -320,6 +320,23 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("perceptron apply: trained weights ride the plan — shuffle-free codegen'd projection") {
+    val p = formatted("q_perceptron_apply")
+    assert(!p.contains("Exchange"),
+      s"scoring must be a pure scan+project (weights are literals):\n$p")
+    assert(!p.contains("Join"),
+      s"no join may appear — the model is broadcast by value:\n$p")
+    assert(p.contains("[codegen id :"),
+      s"the margin must run inside whole-stage codegen:\n$p")
+  }
+
+  test("fuzzy join: variant-key equi-join, never a cartesian") {
+    val p = formatted("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidates must come from the deletion-variant equi-join:\n$p")
+    assert(p.contains("Join"), s"expected the variant-key join:\n$p")
+  }
+
   test("ks drift: windows partition by group (no global sort), one value shuffle") {
     val p = formatted("q_drift_ks")
     assert(!p.contains("CartesianProduct"), p)
