@@ -382,6 +382,12 @@ object ScaleRehearsal {
           names, "doc_id", "nm", dirty, "doc_id", "nm",
           maxDist = 1, maxBucketSize = 100000))
       }
+      time(scale, "winnow_pairs") {
+        // local-fingerprint overlap pairs: kernel scan + posting join
+        // on selected hashes (~2/(w+1) of the gram space)
+        force(Dedup.winnowNearDups(docs, "doc_id", "text",
+          k = 12, w = 16, minShared = 3, maxDocsPerGram = 100000))
+      }
       time(scale, "doc_search") {
         // constant query batch against the growing corpus — retrieval
         // cost should track the queries' posting volume, not corpus size

@@ -6048,6 +6048,36 @@ object SparkEntry {
         .select(col("doc_id"), col("margin"), col("pred"))
     },
 
+    // winnowing fingerprints (Schleimer et al. 2003 / MOSS): the LOCAL
+    // fingerprint set — char-12-gram poly-31 rolling hashes, window of
+    // 16, rightmost-min selection, packed pos·2^31+hash. (k=12: at k=6
+    // common English 6-grams connected half of all doc pairs — 14.8M
+    // pairs at sf0.1; 12-char shared substrings cut that 40×.) TRUE oracle:
+    // the hash convention is the DSIR poly-31 code-point fold, so
+    // DuckDB replays hashing, windowing, and rightmost-argmin with
+    // list comprehensions. Scale: one codegen'd kernel pass (O(chars)
+    // monotone-deque sliding min), output ~2/(w+1) of the gram space.
+    "q_winnow" -> { (s, dir) =>
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowFingerprints(col("text"), k = 12, w = 16))
+            .as("fp"))
+    },
+
+    // overlap pairs by shared winnowing fingerprints — plagiarism/
+    // boilerplate detection that survives partial edits. Planted exact
+    // copies (mod-5 docs at +100000) must share ALL their fingerprints;
+    // the oracle is the TRUE full relation (fingerprint CTE self-join
+    // in SQL), so natural boilerplate pairs are checked too, not just
+    // the plant. The gate passes maxDocsPerGram = MaxValue (the oracle
+    // needs exact edges — same stance as the exact-CC gates); the
+    // library default fails loudly on hot fingerprints.
+    "q_winnow_pairs" -> { (s, dir) =>
+      graft.operators.Dedup.winnowNearDups(
+        plantCopies(t(s, dir, "documents")), "doc_id", "text",
+        k = 12, w = 16, minShared = 3, maxDocsPerGram = Int.MaxValue)
+    },
+
     // fuzzy (edit-distance) join — entity resolution over dirty keys.
     // The right side is the customer names with ONE deterministic
     // character corruption (position keyed on c_custkey, '~' never
@@ -6071,7 +6101,55 @@ object SparkEntry {
     }
   )
 
+  /** Winnowing fingerprint CTEs: per-doc char-6-gram poly-31 rolling
+    * hashes (the DSIR code-point fold — exact in BIGINT), then each
+    * sliding window of ww = min(8, m) hashes contributes its
+    * rightmost minimum, packed pos·2^31 + hash. `src` supplies the
+    * (doc_id, text) relation. */
+  private def winnowOracleCtes(src: String, k: Int, w: Int): String =
+    s"""WITH wsrc AS MATERIALIZED ($src),
+       |d AS MATERIALIZED (
+       | SELECT doc_id, regexp_split_to_array(text, '') AS cs
+       | FROM wsrc WHERE text IS NOT NULL),
+       |h AS MATERIALIZED (
+       | SELECT doc_id,
+       |   [CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |       [CAST(unicode(c) AS BIGINT) for c in cs[i:i+${k - 1}]]),
+       |       (a, b) -> (a * 31 + b) % 2147483648) AS BIGINT)
+       |    for i in range(1, len(cs) - ${k - 2})] AS hs
+       | FROM d WHERE len(cs) >= $k),
+       |sel AS MATERIALIZED (
+       | SELECT doc_id,
+       |   list_distinct([
+       |     (i - 1 + ww
+       |      - list_position(list_reverse(hs[i:i+ww-1]),
+       |                      list_min(hs[i:i+ww-1])) + 1) * 2147483648
+       |       + list_min(hs[i:i+ww-1])
+       |     for i in range(1, len(hs) - ww + 2)]) AS fps
+       | FROM (SELECT doc_id, hs, least($w, len(hs)) AS ww FROM h))""".stripMargin
+
   private val round9cOracles: Map[String, String] = Map(
+    "q_winnow" ->
+      (winnowOracleCtes(
+        "SELECT doc_id, text FROM documents", k = 12, w = 16) +
+        "\nSELECT doc_id, unnest(fps) AS fp FROM sel"),
+
+    "q_winnow_pairs" ->
+      (winnowOracleCtes(
+        """SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 5 = 0 AND text IS NOT NULL
+          |    AND regexp_matches(text, '\S')""".stripMargin, k = 12, w = 16) +
+        """,
+          |fph AS (
+          | SELECT DISTINCT doc_id, fp % 2147483648 AS gh
+          | FROM (SELECT doc_id, unnest(fps) AS fp FROM sel))
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          |FROM fph a JOIN fph b ON a.gh = b.gh AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2
+          |HAVING count(*) >= 3""".stripMargin),
+
     "q_perceptron" ->
       (perceptronOracleCtes(perceptronRoundsN) + "\nSELECT * FROM (" +
         (1 to perceptronRoundsN).map(k =>

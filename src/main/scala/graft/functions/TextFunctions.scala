@@ -60,6 +60,19 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", tokens(lower(text))))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS plagiarism-detection algorithm): char-k-gram
+    * poly-31 rolling hashes, sliding window of `w` hashes, rightmost-
+    * minimum selection; returns the distinct selected fingerprints as
+    * a sorted array<long>, each packed `pos·2^31 + hash`. Any shared
+    * substring of ≥ w + k − 1 code points shares a fingerprint hash.
+    * Native one-pass kernel (monotone-deque sliding min, codegen'd);
+    * the hash convention is engine-mirrorable — see the q_winnow
+    * oracle SQL. Unlike [[fingerprint]] (one whole-document hash),
+    * this is the LOCAL fingerprint set that survives partial edits. */
+  def winnowFingerprints(text: Column, k: Int = 6, w: Int = 8): Column =
+    graft.plans.native.winnow(text, k, w)
+
   /** Tiny per-language stopword sets for the n-gram/stopword language
     * heuristic. Deliberately small: language ID at pipeline scale is a
     * coarse filter, not a classifier. */

@@ -284,6 +284,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("wjaccard"))
   }
 
+  /** Document pairs sharing ≥ `minShared` winnowing fingerprint hashes
+    * (TextFunctions.winnowFingerprints — the MOSS local-fingerprint
+    * scheme): overlap detection that, unlike whole-document hashing,
+    * survives partial edits, and unlike n-gram Jaccard, stores only
+    * ~2/(w+1) of the gram space per document. Candidates come from the
+    * fingerprint-hash posting join (positions are masked off — matching
+    * is content-based, positions localize matches downstream), so the
+    * same hot-key contract as [[exactNgramJaccard]] applies: a
+    * fingerprint shared by d documents contributes O(d²) pairs,
+    * `maxDocsPerGram` fails loudly by default, `dropHotGrams` opts
+    * into documented truncation. Exact-oracle callers on bounded
+    * slices pass `maxDocsPerGram = Int.MaxValue`. */
+  def winnowNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 6, w: Int = 8, minShared: Int = 3,
+      maxDocsPerGram: Int = 10000, dropHotGrams: Boolean = false): DataFrame = {
+    require(minShared > 0, "minShared must be > 0")
+    require(maxDocsPerGram > 0, "maxDocsPerGram must be > 0")
+    val raw = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          TextFunctions.winnowFingerprints(col(textCol), k, w),
+          fp => fp % lit(2147483648L)))).as("gram"))
+    val grams = guardHotGrams(raw, maxDocsPerGram, dropHotGrams,
+      "winnowNearDups")
+    grams.select(col("gram"), col("id").as("id_a"))
+      .join(grams.select(col("gram"), col("id").as("id_b")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Posting-list length guard shared by the exact-gram operators: a
     * gram appearing in d documents contributes O(d²) (self-join) or
     * O(d · q) (search join) candidate pairs, so one boilerplate gram

@@ -563,6 +563,21 @@ case class SpanCorruptExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** string text → array<long> winnowing fingerprints, each packed as
+  * pos·2^31 + poly31hash (see VectorKernels.winnow). */
+case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k > 0, s"WinnowExpr: k must be positive, got $k")
+  require(w > 0, s"WinnowExpr: w must be positive, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.winnow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object native {
   private def c(e: Expression): Column = GraftShim.column(e)
@@ -622,4 +637,6 @@ object native {
     c(SpanCorruptExpr(e(id), e(text), blockLen, threshold, seed))
   def greedySubTokens(text: Column, vocab: Array[String]): Column =
     c(GreedySubTokensExpr(e(text), vocab))
+  def winnow(text: Column, k: Int, w: Int): Column =
+    c(WinnowExpr(e(text), k, w))
 }

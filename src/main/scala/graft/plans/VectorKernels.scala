@@ -1108,6 +1108,64 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm). Pipeline per document:
+    *
+    *  1. rolling char-k-gram hashes over Unicode CODE POINTS with the
+    *     engine-mirrorable poly-31 hash `h = fold(cp)(h·31 + cp) mod
+    *     2^31` (the same convention as [[hashedBigramBuckets]] — a SQL
+    *     oracle replays it in exact 64-bit arithmetic);
+    *  2. a window of `w` consecutive hashes slides over the document;
+    *     each window contributes its RIGHTMOST minimal hash (plain
+    *     winnowing; ties to the right);
+    *  3. the fingerprint set = distinct selected (position, hash)
+    *     pairs packed as `pos · 2^31 + hash` (pos 1-based over k-gram
+    *     starts, in code points), sorted ascending.
+    *
+    * Guarantee (the paper's): any shared substring of length
+    * ≥ w + k − 1 code points yields at least one shared fingerprint
+    * hash. Documents shorter than k code points have no k-grams →
+    * empty; documents with fewer than w hashes use one window over
+    * all of them.
+    *
+    * O(m) per doc: the sliding minimum runs on a monotone index deque
+    * (pop-back on `≥` keeps the RIGHTMOST min at the front). */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31L + cps(i + j)) % 2147483648L; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val win = math.min(w, m)
+    val deque = new Array[Int](m) // indices, increasing hash front→back
+    var head = 0
+    var tail = 0 // exclusive
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1) {
+        val p = deque(head)
+        sel.add((p + 1).toLong * 2147483648L + hs(p))
+      }
+      i += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Probe-side bloom membership: false = definitely absent (safe to
     * prune), true = possibly present (exact join decides). Same probe
     * sequence as [[bloomSet]]; runs inside whole-stage codegen. */

@@ -351,4 +351,44 @@ class KernelPropertySpec extends AnyFunSuite {
         s"dim=$dim outDim=$outDim seed=$seed")
     }
   }
+
+  test("winnow == quadratic rightmost-min reference on 2000 seeded strings") {
+    // reference: O(m·w) literal transcription of the paper's selection
+    def refWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      val m = cps.length - k + 1
+      if (m <= 0) return Seq.empty
+      val hs = (0 until m).map { i =>
+        (0 until k).foldLeft(0L)((h, j) => (h * 31L + cps(i + j)) % 2147483648L)
+      }
+      val ww = math.min(w, m)
+      (0 to m - ww).flatMap { s0 =>
+        val win = hs.slice(s0, s0 + ww)
+        val minv = win.min
+        val p = s0 + win.lastIndexOf(minv) // rightmost
+        Some((p + 1).toLong * 2147483648L + minv)
+      }.distinct.sorted
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000; (k, w) <- Seq((3, 4), (6, 8), (12, 16))) {
+      val s = randomText(rnd)
+      val got = VectorKernels.winnow(UTF8String.fromString(s), k, w)
+      val gotSeq = (0 until got.numElements()).map(got.getLong)
+      assert(gotSeq == refWinnow(s, k, w), s"k=$k w=$w text=${s.take(60)}")
+    }
+    // substring-match guarantee: docs sharing a (w+k-1)-cp substring
+    // share a fingerprint HASH
+    for (_ <- 1 to 200) {
+      val shared = (0 until 12 + 16 - 1).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val a = randomText(rnd) + shared + randomText(rnd)
+      val b = randomText(rnd) + shared + randomText(rnd)
+      def hashes(s: String) = {
+        val fp = VectorKernels.winnow(UTF8String.fromString(s), 12, 16)
+        (0 until fp.numElements()).map(i => fp.getLong(i) % 2147483648L).toSet
+      }
+      assert(hashes(a).intersect(hashes(b)).nonEmpty,
+        s"guarantee violated for shared=$shared")
+    }
+  }
 }

@@ -337,6 +337,17 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("Join"), s"expected the variant-key join:\n$p")
   }
 
+  test("winnow gates: codegen'd kernel scan; pair join is a hash posting join") {
+    val p = formatted("q_winnow")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"fingerprinting must be a pure scan+explode:\n$p")
+    val pp = formatted("q_winnow_pairs")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoop"),
+      s"pairs must come from the fingerprint posting join:\n$pp")
+    assert("HashAggregate".r.findAllIn(pp).size >= 2,
+      s"shared-count must partial-aggregate:\n$pp")
+  }
+
   test("ks drift: windows partition by group (no global sort), one value shuffle") {
     val p = formatted("q_drift_ks")
     assert(!p.contains("CartesianProduct"), p)

@@ -540,4 +540,40 @@ class TextDedupSpec extends GraftSpec {
     }
     assert(sawMask, "rate 0.5 must mask at least one block somewhere")
   }
+
+  test("winnowNearDups: exact copies share all fingerprints, partial overlap detected, guard trips") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val wd = Seq(
+      (0L, base + " tonight under the bright moon and the quiet stars"),
+      (1L, base + " tonight under the bright moon and the quiet stars"), // exact copy
+      (2L, "totally unrelated content about apples bananas oranges pears plums kiwi"),
+      (3L, "prefix chatter first " + base + " then entirely different tail words here")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.winnowNearDups(
+      wd, "doc_id", "text", k = 6, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact copies must pair")
+    assert(pairs.contains((0L, 3L)) && pairs.contains((1L, 3L)),
+      "the long shared substring must pair despite different prefix/suffix")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc must not pair")
+    // copy shares EVERY fingerprint hash with its original
+    val shared01 = graft.operators.Dedup.winnowNearDups(
+      wd, "doc_id", "text", k = 6, w = 4, minShared = 1)
+      .filter(col("id_a") === 0L && col("id_b") === 1L)
+      .select("shared").head().getLong(0)
+    val nFp0 = wd.filter(col("doc_id") === 0L)
+      .select(explode(TextFunctions.winnowFingerprints(col("text"), 6, 4)))
+      .select((col("col") % 2147483648L).as("h")).distinct().count()
+    assert(shared01 == nFp0)
+    // hot-fingerprint guard fails loudly by default
+    val hot = (1L to 40L).map(i => (i, base)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.operators.Dedup.winnowNearDups(
+        hot, "doc_id", "text", k = 6, w = 4, minShared = 1,
+        maxDocsPerGram = 10).count()
+    }
+    assert(e.getMessage.contains("maxDocsPerGram"))
+  }
 }
