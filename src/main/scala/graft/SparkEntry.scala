@@ -6098,6 +6098,26 @@ object SparkEntry {
       graft.operators.FuzzyJoin.fuzzyJoin(
         cust, "c_custkey", "c_name", pert, "key", "name", maxDist = 1)
         .select(col("l_id").as("l_key"), col("r_id").as("r_key"), col("dist"))
+    },
+
+    // the STREAMING twin of q_fuzzy_join: the corrupted names are
+    // staged to scratch parquet and streamed through the stateless
+    // stream-static variant match (reference variants precomputed,
+    // guarded, broadcast) — stream ≡ batch against the identical
+    // quadratic-levenshtein oracle
+    "q_fuzzy_join_stream" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val p = (col("c_custkey") % length(col("c_name"))) + lit(1L)
+      val pert = cust.select(col("c_custkey").as("key"),
+        concat(col("c_name").substr(lit(1), (p - 1).cast("int")), lit("~"),
+          col("c_name").substr(p.cast("int") + 1,
+            (length(col("c_name")) - p).cast("int"))).as("name"))
+      val staged = Scratch.path(s"fuzzyjoin_stream_${math.abs(dir.hashCode)}")
+      pert.write.mode("overwrite").parquet(staged)
+      graft.operators.FuzzyJoin.fuzzyJoinStreamed(s, staged, "key", "name",
+        cust, "c_custkey", "c_name", maxDist = 1)
+        .select(col("l_id").as("l_key"), col("r_id").as("r_key"), col("dist"))
+        .distinct()
     }
   )
 
@@ -6168,6 +6188,21 @@ object SparkEntry {
            |FROM pfeats f CROSS JOIN w_$perceptronRoundsN p""".stripMargin),
 
     "q_fuzzy_join" ->
+      """WITH pert AS MATERIALIZED (
+        | SELECT c_custkey AS r_key,
+        |   substring(c_name, 1, CAST(c_custkey % length(c_name) AS INTEGER))
+        |   || '~' ||
+        |   substring(c_name, CAST(c_custkey % length(c_name) AS INTEGER) + 2,
+        |             length(c_name) - CAST(c_custkey % length(c_name) AS INTEGER) - 1)
+        |   AS r_name
+        | FROM customer)
+        |SELECT a.c_custkey AS l_key, p.r_key,
+        |       CAST(levenshtein(a.c_name, p.r_name) AS INTEGER) AS dist
+        |FROM customer a CROSS JOIN pert p
+        |WHERE levenshtein(a.c_name, p.r_name) <= 1""".stripMargin,
+
+    // stream ≡ batch: identical relation to q_fuzzy_join
+    "q_fuzzy_join_stream" ->
       """WITH pert AS MATERIALIZED (
         | SELECT c_custkey AS r_key,
         |   substring(c_name, 1, CAST(c_custkey % length(c_name) AS INTEGER))

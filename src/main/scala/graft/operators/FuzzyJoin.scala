@@ -35,8 +35,19 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** All strings reachable from `s` by deleting up to `maxDist`
-    * characters (including `s` itself), distinct. */
+    * characters (including `s` itself), distinct. Native one-pass
+    * kernel (graft.plans) — the HOF form below is interpreted
+    * (|s| boxed lambda calls per row per level) and was the measured
+    * cost center of the candidate stage in the 10× rehearsal. */
   private[operators] def deletionVariants(s: Column, maxDist: Int): Column = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    graft.plans.native.deletionVariants(s, maxDist)
+  }
+
+  /** Reference HOF formulation of [[deletionVariants]] — kept as the
+    * test oracle for the native kernel (FuzzyJoinSpec pins elementwise
+    * equality, order included). */
+  private[operators] def deletionVariantsHof(s: Column, maxDist: Int): Column = {
     require(maxDist >= 0, "maxDist must be >= 0")
     def dels(strs: Column): Column = // one deletion applied to each element
       flatten(transform(strs, v =>
@@ -82,6 +93,57 @@ object FuzzyJoin {
       .distinct()
       .withColumn("dist", levenshtein(col("l_str"), col("r_str")))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** [[fuzzyJoin]] as a REAL streaming query — entity resolution on an
+    * ingest stream: dirty records stream from a parquet directory
+    * (file source, available-now trigger) and resolve against a STATIC
+    * reference table whose deletion variants are precomputed,
+    * hot-key-guarded (the batch-side window guard bounds the broadcast
+    * bucket — a hot STREAM variant meets at most `maxBucketSize`
+    * reference rows, so per-batch output stays bounded), and
+    * broadcast. Every stream operator is STATELESS — variant explode,
+    * stream-static broadcast join, exact `levenshtein` verify — so
+    * state stores hold nothing and throughput is projection cost.
+    *
+    * Output orientation matches [[fuzzyJoin]](reference, dirty): `l_*`
+    * is the reference side, `r_*` the streamed side. May contain
+    * duplicates (one per shared variant) — `.distinct()` after
+    * materializing; a bounded stream cannot dedup without end-of-
+    * stream knowledge unless it holds pair state. */
+  def fuzzyJoinStreamed(
+      spark: org.apache.spark.sql.SparkSession,
+      dirtyPath: String, dirtyId: String, dirtyStr: String,
+      reference: DataFrame, refId: String, refStr: String,
+      maxDist: Int = 1, maxBucketSize: Int = 10000,
+      dropHotKeys: Boolean = false): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1 (use an exact join for 0)")
+    require(maxBucketSize > 0, "maxBucketSize must be > 0")
+    val rv = guardHotVariants(
+      reference.filter(col(refStr).isNotNull && length(col(refStr)) > 0)
+        .select(col(refId).as("l_id"), col(refStr).as("l_str"),
+          explode(deletionVariants(col(refStr), maxDist)).as("variant")),
+      maxBucketSize, dropHotKeys)
+    val schema = spark.read.parquet(dirtyPath).schema
+    val matches = spark.readStream.schema(schema).parquet(dirtyPath)
+      .filter(col(dirtyStr).isNotNull && length(col(dirtyStr)) > 0)
+      .select(col(dirtyId).as("r_id"), col(dirtyStr).as("r_str"),
+        explode(deletionVariants(col(dirtyStr), maxDist)).as("variant"))
+      .join(broadcast(rv), "variant")
+      .withColumn("dist", levenshtein(col("l_str"), col("r_str")))
+      .filter(col("dist") <= maxDist)
+      .select(col("l_id"), col("r_id"), col("l_str"), col("r_str"), col("dist"))
+    val name = "graft_fuzzyjoin_" + math.abs(dirtyPath.hashCode)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = matches.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
   }
 
   /** Same hot-key contract as Dedup.guardHotGrams: the occupancy count

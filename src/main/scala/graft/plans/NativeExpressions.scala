@@ -578,6 +578,23 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** string → array<string> FastSS deletion neighborhood (≤ maxDist
+  * code-point deletions, incl. the string itself, distinct — see
+  * VectorKernels.deletionVariants). */
+case class DeletionVariantsExpr(child: Expression, maxDist: Int)
+    extends UnaryExpression {
+  require(maxDist >= 0, s"DeletionVariantsExpr: maxDist must be >= 0, got $maxDist")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.deletionVariants(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxDist)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorKernels.deletionVariants($c, $maxDist)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DeletionVariantsExpr = copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object native {
   private def c(e: Expression): Column = GraftShim.column(e)
@@ -639,4 +656,6 @@ object native {
     c(GreedySubTokensExpr(e(text), vocab))
   def winnow(text: Column, k: Int, w: Int): Column =
     c(WinnowExpr(e(text), k, w))
+  def deletionVariants(text: Column, maxDist: Int): Column =
+    c(DeletionVariantsExpr(e(text), maxDist))
 }

@@ -1166,6 +1166,68 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** FastSS deletion neighborhood: every string reachable from `s` by
+    * deleting up to `maxDist` code points, including `s` itself,
+    * distinct, in BFS generation order (s, then 1-deletions by
+    * position, then 2-deletions, …). Replaces the nested
+    * transform/sequence/flatten/array_distinct HOF stack (interpreted,
+    * ~|s|² boxed lambda calls per row at maxDist=1 and the measured
+    * cost center of the fuzzy-join candidate stage); one fused loop
+    * over a code-point array, first-occurrence dedup via a hash set.
+    * Deletion is by CODE POINT to match Spark's `substr`/`length`
+    * semantics (the HOF oracle) on non-BMP input. */
+  def deletionVariants(s: UTF8String, maxDist: Int): ArrayData = {
+    val str = s.toString
+    // code-point array (surrogate pairs collapse to one element)
+    val nCp = str.codePointCount(0, str.length)
+    val cps = new Array[Int](nCp)
+    var ci = 0
+    var o = 0
+    while (o < str.length) {
+      val cp = str.codePointAt(o)
+      cps(ci) = cp
+      ci += 1
+      o += Character.charCount(cp)
+    }
+    val out = new java.util.ArrayList[Any]()
+    val seen = new java.util.HashSet[String]()
+    seen.add(str)
+    out.add(s)
+    // frontier holds each level's DISTINCT variants as code-point
+    // arrays (level-local dedup mirrors the HOF's per-level
+    // array_distinct; `seen` mirrors the final one)
+    var frontier = new java.util.ArrayList[Array[Int]]()
+    frontier.add(cps)
+    var level = 0
+    while (level < maxDist) {
+      val next = new java.util.ArrayList[Array[Int]]()
+      val levelSeen = new java.util.HashSet[String]()
+      var f = 0
+      while (f < frontier.size()) {
+        val parent = frontier.get(f)
+        var del = 0
+        while (del < parent.length) {
+          val child = new Array[Int](parent.length - 1)
+          System.arraycopy(parent, 0, child, 0, del)
+          System.arraycopy(parent, del + 1, child, del, parent.length - 1 - del)
+          val sb = new java.lang.StringBuilder(child.length + 2)
+          var k = 0
+          while (k < child.length) { sb.appendCodePoint(child(k)); k += 1 }
+          val cs = sb.toString
+          if (levelSeen.add(cs)) {
+            next.add(child)
+            if (seen.add(cs)) out.add(UTF8String.fromString(cs))
+          }
+          del += 1
+        }
+        f += 1
+      }
+      frontier = next
+      level += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Probe-side bloom membership: false = definitely absent (safe to
     * prune), true = possibly present (exact join decides). Same probe
     * sequence as [[bloomSet]]; runs inside whole-stage codegen. */

@@ -74,6 +74,21 @@ class FuzzyJoinSpec extends GraftSpec {
     assert(dropped == 0L)
   }
 
+  test("fuzzyJoinStreamed == fuzzyJoin on the same relation (stream ≡ batch)") {
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy_stream").toString
+    dirty.toDF("id", "s").write.mode("overwrite").parquet(dir)
+    val batch = FuzzyJoin.fuzzyJoin(
+      names.toDF("id", "s"), "id", "s",
+      dirty.toDF("id", "s"), "id", "s", maxDist = 1)
+      .select("l_id", "r_id", "dist").as[(Long, Long, Int)].collect().toSet
+    val streamed = FuzzyJoin.fuzzyJoinStreamed(
+      spark, dir, "id", "s",
+      names.toDF("id", "s"), "id", "s", maxDist = 1)
+      .select("l_id", "r_id", "dist").distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("candidate join is an equi-join, never a cartesian") {
     val p = FuzzyJoin.fuzzyJoin(
       names.toDF("id", "s"), "id", "s",

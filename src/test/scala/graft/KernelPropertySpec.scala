@@ -391,4 +391,42 @@ class KernelPropertySpec extends AnyFunSuite {
         s"guarantee violated for shared=$shared")
     }
   }
+
+  test("deletionVariants == BFS code-point reference on 2000 seeded strings") {
+    // reference mirrors the HOF contract: per-level distinct deletion
+    // sets, final first-occurrence dedup, deletions by CODE POINT
+    def cps(s: String): Vector[Int] = {
+      val b = Vector.newBuilder[Int]
+      var o = 0
+      while (o < s.length) {
+        val cp = s.codePointAt(o); b += cp; o += Character.charCount(cp)
+      }
+      b.result()
+    }
+    def mk(v: Vector[Int]): String = {
+      val sb = new java.lang.StringBuilder(); v.foreach(sb.appendCodePoint); sb.toString
+    }
+    def ref(s: String, maxDist: Int): Seq[String] = {
+      var acc = Vector(s)
+      var frontier = Vector(cps(s))
+      for (_ <- 1 to maxDist) {
+        frontier = frontier
+          .flatMap(v => v.indices.map(i => v.patch(i, Nil, 1)))
+          .map(mk).distinct.map(cps)
+        acc = acc ++ frontier.map(mk)
+      }
+      acc.distinct
+    }
+    val rnd = new scala.util.Random(97)
+    // code-point units: few distinct → real dedup collisions; 𝄞 is a
+    // surrogate PAIR (deletion must remove both UTF-16 chars)
+    val units = Seq("a", "b", "α", "𝄞", " ")
+    for (_ <- 1 to 2000; d <- Seq(0, 1, 2)) {
+      val s = (0 until rnd.nextInt(10))
+        .map(_ => units(rnd.nextInt(units.length))).mkString
+      val got = VectorKernels.deletionVariants(UTF8String.fromString(s), d)
+      val gotSeq = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      assert(gotSeq == ref(s, d), s"s=$s d=$d")
+    }
+  }
 }
