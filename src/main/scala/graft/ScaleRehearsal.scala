@@ -384,9 +384,17 @@ object ScaleRehearsal {
       }
       time(scale, "winnow_pairs") {
         // local-fingerprint overlap pairs: kernel scan + posting join
-        // on selected hashes (~2/(w+1) of the gram space)
+        // on selected hashes (~2/(w+1) of the gram space). The
+        // PRODUCTION capped form: winnowing's rightmost-MIN selection
+        // concentrates fingerprints on low-hash common grams, so hot
+        // fingerprints are the norm, not the exception — measured
+        // uncapped at 10×: max occupancy 3855 (≈77% of the corpus in
+        // ONE posting list), Σd² = 1.35B candidate pairs, 173 s
+        // (ratio 37, quadratic by construction). The cap bounds the
+        // join at a documented recall cost on boilerplate grams.
         force(Dedup.winnowNearDups(docs, "doc_id", "text",
-          k = 12, w = 16, minShared = 3, maxDocsPerGram = 100000))
+          k = 12, w = 16, minShared = 3,
+          maxDocsPerGram = 500, dropHotGrams = true))
       }
       time(scale, "doc_search") {
         // constant query batch against the growing corpus — retrieval
