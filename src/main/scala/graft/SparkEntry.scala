@@ -6078,6 +6078,24 @@ object SparkEntry {
         k = 12, w = 16, minShared = 3, maxDocsPerGram = Int.MaxValue)
     },
 
+    // the PRODUCTION capped form of q_winnow_pairs: winnowing's
+    // rightmost-min selection concentrates fingerprints on low-hash
+    // common grams (measured: one fingerprint in 77% of a 50k-doc
+    // corpus — the uncapped join is quadratic by construction), so
+    // dropHotGrams with a small cap is the at-scale posture. TRUE
+    // oracle: the same fingerprint CTEs plus an exact df-filter replay
+    // of the drop — at verify SF the cap of 20 drops 121 hot posting
+    // lists, 99 of the 100 planted copies still surface through their
+    // rarer fingerprints, and the one boilerplate-heavy plant that
+    // falls below minShared is the documented recall trade, replayed
+    // exactly by the oracle (relation equality, not just the plants).
+    "q_winnow_pairs_capped" -> { (s, dir) =>
+      graft.operators.Dedup.winnowNearDups(
+        plantCopies(t(s, dir, "documents")), "doc_id", "text",
+        k = 12, w = 16, minShared = 3,
+        maxDocsPerGram = 20, dropHotGrams = true)
+    },
+
     // fuzzy (edit-distance) join — entity resolution over dirty keys.
     // The right side is the customer names with ONE deterministic
     // character corruption (position keyed on c_custkey, '~' never
@@ -6167,6 +6185,27 @@ object SparkEntry {
           | FROM (SELECT doc_id, unnest(fps) AS fp FROM sel))
           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
           |FROM fph a JOIN fph b ON a.gh = b.gh AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2
+          |HAVING count(*) >= 3""".stripMargin),
+
+    // same CTEs + an exact replay of the dropHotGrams df-filter
+    "q_winnow_pairs_capped" ->
+      (winnowOracleCtes(
+        """SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 5 = 0 AND text IS NOT NULL
+          |    AND regexp_matches(text, '\S')""".stripMargin, k = 12, w = 16) +
+        """,
+          |fph AS MATERIALIZED (
+          | SELECT DISTINCT doc_id, fp % 2147483648 AS gh
+          | FROM (SELECT doc_id, unnest(fps) AS fp FROM sel)),
+          |gdf AS MATERIALIZED (SELECT gh, count(*) AS df FROM fph GROUP BY 1),
+          |kept AS MATERIALIZED (
+          | SELECT f.doc_id, f.gh FROM fph f JOIN gdf g ON f.gh = g.gh
+          | WHERE g.df <= 20)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          |FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id
           |GROUP BY 1, 2
           |HAVING count(*) >= 3""".stripMargin),
 
