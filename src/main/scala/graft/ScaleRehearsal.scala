@@ -392,9 +392,20 @@ object ScaleRehearsal {
         // ONE posting list), Σd² = 1.35B candidate pairs, 173 s
         // (ratio 37, quadratic by construction). The cap bounds the
         // join at a documented recall cost on boilerplate grams.
+        // cap is the LINEARITY CONSTANT (candidates ≤ cap · postings):
+        // overridable to measure the cost/recall knob at scale
+        val cap = sys.env.get("SPARK_GRAFT_WINNOW_CAP")
+          .flatMap(_.toIntOption).getOrElse(500)
         force(Dedup.winnowNearDups(docs, "doc_id", "text",
           k = 12, w = 16, minShared = 3,
-          maxDocsPerGram = 500, dropHotGrams = true))
+          maxDocsPerGram = cap, dropHotGrams = true))
+      }
+      time(scale, "winnow_pairs_lsh") {
+        // the corpus-scale form: banded MinHash over fingerprint SETS
+        // proposes, exact array_intersect disposes — no posting join,
+        // so no Σd² and no cap/recall knob to tune
+        force(Dedup.winnowNearDupsLsh(docs, "doc_id", "text",
+          k = 12, w = 16, minShared = 3))
       }
       time(scale, "doc_search") {
         // constant query batch against the growing corpus — retrieval

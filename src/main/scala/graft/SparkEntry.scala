@@ -6096,6 +6096,27 @@ object SparkEntry {
         maxDocsPerGram = 20, dropHotGrams = true)
     },
 
+    // the CORPUS-SCALE winnow overlap form: banded MinHash over each
+    // doc's fingerprint SET proposes, exact array_intersect disposes —
+    // no posting join, so the hot-fingerprint Σd² cost disappears
+    // structurally (measured: 352 s capped posting vs in-family LSH at
+    // 500k docs — PERF_NOTES_r9). Planted TRUE oracle, q_dedup_minhash
+    // convention: a copy's fp SET is identical to its original's, so
+    // its 64-perm signature collides in every band and the exact
+    // shared count equals the doc's distinct-fingerprint-hash count —
+    // SQL-computable via the winnow CTEs even though LSH recall in
+    // general is not. maxBucketSize = MaxValue keeps the planted
+    // relation deterministic at any SF (the guard is spec-tested).
+    "q_winnow_pairs_lsh" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      graft.operators.Dedup.winnowNearDupsLsh(
+        plantCopies(docs), "doc_id", "text",
+        k = 12, w = 16, minShared = 3, maxBucketSize = Int.MaxValue)
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"), col("shared"))
+    },
+
     // fuzzy (edit-distance) join — entity resolution over dirty keys.
     // The right side is the customer names with ONE deterministic
     // character corruption (position keyed on c_custkey, '~' never
@@ -6208,6 +6229,19 @@ object SparkEntry {
           |FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id
           |GROUP BY 1, 2
           |HAVING count(*) >= 3""".stripMargin),
+
+    // planted slice only (q_dedup_minhash convention): shared for an
+    // (original, copy) pair = the doc's distinct fingerprint-hash count
+    "q_winnow_pairs_lsh" ->
+      (winnowOracleCtes(
+        """SELECT doc_id, text FROM documents
+          |  WHERE doc_id % 5 = 0 AND text IS NOT NULL
+          |    AND regexp_matches(text, '\S')""".stripMargin, k = 12, w = 16) +
+        """
+          |SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+          |  CAST(len(list_distinct([fp % 2147483648 for fp in fps])) AS BIGINT) AS shared
+          |FROM sel
+          |WHERE len(list_distinct([fp % 2147483648 for fp in fps])) >= 3""".stripMargin),
 
     "q_perceptron" ->
       (perceptronOracleCtes(perceptronRoundsN) + "\nSELECT * FROM (" +

@@ -327,6 +327,72 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** [[winnowNearDups]] at corpus scale: MinHash+LSH over each
+    * document's fingerprint-hash SET proposes candidate pairs (banded
+    * bucket self-join — candidates ∝ corpus × bands, never the posting
+    * join's Σd²), then the EXACT shared-fingerprint count disposes on
+    * the candidate set only (per-candidate `array_intersect` on the
+    * fetched sets). Output columns match [[winnowNearDups]] and
+    * `shared` is exact for every surfaced pair; what changes is
+    * RECALL, which follows LSH band recall on fingerprint-set Jaccard
+    * — a pair sharing `minShared` fingerprints out of otherwise large
+    * disjoint sets has low Jaccard and will usually not be proposed.
+    * This is the overlap form for near-duplicate documents, while the
+    * posting-join form is the exhaustive (plagiarism-grade) relation
+    * on bounded corpora.
+    *
+    * The posting form's hot-fingerprint problem disappears
+    * STRUCTURALLY here: candidates never come from posting lists, so a
+    * boilerplate fingerprint shared by half the corpus inflates
+    * nothing (it just contributes one more equal signature position to
+    * pairs that already overlap). The `maxBucketSize` guard bounds the
+    * one remaining skew source — identical-set clusters collapsing
+    * into one bucket per band. Measured curves: PERF_NOTES_r9. */
+  def winnowNearDupsLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 16, minShared: Int = 3,
+      numPerm: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(minShared > 0, "minShared must be > 0")
+    val rowsPerBand = numPerm / bands
+    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        array_distinct(transform(
+          TextFunctions.winnowFingerprints(col(textCol), k, w),
+          fp => fp % lit(2147483648L))).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .withColumn("sig", minhashSignature(col("fps"), numPerm))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidates over (id, band, bucket) only — sets and signatures
+    // stay out of the banded shuffle (same transport rule as
+    // minHashNearDups)
+    val buckets = docs
+      .select(col("id"),
+        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sized = buckets
+      .withColumn("__graft_bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("__graft_bsz") <= maxBucketSize)
+      .drop("__graft_bsz")
+    val candidates = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(sized.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val fps = docs.select(col("id"), col("fps"))
+    candidates
+      .join(fps.select(col("id").as("id_a"), col("fps").as("fps_a")), "id_a")
+      .join(fps.select(col("id").as("id_b"), col("fps").as("fps_b")), "id_b")
+      .withColumn("shared",
+        size(array_intersect(col("fps_a"), col("fps_b"))).cast("long"))
+      .filter(col("shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("shared"))
+  }
+
   /** Posting-list length guard shared by the exact-gram operators: a
     * gram appearing in d documents contributes O(d²) (self-join) or
     * O(d · q) (search join) candidate pairs, so one boilerplate gram

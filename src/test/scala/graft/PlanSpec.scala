@@ -346,6 +346,13 @@ class PlanSpec extends GraftSpec {
       s"pairs must come from the fingerprint posting join:\n$pp")
     assert("HashAggregate".r.findAllIn(pp).size >= 2,
       s"shared-count must partial-aggregate:\n$pp")
+    // the corpus-scale form must NOT posting-join: candidates come
+    // from the (band, bucket) self-join, sets fetched per candidate
+    val pl = formatted("q_winnow_pairs_lsh")
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoop"),
+      s"LSH candidates must be an equi-join:\n$pl")
+    assert(pl.contains("band"),
+      s"candidates must join on the banded buckets:\n$pl")
   }
 
   test("ks drift: windows partition by group (no global sort), one value shuffle") {

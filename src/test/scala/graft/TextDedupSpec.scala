@@ -576,4 +576,33 @@ class TextDedupSpec extends GraftSpec {
     }
     assert(e.getMessage.contains("maxDocsPerGram"))
   }
+
+  test("winnowNearDupsLsh: near-dup pairs surface with EXACT shared counts; shared counts agree with the posting form") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val wd = Seq(
+      (0L, base + " tonight under the bright moon and the quiet stars"),
+      (1L, base + " tonight under the bright moon and the quiet stars"), // exact copy
+      (2L, "totally unrelated content about apples bananas oranges pears plums kiwi"),
+      (3L, base + " tonight under the bright moon and the quiet MOON")  // near copy
+    ).toDF("doc_id", "text")
+    val lsh = graft.operators.Dedup.winnowNearDupsLsh(
+      wd, "doc_id", "text", k = 6, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical fp sets → identical signatures → guaranteed candidates
+    assert(lsh.contains((0L, 1L)), "exact copies must surface")
+    assert(lsh.contains((0L, 3L)), "high-overlap near copy must surface")
+    assert(!lsh.keys.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc must not pair")
+    // shared is EXACT on every surfaced pair: must equal the posting
+    // form's count for the same pair
+    val posting = graft.operators.Dedup.winnowNearDups(
+      wd, "doc_id", "text", k = 6, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    lsh.foreach { case (pair, shared) =>
+      assert(posting(pair) == shared, s"pair $pair: lsh=$shared posting=${posting(pair)}")
+    }
+    // surfaced relation is a SUBSET of the exhaustive posting relation
+    assert(lsh.keySet.subsetOf(posting.keySet))
+  }
 }
