@@ -303,6 +303,12 @@ object ScaleRehearsal {
         force(Corpus.dsirSelect(docs, docs.filter(col("lang") === "en"),
           "doc_id", "text", buckets = 4096, keepN = 1000))
       }
+      time(scale, "lm_score") {
+        // bigram-LM fluency: LM counts from the English slice, whole
+        // corpus scored — two count groupBys + posting-volume joins
+        force(Corpus.lmScore(docs.filter(col("lang") === "en"), docs,
+          "doc_id", "text"))
+      }
       time(scale, "subword_vocab_apply") {
         // train the top-2000 char-n-gram vocab, then tokenize the
         // whole corpus with it (both halves in one timing: the train

@@ -2758,6 +2758,19 @@ object SparkEntry {
         t(s, dir, "documents"), "text", n = 2, minCount = 3L)
     },
 
+    // bigram-LM fluency scoring (CCNet/KenLM perplexity filter),
+    // self-referenced: documents scored under their own corpus LM.
+    // Oracled columns are the bit-reproducible half of the contract —
+    // n_bigrams (exact) and mean_prob (integer-derived IEEE divisions
+    // summed in pinned token order, the BM25-rational-idf stance);
+    // log_prob stays out of the gate (ln differs in the last ulp
+    // across libms — same exclusion as dsirWeights' log_w).
+    "q_lm_score" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.lmScore(docs, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("mean_prob"))
+    },
+
     // bloom-pruned semi join: lineitems of high-value orders; result
     // must EQUAL the plain semi join (bloom prunes, exact join decides)
     "q_bloom_join" -> { (s, dir) =>
@@ -3187,6 +3200,37 @@ object SparkEntry {
         | SELECT unnest(list_transform(range(1, greatest(len(tk) - 2 + 1, 1) + 1), i -> array_to_string(tk[i:i+1], ' '))) AS gram
         | FROM toks)
         |SELECT gram, count(*) AS n FROM grams GROUP BY gram HAVING count(*) >= 3""".stripMargin,
+
+    // add-one bigram LM replayed exactly: integer counts → IEEE
+    // divisions → sum folded in token order (list ORDER BY pos)
+    "q_lm_score" ->
+      """WITH toks AS MATERIALIZED (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents WHERE text IS NOT NULL),
+        |bt AS MATERIALIZED (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+        |grams AS MATERIALIZED (
+        | SELECT doc_id,
+        |   unnest(range(1, len(tk))) AS pos,
+        |   unnest(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS gram
+        | FROM bt),
+        |c2 AS MATERIALIZED (SELECT gram, count(*) AS c2 FROM grams GROUP BY 1),
+        |c1 AS MATERIALIZED (SELECT split_part(gram, ' ', 1) AS x, count(*) AS c1 FROM grams GROUP BY 1),
+        |v AS MATERIALIZED (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)),
+        |probs AS MATERIALIZED (
+        | SELECT g.doc_id, g.pos,
+        |   CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+        | FROM grams g JOIN c2 USING (gram)
+        |   JOIN c1 ON split_part(g.gram, ' ', 1) = c1.x
+        |   CROSS JOIN v),
+        |agg AS (
+        | SELECT doc_id, count(*) AS n_bigrams,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+        |     (a, b) -> a + b) AS sum_p
+        | FROM probs GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(a.sum_p / a.n_bigrams, 0.0) AS mean_prob
+        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "q_bloom_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem

@@ -124,6 +124,83 @@ object Corpus {
       .filter(col("n") >= minCount)
   }
 
+  /** Per-document fluency under an add-one-smoothed bigram LM trained
+    * on `reference` — the CCNet/KenLM perplexity-filter signal (score
+    * each candidate document against a trusted corpus's language
+    * model; low scores flag gibberish, template spam, and wrong-
+    * language text).
+    *
+    * Per bigram occurrence (x, y): `p(y|x) = (c2(x,y)+1) / (c1(x)+V)`
+    * where c2 = reference count of the bigram, c1 = reference count of
+    * x as a context (bigrams starting with x), V = reference distinct-
+    * token vocabulary; unseen bigrams and contexts smooth through the
+    * same formula via zero counts. Two scores per document:
+    *
+    *  - `mean_prob` = Σ p / n with the sum folded IN TOKEN ORDER: all
+    *    inputs are exact integers below 2⁵³, every division and
+    *    addition is correctly-rounded IEEE in a pinned order, so the
+    *    value is bit-reproducible on any engine — the hash-oracled
+    *    contract (same stance as BM25's rational idf and the χ² bin
+    *    fold);
+    *  - `log_prob` = Σ ln p / n — the published (log-perplexity) form;
+    *    like [[dsirWeights]]' log_w it cannot be hash-oracled (ln
+    *    differs in the last ulp between libms), so it rides along
+    *    unoracled for production ranking.
+    *
+    * Scale shape: the LM is two map-side-combined groupBys over the
+    * reference bigram explode; scoring LEFT-joins the documents'
+    * bigram postings against those tables on the same keys (the only
+    * shuffles are the posting volumes themselves), V is a 1-row
+    * broadcast scalar, and the per-document ordered fold is bounded by
+    * document length. Documents with < 2 tokens score (0, 0.0, 0.0)
+    * by convention, mirroring DSIR's featureless-doc rule.
+    *
+    * @return (doc_id, n_bigrams, mean_prob, log_prob)
+    */
+  def lmScore(
+      reference: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame =
+      df.filter(col(textCol).isNotNull &&
+          size(TextFunctions.tokens(col(textCol))) >= 2)
+        .select(col(idCol).as("doc_id"),
+          posexplode(TextFunctions.wordNgrams(col(textCol), 2))
+            .as(Seq("pos", "gram")))
+    val refGrams = bigrams(reference)
+    val c2 = refGrams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    val c1 = refGrams
+      .groupBy(substring_index(col("gram"), " ", 1).as("x"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = reference.filter(col(textCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0)
+      .agg(count_distinct(col("t")).as("v"))
+    val scored = bigrams(docs)
+      .join(c2, Seq("gram"), "left")
+      .withColumn("x", substring_index(col("gram"), " ", 1))
+      .join(c1, Seq("x"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p",
+        (coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+          lit(0d), (acc, s) => acc + s.getField("p")).as("sum_p"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+          lit(0d), (acc, s) => acc + log(s.getField("p"))).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_p") / col("n_bigrams").cast("double")).as("mean_prob"),
+        (col("sum_lp") / col("n_bigrams").cast("double")).as("log_prob"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_prob"), lit(0d)).as("mean_prob"),
+        coalesce(col("log_prob"), lit(0d)).as("log_prob"))
+  }
+
   /** Per-(document, query-term) BM25 contributions — the retrieval
     * scoring function behind search-based corpus curation (select the
     * documents most relevant to a probe query before expensive

@@ -854,4 +854,28 @@ class ClusterStatsSpec extends GraftSpec {
     // banana → ban+ana (×3), band → ban+d, bandana → ban+d+ana
     assert(freqs == Map("ban" -> 5L, "ana" -> 4L, "d" -> 2L), s"got $freqs")
   }
+
+  test("lmScore: hand-computed add-one bigram LM; fluent beats garbage; short-doc convention") {
+    // reference: "a b" ×2, "a b c". V = {a,b,c} = 3.
+    // c2: (a b)=3, (b c)=1. c1: a=3, b=1.
+    val ref = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c")).toDF("id", "text")
+    val scored = Seq(
+      (10L, "a b c"),  // p(b|a)=(3+1)/(3+3)=2/3; p(c|b)=(1+1)/(1+3)=1/2
+      (11L, "c a"),    // p(a|c)=(0+1)/(0+3)=1/3 (unseen context)
+      (12L, "z"),      // < 2 tokens → zeros
+      (13L, "a q")     // p(q|a)=(0+1)/(3+3)=1/6 (unseen bigram, seen context)
+    ).toDF("id", "text")
+    val got = graft.operators.Corpus.lmScore(ref, scored, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(10L)._1 == 2L)
+    assert(math.abs(got(10L)._2 - (2.0 / 3 + 0.5) / 2) < 1e-15)
+    assert(math.abs(got(10L)._3 -
+      (math.log(2.0 / 3) + math.log(0.5)) / 2) < 1e-12)
+    assert(got(11L) == ((1L, 1.0 / 3, math.log(1.0 / 3))))
+    assert(got(12L) == ((0L, 0.0, 0.0)))
+    assert(math.abs(got(13L)._2 - 1.0 / 6) < 1e-15)
+    // the signal: reference-like text outscores both unseen shapes
+    assert(got(10L)._2 > got(11L)._2 && got(11L)._2 > got(13L)._2)
+  }
 }
