@@ -2771,6 +2771,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("mean_prob"))
     },
 
+    // the STREAMING twin — online quality filtering at ingest: docs
+    // stream from a landing zone (one part file per micro-batch) and
+    // score per batch against the ONCE-trained static LM; stream ≡
+    // batch row-for-row against the identical oracle as q_lm_score
+    "q_lm_score_stream" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tag = s"lm_stream_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val base = Scratch.path(tag)
+      docs.select(col("doc_id"), col("text")).write.mode("overwrite")
+        .parquet(s"$base/landing")
+      graft.operators.Corpus.lmScoreStreamed(s, docs, s"$base/landing",
+        "doc_id", "text", outPath = s"$base/out",
+        checkpointDir = Some(s"$base/ckpt"))
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("n_bigrams"), col("mean_prob"))
+    },
+
     // bloom-pruned semi join: lineitems of high-value orders; result
     // must EQUAL the plain semi join (bloom prunes, exact join decides)
     "q_bloom_join" -> { (s, dir) =>
@@ -3202,34 +3220,11 @@ object SparkEntry {
         |SELECT gram, count(*) AS n FROM grams GROUP BY gram HAVING count(*) >= 3""".stripMargin,
 
     // add-one bigram LM replayed exactly: integer counts → IEEE
-    // divisions → sum folded in token order (list ORDER BY pos)
-    "q_lm_score" ->
-      """WITH toks AS MATERIALIZED (
-        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk
-        | FROM documents WHERE text IS NOT NULL),
-        |bt AS MATERIALIZED (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
-        |grams AS MATERIALIZED (
-        | SELECT doc_id,
-        |   unnest(range(1, len(tk))) AS pos,
-        |   unnest(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS gram
-        | FROM bt),
-        |c2 AS MATERIALIZED (SELECT gram, count(*) AS c2 FROM grams GROUP BY 1),
-        |c1 AS MATERIALIZED (SELECT split_part(gram, ' ', 1) AS x, count(*) AS c1 FROM grams GROUP BY 1),
-        |v AS MATERIALIZED (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)),
-        |probs AS MATERIALIZED (
-        | SELECT g.doc_id, g.pos,
-        |   CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
-        | FROM grams g JOIN c2 USING (gram)
-        |   JOIN c1 ON split_part(g.gram, ' ', 1) = c1.x
-        |   CROSS JOIN v),
-        |agg AS (
-        | SELECT doc_id, count(*) AS n_bigrams,
-        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
-        |     (a, b) -> a + b) AS sum_p
-        | FROM probs GROUP BY doc_id)
-        |SELECT t.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
-        |  coalesce(a.sum_p / a.n_bigrams, 0.0) AS mean_prob
-        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // divisions → sum folded in token order (list ORDER BY pos).
+    // The _stream twin scores the SAME relation (foreachBatch runs the
+    // batch operator per micro-batch), so it shares this oracle.
+    "q_lm_score" -> lmScoreOracle,
+    "q_lm_score_stream" -> lmScoreOracle,
 
     "q_bloom_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
@@ -5693,6 +5688,39 @@ object SparkEntry {
       (1 to 5).map(round).mkString(",\n") +
       "\nSELECT node AS node_id, CAST(r AS BIGINT) AS rank_fp FROM r5"
   }
+
+  // shared by q_lm_score and its streaming twin (stream ≡ batch):
+  // the add-one bigram LM replayed exactly — integer counts → IEEE
+  // divisions → sum folded in token order (list ORDER BY pos)
+  // (lazy: referenced from an oracle map declared ABOVE this point —
+  // a plain val would still be null when that map initializes)
+  private lazy val lmScoreOracle: String =
+    """WITH toks AS MATERIALIZED (
+      | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk
+      | FROM documents WHERE text IS NOT NULL),
+      |bt AS MATERIALIZED (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+      |grams AS MATERIALIZED (
+      | SELECT doc_id,
+      |   unnest(range(1, len(tk))) AS pos,
+      |   unnest(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS gram
+      | FROM bt),
+      |c2 AS MATERIALIZED (SELECT gram, count(*) AS c2 FROM grams GROUP BY 1),
+      |c1 AS MATERIALIZED (SELECT split_part(gram, ' ', 1) AS x, count(*) AS c1 FROM grams GROUP BY 1),
+      |v AS MATERIALIZED (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)),
+      |probs AS MATERIALIZED (
+      | SELECT g.doc_id, g.pos,
+      |   CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+      | FROM grams g JOIN c2 USING (gram)
+      |   JOIN c1 ON split_part(g.gram, ' ', 1) = c1.x
+      |   CROSS JOIN v),
+      |agg AS (
+      | SELECT doc_id, count(*) AS n_bigrams,
+      |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+      |     (a, b) -> a + b) AS sum_p
+      | FROM probs GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(a.sum_p / a.n_bigrams, 0.0) AS mean_prob
+      |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   // shared by q_drift_hist and its streaming twin (stream ≡ batch)
   private val histDriftOracle: String =

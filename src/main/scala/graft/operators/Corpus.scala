@@ -160,13 +160,32 @@ object Corpus {
   def lmScore(
       reference: DataFrame, docs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    def bigrams(df: DataFrame): DataFrame =
-      df.filter(col(textCol).isNotNull &&
-          size(TextFunctions.tokens(col(textCol))) >= 2)
-        .select(col(idCol).as("doc_id"),
-          posexplode(TextFunctions.wordNgrams(col(textCol), 2))
-            .as(Seq("pos", "gram")))
-    val refGrams = bigrams(reference)
+    val m = lmTrain(reference, idCol, textCol, materialize = false)
+    lmScoreWith(m, docs, idCol, textCol)
+  }
+
+  /** The trained bigram-LM tables behind [[lmScore]]: bigram counts,
+    * context counts, and the 1-row vocabulary size. */
+  final case class LmModel(c2: DataFrame, c1: DataFrame, vocab: DataFrame)
+
+  private def lmBigrams(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull &&
+        size(TextFunctions.tokens(col(textCol))) >= 2)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.wordNgrams(col(textCol), 2))
+          .as(Seq("pos", "gram")))
+
+  /** Train the [[lmScore]] model once. With `materialize = true` the
+    * three tables are computed eagerly and lineage-truncated
+    * (localCheckpoint), so repeated scoring — the per-batch ingest
+    * loop — reuses them instead of re-aggregating the reference every
+    * batch: the same build-once contract as the dedup signature table
+    * (write them to parquet for cross-job reuse). */
+  def lmTrain(
+      reference: DataFrame, idCol: String, textCol: String,
+      materialize: Boolean = true): LmModel = {
+    val refGrams = lmBigrams(reference, idCol, textCol)
     val c2 = refGrams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
     val c1 = refGrams
       .groupBy(substring_index(col("gram"), " ", 1).as("x"))
@@ -175,7 +194,21 @@ object Corpus {
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
       .filter(length(col("t")) > 0)
       .agg(count_distinct(col("t")).as("v"))
-    val scored = bigrams(docs)
+    if (materialize)
+      LmModel(c2.localCheckpoint(), c1.localCheckpoint(),
+        vocab.localCheckpoint())
+    else LmModel(c2, c1, vocab)
+  }
+
+  /** Score `docs` under an already-trained model — see [[lmScore]]
+    * for the scoring contract. */
+  def lmScoreWith(
+      model: LmModel, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val c2 = model.c2
+    val c1 = model.c1
+    val vocab = model.vocab
+    val scored = lmBigrams(docs, idCol, textCol)
       .join(c2, Seq("gram"), "left")
       .withColumn("x", substring_index(col("gram"), " ", 1))
       .join(c1, Seq("x"), "left")
@@ -199,6 +232,40 @@ object Corpus {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("mean_prob"), lit(0d)).as("mean_prob"),
         coalesce(col("log_prob"), lit(0d)).as("log_prob"))
+  }
+
+  /** [[lmScore]] at ingest: documents stream from a parquet landing
+    * zone and each micro-batch is scored against the STATIC reference
+    * LM, appending (doc_id, n_bigrams, mean_prob, log_prob) to
+    * `outPath`. The model is trained ONCE up front ([[lmTrain]],
+    * materialized) so per-batch cost is proportional to the batch —
+    * never the reference (the incremental-dedup contract); foreachBatch
+    * runs the exact batch operator per trigger, so stream ≡ batch
+    * row-for-row, and the only streaming state is the file-source
+    * offset log (same ingest shape as Dedup.nearDedupIngestStreamed). */
+  def lmScoreStreamed(
+      spark: org.apache.spark.sql.SparkSession,
+      reference: DataFrame, streamDir: String,
+      idCol: String, textCol: String, outPath: String,
+      checkpointDir: Option[String] = None): Unit = {
+    val model = lmTrain(reference, idCol, textCol)
+    val schema = spark.read.parquet(streamDir).schema
+    val writer = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(streamDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lmScoreWith(model, batch, idCol, textCol)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = checkpointDir
+      .fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+    q.awaitTermination()
   }
 
   /** Per-(document, query-term) BM25 contributions — the retrieval

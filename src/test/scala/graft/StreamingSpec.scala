@@ -261,4 +261,23 @@ class StreamingSpec extends GraftSpec {
     // the complement of the signature-bearing rows
     assert(flagged == Set(0L, 2L), s"flagged $flagged")
   }
+
+  test("streamed LM scoring equals the batch operator bit-for-bit") {
+    val ref = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c")).toDF("id", "text")
+    val docs = Seq(
+      (10L, "a b c"), (11L, "c a"), (12L, "z"), (13L, "a q"),
+      (14L, null.asInstanceOf[String])).toDF("id", "text")
+    val batch = graft.operators.Corpus.lmScore(ref, docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    val base = graft.Scratch.path("lm_stream_spec")
+    graft.Scratch.remove("lm_stream_spec")
+    docs.repartition(2).write.mode("overwrite").parquet(s"$base/landing")
+    graft.operators.Corpus.lmScoreStreamed(spark, ref, s"$base/landing",
+      "id", "text", outPath = s"$base/out")
+    val streamed = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
 }
