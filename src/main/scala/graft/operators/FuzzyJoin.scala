@@ -76,6 +76,10 @@ object FuzzyJoin {
       maxDist: Int = 1, maxBucketSize: Int = 10000,
       dropHotKeys: Boolean = false): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1 (use an exact join for 0)")
+    require(maxDist <= 3, s"maxDist = $maxDist: the deletion neighborhood " +
+      "is O(|s|^maxDist) per row — beyond 3 the variant explode is a " +
+      "per-row combinatorial blow-up; use the n-gram/LSH similarity stack " +
+      "for coarser matching")
     require(maxBucketSize > 0, "maxBucketSize must be > 0")
 
     def side(df: DataFrame, id: String, str: String, tag: String): DataFrame = {
@@ -118,6 +122,8 @@ object FuzzyJoin {
       maxDist: Int = 1, maxBucketSize: Int = 10000,
       dropHotKeys: Boolean = false): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1 (use an exact join for 0)")
+    require(maxDist <= 3, s"maxDist = $maxDist: the deletion neighborhood " +
+      "is O(|s|^maxDist) per row — same bound as the batch form")
     require(maxBucketSize > 0, "maxBucketSize must be > 0")
     val rv = guardHotVariants(
       reference.filter(col(refStr).isNotNull && length(col(refStr)) > 0)

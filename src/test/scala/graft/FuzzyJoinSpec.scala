@@ -89,6 +89,14 @@ class FuzzyJoinSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("maxDist above the combinatorial envelope fails loudly") {
+    val df = names.toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.fuzzyJoin(df, "id", "s", df, "id", "s", maxDist = 4)
+    }
+    assert(e.getMessage.contains("O(|s|^maxDist)"))
+  }
+
   test("candidate join is an equi-join, never a cartesian") {
     val p = FuzzyJoin.fuzzyJoin(
       names.toDF("id", "s"), "id", "s",
