@@ -309,6 +309,21 @@ object ScaleRehearsal {
         force(Corpus.lmScore(docs.filter(col("lang") === "en"), docs,
           "doc_id", "text"))
       }
+      if (only.forall(_.contains("lm_score_batch"))) {
+        // the ingest decomposition: one-time model build (∝ corpus)
+        // vs scoring a CONSTANT 500-doc batch against it (∝ batch —
+        // the lmScoreStreamed per-trigger cost)
+        var model: Corpus.LmModel = null
+        time(scale, "lm_train") {
+          model = Corpus.lmTrain(docs.filter(col("lang") === "en"),
+            "doc_id", "text")
+        }
+        val batch = spark.read.parquet(s"$baseDir/documents.parquet")
+          .orderBy(col("doc_id")).limit(500)
+        time(scale, "lm_score_batch") {
+          force(Corpus.lmScoreWith(model, batch, "doc_id", "text"))
+        }
+      }
       time(scale, "subword_vocab_apply") {
         // train the top-2000 char-n-gram vocab, then tokenize the
         // whole corpus with it (both halves in one timing: the train
