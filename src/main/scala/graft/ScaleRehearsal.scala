@@ -403,6 +403,25 @@ object ScaleRehearsal {
           names, "doc_id", "nm", dirty, "doc_id", "nm",
           maxDist = 1, maxBucketSize = 100000))
       }
+      time(scale, "allpairs_jaccard") {
+        // prefix-filtered exact all-pairs: only the |d|−⌈t·|d|⌉+1
+        // rarest grams of each doc enter the join, so the replica
+        // universes (disjoint tokens) grow candidates within-replica
+        // only — the curve should track corpus size, not its square
+        force(Dedup.allPairsJaccard(docs, "doc_id", "text",
+          n = 3, threshold = 0.8))
+      }
+      time(scale, "sorted_neighborhood") {
+        // merge/purge rank-window pairs: bucketed distributed rank +
+        // block equi-join with per-block fan-out ≤ 2·window by
+        // construction — the no-skew candidate scheme
+        val names = docs.select(col("doc_id"),
+          concat(col("source"), lit("_"),
+            col("doc_id").cast("string")).as("nm"))
+        force(graft.operators.FuzzyJoin.sortedNeighborhood(
+          names, "doc_id", "nm", window = 10, maxDist = 2,
+          bucketChars = 4))
+      }
       time(scale, "winnow_pairs") {
         // local-fingerprint overlap pairs: kernel scan + posting join
         // on selected hashes (~2/(w+1) of the gram space). The

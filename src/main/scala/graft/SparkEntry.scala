@@ -3791,6 +3791,20 @@ object SparkEntry {
         maxDocsPerGram = Int.MaxValue)
     },
 
+    // Prefix-filtered exact all-pairs Jaccard (AllPairs/PPJoin) —
+    // the SAME true relation as q_jaccard_exact but over the FULL
+    // corpus plus planted copies, with the hot-gram guard at its
+    // library DEFAULT: the point of the prefix-filter form is that it
+    // doesn't need the bounded-slice escape hatch (only rare prefix
+    // grams enter the join; the guard measures prefix df, which the
+    // plant caps at 2 per duplicated text here). The oracle is the
+    // straight posting-join SQL over the planted frame — candidate
+    // pruning must lose nothing, or rows/hash diverge.
+    "q_allpairs_jaccard" -> { (s, dir) =>
+      Dedup.allPairsJaccard(plantCopies(t(s, dir, "documents")),
+        "doc_id", "text", n = 3, threshold = 0.5)
+    },
+
     // REAL pixel decode, oracled end-to-end: synthesize a valid 4×4
     // 24-bpp BMP per row (54-byte header + 48 BGR pixel bytes from a
     // doc_id-dependent formula, assembled with hex/unhex column
@@ -3861,6 +3875,32 @@ object SparkEntry {
         |  CAST(smin AS DOUBLE) / CAST(ta.t + tb.t - smin AS DOUBLE) AS wjaccard
         |FROM shared JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
         |WHERE CAST(smin AS DOUBLE) / CAST(ta.t + tb.t - smin AS DOUBLE) >= 0.5""".stripMargin,
+
+    // the true Jaccard relation over the PLANTED frame (corpus ∪ mod-5
+    // copies at doc_id+100000) — the oracle enumerates pairs by the
+    // straight posting join; the engine side must reproduce it through
+    // prefix-filtered candidate generation
+    "q_allpairs_jaccard" ->
+      """WITH docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000 AS doc_id, text FROM documents
+        | WHERE doc_id % 5 = 0 AND text IS NOT NULL AND regexp_matches(text, '[^\s\x0B]')),
+        |d AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s\x0B]+'), x -> len(x) > 0) AS tk
+        | FROM docs WHERE text IS NOT NULL),
+        |g AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1), i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+        | FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id),
+        |shared AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        | FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(n_shared AS DOUBLE) / CAST(sa.n_g + sb.n_g - n_shared AS DOUBLE) AS jaccard
+        |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n_g + sb.n_g - n_shared AS DOUBLE) >= 0.5""".stripMargin,
 
     "q_media_pixels" ->
       """WITH px AS (
@@ -6211,6 +6251,22 @@ object SparkEntry {
         .select(col("l_id").as("l_key"), col("r_id").as("r_key"), col("dist"))
     },
 
+    // sorted-neighborhood blocking (merge/purge) over customer names:
+    // rank by (name, key) through the bucketed distributed-rank path,
+    // pair within a 5-window, verify levenshtein <= 1. The oracle
+    // recomputes the SAME relation from a global row_number — the
+    // bucket-offset rank arithmetic and the block/predecessor-block
+    // pairing must reproduce it exactly. All-integer output.
+    // bucketChars = 15 slices "Customer#NNNNNNNNN" at the 6th digit:
+    // 2 buckets at sf0.01, 16 at sf0.1 — rank offsets and boundary
+    // windows are genuinely exercised at both gate SFs.
+    "q_sorted_neighborhood" -> { (s, dir) =>
+      graft.operators.FuzzyJoin.sortedNeighborhood(
+        t(s, dir, "customer"), "c_custkey", "c_name",
+        window = 5, maxDist = 1, bucketChars = 15)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    },
+
     // the STREAMING twin of q_fuzzy_join: the corrupted names are
     // staged to scratch parquet and streamed through the stateless
     // stream-static variant match (reference variants precomputed,
@@ -6345,6 +6401,20 @@ object SparkEntry {
         |       CAST(levenshtein(a.c_name, p.r_name) AS INTEGER) AS dist
         |FROM customer a CROSS JOIN pert p
         |WHERE levenshtein(a.c_name, p.r_name) <= 1""".stripMargin,
+
+    // global rank-window pairs: the oracle ranks with ONE row_number
+    // (fine at oracle SF), the engine must reproduce it from bucketed
+    // distributed ranks
+    "q_sorted_neighborhood" ->
+      """WITH ranked AS (
+        | SELECT c_custkey, c_name,
+        |   row_number() OVER (ORDER BY c_name, c_custkey) AS r
+        | FROM customer WHERE c_name IS NOT NULL AND length(c_name) > 0)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM ranked a JOIN ranked b
+        |  ON b.r > a.r AND b.r - a.r <= 4
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     // stream ≡ batch: identical relation to q_fuzzy_join
     "q_fuzzy_join_stream" ->

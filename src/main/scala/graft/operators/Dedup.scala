@@ -284,6 +284,134 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("wjaccard"))
   }
 
+  /** Exact all-pairs n-gram Jaccard via PREFIX FILTERING (the
+    * AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08) — the same relation as [[exactNgramJaccard]], computed
+    * without joining on every shared gram. The scale problem with the
+    * full posting join is the hot gram: one gram in k documents
+    * materializes k² candidates, and the only defenses are a loud cap
+    * or documented truncation. Prefix filtering removes the problem
+    * structurally instead of capping it:
+    *
+    *  - every document's gram set is sorted in ONE corpus-wide
+    *    canonical order — document frequency ascending, gram string
+    *    ascending (deterministic for a given corpus) — so the
+    *    rarest grams come first;
+    *  - a pair with Jaccard ≥ t over sizes |a|,|b| has overlap
+    *    ≥ ⌈t/(1+t)·(|a|+|b|)⌉, so it MUST collide inside the first
+    *    |d| − ⌈t·|d|⌉ + 1 grams of each side (miss the whole prefix
+    *    and the ≤ ⌈t·|d|⌉ − 1 remaining grams can't reach the
+    *    required overlap). Only PREFIX postings are joined — at
+    *    t = 0.8 that is ~20% of the gram stream, and it is the RARE
+    *    20%: stopword-class hot grams sort to the suffix and never
+    *    enter the join at all;
+    *  - candidates are then pruned by the size filter
+    *    (t·|a| ≤ |b| ≤ |a|/t, both directions since id order is not
+    *    size order) and the PPJoin positional filter: with both docs
+    *    in the same global order, every common gram beyond the last
+    *    prefix match sits strictly after it on BOTH sides, so
+    *    overlap ≤ prefixHits + min(suffix_a, suffix_b) — pairs whose
+    *    bound misses ⌈t/(1+t)·(|a|+|b|)⌉ are dropped before
+    *    verification;
+    *  - survivors are verified exactly on the full sorted gram
+    *    arrays (one array_intersect per candidate, no second posting
+    *    join).
+    *
+    * All integer bounds derived from the double `threshold` are
+    * widened by EPS in the SAFE direction (longer prefix, wider size
+    * window, smaller overlap floor): float rounding can only ADD
+    * candidates, never drop a true pair — the verify step makes the
+    * final relation exact either way. Output is engine-exact and
+    * identical to [[exactNgramJaccard]] at the same threshold:
+    * integer sizes, one correctly-rounded IEEE division.
+    *
+    * The hot-gram guard still exists (`maxDocsPerGram`, same loud
+    * contract) but now measures PREFIX document frequency — the
+    * pathological case is no longer "a stopword bigram" but "one
+    * text duplicated k times" (identical sets share their rare
+    * prefix), which is exactly the k² a correct answer must emit.
+    * `dropHotGrams = true` here trims CANDIDATE GENERATION only
+    * (pairs reachable solely through a hot prefix gram are missed —
+    * documented recall loss); unlike [[exactNgramJaccard]] it does
+    * NOT shrink the gram space, so every returned jaccard is still
+    * the true full-space value. At 100 TB this is the exact-relation
+    * form to prefer over [[exactNgramJaccard]]; the LSH path remains
+    * the approximate fallback when even true-duplicate clusters are
+    * too hot. */
+  def allPairsJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocsPerGram: Int = 10000, dropHotGrams: Boolean = false): DataFrame = {
+    require(n > 0, "n must be > 0")
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1]: zero-overlap pairs never collide " +
+        "on any prefix gram, so threshold <= 0 would silently omit them")
+    require(maxDocsPerGram > 0, "maxDocsPerGram must be > 0")
+    val EPS = 1e-9
+
+    val postings = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n)))
+          .as("gram"))
+    val gramDf = postings.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+
+    // per-doc gram array in the canonical (df asc, gram asc) order;
+    // sort_array over struct sorts field-lexicographically.
+    // Persisted: it feeds the prefix stream AND both verify joins —
+    // recomputing the df-join + per-doc sort at each consumer tripled
+    // the measured gate cost (same caller-owned-lifecycle contract as
+    // minHashNearDups; at 100 TB this is the materialized sorted-gram
+    // table next to the signature table).
+    val sorted = postings.join(gramDf, "gram")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), e => e.getField("gram")).as("tk"),
+        size(col("ord")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // prefix = first |d| − ⌈t·|d|⌉ + 1 grams; 0-based positions kept
+    // for the positional filter
+    val prefixLen = greatest(
+      (col("sz") - ceil(col("sz") * threshold - EPS) + 1).cast("int"), lit(1))
+    val prefix = sorted
+      .select(col("id"), col("sz"),
+        posexplode(slice(col("tk"), lit(1), prefixLen)))
+      .select(col("id"), col("sz"), col("pos").as("p"), col("col").as("gram"))
+    val guarded = guardHotGrams(prefix, maxDocsPerGram, dropHotGrams,
+      "allPairsJaccard")
+
+    val minOverlap =
+      ceil((col("sz_a") + col("sz_b")) * (threshold / (1.0 + threshold)) - EPS)
+    val candidates = guarded
+      .select(col("gram"), col("id").as("id_a"), col("p").as("p_a"),
+        col("sz").as("sz_a"))
+      .join(guarded.select(col("gram"), col("id").as("id_b"),
+        col("p").as("p_b"), col("sz").as("sz_b")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("sz_b") >= ceil(col("sz_a") * threshold - EPS) &&
+        col("sz_a") >= ceil(col("sz_b") * threshold - EPS))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("hits"),
+        max(col("p_a")).as("la"), max(col("p_b")).as("lb"))
+      // positional bound: common grams past the LAST prefix match lie
+      // after it on both sides (shared total order), earlier common
+      // grams are all prefix hits already counted
+      .filter(col("hits") +
+        least(col("sz_a") - col("la") - 1, col("sz_b") - col("lb") - 1) >=
+        minOverlap)
+      .select(col("id_a"), col("id_b"))
+
+    candidates
+      .join(sorted.select(col("id").as("id_a"), col("tk").as("tk_a")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("tk").as("tk_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("tk_a"), col("tk_b"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("tk_a")) + size(col("tk_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Document pairs sharing ≥ `minShared` winnowing fingerprint hashes
     * (TextFunctions.winnowFingerprints — the MOSS local-fingerprint
     * scheme): overlap detection that, unlike whole-document hashing,

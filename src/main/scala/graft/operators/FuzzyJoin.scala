@@ -152,6 +152,91 @@ object FuzzyJoin {
     spark.table(name)
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge,
+    * SIGMOD'95) — the classic entity-resolution alternative to the
+    * deletion-variant scheme: sort the corpus once by a blocking key,
+    * slide a window of `window` consecutive records over the sorted
+    * order, and verify every in-window pair with exact `levenshtein`.
+    * Complementary recall to [[fuzzyJoin]]: FastSS finds any pair
+    * within `maxDist` edits regardless of where the edit falls but
+    * pays O(|s|^maxDist) variants per row; sorted-neighborhood pays
+    * O(window) comparisons per row at ANY maxDist but only finds pairs
+    * that sort near each other (a first-character typo escapes the
+    * window — run a second pass on a rotated or reversed key for the
+    * standard multi-pass mitigation).
+    *
+    * Scale shape — every step is shuffle-bounded with NO hot-key
+    * hazard at all (a contract even the LSH family can't make):
+    *  - the global sort rank is never a single global window: rows are
+    *    range-bucketed by the first `bucketChars` characters of the
+    *    key (a string prefix, so (bucket, key) order IS key order),
+    *    ranked per-bucket by a distributed window, and shifted by
+    *    cumulative bucket offsets — the only single-partition window
+    *    runs over the per-bucket AGGREGATE (≤ |alphabet|^bucketChars
+    *    rows), the Sampling.ntileBuckets pattern;
+    *  - candidate pairing is an equi-join on the rank block
+    *    ⌊(rank−1)/window⌋, with the right side duplicated into its
+    *    predecessor block so cross-boundary windows meet: every block
+    *    holds EXACTLY `window` rows (the last, fewer), so per-key join
+    *    fan-out is ≤ 2·window by construction — skew cannot exist;
+    *  - exact verify on candidates only: ≤ (window−1) comparisons per
+    *    row, each an integer `levenshtein`.
+    *
+    * One bucket holding a huge fraction of keys (all names sharing a
+    * 2-char prefix) makes that bucket's rank window one big sorted
+    * partition — raise `bucketChars` to split it; correctness is
+    * unaffected either way.
+    *
+    * Output: (id_a, id_b, key_a, key_b, dist), `a` the lower-RANK side
+    * ((key, id) lexicographic), integer distance ≤ `maxDist`. NULL and
+    * empty keys never pair (same contract as [[fuzzyJoin]]). Engine-
+    * exact: ranks and distances are integers; no floats anywhere. */
+  def sortedNeighborhood(
+      df: DataFrame, idCol: String, keyCol: String,
+      window: Int = 10, maxDist: Int = 2,
+      bucketChars: Int = 2): DataFrame = {
+    require(window >= 2, "window must be >= 2 (a 1-window has no pairs)")
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(bucketChars >= 1, "bucketChars must be >= 1")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rows = df
+      .filter(col(keyCol).isNotNull && length(col(keyCol)) > 0)
+      .select(col(idCol).as("id"), col(keyCol).as("key"),
+        substring(col(keyCol), 1, bucketChars).as("__bkt"))
+    val counts = rows.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        W.orderBy(col("__bkt").asc)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val ranked = rows
+      .withColumn("__rn", row_number().over(
+        W.partitionBy(col("__bkt"))
+          .orderBy(col("key").asc, col("id").asc)).cast("long"))
+      .join(broadcast(offsets), "__bkt")
+      .select(col("id"), col("key"),
+        (col("__off") + col("__rn")).as("__rank"))
+      // integer block id (`div`, not `/` — Spark's `/` is fractional)
+      .withColumn("__blk", expr(s"(__rank - 1L) div ${window}L"))
+    val left = ranked.select(col("__blk"), col("id").as("id_a"),
+      col("key").as("key_a"), col("__rank").as("__ra"))
+    val right = ranked.select(col("__blk"), col("id").as("id_b"),
+      col("key").as("key_b"), col("__rank").as("__rb"))
+    // each right row also visits its PREDECESSOR block, so a window
+    // straddling a block boundary still meets; every candidate pair
+    // materializes exactly once (the left row only sits in its home
+    // block)
+    val rightBoth = right.unionByName(
+      right.withColumn("__blk", col("__blk") - 1))
+    left.join(rightBoth, "__blk")
+      .filter(col("__rb") > col("__ra") &&
+        col("__rb") - col("__ra") <= window - 1)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("dist"))
+  }
+
   /** Same hot-key contract as Dedup.guardHotGrams: the occupancy count
     * runs as a window over the join key (no extra shuffle beyond the
     * one the join pays anyway), and `assert_true` stays inside a

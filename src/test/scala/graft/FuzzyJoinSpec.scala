@@ -104,4 +104,53 @@ class FuzzyJoinSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  /** Brute-force sorted-neighborhood reference: global (key, id) sort,
+    * all pairs within `w` positions, levenshtein <= d. */
+  private def snReference(rows: Seq[(Long, String)], w: Int, d: Int) = {
+    val ranked = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+    (for {
+      ((ida, ka), ra) <- ranked; ((idb, kb), rb) <- ranked
+      if rb > ra && rb - ra <= w - 1 && levDist(ka, kb) <= d
+    } yield (ida, idb, levDist(ka, kb))).toSet
+  }
+
+  test("sortedNeighborhood matches the brute-force rank-window reference") {
+    // 40 keys over few prefixes so bucket boundaries, block boundaries
+    // and dense same-prefix runs are all exercised
+    val rows = (0 until 40).map { i =>
+      (i.toLong, f"name${i / 3}%03d v${i % 3}")
+    } ++ Seq(100L -> "zz last", 101L -> "zz lasT", 102L -> "aa first")
+    for ((w, bc) <- Seq((2, 1), (5, 2), (10, 3), (50, 2))) {
+      val got = FuzzyJoin.sortedNeighborhood(
+        rows.toDF("id", "k"), "id", "k", window = w, maxDist = 2,
+        bucketChars = bc)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+        .collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at w=$w")
+      assert(got.toSet == snReference(rows, w, 2), s"w=$w bucketChars=$bc")
+    }
+  }
+
+  test("sortedNeighborhood: boundary pairs, empty/null keys, window recall miss") {
+    val rows = Seq(
+      (1L, "alpha"), (2L, "alphb"), (3L, "beta"), (4L, "betb"),
+      (5L, null.asInstanceOf[String]), (6L, ""),
+      // first-char typo: sorts far away, a 2-window cannot see it
+      (7L, "zeta"), (8L, "aeta"))
+    val got = FuzzyJoin.sortedNeighborhood(
+      rows.toDF("id", "k"), "id", "k", window = 2, maxDist = 1,
+      bucketChars = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)) && got.contains((3L, 4L)))
+    assert(!got.exists { case (a, b) => Set(a, b).intersect(Set(5L, 6L)).nonEmpty })
+    // (7,8) within dist 1 but ranks far apart — the documented miss
+    assert(!got.contains((8L, 7L)) && !got.contains((7L, 8L)))
+    // pair order is by (key, id) rank, not id: "aeta" (8) ranks first
+    val wide = FuzzyJoin.sortedNeighborhood(
+      rows.toDF("id", "k"), "id", "k", window = 8, maxDist = 1,
+      bucketChars = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(wide.contains((8L, 7L)))
+  }
 }

@@ -113,6 +113,62 @@ class TextDedupSpec extends GraftSpec {
     assert(!exact.keySet.exists { case (a, b) => Set(a, b).contains(2L) })
   }
 
+  test("allPairsJaccard equals exactNgramJaccard at every threshold (prefix/size/positional filters lose nothing)") {
+    // richer corpus than the fixture: deterministic mutations of three
+    // base sentences (word swap, truncation, append, shuffle-free) so
+    // thresholds slice the pair space at many distinct jaccard values
+    val bases = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo violet cyan magenta black white gray")
+    val mutated = for {
+      (b, bi) <- bases.zipWithIndex
+      k <- 0 until 12
+    } yield {
+      val w = b.split(" ")
+      val t = k match {
+        case 0 => w
+        case 1 => w.updated(k % w.length, "swapped")
+        case 2 => w.take(w.length - 2)
+        case 3 => w ++ Array("extra", "tail")
+        case 4 => w.updated(0, "head").updated(w.length - 1, "tail")
+        case _ => w.take(4 + k % 8) ++ w.drop(k % 3)
+      }
+      (bi * 100L + k, t.mkString(" "))
+    }
+    val d = mutated.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val ref = Dedup.exactNgramJaccard(d, "doc_id", "text", n = 2,
+        threshold = t, maxDocsPerGram = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val ap = Dedup.allPairsJaccard(d, "doc_id", "text", n = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(ap == ref, s"threshold $t: allPairs ${ap.size} pairs vs posting ${ref.size}")
+      assert(t > 0.9 || ref.nonEmpty, s"vacuous fixture at threshold $t")
+    }
+  }
+
+  test("allPairsJaccard guard measures prefix postings; duplicates still pair under the guard") {
+    // 30 exact copies: identical gram sets share their whole prefix, so
+    // prefix df = 30 — the guard counts THAT, not raw gram df
+    val copies = (0L until 30L).map(i => (i, "same text everywhere again and again"))
+      .toDF("doc_id", "text")
+    val out = Dedup.allPairsJaccard(copies, "doc_id", "text", n = 2,
+      threshold = 0.9, maxDocsPerGram = 1000)
+    assert(out.count() == 30L * 29 / 2)
+    val e = intercept[Throwable] {
+      Dedup.allPairsJaccard(copies, "doc_id", "text", n = 2,
+        threshold = 0.9, maxDocsPerGram = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxDocsPerGram")),
+      s"diagnostic must name the guard, got: ${messages(e)}")
+    // dropHotGrams trims the gram space instead of failing
+    assert(Dedup.allPairsJaccard(copies, "doc_id", "text", n = 2,
+      threshold = 0.9, maxDocsPerGram = 10, dropHotGrams = true).count() == 0L)
+  }
+
   test("jaccardTopK: exact scores, rank ties to smaller doc_id, k cap, guard trips") {
     val corpus = Seq(
       (10L, "a b c d"),   // grams(2): {a b, b c, c d}
