@@ -350,6 +350,17 @@ object ScaleRehearsal {
             col("doc_id").as("dst")))
         force(Graph.pageRankFixedPoint(edges, "src", "dst", iters = 5))
       }
+      time(scale, "label_prop_4it") {
+        // same linear chain graph, stored once per undirected edge;
+        // per round: one N-row label join + one partial-agg vote
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val chain = docs.select(col("doc_id"), col("source"))
+          .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        force(Graph.labelPropagation(
+          chain.select(col("doc_id").as("src"), col("nxt").as("dst")),
+          "src", "dst", iters = 4))
+      }
       time(scale, "ks_drift") {
         force(Stats.ksDrift(
           docs.select(col("lang"), col("n_chars"), col("doc_id")),

@@ -5606,6 +5606,22 @@ object SparkEntry {
         .select(col("node").as("node_id"), col("rank_fp"))
     },
 
+    // deterministic synchronous label propagation on the same
+    // customer–part graph (stored once per undirected edge — the
+    // operator symmetrises internally): 4 rounds of the
+    // (count DESC, label ASC) vote, replayed exactly by the oracle's
+    // unrolled window-CTE chain. All-integer output.
+    "q_label_prop" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2L).as("src"),
+          (col("l_suppkey") * 2L + 1L).as("dst"))
+        .distinct()
+      graft.operators.Graph.labelPropagation(pairs, "src", "dst", iters = 4)
+        .select(col("node").as("node_id"), col("label"))
+    },
+
     // project → search composition (the purpose of the JL projection):
     // top-1 retrieval in the 16-dim PROJECTED space, planted TRUE
     // oracle — an exact copy projects to the identical vector, so its
@@ -5835,8 +5851,40 @@ object SparkEntry {
       |""".stripMargin + (1 to rounds).map(round).mkString(",\n")
   }
 
+  // q_label_prop oracle: the synchronous vote unrolled once per round
+  // (same reason as pagerankOracle — aggregation over a recursive
+  // relation is restricted, 4 chained CTE groups replay the exact
+  // (count DESC, label ASC) argmax and the keep-on-no-vote rule)
+  private val lpaOracle: String = {
+    val round = (k: Int) =>
+      s"""cnt_$k AS (
+         | SELECT e.dst AS node, q.lbl, count(*) AS c
+         | FROM e JOIN l${k - 1} q ON e.src = q.node GROUP BY 1, 2),
+         |win_$k AS (
+         | SELECT node, lbl AS newl FROM (
+         |   SELECT node, lbl,
+         |     row_number() OVER (PARTITION BY node
+         |                        ORDER BY c DESC, lbl ASC) AS rn
+         |   FROM cnt_$k) WHERE rn = 1),
+         |l$k AS (
+         | SELECT p.node, coalesce(w.newl, p.lbl) AS lbl
+         | FROM l${k - 1} p LEFT JOIN win_$k w USING (node))""".stripMargin
+    """WITH pairs AS (
+      | SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+      | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (
+      | SELECT c AS src, p AS dst FROM pairs
+      | UNION ALL SELECT p, c FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS node FROM e),
+      |l0 AS (SELECT node, node AS lbl FROM nodes),
+      |""".stripMargin +
+      (1 to 4).map(round).mkString(",\n") +
+      "\nSELECT node AS node_id, lbl AS label FROM l4"
+  }
+
   private val round9bOracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+    "q_label_prop" -> lpaOracle,
 
     "q_bpe_merges" ->
       (bpeOracleCtes(10) + "\nSELECT * FROM (" +

@@ -96,4 +96,73 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over an undirected graph, the structure-aware
+    * complement of [[graft.operators.Dedup.connectedComponents]]
+    * (which only answers reachability: one bridge edge merges two
+    * dense communities; LPA keeps them apart unless the vote crosses).
+    *
+    * Made DETERMINISTIC the same way PageRank was made fixed-point —
+    * the published algorithm breaks vote ties randomly and updates
+    * asynchronously, both of which are un-oracle-able; here every
+    * round is a simultaneous update and ties break (count DESC, label
+    * ASC), so the result is bit-identical on any engine and any
+    * partitioning:
+    * {{{
+    * l₀[v]     = v
+    * l_{t+1}[v] = the label most frequent among v's neighbours at
+    *              time t (each edge counted once per direction;
+    *              parallel edges = heavier votes), smallest label on
+    *              a tied count; isolated vertices keep l_t[v]
+    * }}}
+    * Fixed `iters` rounds, no convergence test: synchronous LPA can
+    * oscillate with period 2 (classically on bipartite graphs), so a
+    * fixed-round contract is both reproducible and honest. Labels are
+    * the node ids themselves — a community's label is one of its
+    * member ids, NOT necessarily the minimum.
+    *
+    * Scale shape: per round, one hash join of the N-row label table
+    * onto the symmetrised edge table plus ONE map-side-combined
+    * groupBy — the vote argmax is `min(struct(-count, label))`, an
+    * ordinary partial aggregate, never a per-node window sort.
+    * Labels are `localCheckpoint`ed on the PageRank cadence so the
+    * plan stays flat across rounds.
+    *
+    * @param edges undirected edges, each stored once in either
+    *              orientation; both directions are derived internally
+    * @return (node, label) — LongType node ids and labels
+    */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val half = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // symmetrise once; nodes derive from the same materialization
+    val e = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (k <- 1 to iters) {
+      val vote = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        // argmax by (count DESC, label ASC) as one partial-aggregable
+        // min over a sortable struct — no per-node window
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("negc"), col("lbl"))).as("win"))
+        .select(col("dst"), col("win.lbl").as("newLbl"))
+      labels = labels
+        .join(vote, labels("node") === vote("dst"), "left")
+        .select(col("node"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+      if (k % checkpointEvery == 0 && k < iters)
+        labels = labels.localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
 }

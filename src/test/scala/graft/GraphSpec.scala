@@ -76,4 +76,64 @@ class GraphSpec extends GraftSpec {
       Graph.pageRankFixedPoint(df, "src", "dst", iters = 1,
         scale = Long.MaxValue, dampNum = 85L))
   }
+
+  /** Plain-Scala replay of the deterministic LPA contract: symmetrise,
+    * vote by neighbour labels, tie → smallest label, simultaneous
+    * update, no-vote keeps the old label. */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges ++ edges.map(_.swap)
+    val nodes = sym.map(_._1).distinct
+    var l = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      val votes = sym.groupBy(_._1).view.mapValues { nbrs =>
+        nbrs.map { case (_, u) => l(u) }
+          .groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (lbl, c) => (-c, lbl) }._1
+      }.toMap
+      l = nodes.map(v => v -> votes.getOrElse(v, l(v))).toMap
+    }
+    l
+  }
+
+  test("labelPropagation == scala reference on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 80).map(_ => (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    for (k <- Seq(0, 1, 3, 5)) {
+      val got = Graph.labelPropagation(df, "src", "dst", iters = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refLpa(edges, k), s"iters=$k")
+    }
+    // bit-determinism across runs
+    val a = Graph.labelPropagation(df, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(df, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("labelPropagation separates two triangles that CC would merge across a bridge") {
+    // triangles {1,2,3} and {10,11,12} joined by one bridge 3–10
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = Set(1L, 2L, 3L).map(out)
+    val right = Set(10L, 11L, 12L).map(out)
+    assert(left.size == 1 && right.size == 1, s"each triangle one label: $out")
+    assert(left != right, "the bridge must not merge the communities")
+    // CC on the same graph yields ONE component — the contrast claim
+    val cc = graft.operators.Dedup.connectedComponents(
+      edges, "src", "dst").select("component").distinct().count()
+    assert(cc == 1L)
+  }
+
+  test("labelPropagation: synchronous K2 oscillates with period 2 (documented)") {
+    val df = Seq((1L, 2L)).toDF("src", "dst")
+    def run(k: Int) = Graph.labelPropagation(df, "src", "dst", iters = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L))
+    assert(run(2) == Map(1L -> 1L, 2L -> 2L))
+  }
 }
