@@ -6315,6 +6315,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("dist"))
     },
 
+    // the multi-pass form: forward + reversed blocking keys, pairs
+    // id-normalized and deduped across passes, one exact verify on the
+    // ORIGINAL key. The oracle unions two independent global
+    // rank-window relations — pass bookkeeping (per-pass ranks,
+    // cross-pass dedup, id orientation) must reproduce it exactly.
+    "q_sorted_neighborhood_mp" -> { (s, dir) =>
+      graft.operators.FuzzyJoin.sortedNeighborhoodMultiPass(
+        t(s, dir, "customer"), "c_custkey", "c_name",
+        passKeys = Seq(col("c_name"), reverse(col("c_name"))),
+        window = 5, maxDist = 1, bucketChars = 15)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    },
+
     // the STREAMING twin of q_fuzzy_join: the corrupted names are
     // staged to scratch parquet and streamed through the stateless
     // stream-static variant match (reference variants precomputed,
@@ -6463,6 +6476,23 @@ object SparkEntry {
         |FROM ranked a JOIN ranked b
         |  ON b.r > a.r AND b.r - a.r <= 4
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    "q_sorted_neighborhood_mp" ->
+      """WITH base AS (
+        | SELECT c_custkey AS id, c_name AS k FROM customer
+        | WHERE c_name IS NOT NULL AND length(c_name) > 0),
+        |r1 AS (SELECT id, row_number() OVER (ORDER BY k, id) AS r FROM base),
+        |r2 AS (SELECT id, row_number() OVER (ORDER BY reverse(k), id) AS r FROM base),
+        |cand AS (
+        | SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+        | FROM r1 a JOIN r1 b ON b.r > a.r AND b.r - a.r <= 4
+        | UNION
+        | SELECT least(a.id, b.id), greatest(a.id, b.id)
+        | FROM r2 a JOIN r2 b ON b.r > a.r AND b.r - a.r <= 4)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(ka.k, kb.k) AS INTEGER) AS dist
+        |FROM cand JOIN base ka ON ka.id = id_a JOIN base kb ON kb.id = id_b
+        |WHERE levenshtein(ka.k, kb.k) <= 1""".stripMargin,
 
     // stream ≡ batch: identical relation to q_fuzzy_join
     "q_fuzzy_join_stream" ->

@@ -195,14 +195,27 @@ object FuzzyJoin {
       df: DataFrame, idCol: String, keyCol: String,
       window: Int = 10, maxDist: Int = 2,
       bucketChars: Int = 2): DataFrame = {
-    require(window >= 2, "window must be >= 2 (a 1-window has no pairs)")
     require(maxDist >= 0, "maxDist must be >= 0")
+    rankWindowPairs(df, idCol, col(keyCol), window, bucketChars)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("dist"))
+  }
+
+  /** Rank-window candidate pairs over one blocking key: (id_a, id_b,
+    * key_a, key_b) with `a` the lower (key, id) rank. See
+    * [[sortedNeighborhood]] for the scale contract. */
+  private def rankWindowPairs(
+      df: DataFrame, idCol: String, blockKey: Column,
+      window: Int, bucketChars: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2 (a 1-window has no pairs)")
     require(bucketChars >= 1, "bucketChars must be >= 1")
     import org.apache.spark.sql.expressions.{Window => W}
     val rows = df
-      .filter(col(keyCol).isNotNull && length(col(keyCol)) > 0)
-      .select(col(idCol).as("id"), col(keyCol).as("key"),
-        substring(col(keyCol), 1, bucketChars).as("__bkt"))
+      .select(col(idCol).as("id"), blockKey.as("key"))
+      .filter(col("key").isNotNull && length(col("key")) > 0)
+      .withColumn("__bkt", substring(col("key"), 1, bucketChars))
     val counts = rows.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__c")).over(
@@ -231,6 +244,44 @@ object FuzzyJoin {
     left.join(rightBoth, "__blk")
       .filter(col("__rb") > col("__ra") &&
         col("__rb") - col("__ra") <= window - 1)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+  }
+
+  /** Multi-pass sorted-neighborhood — the standard mitigation for the
+    * single-pass recall gap (a typo in the sort prefix pushes a true
+    * match out of the window): run the rank-window candidate pass once
+    * per BLOCKING key (e.g. the key itself, its reverse, a phonetic
+    * code), union the candidates, and verify every distinct pair once
+    * with exact `levenshtein` on the ORIGINAL key. Each pass costs one
+    * sort + one block join (same no-hot-key contract as the single
+    * pass); the union dedups on the id pair, so a match found by three
+    * passes is verified and emitted once.
+    *
+    * Pair orientation is id-normalized (`id_a < id_b`) — rank order
+    * differs between passes, so rank orientation has no cross-pass
+    * meaning (the single-pass form keeps its lower-rank-first
+    * contract).
+    *
+    * @param passKeys blocking-key expressions over `df`'s columns, one
+    *                 per pass; rows whose pass key is NULL or empty
+    *                 sit out that pass only
+    */
+  def sortedNeighborhoodMultiPass(
+      df: DataFrame, idCol: String, keyCol: String,
+      passKeys: Seq[Column], window: Int = 10, maxDist: Int = 2,
+      bucketChars: Int = 2): DataFrame = {
+    require(passKeys.nonEmpty, "need at least one blocking pass")
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val base = df.filter(col(keyCol).isNotNull && length(col(keyCol)) > 0)
+    val keys = base.select(col(idCol).as("id"), col(keyCol).as("key"))
+    val cands = passKeys.map { pk =>
+      rankWindowPairs(base, idCol, pk, window, bucketChars)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    cands
+      .join(keys.select(col("id").as("id_a"), col("key").as("key_a")), "id_a")
+      .join(keys.select(col("id").as("id_b"), col("key").as("key_b")), "id_b")
       .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),

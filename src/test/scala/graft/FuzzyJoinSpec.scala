@@ -153,4 +153,29 @@ class FuzzyJoinSpec extends GraftSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(wide.contains((8L, 7L)))
   }
+
+  test("multi-pass: the reverse pass recovers the first-char typo; pairs dedupe across passes") {
+    // no key may sort between "aeta" and "zeta" in REVERSE ("atea" <
+    // "atez"), or the 2-window cannot pair them in the reverse pass
+    val rows = Seq((1L, "alpha"), (2L, "alphb"),
+      (7L, "zeta"), (8L, "aeta"))
+    val df = rows.toDF("id", "k")
+    val got = FuzzyJoin.sortedNeighborhoodMultiPass(
+      df, "id", "k", Seq(col("k"), reverse(col("k"))),
+      window = 2, maxDist = 1, bucketChars = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()
+    assert(got.length == got.toSet.size, "cross-pass duplicates leaked")
+    val pairs = got.map { case (a, b, _) => (a, b) }.toSet
+    // (1,2) found by both passes (once); (7,8) only by the reverse
+    // pass ("atez"/"atea" sort adjacent); orientation is id-normalized
+    assert(pairs.contains((1L, 2L)) && pairs.contains((7L, 8L)))
+    // reference: union of both passes' rank-window relations
+    val ref = (snReference(rows, 2, 1) ++
+      snReference(rows.map { case (i, k) => (i, k.reverse) }, 2, 1))
+      .map { case (a, b, _) => (math.min(a, b), math.max(a, b)) }
+    val refWithDist = ref.map { case (a, b) =>
+      (a, b, levDist(rows.toMap.apply(a), rows.toMap.apply(b))) }
+      .filter(_._3 <= 1)
+    assert(got.toSet == refWithDist)
+  }
 }
