@@ -361,6 +361,38 @@ object ScaleRehearsal {
           chain.select(col("doc_id").as("src"), col("nxt").as("dst")),
           "src", "dst", iters = 4))
       }
+      time(scale, "ppr_5it") {
+        // personalized variant on the same chain graph, mod-1000 seeds
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val chain = docs.select(col("doc_id"), col("source"))
+          .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        val edges = chain
+          .select(col("doc_id").as("src"), col("nxt").as("dst"))
+          .unionByName(chain.select(col("nxt").as("src"),
+            col("doc_id").as("dst")))
+        force(Graph.personalizedPageRank(edges, "src", "dst",
+          docs.filter(col("doc_id") % 1000 === 0).select(col("doc_id")),
+          iters = 5))
+      }
+      time(scale, "triangles") {
+        // LINEAR edge synthesizer (the gate's crossJoin form is fine
+        // over a small node set; here E must track corpus size): each
+        // doc offers 40 forward offsets, a PRF keeps ~25% → bounded
+        // degree, locally dense enough for rich triangle structure;
+        // overhangs past the id space drop via the node semi-join
+        val nodes = docs.select(col("doc_id").as("n"))
+        val edges = nodes
+          .select(col("n").as("u"),
+            explode(sequence(lit(1), lit(40))).as("d"))
+          // inner mod keeps the product under 2^63 at replica id
+          // magnitudes (u ≤ 10⁸ here, vs ≤ 1500 in the gate)
+          .filter(((col("u") * 100003L + col("d")) % 2147483647L) *
+            2654435761L % 2147483647L < lit(536870911L))
+          .select(col("u"), (col("u") + col("d")).as("v"))
+          .join(nodes.select(col("n").as("v")), Seq("v"), "left_semi")
+        force(Graph.triangleCounts(edges, "u", "v"))
+      }
       time(scale, "ks_drift") {
         force(Stats.ksDrift(
           docs.select(col("lang"), col("n_chars"), col("doc_id")),

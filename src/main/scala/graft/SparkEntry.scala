@@ -5622,6 +5622,48 @@ object SparkEntry {
         .select(col("node").as("node_id"), col("label"))
     },
 
+    // personalized PageRank on the same graph: teleport mass returns
+    // only to the mod-100 customer seeds — trust-from-a-curated-slice,
+    // same integer contract, unreachable nodes exactly 0. Seeds come
+    // from the CUSTOMER table (order-less customers are not graph
+    // nodes and are ignored, per the operator contract).
+    "q_pagerank_pers" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2L).as("c"),
+          (col("l_suppkey") * 2L + 1L).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2L).as("node"))
+      graft.operators.Graph.personalizedPageRank(
+        edges, "src", "dst", seeds, iters = 5)
+        .select(col("node").as("node_id"), col("rank_fp"))
+    },
+
+    // exact per-node triangle counts (degree-oriented wedge check) on
+    // a deterministic Erdős–Rényi-style graph over event users: edge
+    // (u<v) iff an arithmetic PRF of the pair clears a 5% threshold —
+    // cross-engine exact, sparse (max degree 12 at sf0.01, 89 at
+    // sf0.1), triangle-rich. The cross join is the GATE-INPUT
+    // synthesizer over the small distinct-user set, not the operator
+    // (which joins oriented postings only); the oracle counts the
+    // same triangles by plain id-ordered enumeration — a different
+    // algorithm vouching for the oriented one.
+    "q_triangles" -> { (s, dir) =>
+      val users = t(s, dir, "events").select(col("user_id")).distinct()
+      val edges = users.select(col("user_id").as("u"))
+        .crossJoin(users.select(col("user_id").as("v")))
+        .filter(col("u") < col("v"))
+        .filter((col("u") * 100003L + col("v")) * 2654435761L %
+          2147483647L < 107374182L)
+      graft.operators.Graph.triangleCounts(edges, "u", "v")
+        .select(col("node").as("user_id"), col("n_tri"))
+    },
+
     // project → search composition (the purpose of the JL projection):
     // top-1 retrieval in the 16-dim PROJECTED space, planted TRUE
     // oracle — an exact copy projects to the identical vector, so its
@@ -5851,6 +5893,47 @@ object SparkEntry {
       |""".stripMargin + (1 to rounds).map(round).mkString(",\n")
   }
 
+  // q_pagerank_pers oracle: the personalized round unrolled — teleport
+  // only at seed nodes (graph ∩ mod-100 customers), r0 concentrated
+  private val pprOracle: String = {
+    val round = (k: Int) =>
+      s"""r$k AS (
+         | SELECT n.node,
+         |   (CASE WHEN sd.node IS NOT NULL THEN tp ELSE 0 END)
+         |   + (85 * coalesce(cc.c, 0)) // 100 AS r
+         | FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node
+         | LEFT JOIN (
+         |   SELECT dst AS node, sum(rr // outdeg) AS c
+         |   FROM e JOIN (SELECT node AS sn, r AS rr FROM r${k - 1})
+         |          ON e.src = sn
+         |        JOIN deg ON e.src = deg.src
+         |   GROUP BY dst) cc ON cc.node = n.node, params)""".stripMargin
+    """WITH pairs AS (
+      | SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+      | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (
+      | SELECT c AS src, p AS dst FROM pairs
+      | UNION ALL SELECT p, c FROM pairs),
+      |nodes AS (
+      | SELECT DISTINCT src AS node FROM e
+      | UNION SELECT DISTINCT dst FROM e),
+      |seeds AS (
+      | SELECT node FROM nodes
+      | WHERE node % 2 = 0 AND (node // 2) % 100 = 0),
+      |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      |params AS (
+      | SELECT 1000000000000 // count(*) AS base,
+      |        ((1000000000000 // count(*)) * 15) // 100 AS tp
+      | FROM seeds),
+      |r0 AS (
+      | SELECT n.node,
+      |        CASE WHEN sd.node IS NOT NULL THEN base ELSE 0 END AS r
+      | FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node, params),
+      |""".stripMargin +
+      (1 to 5).map(round).mkString(",\n") +
+      "\nSELECT node AS node_id, CAST(r AS BIGINT) AS rank_fp FROM r5"
+  }
+
   // q_label_prop oracle: the synchronous vote unrolled once per round
   // (same reason as pagerankOracle — aggregation over a recursive
   // relation is restricted, 4 chained CTE groups replay the exact
@@ -5884,7 +5967,22 @@ object SparkEntry {
 
   private val round9bOracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+    "q_pagerank_pers" -> pprOracle,
     "q_label_prop" -> lpaOracle,
+
+    // triangles by id-ordered enumeration — algorithm-independent of
+    // the engine's degree-oriented wedge check
+    "q_triangles" ->
+      """WITH u AS (SELECT DISTINCT user_id AS n FROM events),
+        |e AS (
+        | SELECT a.n AS x, b.n AS y FROM u a JOIN u b ON a.n < b.n
+        | WHERE ((a.n * 100003 + b.n) * 2654435761) % 2147483647 < 107374182),
+        |tri AS (
+        | SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        | FROM e e1 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+        | JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y),
+        |pn AS (SELECT unnest([a, b, c]) AS user_id FROM tri)
+        |SELECT user_id, count(*) AS n_tri FROM pn GROUP BY user_id""".stripMargin,
 
     "q_bpe_merges" ->
       (bpeOracleCtes(10) + "\nSELECT * FROM (" +

@@ -49,7 +49,41 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long = 1000000000000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, None, iters, scale,
+      dampNum, dampDen, checkpointEvery)
+
+  /** PERSONALIZED fixed-point PageRank: all teleport mass returns to
+    * the `seeds` set instead of spreading uniformly — importance
+    * relative to a trusted slice (seed domains, curated documents),
+    * the standard curation/recommendation form. Same integer contract
+    * as [[pageRankFixedPoint]] with the teleport vector concentrated:
+    * {{{
+    * S           = seeds ∩ graph nodes (distinct), must be non-empty
+    * base        = scale div |S|
+    * tpSeed      = (base · (dampDen − dampNum)) div dampDen
+    * r₀[v]       = base if v ∈ S else 0
+    * r_{t+1}[v]  = (tpSeed if v ∈ S else 0) +
+    *               (dampNum · Σ_{u→v} (r_t[u] div outdeg[u])) div dampDen
+    * }}}
+    * Nodes unreachable from S settle at exactly 0 — the property that
+    * makes the personalized form a TRUST metric rather than a
+    * popularity one. Seeds not present in the graph are ignored.
+    *
+    * @param seeds one column of node ids (first column is used)
+    */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      checkpointEvery: Int = 4): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, Some(seeds), iters, scale,
+      dampNum, dampDen, checkpointEvery)
+
+  private def pageRankCore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seedsOpt: Option[DataFrame], iters: Int, scale: Long,
+      dampNum: Long, dampDen: Long, checkpointEvery: Int): DataFrame = {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(scale > 0 && dampNum > 0 && dampDen >= dampNum,
@@ -63,19 +97,31 @@ object Graph {
     // (often a join) would execute once per derivation
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    // seed membership rides the node table as a flag so the per-round
+    // teleport is a codegen'd CASE, not a per-round join
+    val nodesPlain = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    val n = nodes.count()
-    require(n > 0, "pageRank needs a non-empty graph")
-    val base = scale / n
+    val nodes = (seedsOpt match {
+      case None => nodesPlain.select(col("node"), lit(true).as("isSeed"))
+      case Some(seeds) =>
+        val sd = seeds.select(seeds.columns.head).toDF("node").distinct()
+        nodesPlain.join(sd.select(col("node"), lit(true).as("isSeed")),
+          Seq("node"), "left")
+          .select(col("node"), coalesce(col("isSeed"), lit(false)).as("isSeed"))
+    }).localCheckpoint(true)
+    val nMass = nodes.filter(col("isSeed")).count()
+    require(nMass > 0, seedsOpt.fold("pageRank needs a non-empty graph")(
+      _ => "personalizedPageRank needs at least one seed present in the graph"))
+    val base = scale / nMass
     val teleport = base * (dampDen - dampNum) / dampDen
     // out-degrees ride the edge table once — the per-round join then
     // only moves the N-row rank table, not a second E-row relation
     val eDeg = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint(true)
-    var ranks = nodes.select(col("node"), lit(base).as("r"))
+    val tpCol = when(col("isSeed"), lit(teleport)).otherwise(lit(0L))
+    var ranks = nodes.select(col("node"), col("isSeed"),
+      when(col("isSeed"), lit(base)).otherwise(lit(0L)).as("r"))
     for (k <- 1 to iters) {
       val contrib = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
@@ -83,8 +129,8 @@ object Graph {
         .groupBy(col("dst")).agg(sum(col("share")).as("c"))
       ranks = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) +
+        .select(col("node"), col("isSeed"),
+          (tpCol +
             expr(s"${dampNum}L * coalesce(c, 0L) div ${dampDen}L")).as("r"))
       // lineage truncation every few rounds, not every round: an eager
       // materialization per round is pure fixed cost at small N, and a
@@ -164,5 +210,78 @@ object Graph {
         labels = labels.localCheckpoint(true)
     }
     labels.select(col("node"), col("lbl").as("label"))
+  }
+
+  /** Exact per-node triangle counts over an undirected graph — the
+    * degree-ordered wedge-check algorithm (Cohen 2009 / the
+    * node-iterator++ family): orient every edge from its lower
+    * (degree, id) endpoint to the higher, enumerate wedges as a
+    * self-join of the oriented list on the source, and close each
+    * wedge against the oriented edge between its endpoints. Each
+    * triangle materializes exactly once (its vertices are totally
+    * ordered by (degree, id)), and the orientation bounds the wedge
+    * fan-out: an oriented out-neighbour has degree ≥ its source's, so
+    * out-degree ≤ O(√E) on any graph — THE property that makes the
+    * wedge join survive hub vertices (a raw neighbour self-join on a
+    * degree-d hub enumerates d², oriented it enumerates at most 2E).
+    *
+    * Input edges are normalized first (self-loops dropped, duplicate /
+    * reversed copies collapsed — a simple graph). Output: (node,
+    * n_tri) for nodes in ≥ 1 triangle, all-integer.
+    *
+    * `maxOutDeg` is the loud guard on residual skew (a clique of size
+    * k still has oriented out-degree k/2): the default fails the job
+    * with the offending count, same contract as the dedup family's
+    * `maxBucketSize`. */
+  def triangleCounts(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxOutDeg: Int = 10000): DataFrame = {
+    require(maxOutDeg > 0, s"maxOutDeg must be > 0, got $maxOutDeg")
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .dropDuplicates("a", "b")
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient toward the higher (degree, id) endpoint; carry the dst's
+    // key so wedge endpoints can be ordered without another join
+    val o = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            struct(col("db").as("d"), col("b").as("n")).as("dk")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            struct(col("da").as("d"), col("a").as("n")).as("dk"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dk").as("dk"))
+    val guarded = if (maxOutDeg == Int.MaxValue) o else {
+      val sized = o.withColumn("__od",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))))
+      sized.filter(assert_true(col("__od") <= maxOutDeg,
+        concat(lit("triangleCounts: a node has oriented out-degree "),
+          col("__od"),
+          lit(s" (> maxOutDeg = $maxOutDeg) — the wedge join would " +
+            "enumerate that count squared; raise maxOutDeg or thin " +
+            "the graph"))).isNull)
+        .drop("__od")
+    }
+    val wedges = guarded
+      .select(col("src"), col("dst").as("v"), col("dk").as("vk"))
+      .join(guarded.select(col("src"), col("dst").as("w"),
+        col("dk").as("wk")), "src")
+      .filter(col("vk") < col("wk"))
+    val closed = wedges.join(
+      guarded.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"))
+    closed
+      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 }

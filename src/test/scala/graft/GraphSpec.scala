@@ -136,4 +136,92 @@ class GraphSpec extends GraftSpec {
     assert(run(1) == Map(1L -> 2L, 2L -> 1L))
     assert(run(2) == Map(1L -> 1L, 2L -> 2L))
   }
+
+  /** Plain-Scala replay of the personalized fixed-point contract. */
+  private def refPpr(
+      edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val s = nodes.filter(seeds).toSet
+    val base = scale / s.size
+    val tp = base * 15L / 100L
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(v => v -> (if (s(v)) base else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2)
+        .view.mapValues(_.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
+      r = nodes.map(v => v ->
+        ((if (s(v)) tp else 0L) + 85L * contrib.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank == scala reference; unreachable nodes settle at 0") {
+    val rnd = new scala.util.Random(17)
+    val edges = (1 to 60).map(_ =>
+      (rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+      .filter { case (a, b) => a != b } ++
+      Seq((100L, 101L)) // a component no seed can reach
+    val seeds = Set(1L, 4L, 9L)
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+      "src", "dst", seeds.toSeq.toDF("node"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPpr(edges, seeds, 4))
+    assert(got(100L) == 0L && got(101L) == 0L)
+    // seeds absent from the graph are ignored; none present fails loudly
+    val withGhost = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+      "src", "dst", (seeds + 9999L).toSeq.toDF("node"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withGhost == got)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        Seq(9999L).toDF("node"), iters = 1)
+    }
+  }
+
+  /** Plain-Scala per-node triangle counts by brute enumeration. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val simple = edges.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct.toSet
+    val nodes = simple.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tri = for {
+      (u, i) <- nodes.zipWithIndex; v <- nodes.drop(i + 1)
+      if simple((u, v)); w <- nodes.dropWhile(_ <= v)
+      if simple((u, w)) && simple((v, w))
+    } yield (u, v, w)
+    tri.flatMap { case (u, v, w) => Seq(u, v, w) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("triangleCounts == brute-force enumeration on a seeded random graph") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+    // duplicates, reversed copies and self-loops included on purpose —
+    // the operator normalizes to a simple graph first
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refTriangles(edges)
+    assert(want.nonEmpty, "fixture must contain triangles")
+    assert(got == want)
+  }
+
+  test("triangleCounts: K4 gives 3 per node; guard trips on a wide clique") {
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+    val got = Graph.triangleCounts(k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val k12 = (for (a <- 1L to 12L; b <- (a + 1) to 12L) yield (a, b))
+    val e = intercept[Throwable] {
+      Graph.triangleCounts(k12.toDF("src", "dst"), "src", "dst",
+        maxOutDeg = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxOutDeg")))
+    // uncapped escape hatch
+    assert(Graph.triangleCounts(k12.toDF("src", "dst"), "src", "dst",
+      maxOutDeg = Int.MaxValue).agg(sum("n_tri")).head().getLong(0) ==
+      3L * 220) // C(12,3) triangles × 3 vertices
+  }
 }
