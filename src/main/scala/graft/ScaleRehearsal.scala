@@ -393,6 +393,18 @@ object ScaleRehearsal {
           .join(nodes.select(col("n").as("v")), Seq("v"), "left_semi")
         force(Graph.triangleCounts(edges, "u", "v"))
       }
+      time(scale, "kcore") {
+        // same linear PRF graph; peel to the 6-core fixed point
+        val nodes = docs.select(col("doc_id").as("n"))
+        val edges = nodes
+          .select(col("n").as("u"),
+            explode(sequence(lit(1), lit(40))).as("d"))
+          .filter(((col("u") * 100003L + col("d")) % 2147483647L) *
+            2654435761L % 2147483647L < lit(536870911L))
+          .select(col("u"), (col("u") + col("d")).as("v"))
+          .join(nodes.select(col("n").as("v")), Seq("v"), "left_semi")
+        force(Graph.kCore(edges, "u", "v", k = 6, maxRounds = 50))
+      }
       time(scale, "ks_drift") {
         force(Stats.ksDrift(
           docs.select(col("lang"), col("n_chars"), col("doc_id")),

@@ -5664,6 +5664,23 @@ object SparkEntry {
         .select(col("node").as("user_id"), col("n_tri"))
     },
 
+    // 5-core of the same PRF graph — iterative peel to the fixed
+    // point (4 rounds at sf0.01, 137/150 nodes survive with their
+    // in-core degrees; at sf0.1 the graph is dense enough that the
+    // peel is a no-op round). The oracle unrolls 12 peel rounds —
+    // past convergence each is the identity, and an SF that needed
+    // more would diverge LOUDLY (row mismatch), never silently.
+    "q_kcore" -> { (s, dir) =>
+      val users = t(s, dir, "events").select(col("user_id")).distinct()
+      val edges = users.select(col("user_id").as("u"))
+        .crossJoin(users.select(col("user_id").as("v")))
+        .filter(col("u") < col("v"))
+        .filter((col("u") * 100003L + col("v")) * 2654435761L %
+          2147483647L < 107374182L)
+      graft.operators.Graph.kCore(edges, "u", "v", k = 5)
+        .select(col("node").as("user_id"), col("degree"))
+    },
+
     // project → search composition (the purpose of the JL projection):
     // top-1 retrieval in the 16-dim PROJECTED space, planted TRUE
     // oracle — an exact copy projects to the identical vector, so its
@@ -5934,6 +5951,29 @@ object SparkEntry {
       "\nSELECT node AS node_id, CAST(r AS BIGINT) AS rank_fp FROM r5"
   }
 
+  // q_kcore oracle: 12 unrolled peel rounds (identity once stable)
+  private val kcoreOracle: String = {
+    val round = (i: Int) =>
+      s"""d$i AS MATERIALIZED (
+         | SELECT x AS n, count(*) AS d
+         | FROM (SELECT a AS x FROM e${i - 1}
+         |       UNION ALL SELECT b FROM e${i - 1}) t(x) GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= 5),
+         |e$i AS MATERIALIZED (
+         | SELECT a, b FROM e${i - 1}
+         | WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))""".stripMargin
+    """WITH u AS MATERIALIZED (SELECT DISTINCT user_id AS n FROM events),
+      |e0 AS MATERIALIZED (
+      | SELECT a.n AS a, b.n AS b FROM u a JOIN u b ON a.n < b.n
+      | WHERE ((a.n * 100003 + b.n) * 2654435761) % 2147483647 < 107374182),
+      |""".stripMargin +
+      (1 to 12).map(round).mkString(",\n") +
+      """
+        |SELECT x AS user_id, count(*) AS degree
+        |FROM (SELECT a AS x FROM e12 UNION ALL SELECT b FROM e12) t(x)
+        |GROUP BY 1 HAVING count(*) >= 5""".stripMargin
+  }
+
   // q_label_prop oracle: the synchronous vote unrolled once per round
   // (same reason as pagerankOracle — aggregation over a recursive
   // relation is restricted, 4 chained CTE groups replay the exact
@@ -5969,6 +6009,7 @@ object SparkEntry {
     "q_pagerank" -> pagerankOracle,
     "q_pagerank_pers" -> pprOracle,
     "q_label_prop" -> lpaOracle,
+    "q_kcore" -> kcoreOracle,
 
     // triangles by id-ordered enumeration — algorithm-independent of
     // the engine's degree-oriented wedge check

@@ -284,4 +284,72 @@ object Graph {
       .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** The k-core of an undirected graph: the maximal subgraph in which
+    * every vertex has degree ≥ k, computed by iterative peeling —
+    * delete all vertices of degree < k simultaneously, recompute
+    * degrees, repeat. Deterministic by construction (the simultaneous
+    * peel has no tie to break — unlike LPA no vote, unlike the
+    * published asynchronous variants no order dependence), so the
+    * result is engine-exact. The standard graph-cleaning primitive:
+    * peeling a near-dup or co-occurrence graph to its 3-core strips
+    * incidental pairings before community or centrality analysis.
+    *
+    * `maxRounds` bounds the peel (each round removes ≥ 1 vertex or
+    * stops, so N rounds always suffice; real graphs converge in a
+    * handful). A bound too small to reach the fixed point FAILS
+    * LOUDLY rather than returning a silently-unstable subgraph.
+    *
+    * Scale shape: each round is one degree groupBy over surviving
+    * edges plus two semi-joins to drop incident edges — linear in
+    * surviving E, shrinking monotonically; every round eagerly
+    * localCheckpoints (its count gates the loop AND its rows feed the
+    * next peel — the connectedComponents pattern).
+    *
+    * @return (node, degree) for the k-core's vertices with their
+    *         IN-CORE degrees; empty when no k-core exists
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .dropDuplicates("a", "b")
+    // every round is consumed twice (its count gates the loop, its
+    // rows feed the next peel), so each is eagerly materialized —
+    // the Dedup.connectedComponents pattern, not the flat-plan cadence
+    var cur = und.localCheckpoint(true)
+    var nCur = cur.count()
+    var done = nCur == 0L
+    var round = 0
+    while (!done && round < maxRounds) {
+      round += 1
+      val deg = cur.select(col("a").as("node"))
+        .unionByName(cur.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("node"))
+      val next = cur
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val nNext = next.count()
+      if (nNext == nCur || nNext == 0L) done = true
+      cur = next
+      nCur = nNext
+    }
+    require(done,
+      s"kCore did not converge within maxRounds = $maxRounds rounds — " +
+        "raise maxRounds (each round peels at least one vertex, so " +
+        "N rounds always suffice)")
+    cur.select(col("a").as("node"))
+      .unionByName(cur.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+  }
 }

@@ -206,6 +206,51 @@ class GraphSpec extends GraftSpec {
     assert(got == want)
   }
 
+  /** Plain-Scala iterative peel. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var simple = edges.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    var stable = false
+    while (!stable) {
+      val deg = (simple.map(_._1) ++ simple.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = simple.filter(e => keep(e._1) && keep(e._2))
+      stable = next.size == simple.size
+      simple = next
+    }
+    (simple.map(_._1) ++ simple.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= k)
+  }
+
+  test("kCore == scala peel reference; chain strips, clique survives, loud non-convergence") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 70).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)) ++
+      Seq((50L, 51L), (51L, 52L), (52L, 53L)) // a pendant chain
+    val df = edges.toDF("src", "dst")
+    for (k <- Seq(1, 2, 3, 4)) {
+      val got = Graph.kCore(df, "src", "dst", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refKCore(edges, k), s"k=$k")
+    }
+    // the 2-core of a pure chain is empty
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.kCore(chain, "src", "dst", 2).count() == 0L)
+    // K5 is its own 4-core: every node at degree 4
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b))
+    assert(Graph.kCore(k5.toDF("src", "dst"), "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      (1L to 5L).map(_ -> 4L).toMap)
+    // a maxRounds too small to converge fails loudly, never silently
+    val long = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val e = intercept[IllegalArgumentException] {
+      Graph.kCore(long.toDF("src", "dst"), "src", "dst", 2, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("maxRounds"))
+  }
+
   test("triangleCounts: K4 gives 3 per node; guard trips on a wide clique") {
     val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
     val got = Graph.triangleCounts(k4.toDF("src", "dst"), "src", "dst")
