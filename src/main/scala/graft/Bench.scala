@@ -190,6 +190,15 @@ object Bench {
       val p = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
+      // r9 verdict #8: the single-line full map still exceeds the
+      // harness's stdout tail, so cross-round per-query diffs lost most
+      // queries. One line PER QUERY in a dedicated file makes every
+      // query diffable without archaeology.
+      val pq = java.nio.file.Paths.get("target", "bench_queries.json")
+      val lines = results.map { case (n, v) =>
+        s"""{"query":"$n","sec":${f"$v%.3f"}}"""
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(pq, lines.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedCount,"queries":${jsonMap(headlineResults)},"entry_sec":$entry,"calib_sec":$calibJson,"sf":"$sfDir"}""")

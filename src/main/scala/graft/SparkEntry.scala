@@ -3102,11 +3102,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // q_corpus_stats_stream: the batch aggregate the stream must equal
+    // (sums cast to BIGINT: DuckDB sum(BIGINT) widens to HUGEINT and
+    // the driver's hash is dtype-sensitive — Spark emits long)
     "q_corpus_stats_stream" ->
       """SELECT source, count(*) AS n_docs,
-        | sum(len(list_filter(regexp_split_to_array(text, '\s+'),
-        |   x -> len(x) > 0))) AS n_tokens,
-        | sum(length(text)) AS n_chars
+        | CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |   x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY source""".stripMargin,
 
     // q_cluster_sizes: the same CC relation folded to its size
@@ -5667,9 +5669,10 @@ object SparkEntry {
     // 5-core of the same PRF graph — iterative peel to the fixed
     // point (4 rounds at sf0.01, 137/150 nodes survive with their
     // in-core degrees; at sf0.1 the graph is dense enough that the
-    // peel is a no-op round). The oracle unrolls 12 peel rounds —
-    // past convergence each is the identity, and an SF that needed
-    // more would diverge LOUDLY (row mismatch), never silently.
+    // peel is a no-op round). Engine bound and oracle unroll share
+    // kcoreRoundsN: the engine fails loudly past the bound, and the
+    // oracle unrolls exactly that many rounds (identity once stable),
+    // so the two sites can only diverge on semantics, never on depth.
     "q_kcore" -> { (s, dir) =>
       val users = t(s, dir, "events").select(col("user_id")).distinct()
       val edges = users.select(col("user_id").as("u"))
@@ -5677,7 +5680,8 @@ object SparkEntry {
         .filter(col("u") < col("v"))
         .filter((col("u") * 100003L + col("v")) * 2654435761L %
           2147483647L < 107374182L)
-      graft.operators.Graph.kCore(edges, "u", "v", k = 5)
+      graft.operators.Graph.kCore(edges, "u", "v", k = 5,
+        maxRounds = kcoreRoundsN)
         .select(col("node").as("user_id"), col("degree"))
     },
 
@@ -5951,7 +5955,13 @@ object SparkEntry {
       "\nSELECT node AS node_id, CAST(r AS BIGINT) AS rank_fp FROM r5"
   }
 
-  // q_kcore oracle: 12 unrolled peel rounds (identity once stable)
+  // Shared peel depth for the q_kcore gate: the engine's loud
+  // maxRounds bound AND the oracle's unroll count (see the gate
+  // comment — one constant, two sites, depth can never desync).
+  private val kcoreRoundsN = 20
+
+  // q_kcore oracle: kcoreRoundsN unrolled peel rounds (identity once
+  // stable — matches the engine's maxRounds exactly)
   private val kcoreOracle: String = {
     val round = (i: Int) =>
       s"""d$i AS MATERIALIZED (
@@ -5967,10 +5977,11 @@ object SparkEntry {
       | SELECT a.n AS a, b.n AS b FROM u a JOIN u b ON a.n < b.n
       | WHERE ((a.n * 100003 + b.n) * 2654435761) % 2147483647 < 107374182),
       |""".stripMargin +
-      (1 to 12).map(round).mkString(",\n") +
-      """
+      (1 to kcoreRoundsN).map(round).mkString(",\n") +
+      s"""
         |SELECT x AS user_id, count(*) AS degree
-        |FROM (SELECT a AS x FROM e12 UNION ALL SELECT b FROM e12) t(x)
+        |FROM (SELECT a AS x FROM e$kcoreRoundsN
+        |      UNION ALL SELECT b FROM e$kcoreRoundsN) t(x)
         |GROUP BY 1 HAVING count(*) >= 5""".stripMargin
   }
 
@@ -6034,7 +6045,7 @@ object SparkEntry {
     "q_bpe_tokens" ->
       (bpeOracleCtes(10) +
         """
-          |SELECT token, sum(nw) AS n
+          |SELECT token, CAST(sum(nw) AS BIGINT) AS n
           |FROM (SELECT unnest(string_split(s, chr(1))) AS token, nw
           |      FROM ws_10)
           |GROUP BY token""".stripMargin),
@@ -6060,7 +6071,7 @@ object SparkEntry {
         (1 to 10).map(k => bpeFoldCte(s"app_$k", s"app_${k - 1}", k))
           .mkString(",\n") +
         """
-          |SELECT token, sum(nw) AS n
+          |SELECT token, CAST(sum(nw) AS BIGINT) AS n
           |FROM (SELECT unnest(string_split(s, chr(1))) AS token, nw
           |      FROM app_10)
           |GROUP BY token""".stripMargin),
@@ -6178,7 +6189,7 @@ object SparkEntry {
         |                 (a, b) -> CASE WHEN len(b) > len(a) THEN b ELSE a END)
         |     END AS t
         |   FROM st, vl WHERE pos <= len(w)))
-        |SELECT st.tok AS token, sum(wc.nw) AS n
+        |SELECT st.tok AS token, CAST(sum(wc.nw) AS BIGINT) AS n
         |FROM st JOIN wc USING (w) WHERE st.tok IS NOT NULL
         |GROUP BY 1""".stripMargin,
 
@@ -6206,7 +6217,8 @@ object SparkEntry {
 
     "q_dsir" ->
       (dsirOracleCtes +
-        "SELECT doc_id, n_feats, tgt_aff, raw_aff, score FROM alldocs"),
+        "SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, " +
+        "tgt_aff, raw_aff, score FROM alldocs"),
 
     "q_dsir_select" ->
       (dsirOracleCtes +
@@ -6571,19 +6583,25 @@ object SparkEntry {
           |FROM sel
           |WHERE len(list_distinct([fp % 2147483648 for fp in fps])) >= 3""".stripMargin),
 
+    // casts: the per-round `w + sum(...)` widens to HUGEINT in DuckDB;
+    // Spark's weights/margin are exact Long — same values, hash needs
+    // the dtype to agree
     "q_perceptron" ->
       (perceptronOracleCtes(perceptronRoundsN) + "\nSELECT * FROM (" +
         (1 to perceptronRoundsN).map(k =>
-          s"SELECT CAST($k AS INTEGER) AS round, errs AS n_errors, " +
-            s"w0 AS w_bias, w1 AS w_tokens, w2 AS w_stopwords, " +
-            s"w3 AS w_digits FROM w_$k")
+          s"SELECT CAST($k AS INTEGER) AS round, " +
+            s"CAST(errs AS BIGINT) AS n_errors, " +
+            s"CAST(w0 AS BIGINT) AS w_bias, CAST(w1 AS BIGINT) AS w_tokens, " +
+            s"CAST(w2 AS BIGINT) AS w_stopwords, " +
+            s"CAST(w3 AS BIGINT) AS w_digits FROM w_$k")
           .mkString(" UNION ALL ") + ")"),
 
     "q_perceptron_apply" ->
       (perceptronOracleCtes(perceptronRoundsN) +
         s"""
            |SELECT f.doc_id,
-           |  p.w0*f.x0 + p.w1*f.x1 + p.w2*f.x2 + p.w3*f.x3 AS margin,
+           |  CAST(p.w0*f.x0 + p.w1*f.x1 + p.w2*f.x2 + p.w3*f.x3
+           |       AS BIGINT) AS margin,
            |  CASE WHEN p.w0*f.x0 + p.w1*f.x1 + p.w2*f.x2 + p.w3*f.x3 > 0
            |       THEN 1 ELSE -1 END AS pred
            |FROM pfeats f CROSS JOIN w_$perceptronRoundsN p""".stripMargin),

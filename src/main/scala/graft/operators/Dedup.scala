@@ -341,7 +341,22 @@ object Dedup {
   def allPairsJaccard(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxDocsPerGram: Int = 10000, dropHotGrams: Boolean = false): DataFrame = {
+      maxDocsPerGram: Int = 10000, dropHotGrams: Boolean = false): DataFrame =
+    allPairsJaccardWithGrams(df, idCol, textCol, n, threshold,
+      maxDocsPerGram, dropHotGrams)._1
+
+  /** [[allPairsJaccard]] + the persisted per-doc sorted-gram
+    * intermediate `(id, tk, sz)`, so a COMPOSING pipeline can
+    * `unpersist` it once the pair relation has materialized — the same
+    * caller-owned-lifecycle contract as minHashNearDups' signature
+    * cache (without this handle only `spark.catalog.clearCache` could
+    * free it). The plain form keeps the intermediate alive for the
+    * session, which is right for the single-operator call. */
+  def allPairsJaccardWithGrams(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocsPerGram: Int = 10000,
+      dropHotGrams: Boolean = false): (DataFrame, DataFrame) = {
     require(n > 0, "n must be > 0")
     require(threshold > 0 && threshold <= 1,
       "threshold must be in (0, 1]: zero-overlap pairs never collide " +
@@ -402,7 +417,7 @@ object Dedup {
         minOverlap)
       .select(col("id_a"), col("id_b"))
 
-    candidates
+    val pairs = candidates
       .join(sorted.select(col("id").as("id_a"), col("tk").as("tk_a")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("tk").as("tk_b")), "id_b")
       .withColumn("shared", size(array_intersect(col("tk_a"), col("tk_b"))))
@@ -410,6 +425,7 @@ object Dedup {
         (size(col("tk_a")) + size(col("tk_b")) - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (pairs, sorted)
   }
 
   /** Document pairs sharing ≥ `minShared` winnowing fingerprint hashes

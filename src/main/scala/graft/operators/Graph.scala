@@ -160,8 +160,12 @@ object Graph {
     * l_{t+1}[v] = the label most frequent among v's neighbours at
     *              time t (each edge counted once per direction;
     *              parallel edges = heavier votes), smallest label on
-    *              a tied count; isolated vertices keep l_t[v]
+    *              a tied count
     * }}}
+    * The node set is derived from the edge list, so ONLY edge-incident
+    * nodes appear in the output — an isolated vertex (no edges) is
+    * never returned at all. (The no-vote coalesce below is defensive;
+    * on symmetrised input every derived node receives ≥ 1 vote.)
     * Fixed `iters` rounds, no convergence test: synchronous LPA can
     * oscillate with period 2 (classically on bipartite graphs), so a
     * fixed-round contract is both reproducible and honest. Labels are
@@ -260,7 +264,10 @@ object Graph {
             struct(col("da").as("d"), col("a").as("n")).as("dk"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.dk").as("dk"))
-    val guarded = if (maxOutDeg == Int.MaxValue) o else {
+    // the oriented list feeds THREE consumers (both wedge sides and the
+    // closing join) — truncate its lineage once so the deg joins (and
+    // the guard's window+assert, when active) run once, not three times
+    val guarded = (if (maxOutDeg == Int.MaxValue) o else {
       val sized = o.withColumn("__od",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("src"))))
@@ -271,7 +278,7 @@ object Graph {
             "enumerate that count squared; raise maxOutDeg or thin " +
             "the graph"))).isNull)
         .drop("__od")
-    }
+    }).localCheckpoint(true)
     val wedges = guarded
       .select(col("src"), col("dst").as("v"), col("dk").as("vk"))
       .join(guarded.select(col("src"), col("dst").as("w"),

@@ -22,6 +22,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def dclass(dt) -> str:
+    """Value-format class for the driver's type-sensitive hash: int64 33
+    and int32 33 both hash as '33', but float64 33.0 ('33.0') and DuckDB
+    HUGEINT (object/float) do not. Flagging class mismatches makes this
+    mirror predict driver hash failures the float-coerced value compare
+    below would miss (the r9 blind spot: 7 value-identical gates failed
+    the driver hash on HUGEINT-vs-BIGINT alone)."""
+    k = dt.kind
+    if k in "iu": return "int"
+    if k == "f": return "float"
+    if k == "b": return "bool"
+    if k in "mM": return "datetime"
+    return "object"
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -44,6 +58,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        tbad = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+                if dclass(got[c].dtype) != dclass(want[c].dtype)]
+        if tbad:
+            print(f"TYPE {name}: dtype mismatch {tbad[:4]} — driver hash WILL FAIL")
+            n_fail += 1; continue
         exact = True; close = True; bad = None
         for c in got.columns:
             a, b = got[c], want[c]
