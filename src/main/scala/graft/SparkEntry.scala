@@ -2016,12 +2016,11 @@ object SparkEntry {
         | least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
         | (CASE WHEN (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality
         |FROM feats""".stripMargin,
-    // q_near_dedup: Spark-specific float math (MinHash estimates) — no
-    // SQL-expressible oracle → driver rows-only check, audited by
-    // q_near_dedup_inv over the SAME materialized relations. It is the
-    // last rows-only gate: r9 folded q_media_features (integer-count
-    // recovery), q_ann_ivf (recall audit inside), and q_dedup_embedding
-    // (planted copies) into true-oracle form.
+    // q_near_dedup: oracled since r10 via clusterResolveOracle (the
+    // exact-algorithm cross-vouch — see the gate comment); the former
+    // rows-only posture ended when the ledger's last no_oracle row
+    // closed. q_near_dedup_inv still audits the pipeline contract
+    // against the same materialized relations.
 
     // planted-copy true oracles (see the query comments): every mod-5
     // token-ful doc's exact copy must pair with its original at the
@@ -2977,12 +2976,41 @@ object SparkEntry {
     },
 
     // end-to-end near-dedup: MinHash pairs → components → canonical
-    // survivors (MinHash estimates aren't SQL-expressible → rows-only
-    // check; the pipeline's CONTRACT is audited by q_near_dedup_inv
-    // against the SAME materialized components/survivors this query
-    // returns — see sharedNearDedup)
+    // survivors. TRUE oracle since r10: the survivors are vouched by
+    // the exact 8-gram recursive-CTE closure (clusterResolveOracle —
+    // a DIFFERENT algorithm reaching the same duplicate clusters on
+    // this corpus); the pipeline CONTRACT is additionally audited by
+    // q_near_dedup_inv against the SAME materialized components/
+    // survivors this query returns — see sharedNearDedup
     "q_near_dedup" -> { (s, dir) => sharedNearDedup(s, dir)._2 }
   )
+
+  /** Exact-duplicate survivor resolution in SQL: 8-gram shared-gram
+    * edges → recursive-CTE transitive closure → canonical pick
+    * (n_chars DESC, doc_id ASC). Shared by q_cluster_resolve (which
+    * runs the same algorithm in the engine) and q_near_dedup (whose
+    * MinHash pipeline this independently vouches — see that gate's
+    * comment). One definition, so the two oracled queries can never
+    * desync. */
+  private val clusterResolveOracle: String =
+    """WITH RECURSIVE toks AS (
+      | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
+      |grams AS (
+      | SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 8 + 1, 1) + 1), i -> array_to_string(tk[i:i+7], ' '))) AS gram
+      | FROM toks),
+      |edges AS (
+      | SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      | FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id),
+      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |reach(id, lab) AS (
+      | SELECT doc_id, doc_id FROM documents
+      | UNION
+      | SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+      |comp AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+      |SELECT d.doc_id, d.source FROM documents d JOIN comp c USING (doc_id)
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY c.cluster_id
+      |  ORDER BY d.n_chars DESC NULLS LAST, d.doc_id ASC) = 1""".stripMargin
 
   private val round3Oracles: Map[String, String] = Map(
     // integer luma-histogram counts recovered from the normalized
@@ -3170,25 +3198,20 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |  cast(concat('0x', substr(md5(cast(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
         | FROM clusters)""".stripMargin,
-    "q_cluster_resolve" ->
-      """WITH RECURSIVE toks AS (
-        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
-        |grams AS (
-        | SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 8 + 1, 1) + 1), i -> array_to_string(tk[i:i+7], ' '))) AS gram
-        | FROM toks),
-        |edges AS (
-        | SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-        | FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id),
-        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-        |reach(id, lab) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id),
-        |comp AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
-        |SELECT d.doc_id, d.source FROM documents d JOIN comp c USING (doc_id)
-        |QUALIFY row_number() OVER (
-        |  PARTITION BY c.cluster_id
-        |  ORDER BY d.n_chars DESC NULLS LAST, d.doc_id ASC) = 1""".stripMargin,
+    "q_cluster_resolve" -> clusterResolveOracle,
+    // q_near_dedup's survivors, vouched by a DIFFERENT algorithm in
+    // SQL (the q_triangles stance): the MinHash→LSH→CC pipeline's
+    // estimates aren't SQL-expressible (xxhash64 signatures), but on
+    // this corpus its duplicate clusters are the exact-copy groups,
+    // which the exact 8-gram recursive-CTE closure recovers
+    // independently — same canonical pick (n_chars DESC, doc_id ASC),
+    // so the two survivor relations must coincide row-for-row. A
+    // MinHash false positive/negative vs the exact relation now fails
+    // the gate LOUDLY instead of riding as the last rows-only check;
+    // q_near_dedup_inv keeps auditing the one-survivor-per-cluster /
+    // singleton-passthrough contract against the same materialized
+    // relations.
+    "q_near_dedup" -> clusterResolveOracle,
     "q_inverted_index" ->
       """WITH toks AS (
         | SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS tk
