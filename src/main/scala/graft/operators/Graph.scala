@@ -176,8 +176,15 @@ object Graph {
     * onto the symmetrised edge table plus ONE map-side-combined
     * groupBy — the vote argmax is `min(struct(-count, label))`, an
     * ordinary partial aggregate, never a per-node window sort.
-    * Labels are `localCheckpoint`ed on the PageRank cadence so the
-    * plan stays flat across rounds.
+    * Labels are `localCheckpoint`ed EVERY round (checkpointEvery = 1,
+    * the Pregel posture): the label table is O(N) rows — tiny next to
+    * the O(E) vote shuffle — while an un-truncated round tree grows
+    * superlinearly (measured on the q_label_prop gate graph at sf0.1,
+    * fresh JVMs: marginal round cost 3.0/0.5/2.5/3.8 s for rounds
+    * 1-4 un-checkpointed; 4 rounds take 17.7 s at the old cadence-4
+    * default — which never fired for iters ≤ 4 — vs 12.0 s at
+    * cadence 1. PageRank keeps cadence 4: its 5-round tree already
+    * truncates once and measured 12.5 vs 12.2 s — noise).
     *
     * @param edges undirected edges, each stored once in either
     *              orientation; both directions are derived internally
@@ -185,7 +192,7 @@ object Graph {
     */
   def labelPropagation(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, checkpointEvery: Int = 4): DataFrame = {
+      iters: Int, checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
