@@ -477,6 +477,18 @@ object ScaleRehearsal {
           names, "doc_id", "nm", window = 10, maxDist = 2,
           bucketChars = 4))
       }
+      time(scale, "sorted_neighborhood_mp") {
+        // the multi-pass form (forward + reversed sort keys): cost
+        // should be ≈ #passes × the single-pass curve — each pass is
+        // its own bucketed rank + window join, deduped by pair
+        val names = docs.select(col("doc_id"),
+          concat(col("source"), lit("_"),
+            col("doc_id").cast("string")).as("nm"))
+        force(graft.operators.FuzzyJoin.sortedNeighborhoodMultiPass(
+          names, "doc_id", "nm",
+          passKeys = Seq(col("nm"), reverse(col("nm"))),
+          window = 10, maxDist = 2, bucketChars = 4))
+      }
       time(scale, "winnow_pairs") {
         // local-fingerprint overlap pairs: kernel scan + posting join
         // on selected hashes (~2/(w+1) of the gram space). The

@@ -697,6 +697,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("est_jaccard"))
     },
 
+    // the MULTI-PROBE posture of the same pipeline (leave-one-out
+    // sub-buckets — recall bought with probes, the signature table
+    // unchanged): candidates are a superset of the plain form's, the
+    // est_jaccard verify is identical, so the planted slice passes the
+    // SAME oracle — exact copies collide in every sub-bucket and
+    // estimate exactly 1.0
+    "q_dedup_minhash_mp" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      assertPlantedBucketsFit(plantCopies(docs), 3, 64, 16, 1000)
+      Dedup.minHashNearDups(plantCopies(docs), "doc_id", "text",
+        shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5,
+        multiProbe = true)
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    },
+
     // LSH-candidates → exact-verify pipeline, same planted-copy true
     // oracle: identical shingle ARRAYS make the verify stage's
     // intersect/union ratio exactly n/n = 1.0 in IEEE, so the planted
@@ -2027,6 +2044,13 @@ object SparkEntry {
     // value identical texts force — est/true Jaccard exactly 1.0,
     // Hamming exactly 0
     "q_dedup_minhash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        |  AND regexp_matches(text, '[^\s\x0B]')""".stripMargin,
+    // identical planted contract for the multi-probe posture (see the
+    // gate comment: candidates are a superset, verify unchanged)
+    "q_dedup_minhash_mp" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
         |  CAST(1.0 AS DOUBLE) AS est_jaccard
         |FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL

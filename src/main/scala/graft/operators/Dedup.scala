@@ -69,6 +69,31 @@ object Dedup {
       b => struct(b.as("band"),
         xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
 
+  /** Multi-probe band buckets: for each band, `rowsPerBand`
+    * LEAVE-ONE-OUT sub-buckets — sub-bucket j hashes the band's rows
+    * with row j omitted, tagged by (band, j) so only same-omission
+    * keys meet. Two signatures agreeing on ≥ rowsPerBand−1 rows of a
+    * band collide on at least one sub-key, lifting per-band recall
+    * from p^r to p^r + r·p^(r−1)(1−p) — the MinHash analogue of the
+    * cosine family's one-bit-flip probes (Lv et al. 2007), except the
+    * omission tag must ride the key because minhash values (unlike
+    * sign bits) have no enumerable neighbours. The band key is
+    * composite (band · rowsPerBand + j), so the downstream
+    * (band, bucket) join machinery is unchanged. */
+  def bandBucketsMultiProbe(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    flatten(transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => transform(
+        sequence(lit(0), lit(rowsPerBand - 1)),
+        j => {
+          val bandArr = slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))
+          val loo = concat(
+            slice(bandArr, lit(1), j),
+            slice(bandArr, j + 2, lit(rowsPerBand - 1) - j))
+          struct((b * rowsPerBand + j).as("band"),
+            xxhash64(loo).as("bucket"))
+        })))
+
   /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
     *
     * @param threshold     keep pairs with estimated Jaccard ≥ threshold
@@ -76,14 +101,25 @@ object Dedup {
     *                      dropped (degenerate shingle sets — e.g. empty
     *                      or boilerplate docs — would otherwise blow up
     *                      the candidate join quadratically)
+    * @param multiProbe    probe leave-one-out sub-buckets
+    *                      ([[bandBucketsMultiProbe]]): recall bought
+    *                      with probes instead of permutations — the
+    *                      signature table (the persisted 100 TB asset)
+    *                      keeps its numPerm width, while matching the
+    *                      recall lift with plain banding would need
+    *                      ~r·(1−p)/p more bands AND the permutations
+    *                      to fill them. Candidates only GROW (the
+    *                      est_jaccard verify is unchanged), so results
+    *                      are a superset at equal threshold.
     * @return (id_a, id_b, est_jaccard) with id_a < id_b
     */
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame =
+      threshold: Double = 0.5, maxBucketSize: Int = 1000,
+      multiProbe: Boolean = false): DataFrame =
     minHashNearDupsCached(df, idCol, textCol, shingleLen, numPerm, bands,
-      threshold, maxBucketSize)._1
+      threshold, maxBucketSize, multiProbe = multiProbe)._1
 
   /** [[minHashNearDups]] on WEIGHTED (multiset) Jaccard: identical
     * LSH pipeline over [[shingleHashesWeighted]]'s occurrence-expanded
@@ -106,9 +142,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, numPerm: Int, bands: Int,
       threshold: Double, maxBucketSize: Int,
-      weighted: Boolean = false): (DataFrame, DataFrame) = {
+      weighted: Boolean = false,
+      multiProbe: Boolean = false): (DataFrame, DataFrame) = {
     val rowsPerBand = numPerm / bands
     require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    require(!multiProbe || rowsPerBand >= 2,
+      "multiProbe needs rowsPerBand >= 2: omitting the only row of a " +
+        "1-row band would bucket every document together")
     def shingleCol(t: Column): Column =
       if (weighted) shingleHashesWeighted(t, shingleLen)
       else shingleHashes(t, shingleLen)
@@ -129,8 +169,11 @@ object Dedup {
     // signature stays out of the band explode and bucket self-join
     // (shuffling it per-band would multiply the shuffle volume by
     // `bands`); it is fetched back once per surviving candidate.
+    val bucketFn =
+      if (multiProbe) bandBucketsMultiProbe(col("sig"), bands, rowsPerBand)
+      else bandBuckets(col("sig"), bands, rowsPerBand)
     val buckets = docs
-      .select(col("id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), explode(bucketFn).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     // skew guard: drop degenerate buckets before the self-join

@@ -85,6 +85,32 @@ class TextDedupSpec extends GraftSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(2L) })
   }
 
+  test("minhash multiProbe: superset of the plain candidates, identical estimates, gated recall lift") {
+    def run(mp: Boolean) = Dedup.minHashNearDups(docs, "doc_id", "text",
+      shingleLen = 2, numPerm = 64, bands = 16, threshold = 0.5,
+      multiProbe = mp)
+      .collect().map(r =>
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          r.getAs[Double]("est_jaccard")).toMap
+    val plain = run(false)
+    val probed = run(true)
+    // multi-probe only ADDS candidates; the est_jaccard verify is the
+    // same expression over the same signatures, so shared pairs carry
+    // bit-identical estimates
+    plain.foreach { case (pair, est) =>
+      assert(probed.get(pair).contains(est), pair)
+    }
+    // the planted relations still hold (no spurious unrelated pairs:
+    // a leave-one-out collision still needs 3 of 4 band rows to agree)
+    assert(probed.contains((0L, 3L)))
+    assert(!probed.exists { case ((a, b), _) => Set(a, b).contains(2L) })
+    // rowsPerBand = 1 would wildcard every document into one bucket
+    assertThrows[IllegalArgumentException] {
+      Dedup.minHashNearDups(docs, "doc_id", "text",
+        shingleLen = 2, numPerm = 64, bands = 64, multiProbe = true)
+    }
+  }
+
   test("exact n-gram Jaccard confirms candidates with true similarity") {
     val pairs = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
       shingleLen = 2, threshold = 0.8)
