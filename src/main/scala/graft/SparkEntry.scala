@@ -2794,6 +2794,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("mean_prob"))
     },
 
+    // the LOG-domain half of the same contract, hash-oracled at last
+    // (r9 "what's missing" #3): sum_lp2_fp is Σ log2Fix(c2+1, c1+V) —
+    // exact fixed-point integer log2 (no libm, no transcendental), a
+    // plain order-independent Long sum, replayed bit-for-bit by the
+    // oracle's packed-scalar list_reduce folds. Ranking-equivalent to
+    // log_prob up to the shared 2⁻³⁰ quantization.
+    "q_lm_score_log" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.lmScore(docs, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("sum_lp2_fp"))
+    },
+
     // the STREAMING twin — online quality filtering at ingest: docs
     // stream from a landing zone (one part file per micro-batch) and
     // score per batch against the ONCE-trained static LM; stream ≡
@@ -3274,6 +3286,7 @@ object SparkEntry {
     // batch operator per micro-batch), so it shares this oracle.
     "q_lm_score" -> lmScoreOracle,
     "q_lm_score_stream" -> lmScoreOracle,
+    "q_lm_score_log" -> lmScoreLogOracle,
 
     "q_bloom_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
@@ -5497,6 +5510,19 @@ object SparkEntry {
           col("score").cast("double").as("score"))
     },
 
+    // the PRODUCTION log-likelihood-ratio weight, hash-oracled at
+    // last (r9 "what's missing" #3): log_w2_fp replaces the two ln's
+    // with exact fixed-point log2Fix values (no libm), so the
+    // published DSIR selection signal itself — not just the integer
+    // affinity surrogate — is driver-checked bit-for-bit.
+    "q_dsir_log" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.dsirWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        buckets = 512)
+        .select(col("doc_id"), col("n_feats"), col("log_w2_fp"))
+    },
+
     // the selection half: top-50 docs by the exact DSIR score
     // (score desc, doc_id asc) — the cut is TakeOrderedAndProject
     // (PlanSpec-pinned), and the ordering is bit-reproducible because
@@ -5888,6 +5914,128 @@ object SparkEntry {
       |  coalesce(a.sum_p / a.n_bigrams, 0.0) AS mean_prob
       |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // q_lm_score_log: the same bigram LM, log domain — per bigram the
+  // exact fixed-point log2 of (c2+1)/(c1+V) replayed with two PACKED-
+  // SCALAR list_reduce folds (normalize: acc = n·64 + shiftCount;
+  // square: acc = m·2³⁰ + fracBits, m fixed-point with 2³¹ = 1.0,
+  // each step ⌊m²/2³¹⌋ via HUGEINT then halve if ≥ 2 — branch-encoded
+  // arithmetically). Scalar packing is REQUIRED: DuckDB 1.0.0
+  // mis-evaluates struct accumulators in list_reduce batch execution
+  // (verified: the same subexpression yields different values in the
+  // two struct fields on ~9% of rows) — every green oracle fold in
+  // this file is scalar for that reason. The engine's
+  // VectorKernels.log2Fix runs the identical integer algorithm, so
+  // the 30-step truncation drift cancels exactly.
+  // (lazy: referenced from an oracle map declared above this point)
+  private lazy val lmScoreLogOracle: String =
+    """WITH toks AS MATERIALIZED (
+      | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk
+      | FROM documents WHERE text IS NOT NULL),
+      |bt AS MATERIALIZED (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+      |grams AS MATERIALIZED (
+      | SELECT doc_id,
+      |   unnest(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS gram
+      | FROM bt),
+      |c2 AS MATERIALIZED (SELECT gram, count(*) AS c2 FROM grams GROUP BY 1),
+      |c1 AS MATERIALIZED (SELECT split_part(gram, ' ', 1) AS x, count(*) AS c1 FROM grams GROUP BY 1),
+      |v AS MATERIALIZED (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)),
+      |nd AS MATERIALIZED (
+      | SELECT g.doc_id, CAST(c2.c2 + 1 AS BIGINT) AS num,
+      |        CAST(c1.c1 + v.v AS BIGINT) AS den
+      | FROM grams g JOIN c2 USING (gram)
+      |   JOIN c1 ON split_part(g.gram, ' ', 1) = c1.x
+      |   CROSS JOIN v),
+      |norm AS MATERIALIZED (
+      | SELECT doc_id, den, list_reduce(
+      |     list_prepend(num * 64, list_transform(range(0, 64), x -> CAST(0 AS BIGINT))),
+      |     (acc, s) -> CASE WHEN acc // 64 < den
+      |                      THEN (acc // 64) * 128 + acc % 64 + 1
+      |                      ELSE acc END) AS ns
+      | FROM nd),
+      |lf AS MATERIALIZED (
+      | SELECT doc_id,
+      |   -(ns % 64) * 1073741824 + list_reduce(
+      |     list_prepend(
+      |       CAST((CAST(ns // 64 AS HUGEINT) * 2147483648) // den AS BIGINT) * 1073741824,
+      |       list_transform(range(0, 30), x -> CAST(0 AS BIGINT))),
+      |     (acc, s) ->
+      |       CAST(((CAST(acc // 1073741824 AS HUGEINT) * (acc // 1073741824)) // 2147483648
+      |             // (1 + (CAST(acc // 1073741824 AS HUGEINT) * (acc // 1073741824)) // 2147483648 // 4294967296)) AS BIGINT)
+      |         * 1073741824
+      |       + (acc % 1073741824) * 2
+      |       + CAST((CAST(acc // 1073741824 AS HUGEINT) * (acc // 1073741824)) // 2147483648 // 4294967296 AS BIGINT)
+      |     ) % 1073741824 AS lp2
+      | FROM norm),
+      |agg AS (
+      | SELECT doc_id, count(*) AS n_bigrams,
+      |        CAST(sum(lp2) AS BIGINT) AS sum_lp2_fp
+      | FROM lf GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(a.sum_lp2_fp, 0) AS sum_lp2_fp
+      |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** The packed-scalar log2Fix replay as reusable SQL fragments (same
+    * algorithm and packing as lmScoreLogOracle's inline folds — see
+    * that comment for why the accumulator must be a packed scalar in
+    * DuckDB 1.0.0): [[log2FixNormSql]] emits the normalization fold
+    * (result: n·64 + shiftCount), [[log2FixFracSql]] the 30-step
+    * squaring fold combined into the final e·2³⁰ + f value. */
+  private def log2FixNormSql(num: String, den: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST($num AS BIGINT) * 64,
+       |    list_transform(range(0, 64), x -> CAST(0 AS BIGINT))),
+       |  (acc, s) -> CASE WHEN acc // 64 < $den
+       |                   THEN (acc // 64) * 128 + acc % 64 + 1
+       |                   ELSE acc END)""".stripMargin
+
+  private def log2FixFracSql(ns: String, den: String): String =
+    s"""(-($ns % 64) * 1073741824 + list_reduce(
+       |  list_prepend(
+       |    CAST((CAST($ns // 64 AS HUGEINT) * 2147483648) // $den AS BIGINT) * 1073741824,
+       |    list_transform(range(0, 30), x -> CAST(0 AS BIGINT))),
+       |  (acc, s) ->
+       |    CAST(((CAST(acc // 1073741824 AS HUGEINT) * (acc // 1073741824)) // 2147483648
+       |          // (1 + (CAST(acc // 1073741824 AS HUGEINT) * (acc // 1073741824)) // 2147483648 // 4294967296)) AS BIGINT)
+       |      * 1073741824
+       |    + (acc % 1073741824) * 2
+       |    + CAST((CAST(acc // 1073741824 AS HUGEINT) * (acc // 1073741824)) // 2147483648 // 4294967296 AS BIGINT)
+       |  ) % 1073741824)""".stripMargin
+
+  // q_dsir_log: the production log-likelihood-ratio weight in exact
+  // fixed-point — per BUCKET the two log2Fix values are computed once
+  // (≤ buckets rows, not per doc×bucket), then the per-doc sum is
+  // plain integer arithmetic over fcnt. Mirrors dsirWeights'
+  // log_w2_fp column exactly.
+  private lazy val dsirLogOracle: String =
+    dsirOracleCtes +
+      s""",
+         |bnorm AS MATERIALIZED (
+         | SELECT bucket,
+         |   CAST(coalesce(ct, 0) + 1 AS BIGINT) AS tn,
+         |   CAST(t + 512 AS BIGINT) AS td,
+         |   CAST(coalesce(cr, 0) + 1 AS BIGINT) AS rn,
+         |   CAST(r + 512 AS BIGINT) AS rd
+         | FROM (SELECT DISTINCT bucket FROM fcnt)
+         |   LEFT JOIN ctab USING (bucket)
+         |   LEFT JOIN rtab USING (bucket), tot),
+         |bns AS MATERIALIZED (
+         | SELECT bucket, td, rd,
+         |   ${log2FixNormSql("tn", "td")} AS tns,
+         |   ${log2FixNormSql("rn", "rd")} AS rns
+         | FROM bnorm),
+         |blf AS MATERIALIZED (
+         | SELECT bucket,
+         |   ${log2FixFracSql("tns", "td")} AS lt,
+         |   ${log2FixFracSql("rns", "rd")} AS lr
+         | FROM bns),
+         |dlw AS (
+         | SELECT doc_id, sum(n) AS n_feats, sum(n * (lt - lr)) AS lw
+         | FROM fcnt JOIN blf USING (bucket) GROUP BY doc_id)
+         |SELECT a.doc_id,
+         |  CAST(coalesce(d.n_feats, 0) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(d.lw, 0) AS BIGINT) AS log_w2_fp
+         |FROM alldocs a LEFT JOIN dlw d USING (doc_id)""".stripMargin
+
   // shared by q_drift_hist and its streaming twin (stream ≡ batch)
   private val histDriftOracle: String =
     """WITH b AS (
@@ -6266,6 +6414,8 @@ object SparkEntry {
       (dsirOracleCtes +
         "SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, " +
         "tgt_aff, raw_aff, score FROM alldocs"),
+
+    "q_dsir_log" -> dsirLogOracle,
 
     "q_dsir_select" ->
       (dsirOracleCtes +

@@ -145,7 +145,14 @@ object Corpus {
     *  - `log_prob` = Σ ln p / n — the published (log-perplexity) form;
     *    like [[dsirWeights]]' log_w it cannot be hash-oracled (ln
     *    differs in the last ulp between libms), so it rides along
-    *    unoracled for production ranking.
+    *    unoracled for production ranking;
+    *  - `sum_lp2_fp` = Σ log2Fix(c2+1, c1+V) — the SAME log-domain
+    *    signal in exact fixed-point integer arithmetic
+    *    ([[graft.plans.VectorKernels.log2Fix]]; units of 2⁻³⁰), a
+    *    plain order-independent Long sum and therefore fully
+    *    hash-oracled (q_lm_score_log). Monotone-equivalent to
+    *    log_prob for ranking up to the shared quantization:
+    *    log_prob ≈ sum_lp2_fp · ln2 / (n · 2³⁰).
     *
     * Scale shape: the LM is two map-side-combined groupBys over the
     * reference bigram explode; scoring LEFT-joins the documents'
@@ -155,7 +162,7 @@ object Corpus {
     * document length. Documents with < 2 tokens score (0, 0.0, 0.0)
     * by convention, mirroring DSIR's featureless-doc rule.
     *
-    * @return (doc_id, n_bigrams, mean_prob, log_prob)
+    * @return (doc_id, n_bigrams, mean_prob, log_prob, sum_lp2_fp)
     */
   def lmScore(
       reference: DataFrame, docs: DataFrame,
@@ -216,22 +223,33 @@ object Corpus {
       .withColumn("p",
         (coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
           (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+      // hash-oracle-able log domain: fixed-point log2 of the SAME
+      // rational (num = c2+1, den = c1+V) in exact integer arithmetic
+      // (VectorKernels.log2Fix) — plain Long sum, order-independent,
+      // so no token-ordered fold is needed for this column
+      .withColumn("lp2",
+        graft.plans.native.log2Fix(
+          coalesce(col("c2"), lit(0L)) + 1L,
+          coalesce(col("c1"), lit(0L)) + col("v")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
           lit(0d), (acc, s) => acc + s.getField("p")).as("sum_p"),
         aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
-          lit(0d), (acc, s) => acc + log(s.getField("p"))).as("sum_lp"))
+          lit(0d), (acc, s) => acc + log(s.getField("p"))).as("sum_lp"),
+        sum(col("lp2")).as("sum_lp2_fp"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("sum_p") / col("n_bigrams").cast("double")).as("mean_prob"),
-        (col("sum_lp") / col("n_bigrams").cast("double")).as("log_prob"))
+        (col("sum_lp") / col("n_bigrams").cast("double")).as("log_prob"),
+        col("sum_lp2_fp"))
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("mean_prob"), lit(0d)).as("mean_prob"),
-        coalesce(col("log_prob"), lit(0d)).as("log_prob"))
+        coalesce(col("log_prob"), lit(0d)).as("log_prob"),
+        coalesce(col("sum_lp2_fp"), lit(0L)).as("sum_lp2_fp"))
   }
 
   /** [[lmScore]] at ingest: documents stream from a parquet landing
@@ -579,7 +597,14 @@ object Corpus {
     * this weight is the published selection rule; use [[dsirAffinity]]
     * when a bit-reproducible (engine-independent) ordering is required.
     *
-    * @return (doc_id, n_feats, log_w)
+    * `log_w2_fp` is the same ratio in EXACT fixed-point integer
+    * arithmetic — Σ_b n[b]·(log2Fix(ct+1, T+B) − log2Fix(cr+1, R+B)),
+    * units of 2⁻³⁰ ([[graft.plans.VectorKernels.log2Fix]]) — an
+    * order-independent Long sum, hash-oracled (q_dsir_log) where the
+    * libm form cannot be; monotone-equivalent to log_w for selection
+    * up to the shared quantization.
+    *
+    * @return (doc_id, n_feats, log_w, log_w2_fp)
     */
   def dsirWeights(
       raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
@@ -603,13 +628,20 @@ object Corpus {
           (log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
             (col("t") + buckets.toLong).cast("double")) -
             log((coalesce(col("cr"), lit(0L)) + 1L).cast("double") /
-              (col("r") + buckets.toLong).cast("double")))).as("log_w"))
+              (col("r") + buckets.toLong).cast("double")))).as("log_w"),
+        sum(col("n") *
+          (graft.plans.native.log2Fix(
+            coalesce(col("ct"), lit(0L)) + 1L, col("t") + buckets.toLong) -
+            graft.plans.native.log2Fix(
+              coalesce(col("cr"), lit(0L)) + 1L,
+              col("r") + buckets.toLong))).as("log_w2_fp"))
     raw.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("log_w"), lit(0d)).as("log_w"))
+        coalesce(col("log_w"), lit(0d)).as("log_w"),
+        coalesce(col("log_w2_fp"), lit(0L)).as("log_w2_fp"))
   }
 
   // ---------------------------------------------------------------------

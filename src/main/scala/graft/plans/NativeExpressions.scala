@@ -120,6 +120,21 @@ case class SigEqCount(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** (long num, long den) → long fixed-point log2(num/den) in units of
+  * 2⁻³⁰ — the exact-integer squaring algorithm (VectorKernels.log2Fix),
+  * bit-reproducible on any engine, which is what lets log-domain
+  * scores into the hash-compared oracle gates. */
+case class Log2Fix(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.log2Fix(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernels.log2Fix($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Log2Fix =
+    copy(left = newLeft, right = newRight)
+}
+
 /** (array<float|double>, array<float|double>) → double cosine. Each
   * side's element accessor is dispatched on ITS OWN static type (mixed
   * float/double pairs are valid); dimension mismatch throws. */
@@ -614,6 +629,8 @@ object native {
     c(WordNgramsExpr(e(text), n))
   def sigEqCount(a: Column, b: Column): Column =
     c(SigEqCount(e(a), e(b)))
+  def log2Fix(num: Column, den: Column): Column =
+    c(Log2Fix(e(num), e(den)))
   def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def hyperplaneSig(v: Column, bits: Int, seed: Long = 0L): Column =
     c(HyperplaneSig(e(v), bits, seed))

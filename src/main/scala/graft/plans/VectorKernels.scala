@@ -1228,6 +1228,46 @@ object VectorKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Fixed-point log2 of the rational num/den (0 < num ≤ den), in
+    * units of 2⁻³⁰: returns e·2³⁰ + f where e = ⌊log2(num/den)⌋ and f
+    * holds 30 binary fraction digits extracted by the classic
+    * squaring algorithm — ALL in exact integer arithmetic (normalize
+    * num by doubling, fixed-point mantissa m with 2³¹ = 1.0, each
+    * step m ← ⌊m²/2³¹⌋ then halve if ≥ 2), so the value is
+    * bit-reproducible on ANY engine: no libm, no transcendental —
+    * the mechanism that lets log-domain scores (LM fluency, DSIR
+    * weights) be hash-oracled where `ln` cannot (it differs in the
+    * last ulp between libms; see the q_lm_score contract). The
+    * truncation drift of the 30-step fixed-point loop is part of the
+    * CONTRACT — an oracle replays the identical loop and lands on the
+    * identical integer. Monotone in num/den (up to the shared 2⁻³⁰
+    * quantization), which is all ranking needs. */
+  def log2Fix(num: Long, den: Long): Long = {
+    require(num > 0 && den > 0 && num <= den,
+      s"log2Fix needs 0 < num <= den, got $num/$den")
+    var e = 0L
+    var n = num
+    while (n < den) { n <<= 1; e -= 1 }
+    // m0 = floor(n * 2^31 / den) in [2^31, 2^32); the shifted product
+    // overflows Long once n reaches 2^32 — counts that large take the
+    // exact wide division (same integer either way)
+    var m: Long =
+      if (n <= 0xFFFFFFFFL) (n << 31) / den
+      else ((BigInt(n) << 31) / BigInt(den)).toLong
+    var f = 0L
+    var i = 0
+    while (i < 30) {
+      // m < 2^32 so the unsigned 64-bit product is exact in the
+      // wrapped Long; >>> keeps the unsigned semantics
+      val m2 = (m * m) >>> 31            // in [2^31, 2^33)
+      val b = m2 >>> 32                  // 0 or 1
+      m = m2 >> b
+      f = (f << 1) | b
+      i += 1
+    }
+    e * (1L << 30) + f
+  }
+
   /** Probe-side bloom membership: false = definitely absent (safe to
     * prune), true = possibly present (exact join decides). Same probe
     * sequence as [[bloomSet]]; runs inside whole-stage codegen. */

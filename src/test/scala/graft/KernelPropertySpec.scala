@@ -429,4 +429,46 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(gotSeq == ref(s, d), s"s=$s d=$d")
     }
   }
+
+  test("log2Fix: within 31 ulps-of-2^-30 of true log2, exact on powers of two, monotone (2000 cases)") {
+    val rnd = new scala.util.Random(97)
+    // each of the 30 squaring steps truncates < 2^-30 of the remaining
+    // fraction, so |fix/2^30 − log2(num/den)| < 31·2^-30
+    val tol = 31.0 / (1L << 30).toDouble
+    var i = 0
+    while (i < 2000) {
+      val den = 1L + rnd.nextInt(1 << 30)
+      val num = 1L + (rnd.nextLong() % den + den) % den
+      val got = VectorKernels.log2Fix(num, den).toDouble / (1L << 30).toDouble
+      val want = math.log(num.toDouble / den.toDouble) / math.log(2.0)
+      assert(math.abs(got - want) < tol, s"$num/$den got $got want $want")
+      i += 1
+    }
+    // exactly representable points carry no truncation at all
+    assert(VectorKernels.log2Fix(1, 1) == 0L)
+    assert(VectorKernels.log2Fix(1, 2) == -(1L << 30))
+    assert(VectorKernels.log2Fix(1, 1024) == -10L * (1L << 30))
+    assert(VectorKernels.log2Fix(3, 4) ==
+      VectorKernels.log2Fix(6, 8)) // same rational, same bits
+    // monotone in the ratio across a shared denominator
+    val ds = (1L to 999L).map(n => VectorKernels.log2Fix(n, 1000L))
+    assert(ds == ds.sorted)
+    // wide-count path (den beyond the Long shift fast path) agrees
+    // with the BigInt reference
+    val bigDen = (1L << 40) + 12345L
+    val bigNum = (1L << 39) + 999L
+    var e = 0L
+    var n = BigInt(bigNum)
+    while (n < bigDen) { n <<= 1; e -= 1 }
+    var m = ((n << 31) / BigInt(bigDen)).toLong
+    var f = 0L
+    var k = 0
+    while (k < 30) {
+      val m2 = (m * m) >>> 31; val b = m2 >>> 32; m = m2 >> b
+      f = (f << 1) | b; k += 1
+    }
+    assert(VectorKernels.log2Fix(bigNum, bigDen) == e * (1L << 30) + f)
+    assertThrows[IllegalArgumentException](VectorKernels.log2Fix(0, 5))
+    assertThrows[IllegalArgumentException](VectorKernels.log2Fix(6, 5))
+  }
 }
