@@ -524,6 +524,27 @@ object ScaleRehearsal {
           queryDocs, "doc_id", "text", n = 3, k = 10,
           dropHotGrams = true))
       }
+      time(scale, "blocklist_match") {
+        // constant pattern table (broadcast automaton), growing corpus:
+        // the scan is O(len + matches) per doc independent of pattern
+        // count — cost must track corpus size, never corpus × patterns.
+        // Patterns are drawn from the BASE vocabulary, so replica docs
+        // (disjoint `_rk` token universes) still scan but rarely match
+        // — the realistic blocklist hit-rate regime.
+        import spark.implicits._
+        val pats = (Seq("table table", "scan", "scan scan", "value table",
+          "fast key", "agg join", "a a") ++
+          (1 to 200).map(i => s"blocked$i phrase")).toDF("pattern")
+        force(graft.operators.Blocklist.matchCounts(
+          docs, "doc_id", "text", pats))
+      }
+      time(scale, "blocklist_mask") {
+        import spark.implicits._
+        val pats = Seq("table table", "scan", "value table", "fast key",
+          "agg join", "a a").toDF("pattern")
+        force(graft.operators.Blocklist.maskCovered(
+          docs, "doc_id", "text", pats))
+      }
     }
 
     // warmup pass on the tiny SF so JIT/codegen don't land in the base

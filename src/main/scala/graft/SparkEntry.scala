@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Preds, RowFunctions, TextFunctions}
-import graft.operators.{Dedup, Index, Multimodal, Pipe, Similarity}
+import graft.operators.{Blocklist, Dedup, Index, Multimodal, Pipe, Similarity}
 import graft.sources.CsvSource
 import graft.streaming.EventStreams
 
@@ -17,6 +17,15 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Shared blocklist for the q_blocklist_* gates (and their oracles'
+    * VALUES lists — keep in sync). Deliberately adversarial: "scan" ⊂
+    * "scan scan" (nested patterns report independently), "a a"
+    * self-overlaps ("a a a" has TWO occurrences), and the last entry
+    * never occurs in the corpus. */
+  private val blocklistPatterns = Seq(
+    "table table", "scan", "scan scan", "value table", "fast key",
+    "agg join", "a a", "zz never present")
 
   /** Planted-copy offset guard (r7 ADVICE): the planted-copy gates
     * assume every organic doc_id sits below the 100000 plant offset —
@@ -5199,6 +5208,74 @@ object SparkEntry {
       Dedup.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
     },
 
+    // C4-style blocklist matching: a broadcast Aho–Corasick automaton
+    // scans every document ONCE for ALL patterns — O(len + matches)
+    // per doc independent of pattern count (vs O(P·len) per-pattern
+    // contains scans), shuffle-free mapPartitions. Semantics under
+    // oracle: EVERY start position counts, overlaps included, nested
+    // patterns report independently.
+    "q_blocklist_match" -> { (s, dir) =>
+      import s.implicits._
+      Blocklist.matchCounts(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", blocklistPatterns.toDF("pattern"))
+    },
+
+    // mask-cover redaction: every character covered by any occurrence
+    // of any blocked pattern becomes '*' (length-preserving union of
+    // match intervals — the PII-masking form of the same single pass)
+    "q_blocklist_mask" -> { (s, dir) =>
+      import s.implicits._
+      Blocklist.maskCovered(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", blocklistPatterns.toDF("pattern"))
+    },
+
+    // clean-corpus filter: the early-exit containsAny scan (a hit
+    // abandons the doc at the first match — clean docs pay the full
+    // scan, dirty docs only the prefix)
+    "q_blocklist_filter" -> { (s, dir) =>
+      import s.implicits._
+      Blocklist.filterClean(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "text", blocklistPatterns.toDF("pattern"))
+        .select(col("doc_id"), col("n_chars"))
+    },
+
+    // annotate form: per-doc total occurrences + distinct patterns
+    // hit, appended to the row for downstream quality scoring
+    "q_blocklist_annotate" -> { (s, dir) =>
+      import s.implicits._
+      Blocklist.annotate(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "text", blocklistPatterns.toDF("pattern"))
+        .select(col("doc_id"), col("n_blocked"), col("n_blocked_patterns"))
+    },
+
+    // HTML → text extraction: markup synthesized around each document
+    // (script/style/comment blocks, block tags from the text's own
+    // "batch" tokens, entity escapes incl. the &amp;amp; double-escape
+    // trap), then the RE2-safe regex-chain extractor — a shuffle-free
+    // codegen'd projection. The oracle replays BOTH the construction
+    // and every extraction step in DuckDB, so one mis-ordered entity
+    // decode or greedy quantifier diverges hundreds of rows.
+    "q_html_extract" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "</head><body>"),
+        lit("<!-- id "), col("doc_id").cast("string"), lit(" -->"),
+        lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+        lit("<p>"), replace(col("text"), lit("batch"), lit("</p><p>")),
+        lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<div>footer &amp;amp; x &lt;tag&gt;&nbsp;&#39;q&#39;</div>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFunctions.htmlToText(html).as("text"))
+    },
+
     // Gopher-style vocabulary coverage: per-doc out-of-vocabulary rate
     // against the corpus top-500 terms (ties broken by term asc —
     // deterministic cut). Integer counts + one IEEE division:
@@ -5378,6 +5455,115 @@ object SparkEntry {
         |        FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(reb.t2, '') AS text
         |FROM d LEFT JOIN reb USING (doc_id)""".stripMargin,
+
+    // every start position counts (overlaps included): the naive
+    // all-positions scan the automaton must reproduce exactly
+    "q_blocklist_match" ->
+      """WITH pats(pattern) AS (VALUES ('table table'), ('scan'),
+        |  ('scan scan'), ('value table'), ('fast key'), ('agg join'),
+        |  ('a a'), ('zz never present')),
+        |d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |occ AS (
+        | SELECT d.doc_id, p.pattern,
+        |   len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+        |     i -> d.text[i : i + len(p.pattern) - 1] = p.pattern)) AS n
+        | FROM d CROSS JOIN pats p)
+        |SELECT doc_id, pattern, CAST(n AS BIGINT) AS n_matches
+        |FROM occ WHERE n > 0""".stripMargin,
+
+    // union of covered intervals, char by char
+    "q_blocklist_mask" ->
+      """WITH pats(pattern) AS (VALUES ('table table'), ('scan'),
+        |  ('scan scan'), ('value table'), ('fast key'), ('agg join'),
+        |  ('a a'), ('zz never present')),
+        |d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |occ AS (
+        | SELECT d.doc_id, u.s AS s, len(p.pattern) AS pl
+        | FROM d CROSS JOIN pats p,
+        | LATERAL unnest(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+        |   s -> d.text[s : s + len(p.pattern) - 1] = p.pattern)) AS u(s)),
+        |cov AS (SELECT doc_id, s + g.i AS pos
+        |        FROM occ, LATERAL unnest(range(0, pl)) AS g(i)),
+        |cl AS (SELECT doc_id, list(DISTINCT pos) AS poss
+        |       FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(list_aggregate(list_transform(range(1, len(d.text) + 1),
+        |    i -> CASE WHEN cl.poss IS NOT NULL AND list_contains(cl.poss, i)
+        |              THEN '*' ELSE d.text[i : i] END),
+        |    'string_agg', ''), '') AS masked,
+        |  CAST(coalesce(len(cl.poss), 0) AS BIGINT) AS n_masked
+        |FROM d LEFT JOIN cl USING (doc_id)""".stripMargin,
+
+    "q_blocklist_filter" ->
+      """WITH pats(pattern) AS (VALUES ('table table'), ('scan'),
+        |  ('scan scan'), ('value table'), ('fast key'), ('agg join'),
+        |  ('a a'), ('zz never present')),
+        |d AS (SELECT doc_id, text, n_chars FROM documents
+        |      WHERE text IS NOT NULL),
+        |hit AS (
+        | SELECT DISTINCT d.doc_id
+        | FROM d CROSS JOIN pats p
+        | WHERE len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+        |   i -> d.text[i : i + len(p.pattern) - 1] = p.pattern)) > 0)
+        |SELECT doc_id, n_chars FROM d
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+
+    "q_blocklist_annotate" ->
+      """WITH pats(pattern) AS (VALUES ('table table'), ('scan'),
+        |  ('scan scan'), ('value table'), ('fast key'), ('agg join'),
+        |  ('a a'), ('zz never present')),
+        |d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |occ AS (
+        | SELECT d.doc_id,
+        |   len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+        |     i -> d.text[i : i + len(p.pattern) - 1] = p.pattern)) AS n
+        | FROM d CROSS JOIN pats p)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_blocked,
+        |  CAST(count(CASE WHEN n > 0 THEN 1 END) AS INTEGER)
+        |    AS n_blocked_patterns
+        |FROM occ GROUP BY doc_id""".stripMargin,
+
+    // replays the gate's HTML construction AND the documented
+    // extraction chain step for step (same RE2 patterns, same entity
+    // decode order — &amp; LAST)
+    "q_html_extract" ->
+      ("""WITH h AS (
+        | SELECT doc_id,
+        |  '<html><head><style>p{color:red}</style>'
+        |  || '<script type="text/javascript">var x = 1 < 2;</script>'
+        |  || '</head><body>'
+        |  || '<!-- id ' || CAST(doc_id AS VARCHAR) || ' -->'
+        |  || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        |  || '<p>' || replace(text, 'batch', '</p><p>') || '</p>'
+        |  || (CASE WHEN doc_id % 3 = 0
+        |      THEN '<div>footer &amp;amp; x &lt;tag&gt;&nbsp;&#39;q&#39;</div>'
+        |      ELSE '' END)
+        |  || '</body></html>' AS html
+        | FROM documents WHERE text IS NOT NULL),
+        |x AS (
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |    '(?s)<!--.*?-->', '', 'g'),
+        |    '(?i)<(br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', chr(10), 'g'),
+        |    '(?s)<[^>]*>', '', 'g') AS t1
+        | FROM h),
+        |e AS (
+        | SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(t1,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+        |    '&amp;', '&') AS t2
+        | FROM x)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '[ \t\r]+', ' ', 'g'),
+        |    ' ?\n ?', chr(10), 'g'),
+        |    '\n{3,}', chr(10) || chr(10), 'g'),
+        |    '^\s+|\s+$', '', 'g') AS text
+        |FROM e""").stripMargin,
 
     // top-500 vocabulary by (count desc, term asc) — the same
     // deterministic cut the operator takes

@@ -250,4 +250,49 @@ object TextFunctions {
     struct(element_at(parts, 1).as("corrupted"),
       element_at(parts, 2).as("target"))
   }
+
+  /** HTML → text extraction (the CommonCrawl-style curation step that
+    * precedes every text-quality operator), as a PURE chain of
+    * regexp/replace builtins — no UDF, whole-stage codegen, and every
+    * pattern is RE2-safe with inline flags so any engine replays the
+    * contract byte-for-byte (the q_html_extract oracle does, in
+    * DuckDB). Deliberately a specified-subset extractor, not a
+    * browser: documented steps over well-formed-ish markup, because a
+    * reproducible approximation beats an unreproducible "smart" one
+    * for corpus curation.
+    *
+    * Steps, in order:
+    *  1. drop `<script…>…</script>` / `<style…>…</style>` blocks
+    *     (case-insensitive, dot-matches-newline, non-greedy) and
+    *     `<!-- … -->` comments;
+    *  2. block-level closers/breaks (`<br>`, `</p>`, `</div>`,
+    *     `</li>`, `</h1-6>`, `</tr>`) become newlines; every other
+    *     tag is stripped;
+    *  3. decode the five core entities (`&lt; &gt; &quot; &#39;/
+    *     &apos; &nbsp;`) then `&amp;` LAST, so `&amp;lt;` correctly
+    *     yields the literal `&lt;`;
+    *  4. whitespace: horizontal runs collapse to one space, spaces
+    *     around newlines drop, ≥3 newlines collapse to a blank line,
+    *     ends trim.
+    */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", ""),
+      "(?is)<style[^>]*>.*?</style>", ""),
+      "(?s)<!--.*?-->", "")
+    val noTags = regexp_replace(regexp_replace(noBlocks,
+      "(?i)<(br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n"),
+      "(?s)<[^>]*>", "")
+    val decoded = replace(replace(replace(replace(replace(replace(replace(
+      noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&apos;"), lit("'")), lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(decoded,
+      "[ \t\r]+", " "),
+      " ?\n ?", "\n"),
+      "\n{3,}", "\n\n"),
+      "^\\s+|\\s+$", "")
+  }
 }

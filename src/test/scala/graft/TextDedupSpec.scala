@@ -687,4 +687,24 @@ class TextDedupSpec extends GraftSpec {
     // surfaced relation is a SUBSET of the exhaustive posting relation
     assert(lsh.keySet.subsetOf(posting.keySet))
   }
+
+  test("htmlToText: blocks drop, tags strip, entities decode (&amp; LAST), ws folds") {
+    val html = "<html><body><script>var a = '<p>';</script>" +
+      "<style>x{}</style><!-- c --><h1>T</h1><p>a  b</p>" +
+      "<p>&amp;lt; &lt;b&gt; &nbsp;&#39;</p><br>tail  </body></html>"
+    val r = Seq(html).toDF("h")
+      .select(TextFunctions.htmlToText(col("h")).as("t")).head.getString(0)
+    // '&amp;lt;' yields literal '&lt;' (decode order), '&lt;b&gt;'
+    // yields literal '<b>' AFTER tag stripping (no re-scan), block
+    // closers become newlines, double spaces fold, ends trim
+    // '</p><br>' = closer + break → TWO newlines (a paragraph break;
+    // only runs of ≥3 collapse)
+    assert(r == "T\na b\n&lt; <b> '\n\ntail", s"got: ${r.replace("\n", "\\n")}")
+  }
+
+  test("htmlToText: script block containing '<p>' markup is dropped whole") {
+    val r = Seq("<p>keep</p><script type=\"x\">if (1<2) { '<p>no</p>' }</script>done")
+      .toDF("h").select(TextFunctions.htmlToText(col("h")).as("t")).head.getString(0)
+    assert(r == "keep\ndone", s"got: ${r.replace("\n", "\\n")}")
+  }
 }
