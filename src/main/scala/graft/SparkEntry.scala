@@ -5276,6 +5276,35 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.htmlToText(html).as("text"))
     },
 
+    // image near-dup via dHash + Hamming-banded LSH — TRUE
+    // cross-algorithm oracle: payloads are REAL 36×32 BMPs whose 4×4
+    // constant cells align exactly with the dHash pooling grid and
+    // whose cell values come from the Knuth-hash chain, so DuckDB
+    // recomputes the 64 dHash bits ARITHMETICALLY (no byte decoding)
+    // and takes the exact quadratic Hamming join, while Spark goes the
+    // long way: encode BMP → real pixel decode → luma average-pool →
+    // pigeonhole-complete banded LSH. Mod-5 docs plant an exact copy
+    // at +100000 (same grid → hamming 0), so pairs exist by
+    // construction; any organic ≤3-bit pair both engines must agree on.
+    "q_image_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val ids = docs.select(col("doc_id")).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id")))
+      val withBin = ids.select(col("doc_id"),
+          when(col("doc_id") >= 100000L, col("doc_id") - 100000L)
+            .otherwise(col("doc_id")).as("seed"))
+        .as[(Long, Long)]
+        .map { case (id, seed) => (id, Multimodal.gridBmp(seed)) }
+        .toDF("doc_id", "payload")
+      val sigs = Multimodal.withDHash(withBin, "payload")
+        .select(col("doc_id"), col("dhash"))
+      Dedup.hammingNearDups(sigs, "doc_id", "dhash",
+        maxHamming = 3, maxBucketSize = 10000)
+    },
+
     // Gopher-style vocabulary coverage: per-doc out-of-vocabulary rate
     // against the corpus top-500 terms (ties broken by term asc —
     // deterministic cut). Integer counts + one IEEE division:
@@ -5564,6 +5593,47 @@ object SparkEntry {
         |    '\n{3,}', chr(10) || chr(10), 'g'),
         |    '^\s+|\s+$', '', 'g') AS text
         |FROM e""").stripMargin,
+
+    // recomputes the dHash bits from the gate's cell-value arithmetic
+    // (grayscale constant cells → pooled luma = 1000·v → bit k iff
+    // v(gx) < v(gx+1)), then the EXACT quadratic Hamming join — the
+    // cross-algorithm check on Spark's encode→decode→pool→LSH path
+    "q_image_neardup" ->
+      """WITH ids AS (
+        | SELECT doc_id FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000 FROM documents WHERE doc_id % 5 = 0),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN doc_id >= 100000 THEN doc_id - 100000
+        |             ELSE doc_id END AS seed FROM ids),
+        |g0 AS (SELECT doc_id, gy.g AS gy, gx.g AS gx,
+        |         seed * 1000003 + gy.g * 9 + gx.g AS h0
+        |       FROM s, LATERAL unnest(range(0, 8)) gy(g),
+        |               LATERAL unnest(range(0, 9)) gx(g)),
+        |g1 AS (SELECT doc_id, gy, gx,
+        |         xor(h0, h0 >> 16) % 2147483648 AS h1 FROM g0),
+        |g2 AS (SELECT doc_id, gy, gx,
+        |         h1 * 2654435761 % 4294967296 AS h2 FROM g1),
+        |g3 AS (SELECT doc_id, gy, gx,
+        |         xor(h2, h2 >> 13) % 2147483648 AS h3 FROM g2),
+        |g4 AS (SELECT doc_id, gy, gx,
+        |         h3 * 2246822519 % 4294967296 AS h4 FROM g3),
+        |g AS (SELECT doc_id, gy, gx,
+        |        xor(h4, h4 >> 16) % 256 AS v FROM g4),
+        |bits AS (
+        | SELECT a.doc_id, a.gy, a.gx,
+        |   CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        | FROM g a JOIN g b
+        |   ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        | WHERE a.gx < 8),
+        |p AS (
+        | SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+        | FROM bits x JOIN bits y
+        |   ON x.gy = y.gy AND x.gx = y.gx AND x.doc_id < y.doc_id
+        | GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 3""".stripMargin,
 
     // top-500 vocabulary by (count desc, term asc) — the same
     // deterministic cut the operator takes

@@ -1633,12 +1633,28 @@ object Dedup {
     * blow-up. Pass Int.MaxValue for the exact completeness contract. */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    hammingNearDups(
+      df.select(col(idCol), simhash(col(textCol)).as("__simhash_sig")),
+      idCol, "__simhash_sig", maxHamming, maxBucketSize)
+
+  /** The banding engine behind [[simhashNearDups]], over PRECOMPUTED
+    * 64-bit signatures from ANY modality — SimHash of text, dHash of
+    * images (`Multimodal.withDHash`), or any other 64-bit locality
+    * fingerprint. Same contract: complete for Hamming ≤ maxHamming by
+    * the pigeonhole band split (modulo the documented `maxBucketSize`
+    * skew cap), output (id_a, id_b, hamming). NULL signatures
+    * (e.g. undecodable images) are dropped — they have no distance. */
+  def hammingNearDups(
+      sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming")
     require(maxBucketSize > 0, "maxBucketSize must be > 0")
     val nBands = maxHamming + 1
-    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val withSig = sigs
+      .select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(col("id"), col("sig"),
       explode(array((0 until nBands).map { b =>

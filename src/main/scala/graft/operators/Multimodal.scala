@@ -1834,6 +1834,128 @@ object Multimodal {
     out.array()
   }
 
+  /** 64-bit difference hash (dHash) of any decodable image
+    * ([[decodePixelsRgb]]): average-pool the integer BT.601 luma
+    * (299·R + 587·G + 114·B, milli-units — all-integer, so the grid
+    * is engine-exact) to a 9×8 grid, then bit k = gy·8 + gx is set
+    * iff lum(gx,gy) < lum(gx+1,gy). Grid cell (gx,gy) averages the
+    * source block [gx·w/9, (gx+1)·w/9) × [gy·h/8, (gy+1)·h/8)
+    * (integer-floor bounds, widened to ≥1 pixel for tiny images);
+    * the average is one integer division of exact Long sums, so two
+    * decoders of the same pixels produce the SAME 64 bits — which is
+    * what lets Hamming-banded LSH dedup images across engines.
+    * None for payloads no pixel decoder handles. */
+  def dHash(b: Array[Byte]): Option[Long] =
+    decodePixelsRgb(b).map { case (w, h, px) =>
+      val lum = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * h / 8
+        val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9
+          val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+          var s = 0L
+          var cnt = 0L
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val p = 3 * (y * w + x)
+              s += 299L * (px(p) & 0xFF) + 587L * (px(p + 1) & 0xFF) +
+                114L * (px(p + 2) & 0xFF)
+              cnt += 1
+              x += 1
+            }
+            y += 1
+          }
+          lum(gy)(gx) = if (cnt == 0) 0L else s / cnt
+          gx += 1
+        }
+        gy += 1
+      }
+      var sig = 0L
+      var k = 0
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (lum(gy)(gx) < lum(gy)(gx + 1)) sig |= (1L << k)
+          k += 1
+          gx += 1
+        }
+        gy += 1
+      }
+      sig
+    }
+
+  /** Attach the 64-bit dHash for a binary image column (null for
+    * undecodable payloads) — same batched mapPartitions plumbing as
+    * [[withMediaMeta]]. Compose with `Dedup.hammingNearDups` for
+    * image-level near-dup pairs. */
+  def withDHash(df: DataFrame, binCol: String,
+                batchSize: Int = 64): DataFrame =
+    mapBinary(df, binCol, batchSize,
+      Seq(StructField("dhash", LongType))) { bytes =>
+      Iterator.single(Seq(
+        if (bytes == null) null
+        else dHash(bytes).map(Long.box).orNull))
+    }
+
+  /** Deterministic 36×32 grayscale 24-bpp BMP for the q_image_neardup
+    * gate and specs: a 9×8 grid of 4×4 constant cells whose value is
+    * [[cellValue]] — pure int64 arithmetic a SQL engine replays, so an
+    * oracle can recompute any grid-average statistic (dHash bits
+    * included) WITHOUT decoding bytes: cells align exactly with the
+    * dHash pooling blocks (36/9 = 4, 32/8 = 4), making the pooled
+    * luma of cell (gx,gy) exactly 1000·v. */
+  def gridBmp(seed: Long): Array[Byte] = {
+    val w = 36
+    val h = 32
+    val rgb = new Array[Byte](w * h * 3)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val v = cellValue(seed, gx, gy).toByte
+        var y = gy * 4
+        while (y < gy * 4 + 4) {
+          var x = gx * 4
+          while (x < gx * 4 + 4) {
+            val p = 3 * (y * w + x)
+            rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    encodeBmpTopDown(w, h, rgb)
+  }
+
+  /** [[gridBmp]] cell value: a two-round xor-fold multiplicative mix
+    * over (seed, cell index), every intermediate bounded below 2⁶³ so
+    * int64 SQL replays it overflow-free. A single Knuth round is NOT
+    * enough here: dHash bits are ADJACENT-cell comparisons, and one
+    * multiplicative round leaves those comparison patterns so
+    * correlated across seeds that 600 supposedly-independent grids
+    * produced 9 507 pairs within Hamming ≤ 3 (measured; the same
+    * correlation that disqualified the multiplicative hash for random
+    * projections in r9). The xor-fold chain measures ZERO organic
+    * ≤3-bit pairs on 1 200 seeds, so the gate's pair set is exactly
+    * its planted copies. */
+  def cellValue(seed: Long, gx: Int, gy: Int): Long = {
+    val h0 = seed * 1000003L + gy * 9L + gx
+    val h1 = (h0 ^ (h0 >> 16)) % 2147483648L
+    val h2 = h1 * 2654435761L % 4294967296L
+    val h3 = (h2 ^ (h2 >> 13)) % 2147483648L
+    val h4 = h3 * 2246822519L % 4294967296L
+    (h4 ^ (h4 >> 16)) % 256L
+  }
+
   /** REAL luminance histogram feature for any decodable payload (BMP
     * or PNG — [[decodePixelsRgb]]): `dim` equal bins over integer
     * BT.601 luma (0..255·1000), L2-normalized — the pixel-level

@@ -1324,6 +1324,49 @@ class MultimodalSpec extends GraftSpec {
     assert(frames(1).sameElements(bytes.slice(512, 768)))
   }
 
+  test("dHash of gridBmp equals the arithmetic replay of the cell grid") {
+    for (seed <- Seq(0L, 1L, 7L, 123L, 99999L)) {
+      // the oracle's short way: bits straight from the cell formula
+      var want = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        if (Multimodal.cellValue(seed, gx, gy) <
+          Multimodal.cellValue(seed, gx + 1, gy)) want |= 1L << (gy * 8 + gx)
+      // the engine's long way: encode → real BMP decode → pool → bits
+      val got = Multimodal.dHash(Multimodal.gridBmp(seed))
+      assert(got.contains(want), s"seed=$seed got=$got want=$want")
+    }
+  }
+
+  test("dHash: equal payloads hash equal; undecodable payloads hash None") {
+    assert(Multimodal.dHash(Multimodal.gridBmp(5L)) ==
+      Multimodal.dHash(Multimodal.gridBmp(5L)))
+    assert(Multimodal.dHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("withDHash attaches signatures; hammingNearDups finds all <=3-bit pairs") {
+    val rnd = new scala.util.Random(7)
+    // base random signatures plus perturbed twins within 0..3 bit flips
+    val base = (0L until 40L).map(i => i -> rnd.nextLong()).toMap
+    val twins = (0L until 40L by 4L).map { i =>
+      var s = base(i)
+      val flips = (i / 4 % 4).toInt
+      (0 until flips).foreach(_ => s ^= 1L << rnd.nextInt(64))
+      (i + 1000L) -> s
+    }.toMap
+    val all = base ++ twins
+    val sigs = all.toSeq.toDF("id", "sig")
+    val got = graft.operators.Dedup
+      .hammingNearDups(sigs, "id", "sig", maxHamming = 3,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val want = (for {
+      (ia, sa) <- all.toSeq; (ib, sb) <- all.toSeq if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib) -> h.toLong).toMap
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+  }
+
   test("resized replaces payload with a deterministic stub transform") {
     val out = Multimodal.resized(media.filter(col("media_id") === 2L),
       "payload", w = 64, h = 64)
