@@ -5305,6 +5305,51 @@ object SparkEntry {
         maxHamming = 3, maxBucketSize = 10000)
     },
 
+    // audio near-dup — the q_image_neardup construction transposed to
+    // the WAV path: REAL 16-bit PCM payloads whose 64-sample windows
+    // hold mix-chain amplitudes with alternating sign, so window
+    // energy E(k) = 64·a(k) exactly and DuckDB recomputes every
+    // energy-profile bit arithmetically while Spark encodes real WAV
+    // bytes, decodes them, sums |samples| in exact Long, and runs the
+    // same banded Hamming LSH. Mod-7 plants (vs the image gate's
+    // mod-5) keep the two media gates' pair sets distinct.
+    "q_audio_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val ids = docs.select(col("doc_id")).unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id")))
+      val withBin = ids.select(col("doc_id"),
+          when(col("doc_id") >= 100000L, col("doc_id") - 100000L)
+            .otherwise(col("doc_id")).as("seed"))
+        .as[(Long, Long)]
+        .map { case (id, seed) => (id, Multimodal.toneWav(seed)) }
+        .toDF("doc_id", "payload")
+      val sigs = Multimodal.withAudioEnergyHash(withBin, "payload")
+        .select(col("doc_id"), col("ahash"))
+      Dedup.hammingNearDups(sigs, "doc_id", "ahash",
+        maxHamming = 3, maxBucketSize = 10000)
+    },
+
+    // streaming blocklist annotation: the automaton compiles ONCE, each
+    // landing file becomes a micro-batch, and the stateless scan makes
+    // stream ≡ batch row-for-row — same oracle as q_blocklist_annotate
+    "q_blocklist_stream" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val tag = s"blocklist_stream_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val base = Scratch.path(tag)
+      docs.select(col("doc_id"), col("text")).write.mode("overwrite")
+        .parquet(s"$base/landing")
+      Blocklist.annotateStreamed(s, s"$base/landing", "text", s"$base/out",
+        blocklistPatterns.toDF("pattern"),
+        checkpointDir = Some(s"$base/ckpt"))
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("n_blocked"), col("n_blocked_patterns"))
+    },
+
     // Gopher-style vocabulary coverage: per-doc out-of-vocabulary rate
     // against the corpus top-500 terms (ties broken by term asc —
     // deterministic cut). Integer counts + one IEEE division:
@@ -5537,20 +5582,10 @@ object SparkEntry {
         |SELECT doc_id, n_chars FROM d
         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
 
-    "q_blocklist_annotate" ->
-      """WITH pats(pattern) AS (VALUES ('table table'), ('scan'),
-        |  ('scan scan'), ('value table'), ('fast key'), ('agg join'),
-        |  ('a a'), ('zz never present')),
-        |d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-        |occ AS (
-        | SELECT d.doc_id,
-        |   len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
-        |     i -> d.text[i : i + len(p.pattern) - 1] = p.pattern)) AS n
-        | FROM d CROSS JOIN pats p)
-        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_blocked,
-        |  CAST(count(CASE WHEN n > 0 THEN 1 END) AS INTEGER)
-        |    AS n_blocked_patterns
-        |FROM occ GROUP BY doc_id""".stripMargin,
+    "q_blocklist_annotate" -> blocklistAnnotateOracle,
+    // stream ≡ batch: the stateless per-batch scan appends exactly the
+    // batch rows, so the drained output is the batch relation
+    "q_blocklist_stream" -> blocklistAnnotateOracle,
 
     // replays the gate's HTML construction AND the documented
     // extraction chain step for step (same RE2 patterns, same entity
@@ -5631,6 +5666,44 @@ object SparkEntry {
         |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
         | FROM bits x JOIN bits y
         |   ON x.gy = y.gy AND x.gx = y.gx AND x.doc_id < y.doc_id
+        | GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 3""".stripMargin,
+
+    // same structure over the 65-window energy profile: E(k) = 64·a(k)
+    // exactly, so bit k compares the mix values directly
+    "q_audio_neardup" ->
+      """WITH ids AS (
+        | SELECT doc_id FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000 FROM documents WHERE doc_id % 7 = 0),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN doc_id >= 100000 THEN doc_id - 100000
+        |             ELSE doc_id END AS seed FROM ids),
+        |g0 AS (SELECT doc_id, k.k AS k,
+        |         seed * 1000003 + 1000 + k.k AS h0
+        |       FROM s, LATERAL unnest(range(0, 65)) k(k)),
+        |g1 AS (SELECT doc_id, k,
+        |         xor(h0, h0 >> 16) % 2147483648 AS h1 FROM g0),
+        |g2 AS (SELECT doc_id, k,
+        |         h1 * 2654435761 % 4294967296 AS h2 FROM g1),
+        |g3 AS (SELECT doc_id, k,
+        |         xor(h2, h2 >> 13) % 2147483648 AS h3 FROM g2),
+        |g4 AS (SELECT doc_id, k,
+        |         h3 * 2246822519 % 4294967296 AS h4 FROM g3),
+        |g AS (SELECT doc_id, k,
+        |        xor(h4, h4 >> 16) % 30000 AS v FROM g4),
+        |bits AS (
+        | SELECT a.doc_id, a.k,
+        |   CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        | FROM g a JOIN g b
+        |   ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        | WHERE a.k < 64),
+        |p AS (
+        | SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+        | FROM bits x JOIN bits y
+        |   ON x.k = y.k AND x.doc_id < y.doc_id
         | GROUP BY x.doc_id, y.doc_id)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         |FROM p WHERE hamming <= 3""".stripMargin,
@@ -6142,6 +6215,21 @@ object SparkEntry {
   // divisions → sum folded in token order (list ORDER BY pos)
   // (lazy: referenced from an oracle map declared ABOVE this point —
   // a plain val would still be null when that map initializes)
+  private lazy val blocklistAnnotateOracle: String =
+    """WITH pats(pattern) AS (VALUES ('table table'), ('scan'),
+      |  ('scan scan'), ('value table'), ('fast key'), ('agg join'),
+      |  ('a a'), ('zz never present')),
+      |d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |occ AS (
+      | SELECT d.doc_id,
+      |   len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+      |     i -> d.text[i : i + len(p.pattern) - 1] = p.pattern)) AS n
+      | FROM d CROSS JOIN pats p)
+      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_blocked,
+      |  CAST(count(CASE WHEN n > 0 THEN 1 END) AS INTEGER)
+      |    AS n_blocked_patterns
+      |FROM occ GROUP BY doc_id""".stripMargin
+
   private lazy val lmScoreOracle: String =
     """WITH toks AS MATERIALIZED (
       | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk

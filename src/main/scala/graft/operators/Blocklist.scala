@@ -251,6 +251,12 @@ object Blocklist {
       maxPatternChars: Long = 1L << 24): DataFrame = {
     val pats = collectPatterns(patterns, patternCol, maxPatterns, maxPatternChars)
     val bc = df.sparkSession.sparkContext.broadcast(compile(pats))
+    annotateWith(df, textCol, bc)
+  }
+
+  private def annotateWith(
+      df: DataFrame, textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[Automaton]): DataFrame = {
     val ti = df.schema.fieldIndex(textCol)
     val outSchema = df.schema
       .add("n_blocked", LongType, nullable = false)
@@ -309,5 +315,39 @@ object Blocklist {
       }
     }(Encoders.row(outSchema)).toDF("id", "masked", "n_masked")
       .withColumnRenamed("id", idCol)
+  }
+
+  /** Streaming twin of [[annotate]]: drain `streamDir` one file per
+    * micro-batch and append annotated rows to `outPath`. The automaton
+    * compiles and broadcasts ONCE (not per micro-batch — the pattern
+    * table is reference data, like the streamed LM's trained model);
+    * the per-batch scan is stateless, so stream ≡ batch row-for-row —
+    * the q_blocklist_stream contract. */
+  def annotateStreamed(
+      spark: org.apache.spark.sql.SparkSession, streamDir: String,
+      textCol: String, outPath: String,
+      patterns: DataFrame, patternCol: String = "pattern",
+      checkpointDir: Option[String] = None,
+      maxPatterns: Int = 1 << 16,
+      maxPatternChars: Long = 1L << 24): Unit = {
+    val pats = collectPatterns(patterns, patternCol, maxPatterns, maxPatternChars)
+    val bc = spark.sparkContext.broadcast(compile(pats))
+    val schema = spark.read.parquet(streamDir).schema
+    val writer = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(streamDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        annotateWith(batch, textCol, bc)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = checkpointDir
+      .fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+    q.awaitTermination()
   }
 }

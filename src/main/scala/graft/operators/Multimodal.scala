@@ -1936,24 +1936,120 @@ object Multimodal {
     encodeBmpTopDown(w, h, rgb)
   }
 
-  /** [[gridBmp]] cell value: a two-round xor-fold multiplicative mix
-    * over (seed, cell index), every intermediate bounded below 2⁶³ so
-    * int64 SQL replays it overflow-free. A single Knuth round is NOT
-    * enough here: dHash bits are ADJACENT-cell comparisons, and one
-    * multiplicative round leaves those comparison patterns so
-    * correlated across seeds that 600 supposedly-independent grids
-    * produced 9 507 pairs within Hamming ≤ 3 (measured; the same
-    * correlation that disqualified the multiplicative hash for random
-    * projections in r9). The xor-fold chain measures ZERO organic
-    * ≤3-bit pairs on 1 200 seeds, so the gate's pair set is exactly
-    * its planted copies. */
-  def cellValue(seed: Long, gx: Int, gy: Int): Long = {
-    val h0 = seed * 1000003L + gy * 9L + gx
+  /** [[gridBmp]] cell value: [[mixValue]] over the row-major cell
+    * index, reduced mod 256. A single Knuth round is NOT enough here:
+    * dHash bits are ADJACENT-cell comparisons, and one multiplicative
+    * round leaves those comparison patterns so correlated across seeds
+    * that 600 supposedly-independent grids produced 9 507 pairs within
+    * Hamming ≤ 3 (measured; the same correlation that disqualified the
+    * multiplicative hash for random projections in r9). The xor-fold
+    * chain measures ZERO organic ≤3-bit pairs on 1 200 seeds, so the
+    * gate's pair set is exactly its planted copies. */
+  def cellValue(seed: Long, gx: Int, gy: Int): Long =
+    mixValue(seed, gy * 9L + gx, 256L)
+
+  /** Two-round xor-fold multiplicative mix over (seed, idx), reduced
+    * mod `mod`. Every intermediate is bounded below 2⁶³, so plain
+    * int64 SQL replays it overflow-free — the deterministic "pixel
+    * generator" behind the media near-dup gates' arithmetic oracles. */
+  def mixValue(seed: Long, idx: Long, mod: Long): Long = {
+    val h0 = seed * 1000003L + idx
     val h1 = (h0 ^ (h0 >> 16)) % 2147483648L
     val h2 = h1 * 2654435761L % 4294967296L
     val h3 = (h2 ^ (h2 >> 13)) % 2147483648L
     val h4 = h3 * 2246822519L % 4294967296L
-    (h4 ^ (h4 >> 16)) % 256L
+    (h4 ^ (h4 >> 16)) % mod
+  }
+
+  /** 64-bit audio energy-profile hash — the audio analogue of
+    * [[dHash]]: channel-0 samples split into 65 equal windows
+    * ([k·n/65, (k+1)·n/65), integer-floor bounds), window energy
+    * E(k) = Σ|sample| summed EXACTLY in Long, bit k set iff
+    * E(k) < E(k+1). Defined for the integer sample formats only —
+    * 16-bit PCM (format 1) and G.711 A-law/μ-law (6/7, expanded to
+    * linear first) — because only integer energies are engine-exact;
+    * float-PCM payloads (format 3) yield None rather than a hash
+    * whose bits could flip in the last ulp of a float sum. Robust to
+    * loudness-preserving edits (re-containerization, padding trim)
+    * the way dHash is to re-encoding; compose with
+    * `Dedup.hammingNearDups` for near-dup pairs. */
+  def audioEnergyHash(b: Array[Byte]): Option[Long] =
+    parseWavHeader(b) match {
+      case Some((fmt, ch, _, bits, off, len))
+          if ch > 0 && ((fmt == 1 && bits == 16) ||
+            ((fmt == 6 || fmt == 7) && bits == 8)) =>
+        val frameBytes = (bits / 8) * ch
+        val n = len / frameBytes
+        if (n == 0) return None
+        val e = new Array[Long](65)
+        var k = 0
+        while (k < 65) {
+          val i0 = k.toLong * n / 65
+          val i1 = (k + 1).toLong * n / 65
+          var s = 0L
+          var i = i0
+          while (i < i1) {
+            val v =
+              if (fmt == 1) le16(b, off + (i * frameBytes).toInt).toShort.toInt
+              else {
+                val raw = b(off + (i * frameBytes).toInt) & 0xFF
+                if (fmt == 6) alawToLinear(raw) else ulawToLinear(raw)
+              }
+            s += math.abs(v.toLong)
+            i += 1
+          }
+          e(k) = s
+          k += 1
+        }
+        var sig = 0L
+        k = 0
+        while (k < 64) {
+          if (e(k) < e(k + 1)) sig |= 1L << k
+          k += 1
+        }
+        Some(sig)
+      case _ => None
+    }
+
+  /** Attach the 64-bit audio energy hash for a binary WAV column
+    * (null for float-PCM and undecodable payloads). */
+  def withAudioEnergyHash(df: DataFrame, binCol: String,
+                          batchSize: Int = 64): DataFrame =
+    mapBinary(df, binCol, batchSize,
+      Seq(StructField("ahash", LongType))) { bytes =>
+      Iterator.single(Seq(
+        if (bytes == null) null
+        else audioEnergyHash(bytes).map(Long.box).orNull))
+    }
+
+  /** Deterministic 16-bit PCM mono WAV for the q_audio_neardup gate
+    * and specs: 65 windows × 64 samples; window k holds amplitude
+    * a(k) = [[mixValue]](seed, 1000 + k, 30000) with alternating sign
+    * (so the waveform crosses zero like audio and the |·| in the
+    * energy sum is exercised). E(k) = 64·a(k) exactly, so a SQL
+    * engine recomputes every [[audioEnergyHash]] bit from the mix
+    * chain alone — no byte decoding. */
+  def toneWav(seed: Long): Array[Byte] = {
+    val n = 65 * 64
+    val out = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var k = 0
+    while (k < 65) {
+      val a = mixValue(seed, 1000L + k, 30000L).toInt
+      var j = 0
+      while (j < 64) {
+        out.putShort((if ((j & 1) == 0) a else -a).toShort)
+        j += 1
+      }
+      k += 1
+    }
+    out.array()
   }
 
   /** REAL luminance histogram feature for any decodable payload (BMP

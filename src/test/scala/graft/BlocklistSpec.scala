@@ -104,4 +104,22 @@ class BlocklistSpec extends GraftSpec {
     assert(ac.patterns.length == 1)
     assert(ac.countAll("abab").values.sum == 2L)
   }
+
+  test("annotateStreamed drains a landing dir and equals the batch form") {
+    val base = java.nio.file.Files.createTempDirectory("bl_stream").toString
+    val docs = Seq((1L, "aaa bcd aa"), (2L, "xbcdy aaa"), (3L, "clean doc"))
+      .toDF("doc_id", "text")
+    val pats = Seq("aa", "bcd").toDF("pattern")
+    // several files → several micro-batches
+    docs.repartition(3).write.parquet(s"$base/landing")
+    Blocklist.annotateStreamed(spark, s"$base/landing", "text", s"$base/out",
+      pats, checkpointDir = Some(s"$base/ckpt"))
+    val streamed = spark.read.parquet(s"$base/out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocked"), r.getAs[Int]("n_blocked_patterns"))).toMap
+    val batch = Blocklist.annotate(docs, "text", pats)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocked"), r.getAs[Int]("n_blocked_patterns"))).toMap
+    assert(streamed == batch)
+  }
 }
