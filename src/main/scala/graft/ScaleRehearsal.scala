@@ -545,6 +545,45 @@ object ScaleRehearsal {
         force(graft.operators.Blocklist.maskCovered(
           docs, "doc_id", "text", pats))
       }
+      time(scale, "blocklist_p5000") {
+        // the O(len + matches)-independent-of-P claim, measured: 24×
+        // the pattern count of blocklist_match at the same corpus —
+        // wall time should track blocklist_match, not 24×
+        import spark.implicits._
+        val pats = (1 to 5000).map(i => s"blocked$i phrase").toDF("pattern")
+        force(graft.operators.Blocklist.matchCounts(
+          docs, "doc_id", "text", pats))
+      }
+      time(scale, "html_extract") {
+        force(docs.filter(col("text").isNotNull).select(col("doc_id"),
+          graft.functions.TextFunctions.htmlToText(concat(
+            lit("<html><body><script>var x = 1 < 2;</script><p>"),
+            regexp_replace(col("text"), "batch", "</p><p>"),
+            lit("</p></body></html>"))).as("t")))
+      }
+      time(scale, "image_neardup") {
+        // per-row BMP synth + real decode + pool + banded Hamming join
+        import spark.implicits._
+        val withBin = docs.select(col("doc_id")).as[Long]
+          .map(id => (id, graft.operators.Multimodal.gridBmp(id)))
+          .toDF("doc_id", "payload")
+        val sigs = graft.operators.Multimodal
+          .withDHash(withBin, "payload")
+          .select(col("doc_id"), col("dhash"))
+        force(Dedup.hammingNearDups(sigs, "doc_id", "dhash",
+          maxHamming = 3, maxBucketSize = 10000))
+      }
+      time(scale, "audio_neardup") {
+        import spark.implicits._
+        val withBin = docs.select(col("doc_id")).as[Long]
+          .map(id => (id, graft.operators.Multimodal.toneWav(id)))
+          .toDF("doc_id", "payload")
+        val sigs = graft.operators.Multimodal
+          .withAudioEnergyHash(withBin, "payload")
+          .select(col("doc_id"), col("ahash"))
+        force(Dedup.hammingNearDups(sigs, "doc_id", "ahash",
+          maxHamming = 3, maxBucketSize = 10000))
+      }
     }
 
     // warmup pass on the tiny SF so JIT/codegen don't land in the base

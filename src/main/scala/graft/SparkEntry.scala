@@ -5,7 +5,7 @@ import graft.operators.{Blocklist, Dedup, Index, Multimodal, Pipe, Similarity}
 import graft.sources.CsvSource
 import graft.streaming.EventStreams
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -26,6 +26,24 @@ object SparkEntry {
   private val blocklistPatterns = Seq(
     "table table", "scan", "scan scan", "value table", "fast key",
     "agg join", "a a", "zz never present")
+
+  /** The q_html_extract / q_pipeline_ingest synthesized markup: each
+    * document's text wrapped in HTML — script/style/comment chrome,
+    * block tags spliced at the text's own "batch" tokens, entity traps
+    * (incl. the &amp;amp; double escape) on mod-3 docs. Keep in exact
+    * sync with the oracles' `h` CTE. */
+  private def syntheticHtml: Column = concat(
+    lit("<html><head><style>p{color:red}</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+      "</head><body>"),
+    lit("<!-- id "), col("doc_id").cast("string"), lit(" -->"),
+    lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+    lit("<p>"), replace(col("text"), lit("batch"), lit("</p><p>")),
+    lit("</p>"),
+    when(col("doc_id") % 3 === 0,
+      lit("<div>footer &amp;amp; x &lt;tag&gt;&nbsp;&#39;q&#39;</div>"))
+      .otherwise(lit("")),
+    lit("</body></html>"))
 
   /** Planted-copy offset guard (r7 ADVICE): the planted-copy gates
     * assume every organic doc_id sits below the 100000 plant offset —
@@ -5260,20 +5278,43 @@ object SparkEntry {
     // and every extraction step in DuckDB, so one mis-ordered entity
     // decode or greedy quantifier diverges hundreds of rows.
     "q_html_extract" -> { (s, dir) =>
-      val html = concat(
-        lit("<html><head><style>p{color:red}</style>" +
-          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
-          "</head><body>"),
-        lit("<!-- id "), col("doc_id").cast("string"), lit(" -->"),
-        lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
-        lit("<p>"), replace(col("text"), lit("batch"), lit("</p><p>")),
-        lit("</p>"),
-        when(col("doc_id") % 3 === 0,
-          lit("<div>footer &amp;amp; x &lt;tag&gt;&nbsp;&#39;q&#39;</div>"))
-          .otherwise(lit("")),
-        lit("</body></html>"))
       t(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), TextFunctions.htmlToText(html).as("text"))
+        .select(col("doc_id"),
+          TextFunctions.htmlToText(syntheticHtml).as("text"))
+    },
+
+    // the round-10 curation FRONT DOOR composed end-to-end: raw HTML →
+    // extraction → blocklist clean-filter → per-language accounting.
+    // Each stage is individually gated (q_html_extract,
+    // q_blocklist_filter); this gate pins the COMPOSITION — the only
+    // shuffle is the final groupBy (extraction is a codegen'd
+    // projection, the blocklist scan rides the broadcast automaton),
+    // and the oracle replays all three stages in one SQL chain.
+    "q_pipeline_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val extracted = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), syntheticHtml.as("html"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.htmlToText(col("html")).as("text"))
+      val clean = Blocklist.filterClean(extracted, "text",
+        blocklistPatterns.toDF("pattern"))
+      clean.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+    },
+
+    // dictionary term normalization: the mapping rides the plan as a
+    // map literal → shuffle-free codegen'd projection (no join, no
+    // UDF); the oracle replays it as an unnest + dictionary join +
+    // ordered re-aggregation — two very different algorithms, one
+    // contract
+    "q_term_normalize" -> { (s, dir) =>
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFunctions.normalizeTerms(col("text"),
+          Map("spark" -> "apache-spark", "table" -> "tbl", "a" -> "@"))
+          .as("text_norm"))
     },
 
     // image near-dup via dHash + Hamming-banded LSH — TRUE
@@ -5628,6 +5669,81 @@ object SparkEntry {
         |    '\n{3,}', chr(10) || chr(10), 'g'),
         |    '^\s+|\s+$', '', 'g') AS text
         |FROM e""").stripMargin,
+
+    // all three stages replayed in one chain: construction + extraction
+    // (the q_html_extract CTEs) → blocklist NOT-EXISTS filter → group
+    "q_pipeline_ingest" ->
+      ("""WITH h AS (
+        | SELECT doc_id,
+        |  '<html><head><style>p{color:red}</style>'
+        |  || '<script type="text/javascript">var x = 1 < 2;</script>'
+        |  || '</head><body>'
+        |  || '<!-- id ' || CAST(doc_id AS VARCHAR) || ' -->'
+        |  || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        |  || '<p>' || replace(text, 'batch', '</p><p>') || '</p>'
+        |  || (CASE WHEN doc_id % 3 = 0
+        |      THEN '<div>footer &amp;amp; x &lt;tag&gt;&nbsp;&#39;q&#39;</div>'
+        |      ELSE '' END)
+        |  || '</body></html>' AS html
+        | FROM documents WHERE text IS NOT NULL),
+        |x AS (
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |    '(?s)<!--.*?-->', '', 'g'),
+        |    '(?i)<(br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', chr(10), 'g'),
+        |    '(?s)<[^>]*>', '', 'g') AS t1
+        | FROM h),
+        |e AS (
+        | SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(t1,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+        |    '&amp;', '&') AS t2
+        | FROM x),
+        |w AS (
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '[ \t\r]+', ' ', 'g'),
+        |    ' ?\n ?', chr(10), 'g'),
+        |    '\n{3,}', chr(10) || chr(10), 'g'),
+        |    '^\s+|\s+$', '', 'g') AS text
+        | FROM e),
+        |d2 AS (SELECT w.doc_id, d.lang, w.text
+        |       FROM w JOIN documents d USING (doc_id)),
+        |pats(pattern) AS (VALUES ('table table'), ('scan'),
+        |  ('scan scan'), ('value table'), ('fast key'), ('agg join'),
+        |  ('a a'), ('zz never present')),
+        |hit AS (
+        | SELECT DISTINCT d2.doc_id FROM d2 CROSS JOIN pats p
+        | WHERE len(list_filter(range(1, len(d2.text) - len(p.pattern) + 2),
+        |   i -> d2.text[i : i + len(p.pattern) - 1] = p.pattern)) > 0),
+        |clean AS (
+        | SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM hit))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    t -> len(t) > 0))) AS BIGINT) AS n_tokens
+        |FROM clean GROUP BY lang""").stripMargin,
+
+    "q_term_normalize" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |   list_filter(regexp_split_to_array(text, '\s+'),
+        |     x -> len(x) > 0) AS tk
+        | FROM documents WHERE text IS NOT NULL),
+        |ln AS (SELECT doc_id, pos, tk[pos] AS tok
+        |       FROM (SELECT doc_id, tk,
+        |               unnest(range(1, len(tk) + 1)) AS pos FROM d)),
+        |dict(k, v) AS (VALUES ('spark', 'apache-spark'),
+        |  ('table', 'tbl'), ('a', '@')),
+        |m AS (SELECT doc_id, pos, coalesce(dict.v, ln.tok) AS tok
+        |      FROM ln LEFT JOIN dict ON ln.tok = dict.k),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_norm
+        |        FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.text_norm, '') AS text_norm
+        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // recomputes the dHash bits from the gate's cell-value arithmetic
     // (grayscale constant cells → pooled luma = 1000·v → bit k iff

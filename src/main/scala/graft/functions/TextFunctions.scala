@@ -275,6 +275,23 @@ object TextFunctions {
     *     around newlines drop, ≥3 newlines collapse to a blank line,
     *     ends trim.
     */
+  /** Dictionary term normalization (contraction / slang / alias
+    * expansion — the token-level cleanup pass between extraction and
+    * dedup): token t becomes dict(t) when mapped, else itself; tokens
+    * re-join with single spaces (so the output is already
+    * whitespace-canonical for downstream shingling). The dictionary
+    * rides the plan as a MAP LITERAL — bounded like a codebook, so
+    * the pass is a shuffle-free codegen'd projection: no UDF, no join,
+    * no broadcast exchange. Matching is exact and case-sensitive;
+    * compose with `lower()` upstream for case-folded dictionaries. */
+  def normalizeTerms(text: Column, dict: Map[String, String]): Column = {
+    require(dict.nonEmpty, "normalizeTerms: empty dictionary")
+    val m = map(dict.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    array_join(transform(tokens(text),
+      t => coalesce(element_at(m, t), t)), " ")
+  }
+
   def htmlToText(html: Column): Column = {
     val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
       "(?is)<script[^>]*>.*?</script>", ""),

@@ -365,4 +365,52 @@ class PlanSpec extends GraftSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"per-value tie collapse and the final max must run map-side partials:\n$p")
   }
+
+  test("blocklist gates: shuffle-free broadcast-automaton scans") {
+    // match/mask/filter are one MapPartitions pass each — the pattern
+    // table rides the broadcast, never a join
+    Seq("q_blocklist_match", "q_blocklist_mask", "q_blocklist_filter")
+      .foreach { q =>
+        val p = formatted(q)
+        assert(!p.contains("Exchange"),
+          s"$q must be a shuffle-free scan (automaton is broadcast):\n$p")
+        assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+          s"$q must not join docs against patterns:\n$p")
+      }
+  }
+
+  test("html extraction: shuffle-free codegen'd regex projection") {
+    val p = formatted("q_html_extract")
+    assert(!p.contains("Exchange"),
+      s"extraction must be a pure per-row projection:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"),
+      s"extraction must stay a builtin expression chain (codegen), " +
+        s"not a UDF/mapPartitions escape:\n$p")
+  }
+
+  test("term normalization: dictionary rides the plan — shuffle-free projection") {
+    val p = formatted("q_term_normalize")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the map literal must not become a join or broadcast exchange:\n$p")
+  }
+
+  test("pipeline ingest: extraction + blocklist compose without joins; one groupBy shuffle") {
+    val p = formatted("q_pipeline_ingest")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"no stage may join docs against patterns:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1 &&
+      p.contains("hashpartitioning(lang"),
+      s"the ONLY shuffle is the final per-language aggregate:\n$p")
+  }
+
+  test("media near-dup gates: banded hash joins over signatures, no cartesian") {
+    Seq("q_image_neardup", "q_audio_neardup").foreach { q =>
+      val p = formatted(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q pair generation must key on (band, bucket), never all-pairs:\n$p")
+      assert(p.contains("hashpartitioning(band"),
+        s"$q candidate join must distribute by band bucket:\n$p")
+    }
+  }
 }

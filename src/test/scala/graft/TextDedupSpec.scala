@@ -688,6 +688,19 @@ class TextDedupSpec extends GraftSpec {
     assert(lsh.keySet.subsetOf(posting.keySet))
   }
 
+  test("normalizeTerms: plan-literal dictionary maps tokens, re-joins canonical") {
+    val rs = Seq((1L, "the table  is a table"), (2L, ""), (3L, "tables a"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.normalizeTerms(col("t"),
+        Map("table" -> "tbl", "a" -> "@")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rs(1L) == "the tbl is @ tbl") // double space folds via re-join
+    assert(rs(2L) == "")
+    assert(rs(3L) == "tables @") // exact-token match only, no substrings
+    intercept[IllegalArgumentException](
+      TextFunctions.normalizeTerms(col("t"), Map.empty))
+  }
+
   test("htmlToText: blocks drop, tags strip, entities decode (&amp; LAST), ws folds") {
     val html = "<html><body><script>var a = '<p>';</script>" +
       "<style>x{}</style><!-- c --><h1>T</h1><p>a  b</p>" +
