@@ -2583,6 +2583,33 @@ object SparkEntry {
     s"${r.getLong(0)}r$maxId"
   }
 
+  /** Per-(sfDir, corpus-version) memo of the graph gates' shared
+    * customer–part PRF pair table (orders ⋈ lineitem, distinct). The
+    * r10 LPA fresh-JVM profile attributed most graph-gate cost to this
+    * edge BUILD (7.9 s of a 17.7 s un-checkpointed run was build +
+    * warmup), and THREE gates (q_pagerank, q_pagerank_pers,
+    * q_label_prop) derive from the IDENTICAL pair relation — so it
+    * materializes once per JVM × corpus version and each gate re-reads
+    * the parquet (integer ids round-trip value-exact; contracts and
+    * oracles unchanged). The key versions on the table sizes, same
+    * regime as [[sharedGramComponents]]. */
+  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def custPartPairs(s: SparkSession, dir: String): DataFrame = {
+    val ver = corpusVersion(s, dir)
+    val path = pairsMemo.computeIfAbsent(s"$dir@$ver", _ => {
+      val out = Scratch.path(s"graph_pairs_${scratchTag(dir)}_$ver")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2L).as("c"),
+          (col("l_suppkey") * 2L + 1L).as("p"))
+        .distinct()
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   private def sharedGramComponents(s: SparkSession, dir: String): DataFrame = {
     val ver = corpusVersion(s, dir)
     val path = ccMemo.computeIfAbsent(s"$dir@$ver", _ => {
@@ -6114,12 +6141,7 @@ object SparkEntry {
     // replay bit-identically in DuckDB (unrolled CTEs). Float PageRank
     // could never be oracled — summation order moves the last ulp.
     "q_pagerank" -> { (s, dir) =>
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select((col("o_custkey") * 2L).as("c"),
-          (col("l_suppkey") * 2L + 1L).as("p"))
-        .distinct()
+      val pairs = custPartPairs(s, dir)
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
       graft.operators.Graph.pageRankFixedPoint(edges, "src", "dst", iters = 5)
@@ -6132,12 +6154,8 @@ object SparkEntry {
     // (count DESC, label ASC) vote, replayed exactly by the oracle's
     // unrolled window-CTE chain. All-integer output.
     "q_label_prop" -> { (s, dir) =>
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select((col("o_custkey") * 2L).as("src"),
-          (col("l_suppkey") * 2L + 1L).as("dst"))
-        .distinct()
+      val pairs = custPartPairs(s, dir)
+        .select(col("c").as("src"), col("p").as("dst"))
       graft.operators.Graph.labelPropagation(pairs, "src", "dst", iters = 4)
         .select(col("node").as("node_id"), col("label"))
     },
@@ -6148,12 +6166,7 @@ object SparkEntry {
     // from the CUSTOMER table (order-less customers are not graph
     // nodes and are ignored, per the operator contract).
     "q_pagerank_pers" -> { (s, dir) =>
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select((col("o_custkey") * 2L).as("c"),
-          (col("l_suppkey") * 2L + 1L).as("p"))
-        .distinct()
+      val pairs = custPartPairs(s, dir)
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
       val seeds = t(s, dir, "customer")
