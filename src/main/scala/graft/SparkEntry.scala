@@ -5400,6 +5400,24 @@ object SparkEntry {
         maxHamming = 3, maxBucketSize = 10000)
     },
 
+    // video shot segmentation over REAL frame decode: 6-frame animated
+    // GIFs (identity grayscale palette, literal-code LZW) whose frames
+    // are byte-identical within a 2-frame shot and mix-chain-fresh
+    // across shots — Spark walks the real GIF parser → per-frame dHash
+    // → per-video window; the oracle recomputes every frame's 64 bits
+    // from the pixel formula (4×4 frames pool to ONE source pixel per
+    // dHash cell: sx = gx·4/9, sy = gy·4/8) and replays the lag +
+    // running-cut-count arithmetic. Within-shot hamming is 0 by
+    // construction; whatever the cross-shot hammings are, both engines
+    // must agree row-for-row.
+    "q_scene_cuts" -> { (s, dir) =>
+      import s.implicits._
+      val withBin = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.gridGif(id, nFrames = 6, framesPerShot = 2)))
+        .toDF("doc_id", "payload")
+      Multimodal.sceneCuts(withBin, "doc_id", "payload", maxHamming = 0)
+    },
+
     // streaming blocklist annotation: the automaton compiles ONCE, each
     // landing file becomes a micro-batch, and the stateless scan makes
     // stream ≡ batch row-for-row — same oracle as q_blocklist_annotate
@@ -5649,6 +5667,48 @@ object SparkEntry {
         |   i -> d.text[i : i + len(p.pattern) - 1] = p.pattern)) > 0)
         |SELECT doc_id, n_chars FROM d
         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+
+    // frame bits from the pixel formula, hamming via the frame-lag
+    // join, shots as the running cut count — all integer
+    "q_scene_cuts" ->
+      """WITH fr AS (
+        | SELECT doc_id, fn.f AS frame_no
+        | FROM documents, LATERAL unnest(range(0, 6)) fn(f)),
+        |cell AS (
+        | SELECT doc_id, frame_no, gy.g AS gy, gx.g AS gx,
+        |   doc_id * 1000003 + (frame_no // 2) * 16
+        |     + ((gy.g * 4) // 8) * 4 + ((gx.g * 4) // 9) + 4000 AS h0
+        | FROM fr, LATERAL unnest(range(0, 8)) gy(g),
+        |          LATERAL unnest(range(0, 9)) gx(g)),
+        |g1 AS (SELECT doc_id, frame_no, gy, gx,
+        |         xor(h0, h0 >> 16) % 2147483648 AS h1 FROM cell),
+        |g2 AS (SELECT doc_id, frame_no, gy, gx,
+        |         h1 * 2654435761 % 4294967296 AS h2 FROM g1),
+        |g3 AS (SELECT doc_id, frame_no, gy, gx,
+        |         xor(h2, h2 >> 13) % 2147483648 AS h3 FROM g2),
+        |g4 AS (SELECT doc_id, frame_no, gy, gx,
+        |         h3 * 2246822519 % 4294967296 AS h4 FROM g3),
+        |g AS (SELECT doc_id, frame_no, gy, gx,
+        |        xor(h4, h4 >> 16) % 256 AS v FROM g4),
+        |bits AS (
+        | SELECT a.doc_id, a.frame_no, a.gy, a.gx,
+        |   CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        | FROM g a JOIN g b
+        |   ON a.doc_id = b.doc_id AND a.frame_no = b.frame_no
+        |  AND a.gy = b.gy AND b.gx = a.gx + 1
+        | WHERE a.gx < 8),
+        |ham AS (
+        | SELECT x.doc_id, x.frame_no,
+        |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS h
+        | FROM bits x JOIN bits y
+        |   ON x.doc_id = y.doc_id AND y.frame_no = x.frame_no - 1
+        |  AND x.gy = y.gy AND x.gx = y.gx
+        | GROUP BY x.doc_id, x.frame_no)
+        |SELECT doc_id, frame_no, CAST(h AS BIGINT) AS hamming_prev,
+        |  CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY frame_no) AS BIGINT)
+        |    AS shot_no
+        |FROM fr LEFT JOIN ham USING (doc_id, frame_no)""".stripMargin,
 
     "q_blocklist_annotate" -> blocklistAnnotateOracle,
     // stream ≡ batch: the stateless per-batch scan appends exactly the

@@ -1846,7 +1846,12 @@ object Multimodal {
     * what lets Hamming-banded LSH dedup images across engines.
     * None for payloads no pixel decoder handles. */
   def dHash(b: Array[Byte]): Option[Long] =
-    decodePixelsRgb(b).map { case (w, h, px) =>
+    decodePixelsRgb(b).map { case (w, h, px) => dHashOfPixels(w, h, px) }
+
+  /** [[dHash]] over already-decoded RGB pixels — shared by the
+    * still-image path and the per-frame video path
+    * ([[frameDHashes]]). */
+  def dHashOfPixels(w: Int, h: Int, px: Array[Byte]): Long = {
       val lum = Array.ofDim[Long](8, 9)
       var gy = 0
       while (gy < 8) {
@@ -1902,6 +1907,103 @@ object Multimodal {
         if (bytes == null) null
         else dHash(bytes).map(Long.box).orNull))
     }
+
+  /** Per-frame dHash over any multi-frame payload a REAL parser opens
+    * (animated GIF via [[decodeGifFrames]], MJPEG-AVI via
+    * [[decodeAviFrames]]): one (frame_no, delay_cs, dhash) per frame.
+    * None for stills and undecodable payloads. */
+  def frameDHashes(b: Array[Byte]): Option[Seq[(Int, Int, Long)]] =
+    decodeGifFrames(b).orElse(decodeAviFrames(b)).map(_.map {
+      case (n, delay, w, h, px) => (n, delay, dHashOfPixels(w, h, px))
+    })
+
+  /** Explode a binary video column into per-frame dHash rows (input
+    * columns preserved; payloads with no decodable frames contribute
+    * no rows) — the video analogue of [[withDHash]]. */
+  def withFrameDHashes(df: DataFrame, binCol: String,
+                       batchSize: Int = 16): DataFrame =
+    mapBinary(df, binCol, batchSize, Seq(
+      StructField("frame_no", IntegerType),
+      StructField("delay_cs", IntegerType),
+      StructField("fr_dhash", LongType))) { bytes =>
+      (if (bytes == null) None else frameDHashes(bytes)) match {
+        case Some(frames) => frames.iterator.map { case (n, d, sig) =>
+          Seq(Int.box(n), Int.box(d), Long.box(sig)) }
+        case None => Iterator.empty
+      }
+    }
+
+  /** Shot/scene segmentation over a binary video column: consecutive
+    * frames whose dHash Hamming distance exceeds `maxHamming` start a
+    * new shot — the training-pipeline step that turns raw video into
+    * near-static frame groups (sample one frame per shot instead of
+    * per tick). Output: (idCol, frame_no, hamming_prev — NULL on frame
+    * 0, shot_no — 0-based running cut count). The window partitions by
+    * document, so at corpus scale the sort is per-video (frames per
+    * payload are bounded by the decoder's 64 MB cap), never global. */
+  def sceneCuts(df: DataFrame, idCol: String, binCol: String,
+                maxHamming: Int = 0, batchSize: Int = 16): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_no"))
+    withFrameDHashes(df.select(col(idCol), col(binCol)), binCol, batchSize)
+      .withColumn("hamming_prev",
+        bit_count(col("fr_dhash").bitwiseXOR(lag(col("fr_dhash"), 1).over(w))))
+      .withColumn("is_cut",
+        when(col("hamming_prev").isNull, 0)
+          .when(col("hamming_prev") > maxHamming, 1).otherwise(0))
+      .withColumn("shot_no",
+        sum(col("is_cut")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col(idCol), col("frame_no"), col("hamming_prev"),
+        col("shot_no"))
+  }
+
+  /** Deterministic multi-frame 4×4 grayscale GIF for the q_scene_cuts
+    * gate and specs: identity grayscale global color table, so pixel
+    * index = gray level; pixel k of frame f is
+    * [[mixValue]](seed, (f / framesPerShot)·16 + k + 4000, 256) —
+    * frames within a shot are byte-IDENTICAL (hamming 0 guaranteed)
+    * and every pixel is SQL-replayable, so an oracle recomputes each
+    * frame's dHash bits arithmetically. Per-frame delay 10 + f cs
+    * (the q_frame_sample_gif fixture convention). The LZW stream is
+    * the no-compression literal form: clear, 16 pixel codes, end —
+    * 18 nine-bit codes packed LSB-first. */
+  def gridGif(seed: Long, nFrames: Int, framesPerShot: Int): Array[Byte] = {
+    require(nFrames > 0 && framesPerShot > 0, "frame counts must be > 0")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = bos.write(v & 0xFF)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    w16(4); w16(4); w8(0x87); w8(0); w8(0)
+    var c = 0
+    while (c < 256) { w8(c); w8(c); w8(c); c += 1 }
+    var f = 0
+    while (f < nFrames) {
+      w8(0x21); w8(0xF9); w8(4); w8(0); w16(10 + f); w8(0); w8(0)
+      w8(0x2C); w16(0); w16(0); w16(4); w16(4); w8(0)
+      w8(8) // LZW min code size → 9-bit codes
+      val codes = 256 +: (0 until 16).map(k =>
+        mixValue(seed, (f / framesPerShot).toLong * 16 + k + 4000L, 256L)
+          .toInt) :+ 257
+      val nBytes = (codes.length * 9 + 7) / 8
+      val packed = new Array[Int](nBytes)
+      var bit = 0
+      codes.foreach { code =>
+        val idx = bit / 8
+        val off = bit % 8
+        packed(idx) |= (code << off) & 0xFF
+        if (idx + 1 < nBytes) packed(idx + 1) |= (code >> (8 - off)) & 0xFF
+        bit += 9
+      }
+      w8(nBytes)
+      packed.foreach(w8)
+      w8(0)
+      f += 1
+    }
+    w8(0x3B)
+    bos.toByteArray
+  }
 
   /** Deterministic 36×32 grayscale 24-bpp BMP for the q_image_neardup
     * gate and specs: a 9×8 grid of 4×4 constant cells whose value is

@@ -1367,6 +1367,49 @@ class MultimodalSpec extends GraftSpec {
       s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
   }
 
+  test("gridGif round-trips through the real GIF decoder with mix-chain pixels") {
+    val frames = Multimodal.decodeGifFrames(Multimodal.gridGif(9L, 6, 2)).get
+    assert(frames.length == 6)
+    for ((n, delay, w, h, px) <- frames) {
+      assert(w == 4 && h == 4 && delay == 10 + n)
+      for (k <- 0 until 16) {
+        val v = Multimodal.mixValue(9L, (n / 2).toLong * 16 + k + 4000L, 256L).toInt
+        assert((px(3 * k) & 0xFF) == v && (px(3 * k + 1) & 0xFF) == v &&
+          (px(3 * k + 2) & 0xFF) == v, s"frame $n pixel $k")
+      }
+    }
+  }
+
+  test("sceneCuts: within-shot hamming 0; shot_no constant inside a shot") {
+    val withBin = Seq(1L, 2L).toDF("doc_id").as[Long]
+      .map(id => (id, Multimodal.gridGif(id, 6, 2))).toDF("doc_id", "payload")
+    val rows = Multimodal.sceneCuts(withBin, "doc_id", "payload", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (Option(r.getAs[Integer]("hamming_prev")).map(_.toInt),
+          r.getLong(3))).toMap
+    assert(rows.size == 12)
+    for (id <- Seq(1L, 2L)) {
+      assert(rows((id, 0))._1.isEmpty && rows((id, 0))._2 == 0L)
+      for (f <- Seq(1, 3, 5)) {
+        // odd frames repeat their shot's first frame byte-for-byte
+        assert(rows((id, f))._1.contains(0), s"f=$f hamming")
+        assert(rows((id, f))._2 == rows((id, f - 1))._2, s"f=$f shot")
+      }
+    }
+  }
+
+  test("frameDHashes opens MJPEG-AVI too: flat frames hash flat (all-zero bits)") {
+    // flat DC-only frames: every pixel identical → every adjacent-cell
+    // comparison false → dHash 0 for each frame regardless of DC level
+    val q = Array.fill(64)(0); q(0) = 8
+    def flat(dc: Int) = { val b = new Array[Int](64); b(0) = dc; b }
+    val jpegs = Seq(10, -20, 33).map(dc =>
+      jpegEncode(8, 8, 1, q, Seq(Seq(flat(dc)))))
+    val fh = Multimodal.frameDHashes(aviBytes(40000L, jpegs)).get
+    assert(fh.map(f => (f._1, f._2, f._3)) ==
+      Seq((0, 4, 0L), (1, 4, 0L), (2, 4, 0L)))
+  }
+
   test("audioEnergyHash of toneWav equals the arithmetic replay of window amplitudes") {
     for (seed <- Seq(0L, 3L, 42L, 12345L)) {
       var want = 0L
