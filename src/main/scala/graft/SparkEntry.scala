@@ -5400,6 +5400,36 @@ object SparkEntry {
         maxHamming = 3, maxBucketSize = 10000)
     },
 
+    // incremental image dedup against a PERSISTED Hamming table: the
+    // corpus's dHash signatures store once (banded, the one-long sig
+    // denormalized beside its bucket), then a batch of new images —
+    // exact copies of mod-9 docs plus mix-fresh images — queries at
+    // per-batch cost (batch bucket keys broadcast as a semi-join prune
+    // on the store). TRUE oracle: corpus and batch signatures replay
+    // arithmetically (the q_image_neardup CTE chain over both seed
+    // sets) into the exact quadratic corpus × batch Hamming join.
+    "q_image_dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val tag = s"hamtable_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val path = Scratch.path(tag)
+      val corpusBin = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.gridBmp(id))).toDF("doc_id", "payload")
+      val corpusSigs = Multimodal.withDHash(corpusBin, "payload")
+        .select(col("doc_id"), col("dhash"))
+      Dedup.writeHammingTable(corpusSigs, "doc_id", "dhash", path,
+        maxHamming = 3, maxBucketSize = 10000)
+      val batchBin = docs.select(col("doc_id")).as[Long].map { id =>
+        val seed = if (id % 9 == 0) id else id + 500000L
+        (id + 200000L, Multimodal.gridBmp(seed))
+      }.toDF("doc_id", "payload")
+      val batchSigs = Multimodal.withDHash(batchBin, "payload")
+        .select(col("doc_id"), col("dhash"))
+      Dedup.hammingNearDupsIncremental(s, path, batchSigs, "doc_id", "dhash")
+    },
+
     // video shot segmentation over REAL frame decode: 6-frame animated
     // GIFs (identity grayscale palette, literal-code LZW) whose frames
     // are byte-identical within a 2-frame shot and mix-chain-fresh
@@ -5667,6 +5697,46 @@ object SparkEntry {
         |   i -> d.text[i : i + len(p.pattern) - 1] = p.pattern)) > 0)
         |SELECT doc_id, n_chars FROM d
         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+
+    // both seed sets through the image CTE chain, then the exact
+    // corpus × batch quadratic join
+    "q_image_dedup_incremental" ->
+      """WITH s AS (
+        | SELECT doc_id, doc_id AS seed FROM documents
+        | UNION ALL
+        | SELECT doc_id + 200000 AS doc_id,
+        |   CASE WHEN doc_id % 9 = 0 THEN doc_id
+        |        ELSE doc_id + 500000 END AS seed
+        | FROM documents),
+        |g0 AS (SELECT doc_id, gy.g AS gy, gx.g AS gx,
+        |         seed * 1000003 + gy.g * 9 + gx.g AS h0
+        |       FROM s, LATERAL unnest(range(0, 8)) gy(g),
+        |               LATERAL unnest(range(0, 9)) gx(g)),
+        |g1 AS (SELECT doc_id, gy, gx,
+        |         xor(h0, h0 >> 16) % 2147483648 AS h1 FROM g0),
+        |g2 AS (SELECT doc_id, gy, gx,
+        |         h1 * 2654435761 % 4294967296 AS h2 FROM g1),
+        |g3 AS (SELECT doc_id, gy, gx,
+        |         xor(h2, h2 >> 13) % 2147483648 AS h3 FROM g2),
+        |g4 AS (SELECT doc_id, gy, gx,
+        |         h3 * 2246822519 % 4294967296 AS h4 FROM g3),
+        |g AS (SELECT doc_id, gy, gx,
+        |        xor(h4, h4 >> 16) % 256 AS v FROM g4),
+        |bits AS (
+        | SELECT a.doc_id, a.gy, a.gx,
+        |   CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        | FROM g a JOIN g b
+        |   ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        | WHERE a.gx < 8),
+        |p AS (
+        | SELECT x.doc_id AS id_in, y.doc_id AS corpus_id,
+        |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+        | FROM bits x JOIN bits y
+        |   ON x.gy = y.gy AND x.gx = y.gx
+        |  AND x.doc_id >= 200000 AND y.doc_id < 200000
+        | GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_in, corpus_id, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 3""".stripMargin,
 
     // frame bits from the pixel formula, hamming via the frame-lag
     // join, shots as the running cut count — all integer

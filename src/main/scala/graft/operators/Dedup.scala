@@ -1657,13 +1657,7 @@ object Dedup {
       .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(col("id"), col("sig"),
-      explode(array((0 until nBands).map { b =>
-        val lo = b * 64 / nBands
-        val width = (b + 1) * 64 / nBands - lo
-        val mask = if (width == 64) -1L else (1L << width) - 1L
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask)).as("bucket"))
-      }: _*)).as("bb"))
+      explode(hammingBands(col("sig"), nBands)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val capped =
       if (maxBucketSize == Int.MaxValue) banded
@@ -1681,6 +1675,125 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** The pigeonhole band split shared by [[hammingNearDups]] and the
+    * persisted-table forms: `nBands` contiguous bit ranges of a 64-bit
+    * signature as (band, bucket) structs. */
+  private def hammingBands(sig: Column, nBands: Int): Column =
+    array((0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val width = (b + 1) * 64 / nBands - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("band"),
+        shiftrightunsigned(sig, lo).bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+
+  private def hamTableMeta(path: String) = s"$path/meta"
+  private def hamTableBuckets(path: String) = s"$path/buckets"
+
+  /** Persist a Hamming signature table for PRECOMPUTED 64-bit
+    * signatures (image dHash, audio energy hash, SimHash) — the media
+    * analogue of [[writeSignatureTable]]: banded (band, bucket, id,
+    * sig) rows (sig denormalized into the bucket relation — it is ONE
+    * long, so storing it beside the bucket erases the second join the
+    * text table needs) plus a meta relation pinning the construction
+    * parameters. Buckets over `maxBucketSize` are dropped at write
+    * time (the documented recall loss, never a blow-up). */
+  def writeHammingTable(
+      sigs: DataFrame, idCol: String, sigCol: String, path: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): Unit = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    require(maxBucketSize > 0, "maxBucketSize must be > 0")
+    val nBands = maxHamming + 1
+    sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        explode(hammingBands(col("sig"), nBands)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("__bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+      .write.mode("overwrite").parquet(hamTableBuckets(path))
+    sigs.sparkSession.range(1)
+      .select(lit(maxHamming).as("max_hamming"),
+        lit(maxBucketSize).as("max_bucket_size"))
+      .write.mode("overwrite").parquet(hamTableMeta(path))
+  }
+
+  /** Incremental media near-dup: an incoming batch of 64-bit
+    * signatures against a corpus whose Hamming table was persisted
+    * once — per-batch cost ∝ BATCH (the batch's bucket keys broadcast
+    * as a semi-join prune on the stored relation), never corpus.
+    * Table parameters come from the table's own meta, so a query can
+    * never band differently than the store. Output: (id_in,
+    * corpus_id, hamming) for every batch signature within the table's
+    * maxHamming of a stored one — completeness inherits the
+    * pigeonhole guarantee modulo the write-time bucket cap. Caller
+    * contract: batch ids disjoint from stored ids. */
+  def hammingNearDupsIncremental(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame, idCol: String, sigCol: String): DataFrame = {
+    val meta = spark.read.parquet(hamTableMeta(path)).head()
+    val maxHamming = meta.getAs[Int]("max_hamming")
+    val nBands = maxHamming + 1
+    val incB = incoming
+      .select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        explode(hammingBands(col("sig"), nBands)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val stored = spark.read.parquet(hamTableBuckets(path))
+      .join(broadcast(incB.select(col("band"), col("bucket")).distinct()),
+        Seq("band", "bucket"), "left_semi")
+    incB.join(stored.select(col("band"), col("bucket"),
+        col("id").as("corpus_id"), col("sig").as("corpus_sig")),
+        Seq("band", "bucket"))
+      .dropDuplicates("id", "corpus_id")
+      .withColumn("hamming",
+        bit_count(col("sig").bitwiseXOR(col("corpus_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id").as("id_in"), col("corpus_id"), col("hamming"))
+  }
+
+  /** Append a batch's signatures to a persisted Hamming table — the
+    * maintenance half of the incremental media-ingest loop, with the
+    * same headroom-capped bucket admission as
+    * [[appendToSignatureTable]]: stored occupancy of the touched
+    * buckets is counted (broadcast semi-join, cost ∝ batch) and batch
+    * rows are admitted only up to the remaining headroom (smallest id
+    * first). Caller contract: ids disjoint from the table, and batch
+    * must not itself read from `path`. */
+  def appendToHammingTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, sigCol: String): Unit = {
+    val meta = spark.read.parquet(hamTableMeta(path)).head()
+    val maxHamming = meta.getAs[Int]("max_hamming")
+    val maxBucketSize = meta.getAs[Int]("max_bucket_size")
+    val incB = batch
+      .select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        explode(hammingBands(col("sig"), maxHamming + 1)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val stored = spark.read.parquet(hamTableBuckets(path))
+      .join(broadcast(incB.select(col("band"), col("bucket")).distinct()),
+        Seq("band", "bucket"), "left_semi")
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__stored"))
+    incB
+      .withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
+      .join(stored, Seq("band", "bucket"), "left")
+      .filter(coalesce(col("__stored"), lit(0L)) + col("__rn") <= maxBucketSize)
+      .select(col("id"), col("sig"), col("band"), col("bucket"))
+      .write.mode("append").parquet(hamTableBuckets(path))
   }
 
   /** Paragraph-level (line-level) deduplication across the corpus, the

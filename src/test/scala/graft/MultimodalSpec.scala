@@ -1367,6 +1367,33 @@ class MultimodalSpec extends GraftSpec {
       s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
   }
 
+  test("hamming table: incremental pairs == brute force; append feeds later batches") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 30L).map(i => i -> rnd.nextLong()).toMap
+    val b1 = Map(1000L -> corpus(0L),            // exact dup of corpus 0
+      1001L -> (corpus(5L) ^ 3L),                // 2 bits off corpus 5
+      1002L -> rnd.nextLong())                   // fresh
+    val dir = java.nio.file.Files.createTempDirectory("hamtab").toString
+    graft.operators.Dedup.writeHammingTable(
+      corpus.toSeq.toDF("id", "sig"), "id", "sig", dir,
+      maxHamming = 3, maxBucketSize = 1000)
+    val got = graft.operators.Dedup.hammingNearDupsIncremental(
+      spark, dir, b1.toSeq.toDF("id", "sig"), "id", "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = (for {
+      (bi, bs) <- b1.toSeq; (ci, cs) <- corpus.toSeq
+      h = java.lang.Long.bitCount(bs ^ cs) if h <= 3
+    } yield (bi, ci) -> h).toMap
+    assert(got == want, s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    // append batch 1; a batch-2 copy of a batch-1 signature must now pair
+    graft.operators.Dedup.appendToHammingTable(
+      spark, dir, b1.toSeq.toDF("id", "sig"), "id", "sig")
+    val got2 = graft.operators.Dedup.hammingNearDupsIncremental(
+      spark, dir, Seq((2000L, b1(1002L))).toDF("id", "sig"), "id", "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got2.contains((2000L, 1002L)) && got2((2000L, 1002L)) == 0)
+  }
+
   test("gridGif round-trips through the real GIF decoder with mix-chain pixels") {
     val frames = Multimodal.decodeGifFrames(Multimodal.gridGif(9L, 6, 2)).get
     assert(frames.length == 6)
