@@ -584,6 +584,40 @@ object ScaleRehearsal {
         force(Dedup.hammingNearDups(sigs, "doc_id", "ahash",
           maxHamming = 3, maxBucketSize = 10000))
       }
+      if (only.forall(_.contains("image_dedup_incr"))) {
+        // CONSTANT 500-image batch against a GROWING persisted Hamming
+        // table — the incremental claim: per-batch cost must track the
+        // batch, never the corpus (the r9 incr_batch_dedup protocol).
+        // The corpus-proportional table BUILD runs UNTIMED; only the
+        // batch query is measured.
+        import spark.implicits._
+        val path = s"/tmp/graft_hamtab_${reps}x_$scale"
+        val corpusSigs = graft.operators.Multimodal.withDHash(
+          docs.select(col("doc_id")).as[Long]
+            .map(id => (id, graft.operators.Multimodal.gridBmp(id)))
+            .toDF("doc_id", "payload"), "payload")
+          .select(col("doc_id"), col("dhash"))
+        Dedup.writeHammingTable(corpusSigs, "doc_id", "dhash", path,
+          maxHamming = 3, maxBucketSize = 10000)
+        val batch = spark.range(500).select(
+            (col("id") + 900000000L).as("doc_id"))
+          .as[Long].map(id => (id, graft.operators.Multimodal.gridBmp(id)))
+          .toDF("doc_id", "payload")
+        val batchSigs = graft.operators.Multimodal
+          .withDHash(batch, "payload").select(col("doc_id"), col("dhash"))
+        time(scale, "image_dedup_incr") {
+          force(Dedup.hammingNearDupsIncremental(
+            spark, path, batchSigs, "doc_id", "dhash"))
+        }
+      }
+      time(scale, "scene_cuts") {
+        import spark.implicits._
+        val withBin = docs.select(col("doc_id")).as[Long]
+          .map(id => (id, graft.operators.Multimodal.gridGif(id, 6, 2)))
+          .toDF("doc_id", "payload")
+        force(graft.operators.Multimodal.sceneCuts(
+          withBin, "doc_id", "payload", maxHamming = 0))
+      }
     }
 
     // warmup pass on the tiny SF so JIT/codegen don't land in the base

@@ -5400,6 +5400,32 @@ object SparkEntry {
         maxHamming = 3, maxBucketSize = 10000)
     },
 
+    // modality-agnostic composition: the q_image_neardup pair relation
+    // feeds the SAME min-label connected-components the text dedup
+    // stack uses — clusters of visually-identical images under their
+    // canonical (min-id) label. Oracle: the arithmetic pair relation
+    // closed transitively by a recursive CTE (the clusterResolve
+    // treatment, applied to a different modality).
+    "q_image_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val ids = docs.select(col("doc_id")).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id")))
+      val withBin = ids.select(col("doc_id"),
+          when(col("doc_id") >= 100000L, col("doc_id") - 100000L)
+            .otherwise(col("doc_id")).as("seed"))
+        .as[(Long, Long)]
+        .map { case (id, seed) => (id, Multimodal.gridBmp(seed)) }
+        .toDF("doc_id", "payload")
+      val sigs = Multimodal.withDHash(withBin, "payload")
+        .select(col("doc_id"), col("dhash"))
+      val pairs = Dedup.hammingNearDups(sigs, "doc_id", "dhash",
+        maxHamming = 3, maxBucketSize = 10000)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    },
+
     // incremental image dedup against a PERSISTED Hamming table: the
     // corpus's dHash signatures store once (banded, the one-long sig
     // denormalized beside its bucket), then a batch of new images —
@@ -5697,6 +5723,50 @@ object SparkEntry {
         |   i -> d.text[i : i + len(p.pattern) - 1] = p.pattern)) > 0)
         |SELECT doc_id, n_chars FROM d
         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+
+    // the image pair relation closed transitively
+    "q_image_clusters" ->
+      """WITH RECURSIVE ids AS (
+        | SELECT doc_id FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000 FROM documents WHERE doc_id % 5 = 0),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN doc_id >= 100000 THEN doc_id - 100000
+        |             ELSE doc_id END AS seed FROM ids),
+        |g0 AS (SELECT doc_id, gy.g AS gy, gx.g AS gx,
+        |         seed * 1000003 + gy.g * 9 + gx.g AS h0
+        |       FROM s, LATERAL unnest(range(0, 8)) gy(g),
+        |               LATERAL unnest(range(0, 9)) gx(g)),
+        |g1 AS (SELECT doc_id, gy, gx,
+        |         xor(h0, h0 >> 16) % 2147483648 AS h1 FROM g0),
+        |g2 AS (SELECT doc_id, gy, gx,
+        |         h1 * 2654435761 % 4294967296 AS h2 FROM g1),
+        |g3 AS (SELECT doc_id, gy, gx,
+        |         xor(h2, h2 >> 13) % 2147483648 AS h3 FROM g2),
+        |g4 AS (SELECT doc_id, gy, gx,
+        |         h3 * 2246822519 % 4294967296 AS h4 FROM g3),
+        |g AS (SELECT doc_id, gy, gx,
+        |        xor(h4, h4 >> 16) % 256 AS v FROM g4),
+        |bits AS (
+        | SELECT a.doc_id, a.gy, a.gx,
+        |   CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        | FROM g a JOIN g b
+        |   ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        | WHERE a.gx < 8),
+        |pr AS (
+        | SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        | FROM bits x JOIN bits y
+        |   ON x.gy = y.gy AND x.gx = y.gx AND x.doc_id < y.doc_id
+        | GROUP BY x.doc_id, y.doc_id
+        | HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3),
+        |sym AS (SELECT id_a AS s, id_b AS d FROM pr
+        |        UNION SELECT id_b, id_a FROM pr),
+        |reach(id, lab) AS (
+        | SELECT s, s FROM sym
+        | UNION
+        | SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id)
+        |SELECT id, CAST(min(lab) AS BIGINT) AS component
+        |FROM reach GROUP BY id""".stripMargin,
 
     // both seed sets through the image CTE chain, then the exact
     // corpus × batch quadratic join
