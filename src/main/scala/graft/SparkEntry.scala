@@ -5266,6 +5266,16 @@ object SparkEntry {
         "doc_id", "text", blocklistPatterns.toDF("pattern"))
     },
 
+    // span-level audit form: every occurrence's 1-based start position
+    // (overlaps included) — match EVIDENCE for redaction review, from
+    // the same single shuffle-free pass
+    "q_blocklist_positions" -> { (s, dir) =>
+      import s.implicits._
+      Blocklist.matchPositions(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", blocklistPatterns.toDF("pattern"))
+    },
+
     // mask-cover redaction: every character covered by any occurrence
     // of any blocked pattern becomes '*' (length-preserving union of
     // match intervals — the PII-masking form of the same single pass)
@@ -5686,6 +5696,16 @@ object SparkEntry {
         | FROM d CROSS JOIN pats p)
         |SELECT doc_id, pattern, CAST(n AS BIGINT) AS n_matches
         |FROM occ WHERE n > 0""".stripMargin,
+
+    "q_blocklist_positions" ->
+      """WITH pats(pattern) AS (VALUES ('table table'), ('scan'),
+        |  ('scan scan'), ('value table'), ('fast key'), ('agg join'),
+        |  ('a a'), ('zz never present')),
+        |d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL)
+        |SELECT d.doc_id, p.pattern, CAST(u.s AS INTEGER) AS start
+        |FROM d CROSS JOIN pats p,
+        |LATERAL unnest(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+        |  s -> d.text[s : s + len(p.pattern) - 1] = p.pattern)) AS u(s)""".stripMargin,
 
     // union of covered intervals, char by char
     "q_blocklist_mask" ->

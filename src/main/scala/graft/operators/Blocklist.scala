@@ -81,6 +81,23 @@ object Blocklist {
       counts
     }
 
+    /** Every occurrence as (pattern index, 0-based END position) in
+      * scan order — the span-evidence form behind `matchPositions`. */
+    def matchEnds(text: String): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
+      var s = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        s = step(s, text.charAt(i))
+        val o = outPats(s)
+        var j = 0
+        while (j < o.length) { out += ((o(j), i)); j += 1 }
+        i += 1
+      }
+      out.result()
+    }
+
     /** True iff ANY pattern occurs — early-exits at the first match,
       * so clean-corpus filtering pays only the scan prefix. */
     def containsAny(text: String): Boolean = {
@@ -238,6 +255,39 @@ object Blocklist {
         }
       }
     }(Encoders.row(outSchema)).toDF("id", "pattern", "n_matches")
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** (id, pattern, start) for EVERY occurrence — 1-based start
+    * positions, overlaps included — the audit form: span-level match
+    * evidence for redaction review, where [[matchCounts]] only says
+    * how many. Same single shuffle-free pass. */
+  def matchPositions(
+      df: DataFrame, idCol: String, textCol: String,
+      patterns: DataFrame, patternCol: String = "pattern",
+      maxPatterns: Int = 1 << 16,
+      maxPatternChars: Long = 1L << 24): DataFrame = {
+    val pats = collectPatterns(patterns, patternCol, maxPatterns, maxPatternChars)
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(compile(pats))
+    val pre = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text"))
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("pattern", StringType),
+      StructField("start", IntegerType, nullable = false)))
+    pre.as(Encoders.row(pre.schema)).mapPartitions { it =>
+      val ac = bc.value
+      it.flatMap { r =>
+        val text = r.getAs[String]("text")
+        if (text == null) Iterator.empty
+        else {
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          ac.matchEnds(text).iterator.map { case (pi, end) =>
+            Row(id, ac.patterns(pi), end - ac.patterns(pi).length + 2)
+          }
+        }
+      }
+    }(Encoders.row(outSchema)).toDF("id", "pattern", "start")
       .withColumnRenamed("id", idCol)
   }
 

@@ -42,6 +42,15 @@ class BlocklistSpec extends GraftSpec {
       val got = ac.countAll(text).map { case (pi, n) => ac.patterns(pi.toInt) -> n }.toMap
       val want = pats.map(p => p -> naiveCount(text, p)).filter(_._2 > 0).toMap
       assert(got == want, s"text=$text pats=$pats")
+      // positions agree with the naive every-start scan
+      val gotPos = ac.matchEnds(text)
+        .map { case (pi, e) => (ac.patterns(pi), e - ac.patterns(pi).length + 1) }
+        .sorted
+      val wantPos = (for {
+        p <- pats; i <- 0 to text.length - p.length
+        if text.regionMatches(i, p, 0, p.length)
+      } yield (p, i)).sorted
+      assert(gotPos == wantPos, s"pos text=$text pats=$pats")
       assert(ac.containsAny(text) == want.nonEmpty)
       val (gm, gn) = ac.maskCovered(text)
       val (wm, wn) = naiveMask(text, pats)
