@@ -5410,6 +5410,45 @@ object SparkEntry {
         maxHamming = 3, maxBucketSize = 10000)
     },
 
+    // media ingest CHAIN against the persisted Hamming table — the
+    // transitive planted oracle (the q_dedup_ingest treatment, media
+    // twin): batch 1 mixes corpus copies (rejected), fresh images
+    // (admitted), and within-batch twins (collapse to the smaller id);
+    // batch 2 then offers exact copies of batch-1 SURVIVORS — which
+    // must be rejected purely through batch 1's append — plus fresh
+    // images that must pass. Output: batch-2 survivor ids.
+    "q_image_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val tag = s"hamingest_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val path = Scratch.path(tag)
+      def sigsOf(pairs: DataFrame): DataFrame =
+        Multimodal.withDHash(pairs.as[(Long, Long)]
+          .map { case (id, seed) => (id, Multimodal.gridBmp(seed)) }
+          .toDF("doc_id", "payload"), "payload")
+          .select(col("doc_id"), col("dhash"))
+      val corpusSigs = sigsOf(
+        docs.select(col("doc_id"), col("doc_id").as("seed")))
+      Dedup.writeHammingTable(corpusSigs, "doc_id", "dhash", path,
+        maxHamming = 3, maxBucketSize = 10000)
+      val b1 = docs.select((col("doc_id") + 200000L).as("doc_id"),
+          when(col("doc_id") % 7 === 0, col("doc_id"))
+            .otherwise(col("doc_id") + 600000L).as("seed"))
+        .unionByName(docs
+          .filter(col("doc_id") % 13 === 0 && col("doc_id") % 7 =!= 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            (col("doc_id") + 600000L).as("seed")))
+      Dedup.hammingIngest(s, path, sigsOf(b1), "doc_id", "dhash")
+      val b2 = docs.select((col("doc_id") + 400000L).as("doc_id"),
+          when(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0,
+            col("doc_id") + 600000L)
+            .otherwise(col("doc_id") + 700000L).as("seed"))
+      Dedup.hammingIngest(s, path, sigsOf(b2), "doc_id", "dhash")
+        .select(col("doc_id"))
+    },
+
     // modality-agnostic composition: the q_image_neardup pair relation
     // feeds the SAME min-label connected-components the text dedup
     // stack uses — clusters of visually-identical images under their
@@ -5743,6 +5782,12 @@ object SparkEntry {
         |   i -> d.text[i : i + len(p.pattern) - 1] = p.pattern)) > 0)
         |SELECT doc_id, n_chars FROM d
         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+
+    // transitive planted form: batch-2 copies of batch-1 survivors are
+    // rejected through batch 1's append alone; the mix-fresh rest pass
+    "q_image_ingest" ->
+      """SELECT doc_id + 400000 AS doc_id FROM documents
+        |WHERE NOT (doc_id % 11 = 0 AND doc_id % 7 <> 0)""".stripMargin,
 
     // the image pair relation closed transitively
     "q_image_clusters" ->

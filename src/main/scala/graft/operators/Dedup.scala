@@ -1796,6 +1796,48 @@ object Dedup {
       .write.mode("append").parquet(hamTableBuckets(path))
   }
 
+  /** Media-ingest step over a persisted Hamming table — the 64-bit-
+    * signature twin of [[nearDedupIngest]]: a batch signature is
+    * REJECTED if it is within the table's maxHamming of a stored one
+    * (transitively: of anything any earlier batch admitted), and
+    * within-batch near-dup clusters collapse to their smallest id —
+    * with the whole cluster rejected when ANY member matches the store
+    * (the member's match makes every clustered twin a transitive
+    * near-dup, the [[nearDedupIncremental]] rule). Survivors append to
+    * the table and return. Per-batch cost ∝ batch on the store side
+    * (bucket-key broadcast prune); the within-batch pair join is the
+    * usual banded self-join over batch-sized input. Caller contract:
+    * ids disjoint from the table and from earlier batches. */
+  def hammingIngest(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame, idCol: String, sigCol: String): DataFrame = {
+    val meta = spark.read.parquet(hamTableMeta(path)).head()
+    val maxHamming = meta.getAs[Int]("max_hamming")
+    val inc = incoming
+      .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint(true)
+    val batchPairs = hammingNearDups(inc, "id", "sig",
+      maxHamming, Int.MaxValue)
+    val comps = connectedComponents(batchPairs, "id_a", "id_b")
+    val withComp = inc
+      .join(comps.select(col("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), col("sig"),
+        coalesce(col("component"), col("id")).as("__comp"))
+    val rejectedComps = withComp
+      .join(hammingNearDupsIncremental(spark, path, inc, "id", "sig")
+          .select(col("id_in").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .select(col("__comp")).distinct()
+    val survivors = withComp
+      .filter(col("id") === col("__comp"))
+      .join(rejectedComps, Seq("__comp"), "left_anti")
+      .select(col("id").as(idCol), col("sig").as(sigCol))
+      .localCheckpoint(true)
+    appendToHammingTable(spark, path, survivors, idCol, sigCol)
+    survivors
+  }
+
   /** Paragraph-level (line-level) deduplication across the corpus, the
     * CCNet/Gopher preprocessing step: split every document on `sep`,
     * keep only the FIRST occurrence of each distinct paragraph corpus-

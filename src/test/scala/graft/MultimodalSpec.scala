@@ -1394,6 +1394,36 @@ class MultimodalSpec extends GraftSpec {
     assert(got2.contains((2000L, 1002L)) && got2((2000L, 1002L)) == 0)
   }
 
+  test("hammingIngest: store rejects, clusters collapse, matched clusters reject whole") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 20L).map(i => i -> rnd.nextLong()).toMap
+    val dir = java.nio.file.Files.createTempDirectory("hamingest").toString
+    graft.operators.Dedup.writeHammingTable(
+      corpus.toSeq.toDF("id", "sig"), "id", "sig", dir,
+      maxHamming = 3, maxBucketSize = 1000)
+    val fresh1 = rnd.nextLong(); val fresh2 = rnd.nextLong()
+    val b1 = Seq(
+      100L -> corpus(3L),      // corpus copy → rejected
+      101L -> fresh1,          // fresh → survives
+      102L -> fresh1,          // twin of 101 → collapses (101 wins)
+      103L -> corpus(7L),      // corpus copy, clustered with 104 and…
+      104L -> (corpus(7L) ^ 7L), // …3 bits off 103 (also a direct match)
+      // 6 bits from the store — rejected ONLY through the 104 chain
+      // (hamming(105, 104) = 3): the pure-transitive cluster rule
+      105L -> (corpus(7L) ^ 7L ^ 56L))
+    val s1 = graft.operators.Dedup.hammingIngest(
+      spark, dir, b1.toDF("id", "sig"), "id", "sig")
+      .select("id").as[Long].collect().toSet
+    assert(s1 == Set(101L), s"got $s1")
+    // batch 2: a copy of batch-1's survivor must now be rejected
+    // TRANSITIVELY (through the append), a fresh one passes
+    val s2 = graft.operators.Dedup.hammingIngest(
+      spark, dir, Seq(200L -> fresh1, 201L -> fresh2).toDF("id", "sig"),
+      "id", "sig")
+      .select("id").as[Long].collect().toSet
+    assert(s2 == Set(201L), s"got $s2")
+  }
+
   test("gridGif round-trips through the real GIF decoder with mix-chain pixels") {
     val frames = Multimodal.decodeGifFrames(Multimodal.gridGif(9L, 6, 2)).get
     assert(frames.length == 6)
