@@ -2593,6 +2593,36 @@ object SparkEntry {
     * the parquet (integer ids round-trip value-exact; contracts and
     * oracles unchanged). The key versions on the table sizes, same
     * regime as [[sharedGramComponents]]. */
+  /** (doc_id, seed) → (doc_id, dhash) through the REAL encode→decode
+    * path — shared by the media ingest gates. */
+  private def imageSigsOf(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    Multimodal.withDHash(pairs.as[(Long, Long)]
+      .map { case (id, seed) => (id, Multimodal.gridBmp(seed)) }
+      .toDF("doc_id", "payload"), "payload")
+      .select(col("doc_id"), col("dhash"))
+  }
+
+  /** The media ingest gates' two planted batches (doc_id, seed):
+    * batch 1 = corpus copies (mod-7, rejected) + fresh (admitted) +
+    * within-batch twins (mod-13, collapse); batch 2 = copies of
+    * batch-1 survivors (mod-11 ∧ ¬mod-7, transitively rejected) +
+    * fresh. Keep in exact sync with the q_image_ingest* oracles. */
+  private def imageIngestBatches(docs: DataFrame): (DataFrame, DataFrame) = {
+    val b1 = docs.select((col("doc_id") + 200000L).as("doc_id"),
+        when(col("doc_id") % 7 === 0, col("doc_id"))
+          .otherwise(col("doc_id") + 600000L).as("seed"))
+      .unionByName(docs
+        .filter(col("doc_id") % 13 === 0 && col("doc_id") % 7 =!= 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          (col("doc_id") + 600000L).as("seed")))
+    val b2 = docs.select((col("doc_id") + 400000L).as("doc_id"),
+        when(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0,
+          col("doc_id") + 600000L)
+          .otherwise(col("doc_id") + 700000L).as("seed"))
+    (b1, b2)
+  }
+
   private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def custPartPairs(s: SparkSession, dir: String): DataFrame = {
     val ver = corpusVersion(s, dir)
@@ -5418,35 +5448,57 @@ object SparkEntry {
     // must be rejected purely through batch 1's append — plus fresh
     // images that must pass. Output: batch-2 survivor ids.
     "q_image_ingest" -> { (s, dir) =>
-      import s.implicits._
       val docs = t(s, dir, "documents")
       assertPlantOffset(docs)
       val tag = s"hamingest_${scratchTag(dir)}_${corpusVersion(s, dir)}"
       Scratch.remove(tag)
       val path = Scratch.path(tag)
-      def sigsOf(pairs: DataFrame): DataFrame =
-        Multimodal.withDHash(pairs.as[(Long, Long)]
-          .map { case (id, seed) => (id, Multimodal.gridBmp(seed)) }
-          .toDF("doc_id", "payload"), "payload")
-          .select(col("doc_id"), col("dhash"))
-      val corpusSigs = sigsOf(
-        docs.select(col("doc_id"), col("doc_id").as("seed")))
-      Dedup.writeHammingTable(corpusSigs, "doc_id", "dhash", path,
-        maxHamming = 3, maxBucketSize = 10000)
-      val b1 = docs.select((col("doc_id") + 200000L).as("doc_id"),
-          when(col("doc_id") % 7 === 0, col("doc_id"))
-            .otherwise(col("doc_id") + 600000L).as("seed"))
-        .unionByName(docs
-          .filter(col("doc_id") % 13 === 0 && col("doc_id") % 7 =!= 0)
-          .select((col("doc_id") + 300000L).as("doc_id"),
-            (col("doc_id") + 600000L).as("seed")))
-      Dedup.hammingIngest(s, path, sigsOf(b1), "doc_id", "dhash")
-      val b2 = docs.select((col("doc_id") + 400000L).as("doc_id"),
-          when(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0,
-            col("doc_id") + 600000L)
-            .otherwise(col("doc_id") + 700000L).as("seed"))
-      Dedup.hammingIngest(s, path, sigsOf(b2), "doc_id", "dhash")
+      Dedup.writeHammingTable(
+        imageSigsOf(s, docs.select(col("doc_id"), col("doc_id").as("seed"))),
+        "doc_id", "dhash", path, maxHamming = 3, maxBucketSize = 10000)
+      val (b1, b2) = imageIngestBatches(docs)
+      Dedup.hammingIngest(s, path, imageSigsOf(s, b1), "doc_id", "dhash")
+      Dedup.hammingIngest(s, path, imageSigsOf(s, b2), "doc_id", "dhash")
         .select(col("doc_id"))
+    },
+
+    // the streamed landing-zone form: the SAME two batches arrive as
+    // ordered files, each micro-batch ingests against the shared
+    // persisted table — output is both batches' survivors, stream ≡
+    // the chained batch semantics
+    "q_image_ingest_stream" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val tag = s"hamingest_stream_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val base = Scratch.path(tag)
+      Dedup.writeHammingTable(
+        imageSigsOf(s, docs.select(col("doc_id"), col("doc_id").as("seed"))),
+        "doc_id", "dhash", s"$base/ham", maxHamming = 3,
+        maxBucketSize = 10000)
+      val (b1, b2) = imageIngestBatches(docs)
+      val landing = java.nio.file.Paths.get(s"$base/landing")
+      java.nio.file.Files.createDirectories(landing)
+      Seq((imageSigsOf(s, b1), "00001", 1000000000000L),
+          (imageSigsOf(s, b2), "00002", 1000000002000L)).foreach {
+        case (b, n, mtime) =>
+          val stage = s"$base/stage_$n"
+          b.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = {
+            val walk = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+            try walk.filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            finally walk.close()
+          }
+          val target = landing.resolve(s"$n.parquet")
+          java.nio.file.Files.move(part, target)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      Dedup.hammingIngestStreamed(s, s"$base/ham", landing.toString,
+        "doc_id", "dhash", outPath = s"$base/out",
+        checkpointDir = Some(s"$base/ckpt"))
+      s.read.parquet(s"$base/out").select(col("doc_id"))
     },
 
     // modality-agnostic composition: the q_image_neardup pair relation
@@ -5787,6 +5839,15 @@ object SparkEntry {
     // rejected through batch 1's append alone; the mix-fresh rest pass
     "q_image_ingest" ->
       """SELECT doc_id + 400000 AS doc_id FROM documents
+        |WHERE NOT (doc_id % 11 = 0 AND doc_id % 7 <> 0)""".stripMargin,
+
+    // stream ≡ chained batches: batch-1 survivors (fresh mains; twins
+    // collapse, corpus copies reject) plus batch-2 survivors
+    "q_image_ingest_stream" ->
+      """SELECT doc_id + 200000 AS doc_id FROM documents
+        |WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 400000 AS doc_id FROM documents
         |WHERE NOT (doc_id % 11 = 0 AND doc_id % 7 <> 0)""".stripMargin,
 
     // the image pair relation closed transitively

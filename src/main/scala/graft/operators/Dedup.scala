@@ -1838,6 +1838,37 @@ object Dedup {
     survivors
   }
 
+  /** CONTINUOUS form of [[hammingIngest]] — the media landing-zone
+    * twin of [[nearDedupIngestStreamed]]: a file source watches
+    * `streamDir` for signature batches (one micro-batch per file, in
+    * (modification-time, path) order — arrival order decides which
+    * copy survives), every batch ingests against the persisted Hamming
+    * table, survivors append to the table AND to `outPath`. Same
+    * foreachBatch rationale: the dedup state IS the shared,
+    * restart-durable table, not watermark-boundable stream state. */
+  def hammingIngestStreamed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      streamDir: String, idCol: String, sigCol: String,
+      outPath: String, checkpointDir: Option[String] = None): Unit = {
+    val schema = spark.read.parquet(streamDir).schema
+    val writer = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(streamDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        hammingIngest(spark, path, batch, idCol, sigCol)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = checkpointDir
+      .fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+    q.awaitTermination()
+  }
+
   /** Paragraph-level (line-level) deduplication across the corpus, the
     * CCNet/Gopher preprocessing step: split every document on `sep`,
     * keep only the FIRST occurrence of each distinct paragraph corpus-
