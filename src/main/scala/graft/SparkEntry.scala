@@ -7663,15 +7663,224 @@ object SparkEntry {
         |WHERE levenshtein(a.c_name, p.r_name) <= 1""".stripMargin
   )
 
+  // ───── round 10: persisted-store maintenance (retire / compact) ─────
+  private val round10Queries: Map[String, Q] = Map(
+    // Takedown against the PERSISTED MinHash signature table, planted
+    // TRUE oracle. Isolated unique-token docs (+300000, the mod-10=1
+    // slice; every 3-shingle carries the doc's uXXXX token, so each
+    // can near-dup nothing but its own copies) append to a private
+    // copy of the shared table; a batch of byte-identical copies
+    // (+500000 — the text regenerates from the BASE id) is rejected
+    // wholesale pre-retirement. Retiring the mod-3=1 originals
+    // (retireFromSignatureTable — the behavior under test) must flip
+    // EXACTLY their copies to admitted, so the contract is pure id
+    // arithmetic. n_retired rides every row: the removed-doc count is
+    // hash-pinned along with the flip set.
+    "q_sigtable_retire" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val tag = s"retire_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val path = Scratch.path(tag)
+      copyDir(sharedSignatureTable(s, dir), path)
+      def freshAt(offset: Long) = docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + offset).as("doc_id"),
+          concat(lit("fresh document u"), col("doc_id"),
+            lit(" payload p"), col("doc_id"),
+            lit(" q"), col("doc_id")).as("text"))
+      Dedup.appendToSignatureTable(s, path, freshAt(300000L),
+        "doc_id", "text")
+      val copies = freshAt(500000L)
+      // materialize BEFORE the retire mutates the relations this plan reads
+      val before = Dedup.nearDedupIncremental(s, path, copies,
+        "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id")).localCheckpoint(true)
+      val retired = docs
+        .filter(col("doc_id") % 10 === 1 && col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 300000L).as("doc_id"))
+      val nRetired = Dedup.retireFromSignatureTable(s, path, retired, "doc_id")
+      val after = Dedup.nearDedupIncremental(s, path, copies,
+        "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id"))
+      copies.select(col("doc_id"))
+        .join(before.withColumn("__b", lit(1)), Seq("doc_id"), "left")
+        .join(after.withColumn("__a", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("__b").isNotNull.as("admitted_before"),
+          col("__a").isNotNull.as("admitted_after"),
+          lit(nRetired).as("n_retired"))
+    },
+
+    // Compaction is a PURE rewrite: the q_dedup_incremental planted
+    // batch (corpus mod-7 copies + unique-token fresh docs) must land
+    // on the IDENTICAL admitted set before and after
+    // compactSignatureTable squeezes each relation to 2 files — and
+    // the file counts must actually be bounded (files_bounded rides
+    // the hash, so a no-op "compaction" fails the gate).
+    "q_sigtable_compact" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      assertPlantedBucketsFit(docs.select(col("doc_id"), col("text")),
+        3, 64, 16, 1000)
+      val tag = s"compact_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val path = Scratch.path(tag)
+      copyDir(sharedSignatureTable(s, dir), path)
+      val tokenful = col("text").isNotNull && col("text").rlike("\\S")
+      val batch = docs.filter(col("doc_id") % 7 === 0 && tokenful)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(lit("fresh document u"), col("doc_id"),
+              lit(" payload p"), col("doc_id"),
+              lit(" q"), col("doc_id")).as("text")))
+      val before = Dedup.nearDedupIncremental(s, path, batch,
+        "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id")).localCheckpoint(true)
+      Dedup.compactSignatureTable(s, path, numFiles = 2)
+      def parquetFiles(p: String): Long = {
+        val walk = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+        try walk.filter(_.getFileName.toString.endsWith(".parquet")).count()
+        finally walk.close()
+      }
+      val bounded = parquetFiles(s"$path/sigs") <= 2 &&
+        parquetFiles(s"$path/buckets") <= 2
+      val after = Dedup.nearDedupIncremental(s, path, batch,
+        "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id"))
+      batch.select(col("doc_id"))
+        .join(before.withColumn("__b", lit(1)), Seq("doc_id"), "left")
+        .join(after.withColumn("__a", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("__b").isNotNull.as("admitted_before"),
+          col("__a").isNotNull.as("admitted_after"),
+          lit(bounded).as("files_bounded"))
+    },
+
+    // Takedown against the persisted HAMMING table: corpus dHash
+    // signatures (REAL BMP decode of the deterministic grid) store
+    // once; a batch of exact copies of the mod-9 docs (+200000)
+    // matches pre-retirement; retiring the mod-9 originals must leave
+    // each copy matching exactly what the REMAINING corpus offers.
+    // TRUE oracle: both phases replay arithmetically — the pixel-
+    // formula CTE chain into the exact quadratic Hamming join, the
+    // after phase filtered to the surviving corpus — so even an
+    // organic (non-planted) ≤3-bit pair cannot desync the engines.
+    "q_hamtable_retire" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val tag = s"hamretire_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val path = Scratch.path(tag)
+      val corpusBin = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.gridBmp(id))).toDF("doc_id", "payload")
+      Dedup.writeHammingTable(
+        Multimodal.withDHash(corpusBin, "payload")
+          .select(col("doc_id"), col("dhash")),
+        "doc_id", "dhash", path, maxHamming = 3, maxBucketSize = 10000)
+      val batchBin = docs.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id + 200000L, Multimodal.gridBmp(id)))
+        .toDF("doc_id", "payload")
+      val batchSigs = Multimodal.withDHash(batchBin, "payload")
+        .select(col("doc_id"), col("dhash")).localCheckpoint(true)
+      val before = Dedup.hammingNearDupsIncremental(s, path, batchSigs,
+        "doc_id", "dhash").localCheckpoint(true)
+      Dedup.retireFromHammingTable(s, path,
+        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")),
+        "doc_id")
+      val after = Dedup.hammingNearDupsIncremental(s, path, batchSigs,
+        "doc_id", "dhash")
+      before.withColumn("phase", lit("before"))
+        .unionByName(after.withColumn("phase", lit("after")))
+        .select(col("phase"), col("id_in"), col("corpus_id"), col("hamming"))
+    }
+  )
+
+  private val round10Oracles: Map[String, String] = Map(
+    // the flip set and the removed count are pure id arithmetic over
+    // the fresh slice (see the gate comment for why isolation is exact)
+    "q_sigtable_retire" ->
+      """WITH f AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 1)
+        |SELECT doc_id + 500000 AS doc_id,
+        |  false AS admitted_before,
+        |  doc_id % 3 = 1 AS admitted_after,
+        |  CAST((SELECT count(*) FROM f f2 WHERE f2.doc_id % 3 = 1)
+        |       AS BIGINT) AS n_retired
+        |FROM f""".stripMargin,
+
+    // pure rewrite: admitted set unchanged (the q_dedup_incremental
+    // expectation, twice), files actually bounded
+    "q_sigtable_compact" ->
+      """WITH b AS (
+        | SELECT doc_id + 200000 AS doc_id, false AS adm
+        | FROM documents
+        | WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        |   AND regexp_matches(text, '[^\s\x0B]')
+        | UNION ALL
+        | SELECT doc_id + 300000 AS doc_id, true AS adm
+        | FROM documents WHERE doc_id % 10 = 1)
+        |SELECT doc_id, adm AS admitted_before, adm AS admitted_after,
+        |  true AS files_bounded
+        |FROM b""".stripMargin,
+
+    // the q_image_dedup_incremental replay (pixel formula → bits →
+    // exact quadratic Hamming join), emitted for both phases — the
+    // after phase keeps only matches the surviving (non-mod-9) corpus
+    // can still offer
+    "q_hamtable_retire" ->
+      """WITH s AS (
+        | SELECT doc_id, doc_id AS seed FROM documents
+        | UNION ALL
+        | SELECT doc_id + 200000 AS doc_id, doc_id AS seed
+        | FROM documents WHERE doc_id % 9 = 0),
+        |g0 AS (SELECT doc_id, gy.g AS gy, gx.g AS gx,
+        |         seed * 1000003 + gy.g * 9 + gx.g AS h0
+        |       FROM s, LATERAL unnest(range(0, 8)) gy(g),
+        |               LATERAL unnest(range(0, 9)) gx(g)),
+        |g1 AS (SELECT doc_id, gy, gx,
+        |         xor(h0, h0 >> 16) % 2147483648 AS h1 FROM g0),
+        |g2 AS (SELECT doc_id, gy, gx,
+        |         h1 * 2654435761 % 4294967296 AS h2 FROM g1),
+        |g3 AS (SELECT doc_id, gy, gx,
+        |         xor(h2, h2 >> 13) % 2147483648 AS h3 FROM g2),
+        |g4 AS (SELECT doc_id, gy, gx,
+        |         h3 * 2246822519 % 4294967296 AS h4 FROM g3),
+        |g AS (SELECT doc_id, gy, gx,
+        |        xor(h4, h4 >> 16) % 256 AS v FROM g4),
+        |bits AS (
+        | SELECT a.doc_id, a.gy, a.gx,
+        |   CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        | FROM g a JOIN g b
+        |   ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        | WHERE a.gx < 8),
+        |p AS (
+        | SELECT x.doc_id AS id_in, y.doc_id AS corpus_id,
+        |   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+        | FROM bits x JOIN bits y
+        |   ON x.gy = y.gy AND x.gx = y.gx
+        |  AND x.doc_id >= 200000 AND y.doc_id < 200000
+        | GROUP BY x.doc_id, y.doc_id),
+        |m AS (SELECT id_in, corpus_id, CAST(hamming AS BIGINT) AS hamming
+        |      FROM p WHERE hamming <= 3)
+        |SELECT 'before' AS phase, id_in, corpus_id, hamming FROM m
+        |UNION ALL
+        |SELECT 'after' AS phase, id_in, corpus_id, hamming FROM m
+        |WHERE corpus_id % 9 <> 0""".stripMargin
+  )
+
   def queries: Map[String, Q] =
     referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries ++
       round4Queries ++ round5Queries ++ round6Queries ++ round7Queries ++
-      round8Queries ++ round9Queries ++ round9bQueries ++ round9cQueries
+      round8Queries ++ round9Queries ++ round9bQueries ++ round9cQueries ++
+      round10Queries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] =
     referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles ++
       round4Oracles ++ round5Oracles ++ round6Oracles ++ round7Oracles ++
-      round8Oracles ++ round9Oracles ++ round9bOracles ++ round9cOracles
+      round8Oracles ++ round9Oracles ++ round9bOracles ++ round9cOracles ++
+      round10Oracles
 }

@@ -1869,6 +1869,116 @@ object Dedup {
     q.awaitTermination()
   }
 
+  // ───────────── persisted-store maintenance (retire / compact) ─────────────
+
+  /** Rewrite one store relation via a generation swap: the transformed
+    * frame writes to `<rel>__rewrite`, the live dir renames aside to
+    * `<rel>__old`, the rewrite renames into place, the old generation
+    * deletes. The read and the tmp write overlap safely (different
+    * paths); the two renames are directory-level metadata moves, so
+    * the unreadable window is the narrowest the filesystem offers. A
+    * crash between the renames leaves `<rel>__old` intact — restore is
+    * a rename back (stale `__old`/`__rewrite` from such a crash are
+    * cleared on the next rewrite). Table formats with atomic commits
+    * would subsume this; plain parquet dirs get the two-rename swap. */
+  private def swapRewrite(
+      spark: org.apache.spark.sql.SparkSession, relPath: String,
+      out: DataFrame, numFiles: Int): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rel = new org.apache.hadoop.fs.Path(relPath)
+    val fs = rel.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(relPath + "__rewrite")
+    val old = new org.apache.hadoop.fs.Path(relPath + "__old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    (if (numFiles > 0) out.coalesce(numFiles) else out)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(rel, old))
+      throw new IllegalStateException(
+        s"swapRewrite: cannot move live relation aside: $relPath")
+    if (!fs.rename(tmp, rel)) {
+      fs.rename(old, rel) // restore — the store is never left headless
+      throw new IllegalStateException(
+        s"swapRewrite: cannot move rewrite into place: $relPath")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Remove documents from a persisted MinHash signature table — the
+    * takedown/right-to-be-forgotten half of store maintenance (the
+    * reference's Index has no delete: csvplus.go:655 persists a frozen
+    * lookup; a standing ingest store additionally needs retirement).
+    * Every `sigs` and `buckets` row whose id is in `retired` is
+    * dropped and both relations rewrite via [[swapRewrite]]; later
+    * batches no longer dedup against the retired documents, and the
+    * freed bucket headroom is reusable by later appends (the
+    * occupancy count in [[appendToSignatureTable]] reads live rows).
+    *
+    * Scale shape: cost ∝ STORE (a full-scan rewrite of both
+    * relations), independent of the retirement list's size — run it at
+    * takedown-batch cadence, never per ingest batch. The list itself
+    * broadcasts (caller contract: takedown lists ≪ store; for
+    * corpus-scale removal rebuild with [[writeSignatureTable]]).
+    * `numFiles > 0` additionally compacts the rewrite (the post-append
+    * small-file cleanup rides along for free).
+    *
+    * @return number of stored documents removed */
+  def retireFromSignatureTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
+    val ids = retired.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val sigs = spark.read.parquet(sigTableSigs(path))
+    val removed = sigs.join(broadcast(ids), Seq("id"), "left_semi").count()
+    swapRewrite(spark, sigTableSigs(path),
+      sigs.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
+    swapRewrite(spark, sigTableBuckets(path),
+      spark.read.parquet(sigTableBuckets(path))
+        .join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
+    removed
+  }
+
+  /** Compact a signature table's relations to `numFiles` files each —
+    * the periodic cleanup after many [[appendToSignatureTable]]
+    * generations (each append adds a file set; a year of hourly
+    * batches is ~9 000 generations of small files, and open-cost, not
+    * bytes, starts to dominate the per-batch semi-join scan). Pure
+    * rewrite: row content is untouched, so query results are
+    * byte-identical before and after (the gate pins this). */
+  def compactSignatureTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
+    swapRewrite(spark, sigTableSigs(path),
+      spark.read.parquet(sigTableSigs(path)), numFiles)
+    swapRewrite(spark, sigTableBuckets(path),
+      spark.read.parquet(sigTableBuckets(path)), numFiles)
+  }
+
+  /** [[retireFromSignatureTable]] for a persisted Hamming table (one
+    * banded relation, sig denormalized beside its bucket).
+    * @return number of stored documents removed */
+  def retireFromHammingTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
+    val ids = retired.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val buckets = spark.read.parquet(hamTableBuckets(path))
+    val removed = buckets.join(broadcast(ids), Seq("id"), "left_semi")
+      .select(col("id")).distinct().count()
+    swapRewrite(spark, hamTableBuckets(path),
+      buckets.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
+    removed
+  }
+
+  /** [[compactSignatureTable]] for a persisted Hamming table. */
+  def compactHammingTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
+    swapRewrite(spark, hamTableBuckets(path),
+      spark.read.parquet(hamTableBuckets(path)), numFiles)
+  }
+
   /** Paragraph-level (line-level) deduplication across the corpus, the
     * CCNet/Gopher preprocessing step: split every document on `sep`,
     * keep only the FIRST occurrence of each distinct paragraph corpus-

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.Dedup
+
+import org.apache.spark.sql.functions._
+
+/** Persisted-store maintenance: retirement (takedown) and compaction
+  * of the MinHash signature table and the Hamming table. */
+class StoreMaintenanceSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  private def freshDocs(ids: Seq[Long], offset: Long) =
+    ids.map(i => (i + offset,
+      s"fresh document u$i payload p$i q$i extra e$i")).toDF("doc_id", "text")
+
+  private def parquetFiles(p: String): Long = {
+    val walk = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+    try walk.filter(_.getFileName.toString.endsWith(".parquet")).count()
+    finally walk.close()
+  }
+
+  test("retireFromSignatureTable flips exactly the retired docs' copies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retire_").toString
+    val ids = (1L to 20L)
+    Dedup.writeSignatureTable(freshDocs(ids, 0L), "doc_id", "text",
+      s"$dir/sig", shingleLen = 3, numPerm = 64, bands = 16)
+    val copies = freshDocs(ids, 1000L)
+    val before = Dedup.nearDedupIncremental(spark, s"$dir/sig", copies,
+      "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(before.isEmpty, "every copy rejected by its stored original")
+    val retired = ids.filter(_ % 2 == 0).toDF("doc_id")
+    val removed = Dedup.retireFromSignatureTable(spark, s"$dir/sig",
+      retired, "doc_id")
+    assert(removed == 10L)
+    val after = Dedup.nearDedupIncremental(spark, s"$dir/sig", copies,
+      "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == ids.filter(_ % 2 == 0).map(_ + 1000L).toSet,
+      "exactly the retired originals' copies are admitted")
+  }
+
+  test("retire of an absent id removes nothing and changes nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retire_").toString
+    Dedup.writeSignatureTable(freshDocs(1L to 5L, 0L), "doc_id", "text",
+      s"$dir/sig")
+    val removed = Dedup.retireFromSignatureTable(spark, s"$dir/sig",
+      Seq(999L).toDF("doc_id"), "doc_id")
+    assert(removed == 0L)
+    val after = Dedup.nearDedupIncremental(spark, s"$dir/sig",
+      freshDocs(1L to 5L, 1000L), "doc_id", "text", threshold = 0.7)
+      .count()
+    assert(after == 0L, "store intact: all copies still rejected")
+  }
+
+  test("retired bucket headroom is reusable by a later append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retire_").toString
+    Dedup.writeSignatureTable(freshDocs(1L to 8L, 0L), "doc_id", "text",
+      s"$dir/sig")
+    Dedup.retireFromSignatureTable(spark, s"$dir/sig",
+      Seq(3L).toDF("doc_id"), "doc_id")
+    // re-admit a near-copy of the retired doc: with the original gone
+    // it survives and appends; its OWN later copy is then rejected
+    val readmit = freshDocs(Seq(3L), 2000L)
+    val s1 = Dedup.nearDedupIngest(spark, s"$dir/sig", readmit,
+      "doc_id", "text", threshold = 0.7)
+    assert(s1.count() == 1L)
+    val again = Dedup.nearDedupIncremental(spark, s"$dir/sig",
+      freshDocs(Seq(3L), 3000L), "doc_id", "text", threshold = 0.7)
+    assert(again.count() == 0L, "the re-admitted doc now rejects its copy")
+  }
+
+  test("compactSignatureTable bounds files and preserves results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    Dedup.writeSignatureTable(freshDocs(1L to 10L, 0L), "doc_id", "text",
+      s"$dir/sig")
+    // three append generations → many small files
+    Dedup.appendToSignatureTable(spark, s"$dir/sig",
+      freshDocs(11L to 14L, 0L), "doc_id", "text")
+    Dedup.appendToSignatureTable(spark, s"$dir/sig",
+      freshDocs(15L to 18L, 0L), "doc_id", "text")
+    val filesBefore = parquetFiles(s"$dir/sig/sigs")
+    val copies = freshDocs(1L to 18L, 1000L)
+    val before = Dedup.nearDedupIncremental(spark, s"$dir/sig", copies,
+      "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    Dedup.compactSignatureTable(spark, s"$dir/sig", numFiles = 1)
+    assert(parquetFiles(s"$dir/sig/sigs") == 1L)
+    assert(parquetFiles(s"$dir/sig/buckets") == 1L)
+    assert(parquetFiles(s"$dir/sig/sigs") < filesBefore,
+      "compaction actually reduced the file count")
+    val after = Dedup.nearDedupIncremental(spark, s"$dir/sig", copies,
+      "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == before, "compaction is a pure rewrite")
+    assert(before.isEmpty, "all 18 copies rejected by the appended store")
+  }
+
+  test("retireFromHammingTable removes matches; compactHammingTable is pure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hamret_").toString
+    val sigs = Seq((1L, 0x1111L), (2L, 0x2222L), (3L, 0x4444L))
+      .toDF("doc_id", "sig")
+    Dedup.writeHammingTable(sigs, "doc_id", "sig", s"$dir/ham",
+      maxHamming = 3, maxBucketSize = 100)
+    val batch = Seq((101L, 0x1111L), (102L, 0x2222L), (103L, 0x4444L))
+      .toDF("doc_id", "sig")
+    def matches() = Dedup.hammingNearDupsIncremental(spark, s"$dir/ham",
+      batch, "doc_id", "sig")
+      .select("id_in").as[Long].collect().toSet
+    assert(matches() == Set(101L, 102L, 103L))
+    val removed = Dedup.retireFromHammingTable(spark, s"$dir/ham",
+      Seq(2L).toDF("doc_id"), "doc_id")
+    assert(removed == 1L)
+    assert(matches() == Set(101L, 103L),
+      "the retired signature no longer matches")
+    Dedup.compactHammingTable(spark, s"$dir/ham", numFiles = 1)
+    assert(parquetFiles(s"$dir/ham/buckets") == 1L)
+    assert(matches() == Set(101L, 103L), "compaction is a pure rewrite")
+  }
+}
