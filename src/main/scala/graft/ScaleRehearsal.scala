@@ -142,6 +142,23 @@ object ScaleRehearsal {
         force(Dedup.nearDedupIncremental(spark, sigPath, batch,
           "doc_id", "text", threshold = 0.7))
       }
+      // store maintenance: retire is a full-store rewrite, so its cost
+      // must track the STORE (∝ scale) and be INDEPENDENT of the
+      // takedown list's size — the 100-id and 10k-id entries at one
+      // scale should be ~equal, and each should scale ~linearly with
+      // the corpus. compact is the same rewrite shape. These mutate
+      // sigPath, so they run after its last query consumer.
+      time(scale, "sig_retire_100") {
+        Dedup.retireFromSignatureTable(spark, sigPath,
+          docs.select(col("doc_id")).limit(100), "doc_id")
+      }
+      time(scale, "sig_retire_10k") {
+        Dedup.retireFromSignatureTable(spark, sigPath,
+          docs.select(col("doc_id")).limit(10000), "doc_id")
+      }
+      time(scale, "sig_compact") {
+        Dedup.compactSignatureTable(spark, sigPath, numFiles = 32)
+      }
       // chained ingest: 3 constant-size batches through nearDedupIngest
       // against a THROWAWAY signature table (appends are stateful). The
       // property under measurement is per-batch cost STABILITY as the
@@ -584,7 +601,8 @@ object ScaleRehearsal {
         force(Dedup.hammingNearDups(sigs, "doc_id", "ahash",
           maxHamming = 3, maxBucketSize = 10000))
       }
-      if (only.forall(_.contains("image_dedup_incr"))) {
+      if (only.forall(o => o.contains("image_dedup_incr") ||
+          o.contains("ham_retire_100"))) {
         // CONSTANT 500-image batch against a GROWING persisted Hamming
         // table — the incremental claim: per-batch cost must track the
         // batch, never the corpus (the r9 incr_batch_dedup protocol).
@@ -608,6 +626,12 @@ object ScaleRehearsal {
         time(scale, "image_dedup_incr") {
           force(Dedup.hammingNearDupsIncremental(
             spark, path, batchSigs, "doc_id", "dhash"))
+        }
+        // media-store takedown: same full-rewrite shape as the text
+        // store — cost ∝ store, not the list
+        time(scale, "ham_retire_100") {
+          Dedup.retireFromHammingTable(spark, path,
+            docs.select(col("doc_id")).limit(100), "doc_id")
         }
       }
       time(scale, "scene_cuts") {

@@ -7795,6 +7795,54 @@ object SparkEntry {
       before.withColumn("phase", lit("before"))
         .unionByName(after.withColumn("phase", lit("after")))
         .select(col("phase"), col("id_in"), col("corpus_id"), col("hamming"))
+    },
+
+    // Takedown against the persisted PQ INDEX — the third store gets
+    // the same maintenance surface. Planted TRUE oracle extending
+    // q_pq_index's contract: exact copies of the mod-5 nonzero
+    // vectors append at +100000 and each probe's copy is served at
+    // rank 1 (cosine ≈ 1, identical codes stay in any ADC shortlist);
+    // after retireFromPqIndex drops the copies' code rows, NO result
+    // may reference a retired id — the full-precision store passed to
+    // the rerank still CONTAINS the copies, so only the code-table
+    // rewrite (the behavior under test) keeps them out. The removed
+    // count rides every row.
+    "q_pq_retire" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
+      require(maxId != null && maxId < 100000L,
+        s"planted-copy gate assumes vec_id < 100000; max is $maxId")
+      val nonzero = aggregate(col("embedding"), lit(0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0d
+      val planted = emb.filter(col("vec_id") % 5 === 0 && nonzero)
+      val batch = planted
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val idxPath = Scratch.path(s"pqretire_${math.abs(dir.hashCode)}")
+      Similarity.writePqIndex(emb, "vec_id", "embedding", idxPath)
+      Similarity.appendToPqIndex(s, idxPath, batch, "vec_id", "embedding")
+      val probes = planted.orderBy(col("vec_id")).limit(5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val store = emb.select(col("vec_id"), col("embedding")).unionByName(batch)
+      val before = Similarity.searchPqIndex(s, idxPath, store,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        k = 1, shortlist = 50)
+        .filter(col("rank") === 1)
+        .select(col("probe_id"), col("neighbor_id")).localCheckpoint(true)
+      val nRetired = Similarity.retireFromPqIndex(s, idxPath,
+        batch.select(col("vec_id")), "vec_id")
+      val after = Similarity.searchPqIndex(s, idxPath, store,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        k = 10, shortlist = 50)
+      val servedRetired = after.filter(col("neighbor_id") >= 100000L)
+        .select(col("probe_id")).distinct()
+      probes.select(col("probe_id"))
+        .join(before, Seq("probe_id"), "left")
+        .join(servedRetired.withColumn("__r", lit(1)), Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (col("neighbor_id") === col("probe_id") + 100000L)
+            .as("top1_copy_before"),
+          col("__r").isNotNull.as("retired_served_after"),
+          lit(nRetired).as("n_retired"))
     }
   )
 
@@ -7867,7 +7915,20 @@ object SparkEntry {
         |SELECT 'before' AS phase, id_in, corpus_id, hamming FROM m
         |UNION ALL
         |SELECT 'after' AS phase, id_in, corpus_id, hamming FROM m
-        |WHERE corpus_id % 9 <> 0""".stripMargin
+        |WHERE corpus_id % 9 <> 0""".stripMargin,
+
+    // the q_pq_index expectation before, the takedown guarantee after,
+    // and the removed count = the full planted-copy slice
+    "q_pq_retire" ->
+      """WITH p AS (
+        | SELECT vec_id FROM embeddings
+        | WHERE vec_id % 5 = 0
+        |   AND coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |         x -> x * x)), 0) > 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_retired FROM p)
+        |SELECT q.vec_id AS probe_id, true AS top1_copy_before,
+        |  false AS retired_served_after, n.n_retired
+        |FROM (SELECT vec_id FROM p ORDER BY vec_id LIMIT 5) q, n""".stripMargin
   )
 
   def queries: Map[String, Q] =

@@ -1880,8 +1880,10 @@ object Dedup {
     * crash between the renames leaves `<rel>__old` intact — restore is
     * a rename back (stale `__old`/`__rewrite` from such a crash are
     * cleared on the next rewrite). Table formats with atomic commits
-    * would subsume this; plain parquet dirs get the two-rename swap. */
-  private def swapRewrite(
+    * would subsume this; plain parquet dirs get the two-rename swap.
+    * Shared with [[Similarity.retireFromPqIndex]] — every persisted
+    * store (text signatures, Hamming, PQ codes) swaps the same way. */
+  private[operators] def swapRewrite(
       spark: org.apache.spark.sql.SparkSession, relPath: String,
       out: DataFrame, numFiles: Int): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -760,6 +760,39 @@ object Similarity {
     cb
   }
 
+  /** Remove vectors from a persisted PQ index — the ANN side of the
+    * takedown contract ([[Dedup.retireFromSignatureTable]]): every
+    * `codes` row whose id is in `retired` drops and the relation
+    * rewrites via the shared generation swap, so a retired vector can
+    * never again be proposed by ADC (and therefore never served —
+    * the rerank join only sees shortlisted ids). The codebook is
+    * untouched: it holds k·m centroids, no per-document data. Cost ∝
+    * code table (a full rewrite, 8 bytes/vector), independent of the
+    * retirement list; `numFiles > 0` compacts the rewrite in passing.
+    * @return number of indexed vectors removed */
+  def retireFromPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
+    val ids = retired.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val codes = spark.read.parquet(s"$path/codes")
+    val removed = codes.join(broadcast(ids), Seq("id"), "left_semi").count()
+    Dedup.swapRewrite(spark, s"$path/codes",
+      codes.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
+    removed
+  }
+
+  /** Compact a persisted PQ index's code table to `numFiles` files —
+    * the small-file cleanup after many [[appendToPqIndex]] generations
+    * ([[Dedup.compactSignatureTable]]'s rationale; a pure rewrite). */
+  def compactPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
+    Dedup.swapRewrite(spark, s"$path/codes",
+      spark.read.parquet(s"$path/codes"), numFiles)
+  }
+
   /** Search a persisted PQ index: ADC over the stored packed codes
     * proposes a `shortlist`, exact cosine over `vectors` (the
     * full-precision store, fetched for the shortlist only) disposes.

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 import org.apache.spark.sql.functions._
 
@@ -117,5 +117,38 @@ class StoreMaintenanceSpec extends GraftSpec {
     Dedup.compactHammingTable(spark, s"$dir/ham", numFiles = 1)
     assert(parquetFiles(s"$dir/ham/buckets") == 1L)
     assert(matches() == Set(101L, 103L), "compaction is a pure rewrite")
+  }
+
+  test("retireFromPqIndex stops serving retired vectors; compact is pure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqret_").toString
+    // axis-aligned vectors: each probe's nearest is its exact twin
+    def axis(i: Int, dim: Int): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i % dim) 1f else 0.01f * ((i + j) % 3))
+    val corpus = (0 until 12).map(i => (i.toLong, axis(i, 8)))
+      .toDF("vec_id", "embedding")
+    Similarity.writePqIndex(corpus, "vec_id", "embedding", s"$dir/pq",
+      m = 4, k = 4, iters = 2)
+    val twins = (0 until 12).map(i => (i + 100L, axis(i, 8)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToPqIndex(spark, s"$dir/pq", twins,
+      "vec_id", "embedding")
+    val store = corpus.unionByName(twins)
+    val probes = corpus.limit(3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    def top1() = Similarity.searchPqIndex(spark, s"$dir/pq", store,
+      "vec_id", "embedding", probes, "probe_id", "pv", k = 1, shortlist = 20)
+      .filter(col("rank") === 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1() == Map(0L -> 100L, 1L -> 101L, 2L -> 102L),
+      "each probe's exact twin is served at rank 1")
+    val removed = Similarity.retireFromPqIndex(spark, s"$dir/pq",
+      twins.select(col("vec_id")), "vec_id")
+    assert(removed == 12L)
+    val after = top1()
+    assert(after.values.forall(_ < 100L),
+      s"no retired id may be served after the takedown: $after")
+    Similarity.compactPqIndex(spark, s"$dir/pq", numFiles = 1)
+    assert(parquetFiles(s"$dir/pq/codes") == 1L)
+    assert(top1() == after, "compaction is a pure rewrite")
   }
 }
