@@ -7843,6 +7843,24 @@ object SparkEntry {
             .as("top1_copy_before"),
           col("__r").isNotNull.as("retired_served_after"),
           lit(nRetired).as("n_retired"))
+    },
+
+    // Store observability over the SHARED (read-only) signature table:
+    // the construction parameters are the gate's own constants, n_docs
+    // is the tokenful corpus count (every tokenful doc shingles — the
+    // q_dedup_incremental contract depends on the same fact), and the
+    // occupancy / row-count / file-count invariants that hold by
+    // write-time construction ride the hash as booleans.
+    "q_sigtable_stats" -> { (s, dir) =>
+      Dedup.signatureTableStats(s, sharedSignatureTable(s, dir))
+        .select(col("shingle_len"), col("num_perm"), col("bands"),
+          col("max_bucket_size"), col("n_docs"),
+          (col("max_bucket_occupancy") <= col("max_bucket_size"))
+            .as("occupancy_ok"),
+          (col("n_bucket_rows") <= col("n_docs") * col("bands"))
+            .as("bucket_rows_ok"),
+          (col("n_sig_files") >= 1 && col("n_bucket_files") >= 1)
+            .as("files_ok"))
     }
   )
 
@@ -7928,7 +7946,19 @@ object SparkEntry {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_retired FROM p)
         |SELECT q.vec_id AS probe_id, true AS top1_copy_before,
         |  false AS retired_served_after, n.n_retired
-        |FROM (SELECT vec_id FROM p ORDER BY vec_id LIMIT 5) q, n""".stripMargin
+        |FROM (SELECT vec_id FROM p ORDER BY vec_id LIMIT 5) q, n""".stripMargin,
+
+    // parameters are the shared table's construction constants; n_docs
+    // is the tokenful count; the three invariants hold by construction
+    "q_sigtable_stats" ->
+      """SELECT CAST(3 AS INTEGER) AS shingle_len,
+        |  CAST(64 AS INTEGER) AS num_perm,
+        |  CAST(16 AS INTEGER) AS bands,
+        |  CAST(1000 AS INTEGER) AS max_bucket_size,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS occupancy_ok, true AS bucket_rows_ok, true AS files_ok
+        |FROM documents
+        |WHERE text IS NOT NULL AND regexp_matches(text, '[^\s\x0B]')""".stripMargin
   )
 
   def queries: Map[String, Q] =

@@ -1981,6 +1981,60 @@ object Dedup {
       spark.read.parquet(hamTableBuckets(path)), numFiles)
   }
 
+  /** Parquet part-file count of one store relation (Hadoop FS, so any
+    * filesystem the session reaches counts the same way). */
+  private[operators] def partFileCount(
+      spark: org.apache.spark.sql.SparkSession, p: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hp).count(_.getPath.getName.endsWith(".parquet")).toLong
+  }
+
+  /** One-row operational summary of a persisted signature table — the
+    * observability face of store maintenance: the construction
+    * parameters (from meta — what every batch silently joins under),
+    * document and bucket-row counts, the worst live bucket occupancy
+    * (distance to the skew cap: a store whose hottest bucket sits AT
+    * `max_bucket_size` is silently dropping appends there), and per-
+    * relation part-file counts (the [[compactSignatureTable]] signal
+    * after many append generations).
+    *
+    * Scale shape: two count aggregates plus one groupBy-max over
+    * bucket keys — all partial aggs; the 1-row joins are
+    * broadcast-scalar crossJoins (the Stats.scala pattern). */
+  def signatureTableStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val buckets = spark.read.parquet(sigTableBuckets(path))
+    spark.read.parquet(sigTableMeta(path))
+      .crossJoin(spark.read.parquet(sigTableSigs(path))
+        .agg(count(lit(1)).as("n_docs")))
+      .crossJoin(buckets.agg(count(lit(1)).as("n_bucket_rows")))
+      .crossJoin(buckets
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__occ"))
+        .agg(coalesce(max(col("__occ")), lit(0L)).as("max_bucket_occupancy")))
+      .withColumn("n_sig_files",
+        lit(partFileCount(spark, sigTableSigs(path))))
+      .withColumn("n_bucket_files",
+        lit(partFileCount(spark, sigTableBuckets(path))))
+  }
+
+  /** [[signatureTableStats]] for a persisted Hamming table (n_docs is
+    * the distinct stored id count — the banded relation holds
+    * `max_hamming + 1` rows per document minus write-cap drops). */
+  def hammingTableStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val buckets = spark.read.parquet(hamTableBuckets(path))
+    spark.read.parquet(hamTableMeta(path))
+      .crossJoin(buckets.agg(
+        count_distinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_bucket_rows")))
+      .crossJoin(buckets
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__occ"))
+        .agg(coalesce(max(col("__occ")), lit(0L)).as("max_bucket_occupancy")))
+      .withColumn("n_bucket_files",
+        lit(partFileCount(spark, hamTableBuckets(path))))
+  }
+
   /** Paragraph-level (line-level) deduplication across the corpus, the
     * CCNet/Gopher preprocessing step: split every document on `sep`,
     * keep only the FIRST occurrence of each distinct paragraph corpus-

@@ -793,6 +793,21 @@ object Similarity {
       spark.read.parquet(s"$path/codes"), numFiles)
   }
 
+  /** One-row operational summary of a persisted PQ index
+    * ([[Dedup.signatureTableStats]]'s shape): quantizer geometry from
+    * the codebook relation, indexed-vector count, and the code-table
+    * part-file count (the [[compactPqIndex]] signal). */
+  def pqIndexStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    spark.read.parquet(s"$path/codebook")
+      .agg((max(col("subspace")) + 1).as("m"), max(col("code")).as("k"),
+        ((max(col("subspace")) + 1) * max(size(col("cvec")))).as("dim"))
+      .crossJoin(spark.read.parquet(s"$path/codes")
+        .agg(count(lit(1)).as("n_vectors")))
+      .withColumn("n_code_files",
+        lit(Dedup.partFileCount(spark, s"$path/codes")))
+  }
+
   /** Search a persisted PQ index: ADC over the stored packed codes
     * proposes a `shortlist`, exact cosine over `vectors` (the
     * full-precision store, fetched for the shortlist only) disposes.

@@ -151,4 +151,46 @@ class StoreMaintenanceSpec extends GraftSpec {
     assert(parquetFiles(s"$dir/pq/codes") == 1L)
     assert(top1() == after, "compaction is a pure rewrite")
   }
+
+  test("store stats report counts, parameters, occupancy and files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_").toString
+    Dedup.writeSignatureTable(freshDocs(1L to 12L, 0L), "doc_id", "text",
+      s"$dir/sig", shingleLen = 3, numPerm = 64, bands = 16,
+      maxBucketSize = 500)
+    val st = Dedup.signatureTableStats(spark, s"$dir/sig").head()
+    assert(st.getAs[Int]("shingle_len") == 3)
+    assert(st.getAs[Int]("num_perm") == 64)
+    assert(st.getAs[Int]("bands") == 16)
+    assert(st.getAs[Int]("max_bucket_size") == 500)
+    assert(st.getAs[Long]("n_docs") == 12L)
+    assert(st.getAs[Long]("n_bucket_rows") == 12L * 16)
+    assert(st.getAs[Long]("max_bucket_occupancy") >= 1L)
+    assert(st.getAs[Long]("n_sig_files") >= 1L)
+    // retire shrinks the counts the stats report
+    Dedup.retireFromSignatureTable(spark, s"$dir/sig",
+      Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val st2 = Dedup.signatureTableStats(spark, s"$dir/sig").head()
+    assert(st2.getAs[Long]("n_docs") == 10L)
+    assert(st2.getAs[Long]("n_bucket_rows") == 10L * 16)
+
+    val hsigs = Seq((1L, 7L), (2L, 8L)).toDF("doc_id", "sig")
+    Dedup.writeHammingTable(hsigs, "doc_id", "sig", s"$dir/ham",
+      maxHamming = 3, maxBucketSize = 100)
+    val hs = Dedup.hammingTableStats(spark, s"$dir/ham").head()
+    assert(hs.getAs[Int]("max_hamming") == 3)
+    assert(hs.getAs[Long]("n_docs") == 2L)
+    assert(hs.getAs[Long]("n_bucket_rows") == 2L * 4)
+
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => (i * j % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.writePqIndex(vecs, "vec_id", "embedding", s"$dir/pq",
+      m = 4, k = 4, iters = 1)
+    val ps = Similarity.pqIndexStats(spark, s"$dir/pq").head()
+    assert(ps.getAs[Int]("m") == 4)
+    assert(ps.getAs[Int]("k") == 4)
+    assert(ps.getAs[Int]("dim") == 8)
+    assert(ps.getAs[Long]("n_vectors") == 8L)
+    assert(ps.getAs[Long]("n_code_files") >= 1L)
+  }
 }
