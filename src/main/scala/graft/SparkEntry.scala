@@ -7861,6 +7861,44 @@ object SparkEntry {
             .as("bucket_rows_ok"),
           (col("n_sig_files") >= 1 && col("n_bucket_files") >= 1)
             .as("files_ok"))
+    },
+
+    // PERSISTED IVF-PQ index — the 100 TB ANN layout as a storage
+    // artifact: coarse centroids + PQ codebook + code table
+    // PARTITIONED BY centroid_id, so a search's probed lists prune
+    // the scan as partition filters (file skipping — PlanSpec pins
+    // the PartitionFilters entry). Planted TRUE oracle (the q_pq_index
+    // contract on the new layout): exact copies of the mod-5 nonzero
+    // vectors append at +100000 — assigned to their originals' lists
+    // by the STORED centroids, encoded by the STORED codebook — and
+    // searching with the originals as probes must serve each probe's
+    // copy at rank 1 (cosine ≈ 1; the copy rides the probe's own
+    // top-1 list, so nprobe = 2 keeps it in scope by construction).
+    "q_ivfpq_index" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
+      require(maxId != null && maxId < 100000L,
+        s"planted-copy gate assumes vec_id < 100000; max is $maxId")
+      val nonzero = aggregate(col("embedding"), lit(0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0d
+      val planted = emb.filter(col("vec_id") % 5 === 0 && nonzero)
+      val batch = planted
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val idxPath = Scratch.path(s"ivfpqidx_${math.abs(dir.hashCode)}")
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idxPath,
+        nlist = 8)
+      Similarity.appendToIvfPqIndex(s, idxPath, batch, "vec_id", "embedding")
+      val probes = planted.orderBy(col("vec_id")).limit(5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val store = emb.select(col("vec_id"), col("embedding")).unionByName(batch)
+      val res = Similarity.searchIvfPqIndex(s, idxPath, store,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        k = 1, nprobe = 2, shortlist = 50)
+      probes.select(col("probe_id"))
+        .join(res.filter(col("rank") === 1)
+          .select(col("probe_id"), col("neighbor_id")), Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (col("neighbor_id") === col("probe_id") + 100000L).as("top1_is_copy"))
     }
   )
 
@@ -7958,7 +7996,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  true AS occupancy_ok, true AS bucket_rows_ok, true AS files_ok
         |FROM documents
-        |WHERE text IS NOT NULL AND regexp_matches(text, '[^\s\x0B]')""".stripMargin
+        |WHERE text IS NOT NULL AND regexp_matches(text, '[^\s\x0B]')""".stripMargin,
+
+    // the q_pq_index expectation on the partitioned-list layout
+    "q_ivfpq_index" ->
+      """SELECT vec_id AS probe_id, true AS top1_is_copy
+        |FROM embeddings
+        |WHERE vec_id % 5 = 0
+        |  AND coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x * x)), 0) > 0
+        |ORDER BY vec_id LIMIT 5""".stripMargin
   )
 
   def queries: Map[String, Q] =

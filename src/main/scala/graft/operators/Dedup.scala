@@ -1885,15 +1885,26 @@ object Dedup {
     * store (text signatures, Hamming, PQ codes) swaps the same way. */
   private[operators] def swapRewrite(
       spark: org.apache.spark.sql.SparkSession, relPath: String,
-      out: DataFrame, numFiles: Int): Unit = {
+      out: DataFrame, numFiles: Int,
+      partitionCols: Seq[String] = Nil): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val rel = new org.apache.hadoop.fs.Path(relPath)
     val fs = rel.getFileSystem(hconf)
     val tmp = new org.apache.hadoop.fs.Path(relPath + "__rewrite")
     val old = new org.apache.hadoop.fs.Path(relPath + "__old")
     fs.delete(tmp, true); fs.delete(old, true)
-    (if (numFiles > 0) out.coalesce(numFiles) else out)
-      .write.mode("overwrite").parquet(tmp.toString)
+    // partitioned relations rewrite partitioned; with numFiles the
+    // hash-repartition on the partition columns lands every directory
+    // on exactly one task → one file per partition dir
+    val shaped =
+      if (partitionCols.nonEmpty)
+        if (numFiles > 0) out.repartition(numFiles, partitionCols.map(col): _*)
+        else out
+      else if (numFiles > 0) out.coalesce(numFiles)
+      else out
+    val w = shaped.write.mode("overwrite")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(tmp.toString)
     if (!fs.rename(rel, old))
       throw new IllegalStateException(
         s"swapRewrite: cannot move live relation aside: $relPath")

@@ -793,6 +793,128 @@ object Similarity {
       spark.read.parquet(s"$path/codes"), numFiles)
   }
 
+  // ───────── persisted IVF-PQ index (partition-pruned inverted lists) ─────────
+
+  /** Persist a COMPLETE IVF-PQ retrieval index under `path` — the
+    * 100 TB ANN layout (Jégou et al. 2011) made storage-real:
+    *
+    *  - `centroids/`: the coarse quantizer (nlist rows);
+    *  - `codebook/`:  the PQ codebook relation;
+    *  - `codes/`:     (id, pq_code) PARTITIONED BY `centroid_id` —
+    *    "untouched lists are never scanned" enforced by FILE PRUNING:
+    *    a search's probed list ids become partition filters at the
+    *    scan ([[searchIvfPqIndex]]), so the bytes read per query are
+    *    the probed lists' code files, not the corpus.
+    *
+    * The in-memory composition ([[ivfIndex]] → [[pqEncodePacked]] →
+    * [[ivfPqSearch]]) stays the per-session form; this artifact is
+    * the nightly-build/online-serve shape, with the same append /
+    * retire / compact maintenance as the other stores. */
+  def writeIvfPqIndex(
+      data: DataFrame, idCol: String, vecCol: String, path: String,
+      nlist: Int, m: Int = 8, k: Int = 16, iters: Int = 2): Unit = {
+    val spark = data.sparkSession
+    val normed = data
+      .select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (assigned, centroids) = ivfIndex(normed, "id", "nv", nlist, iters)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val cb = pqTrain(normed, "id", "nv", m, k, iters)
+    cb.toDF(spark).write.mode("overwrite").parquet(s"$path/codebook")
+    pqEncodePacked(assigned, "v", cb)
+      .select(col("id"), col("pq_code"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+    normed.unpersist(blocking = false)
+  }
+
+  /** Append a batch to a persisted IVF-PQ index: vectors assign to
+    * their nearest STORED centroid (the build's fused kernel — max
+    * cosine, ties → smallest id) and encode with the STORED codebook;
+    * the new code rows append into their lists' partition dirs. Both
+    * quantizers are stable artifacts (retrain = rebuild, the
+    * [[appendToPqIndex]] contract); cost ∝ batch. */
+  def appendToIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cb = pqCodebookFromDF(spark.read.parquet(s"$path/codebook"))
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("centroid_id")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    require(cents.map(_._1).toSeq == (1 to cents.length),
+      "appendToIvfPqIndex: stored centroid ids must be consecutive from 1")
+    val flat = cents.flatMap { case (_, cv) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      if (n > 0) cv.map(_ / n) else cv
+    }.toArray
+    val assigned = batch
+      .select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("nv"))
+      .withColumn("v", transform(col("nv"), x => x.cast("double")))
+      .withColumn("centroid_id",
+        graft.plans.native.nearestCentroid(col("v"), flat, cents.length))
+    pqEncodePacked(assigned, "v", cb)
+      .select(col("id"), col("pq_code"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** Search a persisted IVF-PQ index. The coarse stage runs once to
+    * harvest the probed list ids — the distinct set is bounded by
+    * nlist (an index CONSTANT), so the collect is bounded by
+    * construction — and those ids prune the code scan as PARTITION
+    * FILTERS (file skipping, pinned by PlanSpec) before
+    * [[ivfPqSearch]] runs ADC + exact rerank over what remains. */
+  def searchIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val cb = pqCodebookFromDF(spark.read.parquet(s"$path/codebook"))
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      transform(col(probeVecCol), x => x.cast("double")).as("pv"))
+    val pc = p.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("pv"), col("cvec")))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val probed = pc.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nprobe)
+      .select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("centroid_id").isin(probed.map(Int.box): _*))
+    ivfPqSearch(codes, "id", "pq_code", centroids,
+      vectors, vecIdCol, vecCol, probes, probeIdCol, probeVecCol,
+      cb, k, nprobe, shortlist)
+  }
+
+  /** [[retireFromPqIndex]] for a persisted IVF-PQ index — the
+    * partitioned code relation rewrites partitioned, so pruning
+    * survives the takedown. @return number of indexed vectors removed */
+  def retireFromIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
+    val ids = retired.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val codes = spark.read.parquet(s"$path/codes")
+    val removed = codes.join(broadcast(ids), Seq("id"), "left_semi").count()
+    Dedup.swapRewrite(spark, s"$path/codes",
+      codes.join(broadcast(ids), Seq("id"), "left_anti"), numFiles,
+      partitionCols = Seq("centroid_id"))
+    removed
+  }
+
+  /** [[compactPqIndex]] for a persisted IVF-PQ index: one file per
+    * list partition (the repartition-on-partition-columns rewrite). */
+  def compactIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
+    Dedup.swapRewrite(spark, s"$path/codes",
+      spark.read.parquet(s"$path/codes"), numFiles,
+      partitionCols = Seq("centroid_id"))
+  }
+
   /** One-row operational summary of a persisted PQ index
     * ([[Dedup.signatureTableStats]]'s shape): quantizer geometry from
     * the codebook relation, indexed-vector count, and the code-table

@@ -188,6 +188,18 @@ class PlanSpec extends GraftSpec {
       s"probe→centroid and shortlist joins must broadcast the probe side:\n$p")
   }
 
+  test("persisted IVF-PQ: probed lists prune the code scan as partition filters") {
+    val p = formatted("q_ivfpq_index")
+    // the code-table scan must carry a centroid_id partition filter —
+    // file skipping, not a post-scan filter, is what bounds the bytes
+    // read per query at 100 TB
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("centroid_id") && l.contains("IN (")),
+      s"probed list ids must reach the scan as PartitionFilters; saw: $pf\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a shuffled cartesian would not survive any scale-up:\n$p")
+  }
+
   test("pixel gates: one shuffle-free MapPartitions over the synthesized payloads") {
     Seq("q_media_pixels_png", "q_media_pixels_gif", "q_media_pixels_jpeg",
       "q_media_pixels_jpeg_prog", "q_media_pixels_png_gray",

@@ -152,6 +152,47 @@ class StoreMaintenanceSpec extends GraftSpec {
     assert(top1() == after, "compaction is a pure rewrite")
   }
 
+  test("persisted IVF-PQ index: append, partition-pruned search, retire") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    def axis(i: Int, dim: Int): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i % dim) 1f else 0.01f * ((i + j) % 3))
+    val corpus = (0 until 16).map(i => (i.toLong, axis(i, 8)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", s"$dir/ivfpq",
+      nlist = 4, m = 4, k = 4, iters = 2)
+    // the code table is physically partitioned by list
+    val dirs = {
+      val walk = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/ivfpq/codes"))
+      try walk.filter(_.getFileName.toString.startsWith("centroid_id="))
+        .count()
+      finally walk.close()
+    }
+    assert(dirs >= 2, s"expected >=2 list partitions, got $dirs")
+    val twins = (0 until 16).map(i => (i + 100L, axis(i, 8)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfPqIndex(spark, s"$dir/ivfpq", twins,
+      "vec_id", "embedding")
+    val store = corpus.unionByName(twins)
+    val probes = corpus.limit(3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    def top1() = Similarity.searchIvfPqIndex(spark, s"$dir/ivfpq", store,
+      "vec_id", "embedding", probes, "probe_id", "pv",
+      k = 1, nprobe = 2, shortlist = 16)
+      .filter(col("rank") === 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1() == Map(0L -> 100L, 1L -> 101L, 2L -> 102L),
+      "each probe's exact twin rides its own list and is served at rank 1")
+    val removed = Similarity.retireFromIvfPqIndex(spark, s"$dir/ivfpq",
+      twins.select(col("vec_id")), "vec_id")
+    assert(removed == 16L)
+    val after = top1()
+    assert(after.values.forall(_ < 100L),
+      s"no retired id may be served: $after")
+    Similarity.compactIvfPqIndex(spark, s"$dir/ivfpq", numFiles = 4)
+    assert(top1() == after, "compaction is a pure rewrite")
+  }
+
   test("store stats report counts, parameters, occupancy and files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stats_").toString
     Dedup.writeSignatureTable(freshDocs(1L to 12L, 0L), "doc_id", "text",
