@@ -178,6 +178,28 @@ object ScaleRehearsal {
           }
         }
       }
+      // persisted IVF-PQ search: the index builds UNTIMED (a nightly
+      // artifact), nlist grows ~√N (standard sizing), and the measured
+      // claim is the partition-pruned query cost: probed bytes per
+      // query ∝ nprobe·N/nlist, so search should scale ~√N per probe
+      // batch, far below the corpus growth
+      if (only.forall(_.contains("ivfpq_search"))) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val n = emb.count()
+        val nlist = math.max(8, (math.sqrt(n.toDouble) / 2).toInt)
+        val path = s"/tmp/graft_ivfpq_${reps}x_${scale.replace('.', '_')}"
+        Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path,
+          nlist = nlist)
+        val probes = emb.orderBy(col("vec_id")).limit(100)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+          .localCheckpoint(true)
+        time(scale, "ivfpq_search") {
+          force(Similarity.searchIvfPqIndex(spark, path,
+            emb.select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", probes, "probe_id", "pv",
+            k = 10, nprobe = 4, shortlist = 50))
+        }
+      }
       time(scale, "exact_dedup") {
         force(Dedup.exact(docs, "doc_id", "text"))
       }

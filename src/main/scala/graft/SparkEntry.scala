@@ -7899,6 +7899,62 @@ object SparkEntry {
           .select(col("probe_id"), col("neighbor_id")), Seq("probe_id"), "left")
         .select(col("probe_id"),
           (col("neighbor_id") === col("probe_id") + 100000L).as("top1_is_copy"))
+    },
+
+    // …and the INDEX-BUILD half as a REAL streaming query — the
+    // standing-ingest shape for the ANN store: vector batches land as
+    // ordered files in a watched directory, every micro-batch appends
+    // to the persisted IVF-PQ index through the STORED quantizers
+    // (ivfPqIngestStreamed), and a search after the stream must serve
+    // every landed copy at rank 1. Stream ≡ batch against
+    // q_ivfpq_index's planted contract, same oracle.
+    "q_ivfpq_ingest_stream" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
+      require(maxId != null && maxId < 100000L,
+        s"planted-copy gate assumes vec_id < 100000; max is $maxId")
+      val nonzero = aggregate(col("embedding"), lit(0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0d
+      val planted = emb.filter(col("vec_id") % 5 === 0 && nonzero)
+      val batch = planted
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val tag = s"ivfpqstream_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val base = Scratch.path(tag)
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", s"$base/idx",
+        nlist = 8)
+      val landing = java.nio.file.Paths.get(s"$base/landing")
+      java.nio.file.Files.createDirectories(landing)
+      Seq((batch.filter(col("vec_id") % 2 === 0), "00001", 1000000000000L),
+          (batch.filter(col("vec_id") % 2 === 1), "00002", 1000000002000L))
+        .foreach { case (b, n, mtime) =>
+          val stage = s"$base/stage_$n"
+          b.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = {
+            val walk = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+            try walk.filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            finally walk.close()
+          }
+          val target = landing.resolve(s"$n.parquet")
+          java.nio.file.Files.move(part, target)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+      graft.streaming.VectorStreams.ivfPqIngestStreamed(s, s"$base/idx",
+        landing.toString, "vec_id", "embedding",
+        checkpointDir = Some(s"$base/ckpt"))
+      val probes = planted.orderBy(col("vec_id")).limit(5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val store = emb.select(col("vec_id"), col("embedding")).unionByName(batch)
+      val res = Similarity.searchIvfPqIndex(s, s"$base/idx", store,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        k = 1, nprobe = 2, shortlist = 50)
+      probes.select(col("probe_id"))
+        .join(res.filter(col("rank") === 1)
+          .select(col("probe_id"), col("neighbor_id")), Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (col("neighbor_id") === col("probe_id") + 100000L).as("top1_is_copy"))
     }
   )
 
@@ -8000,6 +8056,15 @@ object SparkEntry {
 
     // the q_pq_index expectation on the partitioned-list layout
     "q_ivfpq_index" ->
+      """SELECT vec_id AS probe_id, true AS top1_is_copy
+        |FROM embeddings
+        |WHERE vec_id % 5 = 0
+        |  AND coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x * x)), 0) > 0
+        |ORDER BY vec_id LIMIT 5""".stripMargin,
+
+    // stream ≡ batch: the streamed index build serves the same copies
+    "q_ivfpq_ingest_stream" ->
       """SELECT vec_id AS probe_id, true AS top1_is_copy
         |FROM embeddings
         |WHERE vec_id % 5 = 0

@@ -930,6 +930,32 @@ object Similarity {
         lit(Dedup.partFileCount(spark, s"$path/codes")))
   }
 
+  /** [[pqIndexStats]] for a persisted IVF-PQ index: adds the list
+    * count and per-list occupancy extremes (a hot list is a probe-cost
+    * outlier; an empty one wastes a partition), counting code files
+    * across the list partition dirs. */
+  def ivfPqIndexStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val occ = codes.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__occ"))
+    val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$path/codes/centroid_id=*/*.parquet"))
+      .length.toLong
+    spark.read.parquet(s"$path/codebook")
+      .agg((max(col("subspace")) + 1).as("m"), max(col("code")).as("k"),
+        ((max(col("subspace")) + 1) * max(size(col("cvec")))).as("dim"))
+      .crossJoin(spark.read.parquet(s"$path/centroids")
+        .agg(count(lit(1)).as("n_lists")))
+      .crossJoin(codes.agg(count(lit(1)).as("n_vectors")))
+      .crossJoin(occ.agg(
+        coalesce(max(col("__occ")), lit(0L)).as("max_list_size"),
+        coalesce(min(col("__occ")), lit(0L)).as("min_list_size")))
+      .withColumn("n_code_files", lit(nFiles))
+  }
+
   /** Search a persisted PQ index: ADC over the stored packed codes
     * proposes a `shortlist`, exact cosine over `vectors` (the
     * full-precision store, fetched for the shortlist only) disposes.

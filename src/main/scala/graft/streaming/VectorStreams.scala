@@ -132,4 +132,38 @@ object VectorStreams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
+
+  /** CONTINUOUS ANN ingest — the vector landing-zone twin of
+    * [[graft.operators.Dedup.hammingIngestStreamed]]: a file source
+    * watches `streamDir` for vector batches (one micro-batch per
+    * file, (modification-time, path) order), and every batch encodes
+    * against the STORED coarse centroids + codebook and appends into
+    * its lists' partition dirs
+    * ([[Similarity.appendToIvfPqIndex]] — cost ∝ batch). Same
+    * foreachBatch rationale as the dedup chains: the growing index IS
+    * the shared, restart-durable state, not something a watermark can
+    * bound. Searches running between batches see every vector landed
+    * so far — the standing build half of online retrieval
+    * ([[nearestByAdcStreamed]] being the serve half). */
+  def ivfPqIngestStreamed(
+      spark: SparkSession, indexPath: String, streamDir: String,
+      idCol: String, vecCol: String,
+      checkpointDir: Option[String] = None): Unit = {
+    val schema = spark.read.parquet(streamDir).schema
+    val writer = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(streamDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.appendToIvfPqIndex(spark, indexPath, batch, idCol, vecCol)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = checkpointDir
+      .fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -233,5 +233,13 @@ class StoreMaintenanceSpec extends GraftSpec {
     assert(ps.getAs[Int]("dim") == 8)
     assert(ps.getAs[Long]("n_vectors") == 8L)
     assert(ps.getAs[Long]("n_code_files") >= 1L)
+
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", s"$dir/ivfpq2",
+      nlist = 2, m = 4, k = 4, iters = 1)
+    val is = Similarity.ivfPqIndexStats(spark, s"$dir/ivfpq2").head()
+    assert(is.getAs[Long]("n_lists") == 2L)
+    assert(is.getAs[Long]("n_vectors") == 8L)
+    assert(is.getAs[Long]("max_list_size") >= is.getAs[Long]("min_list_size"))
+    assert(is.getAs[Long]("n_code_files") >= 1L)
   }
 }
