@@ -7738,13 +7738,9 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.7)
         .select(col("doc_id")).localCheckpoint(true)
       Dedup.compactSignatureTable(s, path, numFiles = 2)
-      def parquetFiles(p: String): Long = {
-        val walk = java.nio.file.Files.list(java.nio.file.Paths.get(p))
-        try walk.filter(_.getFileName.toString.endsWith(".parquet")).count()
-        finally walk.close()
-      }
-      val bounded = parquetFiles(s"$path/sigs") <= 2 &&
-        parquetFiles(s"$path/buckets") <= 2
+      val bounded =
+        graft.operators.Store.partFileCount(s, s"$path/sigs") <= 2 &&
+          graft.operators.Store.partFileCount(s, s"$path/buckets") <= 2
       val after = Dedup.nearDedupIncremental(s, path, batch,
         "doc_id", "text", threshold = 0.7)
         .select(col("doc_id"))

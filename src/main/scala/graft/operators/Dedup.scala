@@ -1296,8 +1296,10 @@ object Dedup {
     *
     * At 100 TB both relations would additionally be bucketed by their
     * join keys (id / (band, bucket)); the path form keeps the same plan
-    * shape with a scan + broadcast-semi-join per batch. Overwrites
-    * `path`. */
+    * shape with a scan + broadcast-semi-join per batch. Both mutable
+    * relations live under the [[Store]] generation/manifest layout
+    * (append fencing, atomic maintenance swaps); `meta` is write-once
+    * plain parquet. Overwrites `path`. */
   def writeSignatureTable(
       df: DataFrame, idCol: String, textCol: String, path: String,
       shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
@@ -1310,18 +1312,19 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.write.mode("overwrite").parquet(sigTableSigs(path))
+    Store.create(sigs, sigTableSigs(path))
     val buckets = sigs
       .select(col("id"),
         explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    buckets
-      .withColumn("__graft_bsz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .filter(col("__graft_bsz") <= maxBucketSize)
-      .drop("__graft_bsz")
-      .write.mode("overwrite").parquet(sigTableBuckets(path))
+    Store.create(
+      buckets
+        .withColumn("__graft_bsz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket"))))
+        .filter(col("__graft_bsz") <= maxBucketSize)
+        .drop("__graft_bsz"),
+      sigTableBuckets(path))
     sigs.unpersist(blocking = false)
     df.sparkSession.range(1)
       .select(lit(shingleLen).as("shingle_len"), lit(numPerm).as("num_perm"),
@@ -1395,7 +1398,7 @@ object Dedup {
     // corpus rows in buckets the batch touches: scan + broadcast
     // semi-join — the corpus side is never shuffled
     val touched = batchBuckets.select(col("band"), col("bucket")).distinct()
-    val corpusMatch = spark.read.parquet(sigTableBuckets(sigTablePath))
+    val corpusMatch = Store.read(spark, sigTableBuckets(sigTablePath))
       .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
 
     // candidates: batch×batch (self-join) ∪ batch×corpus — id spaces
@@ -1426,7 +1429,7 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
     val neededCorpus = crossPairs.select(col("id_b").as("id")).distinct()
-    val corpusSigs = spark.read.parquet(sigTableSigs(sigTablePath))
+    val corpusSigs = Store.read(spark, sigTableSigs(sigTablePath))
       .join(broadcast(neededCorpus), Seq("id"), "left_semi")
     val edgesBatch = estimate(batchPairs,
       batch.select(col("id").as("id_b"), col("sig").as("sig_b")))
@@ -1501,7 +1504,12 @@ object Dedup {
     * Caller contract: ids disjoint from everything already in the
     * table (a re-appended id would double its rows in both relations),
     * and `batch` must not itself read from `path` (materialize first —
-    * [[nearDedupIngest]] does). */
+    * [[nearDedupIngest]] does). Both relation appends run under the
+    * [[Store.append]] fence: overlapping a retire/compact rewrite
+    * fails loudly and the batch must replay (a fence failure between
+    * the two appends can leave sig rows without bucket rows — harmless
+    * for matching, since candidates only come from buckets, and the
+    * replayed batch restores them). */
   def appendToSignatureTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String): Unit = {
@@ -1516,23 +1524,27 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.write.mode("append").parquet(sigTableSigs(path))
+    Store.append(spark, sigTableSigs(path)) { dir =>
+      sigs.write.mode("append").parquet(dir)
+    }
     val buckets = sigs
       .select(col("id"),
         explode(bandBuckets(col("sig"), bands, numPerm / bands)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val stored = spark.read.parquet(sigTableBuckets(path))
+    val stored = Store.read(spark, sigTableBuckets(path))
       .join(broadcast(buckets.select(col("band"), col("bucket")).distinct()),
         Seq("band", "bucket"), "left_semi")
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__stored"))
-    buckets
-      .withColumn("__rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
-      .join(stored, Seq("band", "bucket"), "left")
-      .filter(coalesce(col("__stored"), lit(0L)) + col("__rn") <= maxBucketSize)
-      .select(col("id"), col("band"), col("bucket"))
-      .write.mode("append").parquet(sigTableBuckets(path))
+    Store.append(spark, sigTableBuckets(path)) { dir =>
+      buckets
+        .withColumn("__rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
+        .join(stored, Seq("band", "bucket"), "left")
+        .filter(coalesce(col("__stored"), lit(0L)) + col("__rn") <= maxBucketSize)
+        .select(col("id"), col("band"), col("bucket"))
+        .write.mode("append").parquet(dir)
+    }
     sigs.unpersist(blocking = false)
   }
 
@@ -1707,18 +1719,19 @@ object Dedup {
       s"maxHamming must be in [0, 15], got $maxHamming")
     require(maxBucketSize > 0, "maxBucketSize must be > 0")
     val nBands = maxHamming + 1
-    sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
-      .filter(col("sig").isNotNull)
-      .select(col("id"), col("sig"),
-        explode(hammingBands(col("sig"), nBands)).as("bb"))
-      .select(col("id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .withColumn("__bsz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-      .write.mode("overwrite").parquet(hamTableBuckets(path))
+    Store.create(
+      sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("id"), col("sig"),
+          explode(hammingBands(col("sig"), nBands)).as("bb"))
+        .select(col("id"), col("sig"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        .withColumn("__bsz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket"))))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz"),
+      hamTableBuckets(path))
     sigs.sparkSession.range(1)
       .select(lit(maxHamming).as("max_hamming"),
         lit(maxBucketSize).as("max_bucket_size"))
@@ -1731,24 +1744,47 @@ object Dedup {
     * as a semi-join prune on the stored relation), never corpus.
     * Table parameters come from the table's own meta, so a query can
     * never band differently than the store. Output: (id_in,
-    * corpus_id, hamming) for every batch signature within the table's
-    * maxHamming of a stored one — completeness inherits the
-    * pigeonhole guarantee modulo the write-time bucket cap. Caller
-    * contract: batch ids disjoint from stored ids. */
+    * corpus_id, hamming) for every batch signature within `radius`
+    * (default: the table's maxHamming) of a stored one —
+    * completeness inherits the pigeonhole guarantee modulo the
+    * write-time bucket cap. Caller contract: batch ids disjoint from
+    * stored ids.
+    *
+    * `multiProbe` buys SEARCH RADIUS with probes, the store
+    * unchanged: each query band probes its exact bucket plus every
+    * one-bit-flip neighbour (enumerable for Hamming buckets, unlike
+    * minhash values), matching any stored row whose band differs in
+    * ≤ 1 bit. If every band differed in ≥ 2 bits the pair would be
+    * ≥ 2·nBands apart, so the probes are COMPLETE for radius ≤
+    * 2·nBands − 1 — beyond the plain banding's nBands − 1 guarantee —
+    * at ~(64/nBands + 1)× the probe keys and the store not a byte
+    * bigger. A radius past the plain guarantee without multiProbe
+    * fails loudly rather than returning silently-incomplete matches. */
   def hammingNearDupsIncremental(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      incoming: DataFrame, idCol: String, sigCol: String): DataFrame = {
+      incoming: DataFrame, idCol: String, sigCol: String,
+      multiProbe: Boolean = false, radius: Option[Int] = None): DataFrame = {
     val meta = spark.read.parquet(hamTableMeta(path)).head()
     val maxHamming = meta.getAs[Int]("max_hamming")
     val nBands = maxHamming + 1
+    val r = radius.getOrElse(maxHamming)
+    val complete = if (multiProbe) 2 * nBands - 1 else nBands - 1
+    require(r >= 0 && r <= complete,
+      s"radius $r exceeds the completeness bound $complete of this " +
+        s"table's banding (max_hamming = $maxHamming, nBands = $nBands" +
+        (if (multiProbe) ", one-bit probes)"
+         else ") — enable multiProbe for radii up to " +
+           s"${2 * nBands - 1}"))
+    val probeBands =
+      if (multiProbe) hammingBandsMultiProbe(col("sig"), nBands)
+      else hammingBands(col("sig"), nBands)
     val incB = incoming
       .select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
       .filter(col("sig").isNotNull)
-      .select(col("id"), col("sig"),
-        explode(hammingBands(col("sig"), nBands)).as("bb"))
+      .select(col("id"), col("sig"), explode(probeBands).as("bb"))
       .select(col("id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val stored = spark.read.parquet(hamTableBuckets(path))
+    val stored = Store.read(spark, hamTableBuckets(path))
       .join(broadcast(incB.select(col("band"), col("bucket")).distinct()),
         Seq("band", "bucket"), "left_semi")
     incB.join(stored.select(col("band"), col("bucket"),
@@ -1757,9 +1793,26 @@ object Dedup {
       .dropDuplicates("id", "corpus_id")
       .withColumn("hamming",
         bit_count(col("sig").bitwiseXOR(col("corpus_sig"))))
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= r)
       .select(col("id").as("id_in"), col("corpus_id"), col("hamming"))
   }
+
+  /** [[hammingBands]] plus, per band, every ONE-BIT-FLIP neighbour
+    * bucket — the query-side multi-probe key set: a stored band
+    * differing from the query band in exactly one bit collides with
+    * the matching flip probe. (64/nBands + 1) keys per band. */
+  private def hammingBandsMultiProbe(sig: Column, nBands: Int): Column =
+    array((0 until nBands).flatMap { b =>
+      val lo = b * 64 / nBands
+      val width = (b + 1) * 64 / nBands - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      val exact = shiftrightunsigned(sig, lo).bitwiseAND(lit(mask))
+      struct(lit(b).as("band"), exact.as("bucket")) +:
+        (0 until width).map { j =>
+          struct(lit(b).as("band"),
+            exact.bitwiseXOR(lit(1L << j)).as("bucket"))
+        }
+    }: _*)
 
   /** Append a batch's signatures to a persisted Hamming table — the
     * maintenance half of the incremental media-ingest loop, with the
@@ -1782,18 +1835,20 @@ object Dedup {
         explode(hammingBands(col("sig"), maxHamming + 1)).as("bb"))
       .select(col("id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val stored = spark.read.parquet(hamTableBuckets(path))
+    val stored = Store.read(spark, hamTableBuckets(path))
       .join(broadcast(incB.select(col("band"), col("bucket")).distinct()),
         Seq("band", "bucket"), "left_semi")
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__stored"))
-    incB
-      .withColumn("__rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
-      .join(stored, Seq("band", "bucket"), "left")
-      .filter(coalesce(col("__stored"), lit(0L)) + col("__rn") <= maxBucketSize)
-      .select(col("id"), col("sig"), col("band"), col("bucket"))
-      .write.mode("append").parquet(hamTableBuckets(path))
+    Store.append(spark, hamTableBuckets(path)) { dir =>
+      incB
+        .withColumn("__rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
+        .join(stored, Seq("band", "bucket"), "left")
+        .filter(coalesce(col("__stored"), lit(0L)) + col("__rn") <= maxBucketSize)
+        .select(col("id"), col("sig"), col("band"), col("bucket"))
+        .write.mode("append").parquet(dir)
+    }
   }
 
   /** Media-ingest step over a persisted Hamming table — the 64-bit-
@@ -1871,60 +1926,19 @@ object Dedup {
 
   // ───────────── persisted-store maintenance (retire / compact) ─────────────
 
-  /** Rewrite one store relation via a generation swap: the transformed
-    * frame writes to `<rel>__rewrite`, the live dir renames aside to
-    * `<rel>__old`, the rewrite renames into place, the old generation
-    * deletes. The read and the tmp write overlap safely (different
-    * paths); the two renames are directory-level metadata moves, so
-    * the unreadable window is the narrowest the filesystem offers. A
-    * crash between the renames leaves `<rel>__old` intact — restore is
-    * a rename back (stale `__old`/`__rewrite` from such a crash are
-    * cleared on the next rewrite). Table formats with atomic commits
-    * would subsume this; plain parquet dirs get the two-rename swap.
-    * Shared with [[Similarity.retireFromPqIndex]] — every persisted
-    * store (text signatures, Hamming, PQ codes) swaps the same way. */
-  private[operators] def swapRewrite(
-      spark: org.apache.spark.sql.SparkSession, relPath: String,
-      out: DataFrame, numFiles: Int,
-      partitionCols: Seq[String] = Nil): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val rel = new org.apache.hadoop.fs.Path(relPath)
-    val fs = rel.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(relPath + "__rewrite")
-    val old = new org.apache.hadoop.fs.Path(relPath + "__old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    // partitioned relations rewrite partitioned; with numFiles the
-    // hash-repartition on the partition columns lands every directory
-    // on exactly one task → one file per partition dir
-    val shaped =
-      if (partitionCols.nonEmpty)
-        if (numFiles > 0) out.repartition(numFiles, partitionCols.map(col): _*)
-        else out
-      else if (numFiles > 0) out.coalesce(numFiles)
-      else out
-    val w = shaped.write.mode("overwrite")
-    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
-      .parquet(tmp.toString)
-    if (!fs.rename(rel, old))
-      throw new IllegalStateException(
-        s"swapRewrite: cannot move live relation aside: $relPath")
-    if (!fs.rename(tmp, rel)) {
-      fs.rename(old, rel) // restore — the store is never left headless
-      throw new IllegalStateException(
-        s"swapRewrite: cannot move rewrite into place: $relPath")
-    }
-    fs.delete(old, true)
-  }
-
   /** Remove documents from a persisted MinHash signature table — the
     * takedown/right-to-be-forgotten half of store maintenance (the
     * reference's Index has no delete: csvplus.go:655 persists a frozen
     * lookup; a standing ingest store additionally needs retirement).
     * Every `sigs` and `buckets` row whose id is in `retired` is
-    * dropped and both relations rewrite via [[swapRewrite]]; later
-    * batches no longer dedup against the retired documents, and the
-    * freed bucket headroom is reusable by later appends (the
-    * occupancy count in [[appendToSignatureTable]] reads live rows).
+    * dropped and both relations rewrite via [[Store.rewrite]] (new
+    * generation + atomic manifest flip — no rename, no headless
+    * window); later batches no longer dedup against the retired
+    * documents, and the freed bucket headroom is reusable by later
+    * appends (the occupancy count in [[appendToSignatureTable]] reads
+    * live rows). The retirement ids are resolved against the store's
+    * OWN id type and a lossy cast fails loudly ([[Store.retireIds]]) —
+    * a takedown must never silently no-op.
     *
     * Scale shape: cost ∝ STORE (a full-scan rewrite of both
     * relations), independent of the retirement list's size — run it at
@@ -1932,20 +1946,22 @@ object Dedup {
     * broadcasts (caller contract: takedown lists ≪ store; for
     * corpus-scale removal rebuild with [[writeSignatureTable]]).
     * `numFiles > 0` additionally compacts the rewrite (the post-append
-    * small-file cleanup rides along for free).
+    * small-file cleanup rides along for free). The two relations swap
+    * as two independent commits; a crash between them leaves orphaned
+    * bucket rows for the retired ids — harmless for matching (the sig
+    * fetch drops them) and swept by the next [[compactSignatureTable]].
     *
     * @return number of stored documents removed */
   def retireFromSignatureTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val ids = retired.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint(true)
-    val sigs = spark.read.parquet(sigTableSigs(path))
+    val sigs = Store.read(spark, sigTableSigs(path))
+    val ids = Store.retireIds(sigs, "id", retired, idCol)
     val removed = sigs.join(broadcast(ids), Seq("id"), "left_semi").count()
-    swapRewrite(spark, sigTableSigs(path),
+    Store.rewrite(spark, sigTableSigs(path),
       sigs.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
-    swapRewrite(spark, sigTableBuckets(path),
-      spark.read.parquet(sigTableBuckets(path))
+    Store.rewrite(spark, sigTableBuckets(path),
+      Store.read(spark, sigTableBuckets(path))
         .join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
     removed
   }
@@ -1954,17 +1970,24 @@ object Dedup {
     * the periodic cleanup after many [[appendToSignatureTable]]
     * generations (each append adds a file set; a year of hourly
     * batches is ~9 000 generations of small files, and open-cost, not
-    * bytes, starts to dominate the per-batch semi-join scan). Pure
-    * rewrite: row content is untouched, so query results are
-    * byte-identical before and after (the gate pins this). */
+    * bytes, starts to dominate the per-batch semi-join scan). The
+    * bucket relation is additionally swept against the live sig ids —
+    * orphaned bucket rows left by a crash between
+    * [[retireFromSignatureTable]]'s two swaps self-heal here, freeing
+    * the headroom they were consuming. On a healthy store the sweep
+    * keeps every row, so query results are byte-identical before and
+    * after (the gate pins this). */
   def compactSignatureTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    swapRewrite(spark, sigTableSigs(path),
-      spark.read.parquet(sigTableSigs(path)), numFiles)
-    swapRewrite(spark, sigTableBuckets(path),
-      spark.read.parquet(sigTableBuckets(path)), numFiles)
+    val sigs = Store.read(spark, sigTableSigs(path))
+    Store.rewrite(spark, sigTableSigs(path), sigs, numFiles)
+    Store.rewrite(spark, sigTableBuckets(path),
+      Store.read(spark, sigTableBuckets(path))
+        .join(Store.read(spark, sigTableSigs(path)).select(col("id")),
+          Seq("id"), "left_semi"),
+      numFiles)
   }
 
   /** [[retireFromSignatureTable]] for a persisted Hamming table (one
@@ -1973,12 +1996,11 @@ object Dedup {
   def retireFromHammingTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val ids = retired.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint(true)
-    val buckets = spark.read.parquet(hamTableBuckets(path))
+    val buckets = Store.read(spark, hamTableBuckets(path))
+    val ids = Store.retireIds(buckets, "id", retired, idCol)
     val removed = buckets.join(broadcast(ids), Seq("id"), "left_semi")
       .select(col("id")).distinct().count()
-    swapRewrite(spark, hamTableBuckets(path),
+    Store.rewrite(spark, hamTableBuckets(path),
       buckets.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
     removed
   }
@@ -1988,17 +2010,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    swapRewrite(spark, hamTableBuckets(path),
-      spark.read.parquet(hamTableBuckets(path)), numFiles)
-  }
-
-  /** Parquet part-file count of one store relation (Hadoop FS, so any
-    * filesystem the session reaches counts the same way). */
-  private[operators] def partFileCount(
-      spark: org.apache.spark.sql.SparkSession, p: String): Long = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(hp).count(_.getPath.getName.endsWith(".parquet")).toLong
+    Store.rewrite(spark, hamTableBuckets(path),
+      Store.read(spark, hamTableBuckets(path)), numFiles)
   }
 
   /** One-row operational summary of a persisted signature table — the
@@ -2015,18 +2028,18 @@ object Dedup {
     * broadcast-scalar crossJoins (the Stats.scala pattern). */
   def signatureTableStats(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val buckets = spark.read.parquet(sigTableBuckets(path))
+    val buckets = Store.read(spark, sigTableBuckets(path))
     spark.read.parquet(sigTableMeta(path))
-      .crossJoin(spark.read.parquet(sigTableSigs(path))
+      .crossJoin(Store.read(spark, sigTableSigs(path))
         .agg(count(lit(1)).as("n_docs")))
       .crossJoin(buckets.agg(count(lit(1)).as("n_bucket_rows")))
       .crossJoin(buckets
         .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__occ"))
         .agg(coalesce(max(col("__occ")), lit(0L)).as("max_bucket_occupancy")))
       .withColumn("n_sig_files",
-        lit(partFileCount(spark, sigTableSigs(path))))
+        lit(Store.partFileCount(spark, sigTableSigs(path))))
       .withColumn("n_bucket_files",
-        lit(partFileCount(spark, sigTableBuckets(path))))
+        lit(Store.partFileCount(spark, sigTableBuckets(path))))
   }
 
   /** [[signatureTableStats]] for a persisted Hamming table (n_docs is
@@ -2034,7 +2047,7 @@ object Dedup {
     * `max_hamming + 1` rows per document minus write-cap drops). */
   def hammingTableStats(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val buckets = spark.read.parquet(hamTableBuckets(path))
+    val buckets = Store.read(spark, hamTableBuckets(path))
     spark.read.parquet(hamTableMeta(path))
       .crossJoin(buckets.agg(
         count_distinct(col("id")).as("n_docs"),
@@ -2043,7 +2056,7 @@ object Dedup {
         .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__occ"))
         .agg(coalesce(max(col("__occ")), lit(0L)).as("max_bucket_occupancy")))
       .withColumn("n_bucket_files",
-        lit(partFileCount(spark, hamTableBuckets(path))))
+        lit(Store.partFileCount(spark, hamTableBuckets(path))))
   }
 
   /** Paragraph-level (line-level) deduplication across the corpus, the

@@ -197,22 +197,53 @@ object Sampling {
     * contiguity — same contract as a strided sampler). */
   def interleaveByDomain(
       df: DataFrame, domainCol: String, idCol: String,
-      outCol: String = "global_pos"): DataFrame = {
+      outCol: String = "global_pos", maxDomains: Int = 100000): DataFrame = {
     tempCol(df, outCol)
-    val domains = df.select(col(domainCol)).distinct()
-      .filter(col(domainCol).isNotNull)
-      .collect().map(_.get(0).toString).sorted
-    require(domains.nonEmpty, "interleaveByDomain: no non-null domains")
-    val nd = domains.length
-    val dIdx = domains.zipWithIndex.foldLeft(lit(null).cast("long")) {
-      case (acc, (dom, i)) =>
-        when(col(domainCol) === dom, lit(i.toLong)).otherwise(acc)
+    Seq("__dom", "__didx").foreach { n =>
+      require(!df.columns.contains(n),
+        s"input already has a column named $n")
     }
+    // the domain list is collected to the driver — only sound for a
+    // DOMAIN-cardinality column. A high-cardinality key (URL, doc id)
+    // must fail loudly here, not OOM the driver: probe one row beyond
+    // the cap instead of collecting everything first (the
+    // [[temperatureMix]] guard).
+    val domains = df.select(col(domainCol).cast("string").as("__dom"))
+      .filter(col("__dom").isNotNull)
+      .distinct()
+      .limit(maxDomains + 1)
+      .collect().map(_.getString(0)).sorted
+    require(domains.nonEmpty, "interleaveByDomain: no non-null domains")
+    require(domains.length <= maxDomains,
+      s"interleaveByDomain saw more than $maxDomains distinct '$domainCol' " +
+        "values — this operator drives a driver-held domain index and is " +
+        "meant for domain-cardinality keys; raise maxDomains only if the " +
+        "driver can hold the index")
+    val nd = domains.length
+    // the domain index joins in as a BROADCAST relation, not a
+    // per-domain when-chain: a chain of `nd` cases is O(nd) expression
+    // nodes evaluated per row — at domain cardinalities in the
+    // thousands that bloats the plan and the codegen; the broadcast
+    // hash join is O(1) per row at any guarded cardinality
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val idx = spark.createDataFrame(
+      domains.zipWithIndex.map { case (d, i) =>
+        org.apache.spark.sql.Row(d, i.toLong)
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__dom",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__didx",
+          org.apache.spark.sql.types.LongType))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn(outCol,
-      (row_number().over(w).cast("long") - 1L) * nd + dIdx)
+    df.join(broadcast(idx),
+        col(domainCol).cast("string") === col("__dom"), "left")
+      .withColumn(outCol,
+        (row_number().over(w).cast("long") - 1L) * nd + col("__didx"))
+      .drop("__dom", "__didx")
   }
 
   /** Equal-size length buckets — SQL `ntile(n) OVER (ORDER BY orderCol,

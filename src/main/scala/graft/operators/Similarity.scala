@@ -736,8 +736,9 @@ object Similarity {
     val normed = data.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("nv"))
     val cb = pqTrain(normed, "id", "nv", m, k, iters)
     cb.toDF(spark).write.mode("overwrite").parquet(s"$path/codebook")
-    pqEncodePacked(normed, "nv", cb).select(col("id"), col("pq_code"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+    Store.create(
+      pqEncodePacked(normed, "nv", cb).select(col("id"), col("pq_code")),
+      s"$path/codes")
     cb
   }
 
@@ -752,11 +753,13 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): PqCodebook = {
     val cb = pqCodebookFromDF(spark.read.parquet(s"$path/codebook"))
-    pqEncodePacked(
-      batch.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("nv")),
-      "nv", cb)
-      .select(col("id"), col("pq_code"))
-      .write.mode("append").parquet(s"$path/codes")
+    Store.append(spark, s"$path/codes") { dir =>
+      pqEncodePacked(
+        batch.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("nv")),
+        "nv", cb)
+        .select(col("id"), col("pq_code"))
+        .write.mode("append").parquet(dir)
+    }
     cb
   }
 
@@ -773,11 +776,10 @@ object Similarity {
   def retireFromPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val ids = retired.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint(true)
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = Store.read(spark, s"$path/codes")
+    val ids = Store.retireIds(codes, "id", retired, idCol)
     val removed = codes.join(broadcast(ids), Seq("id"), "left_semi").count()
-    Dedup.swapRewrite(spark, s"$path/codes",
+    Store.rewrite(spark, s"$path/codes",
       codes.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
     removed
   }
@@ -789,8 +791,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    Dedup.swapRewrite(spark, s"$path/codes",
-      spark.read.parquet(s"$path/codes"), numFiles)
+    Store.rewrite(spark, s"$path/codes",
+      Store.read(spark, s"$path/codes"), numFiles)
   }
 
   // ───────── persisted IVF-PQ index (partition-pruned inverted lists) ─────────
@@ -821,10 +823,10 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val cb = pqTrain(normed, "id", "nv", m, k, iters)
     cb.toDF(spark).write.mode("overwrite").parquet(s"$path/codebook")
-    pqEncodePacked(assigned, "v", cb)
-      .select(col("id"), col("pq_code"), col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$path/codes")
+    Store.create(
+      pqEncodePacked(assigned, "v", cb)
+        .select(col("id"), col("pq_code"), col("centroid_id")),
+      s"$path/codes", partitionCols = Seq("centroid_id"))
     normed.unpersist(blocking = false)
   }
 
@@ -852,18 +854,24 @@ object Similarity {
       .withColumn("v", transform(col("nv"), x => x.cast("double")))
       .withColumn("centroid_id",
         graft.plans.native.nearestCentroid(col("v"), flat, cents.length))
-    pqEncodePacked(assigned, "v", cb)
-      .select(col("id"), col("pq_code"), col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/codes")
+    Store.append(spark, s"$path/codes") { dir =>
+      pqEncodePacked(assigned, "v", cb)
+        .select(col("id"), col("pq_code"), col("centroid_id"))
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(dir)
+    }
   }
 
-  /** Search a persisted IVF-PQ index. The coarse stage runs once to
-    * harvest the probed list ids — the distinct set is bounded by
-    * nlist (an index CONSTANT), so the collect is bounded by
-    * construction — and those ids prune the code scan as PARTITION
-    * FILTERS (file skipping, pinned by PlanSpec) before
-    * [[ivfPqSearch]] runs ADC + exact rerank over what remains. */
+  /** Search a persisted IVF-PQ index. The coarse stage's probed list
+    * ids prune the code scan via DYNAMIC PARTITION PRUNING: the probed
+    * set stays a (tiny, nlist-bounded) relation that broadcast-semi-
+    * joins the partitioned code table on `centroid_id`, and Catalyst
+    * turns the reused broadcast into a partition filter at the scan
+    * (file skipping, pinned by PlanSpec). Nothing is collected and no
+    * literal id list enters the plan — at nlist ~10⁵ (the √N layout at
+    * 10¹⁰ vectors) an In-filter of that arity would be a plan-size and
+    * catalog-pruning cost, while the DPP subquery is constant-size.
+    * [[ivfPqSearch]] then runs ADC + exact rerank over what remains. */
   def searchIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       vectors: DataFrame, vecIdCol: String, vecCol: String,
@@ -880,9 +888,8 @@ object Similarity {
     val probed = pc.withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= nprobe)
       .select(col("centroid_id")).distinct()
-      .collect().map(_.getInt(0))
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("centroid_id").isin(probed.map(Int.box): _*))
+    val codes = Store.read(spark, s"$path/codes")
+      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
     ivfPqSearch(codes, "id", "pq_code", centroids,
       vectors, vecIdCol, vecCol, probes, probeIdCol, probeVecCol,
       cb, k, nprobe, shortlist)
@@ -894,11 +901,10 @@ object Similarity {
   def retireFromIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val ids = retired.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint(true)
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = Store.read(spark, s"$path/codes")
+    val ids = Store.retireIds(codes, "id", retired, idCol)
     val removed = codes.join(broadcast(ids), Seq("id"), "left_semi").count()
-    Dedup.swapRewrite(spark, s"$path/codes",
+    Store.rewrite(spark, s"$path/codes",
       codes.join(broadcast(ids), Seq("id"), "left_anti"), numFiles,
       partitionCols = Seq("centroid_id"))
     removed
@@ -910,8 +916,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    Dedup.swapRewrite(spark, s"$path/codes",
-      spark.read.parquet(s"$path/codes"), numFiles,
+    Store.rewrite(spark, s"$path/codes",
+      Store.read(spark, s"$path/codes"), numFiles,
       partitionCols = Seq("centroid_id"))
   }
 
@@ -924,26 +930,24 @@ object Similarity {
     spark.read.parquet(s"$path/codebook")
       .agg((max(col("subspace")) + 1).as("m"), max(col("code")).as("k"),
         ((max(col("subspace")) + 1) * max(size(col("cvec")))).as("dim"))
-      .crossJoin(spark.read.parquet(s"$path/codes")
+      .crossJoin(Store.read(spark, s"$path/codes")
         .agg(count(lit(1)).as("n_vectors")))
       .withColumn("n_code_files",
-        lit(Dedup.partFileCount(spark, s"$path/codes")))
+        lit(Store.partFileCount(spark, s"$path/codes")))
   }
 
   /** [[pqIndexStats]] for a persisted IVF-PQ index: adds the list
     * count and per-list occupancy extremes (a hot list is a probe-cost
-    * outlier; an empty one wastes a partition), counting code files
-    * across the list partition dirs. */
+    * outlier) plus `n_empty_lists` — centroids with NO code rows (each
+    * wastes a partition and signals a stale coarse quantizer). Empty
+    * lists contribute no occupancy row, so `min_list_size` is the
+    * smallest NON-EMPTY list; emptiness is reported by count, not by a
+    * zero minimum. Code files count across the list partition dirs. */
   def ivfPqIndexStats(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = Store.read(spark, s"$path/codes")
     val occ = codes.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("__occ"))
-    val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val fs = codesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nFiles = fs.globStatus(
-      new org.apache.hadoop.fs.Path(s"$path/codes/centroid_id=*/*.parquet"))
-      .length.toLong
     spark.read.parquet(s"$path/codebook")
       .agg((max(col("subspace")) + 1).as("m"), max(col("code")).as("k"),
         ((max(col("subspace")) + 1) * max(size(col("cvec")))).as("dim"))
@@ -952,8 +956,12 @@ object Similarity {
       .crossJoin(codes.agg(count(lit(1)).as("n_vectors")))
       .crossJoin(occ.agg(
         coalesce(max(col("__occ")), lit(0L)).as("max_list_size"),
-        coalesce(min(col("__occ")), lit(0L)).as("min_list_size")))
-      .withColumn("n_code_files", lit(nFiles))
+        coalesce(min(col("__occ")), lit(0L)).as("min_list_size"),
+        count(lit(1)).as("__n_used")))
+      .withColumn("n_empty_lists", col("n_lists") - col("__n_used"))
+      .drop("__n_used")
+      .withColumn("n_code_files",
+        lit(Store.partFileCount(spark, s"$path/codes")))
   }
 
   /** Search a persisted PQ index: ADC over the stored packed codes
@@ -967,7 +975,7 @@ object Similarity {
       probes: DataFrame, probeIdCol: String, probeVecCol: String,
       k: Int, shortlist: Int): DataFrame = {
     val cb = pqCodebookFromDF(spark.read.parquet(s"$path/codebook"))
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = Store.read(spark, s"$path/codes")
     pqSearchRerank(codes, "id", "pq_code",
       vectors, vecIdCol, vecCol, probes, probeIdCol, probeVecCol,
       cb, k, shortlist)

@@ -144,7 +144,17 @@ object VectorStreams {
     * the shared, restart-durable state, not something a watermark can
     * bound. Searches running between batches see every vector landed
     * so far — the standing build half of online retrieval
-    * ([[nearestByAdcStreamed]] being the serve half). */
+    * ([[nearestByAdcStreamed]] being the serve half).
+    *
+    * foreachBatch is at-least-once: a restart between the append and
+    * the checkpoint commit REPLAYS the micro-batch, and an index
+    * append (unlike the dedup ingest, whose store-side match masks
+    * replays) would serve the duplicated id twice in ADC shortlists.
+    * The append is therefore made idempotent per batch: ids already
+    * in the code table are anti-joined away first — the probe is a
+    * broadcast semi-join of the batch ids against the scanned id
+    * column (never a corpus shuffle), so a replayed batch appends
+    * nothing. */
   def ivfPqIngestStreamed(
       spark: SparkSession, indexPath: String, streamDir: String,
       idCol: String, vecCol: String,
@@ -157,7 +167,14 @@ object VectorStreams {
       .parquet(streamDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.appendToIvfPqIndex(spark, indexPath, batch, idCol, vecCol)
+        val already = graft.operators.Store
+          .read(spark, s"$indexPath/codes")
+          .select(col("id").as(idCol))
+          .join(broadcast(batch.select(col(idCol)).distinct()),
+            Seq(idCol), "left_semi")
+          .localCheckpoint(true)
+        val fresh = batch.join(broadcast(already), Seq(idCol), "left_anti")
+        Similarity.appendToIvfPqIndex(spark, indexPath, fresh, idCol, vecCol)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

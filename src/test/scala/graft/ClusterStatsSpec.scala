@@ -116,10 +116,10 @@ class ClusterStatsSpec extends GraftSpec {
     val meta = spark.read.parquet(s"$sigPath/meta").head()
     assert(meta.getAs[Int]("shingle_len") == 3 &&
       meta.getAs[Int]("num_perm") == 64 && meta.getAs[Int]("bands") == 16)
-    val sigs = spark.read.parquet(s"$sigPath/sigs")
+    val sigs = graft.operators.Store.read(spark, s"$sigPath/sigs")
     assert(sigs.count() == 2 &&
       sigs.select(size(col("sig"))).as[Int].collect().forall(_ == 64))
-    assert(spark.read.parquet(s"$sigPath/buckets").count() == 2 * 16)
+    assert(graft.operators.Store.read(spark, s"$sigPath/buckets").count() == 2 * 16)
     // the production path must produce the reference form's survivors
     val viaTable = Dedup.nearDedupIncremental(spark, sigPath, incoming,
       "doc_id", "text", threshold = 0.6)
@@ -165,10 +165,10 @@ class ClusterStatsSpec extends GraftSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(surv2 == Set(21L), s"got $surv2")
     // the table grew by exactly the survivors (1 + 1 rows of sigs)
-    assert(spark.read.parquet(s"$sigPath/sigs").count() == 3)
+    assert(graft.operators.Store.read(spark, s"$sigPath/sigs").count() == 3)
     // appended buckets respect the stored cap headroom: no (band,
     // bucket) exceeds max_bucket_size
-    val over = spark.read.parquet(s"$sigPath/buckets")
+    val over = graft.operators.Store.read(spark, s"$sigPath/buckets")
       .groupBy(col("band"), col("bucket")).count()
       .filter(col("count") > 1000).count()
     assert(over == 0)
@@ -212,7 +212,7 @@ class ClusterStatsSpec extends GraftSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(10L, 21L), s"got $out")
     // survivors' signatures were appended micro-batch by micro-batch
-    assert(spark.read.parquet(s"$base/sig/sigs").count() == 3)
+    assert(graft.operators.Store.read(spark, s"$base/sig/sigs").count() == 3)
   }
 
   test("appendToSignatureTable admits rows only up to a bucket's remaining headroom") {
@@ -226,12 +226,12 @@ class ClusterStatsSpec extends GraftSpec {
     Dedup.appendToSignatureTable(spark,
       sigPath, Seq((2L, text), (3L, text), (4L, text)).toDF("doc_id", "text"),
       "doc_id", "text")
-    val occ = spark.read.parquet(s"$sigPath/buckets")
+    val occ = graft.operators.Store.read(spark, s"$sigPath/buckets")
       .groupBy(col("band"), col("bucket")).count()
       .select(max(col("count"))).head().getLong(0)
     assert(occ == 2, s"max occupancy $occ must honor the stored cap")
     // deterministic admission: smallest id first → doc 2 got the slots
-    val ids = spark.read.parquet(s"$sigPath/buckets")
+    val ids = graft.operators.Store.read(spark, s"$sigPath/buckets")
       .select("id").distinct().as[Long].collect().toSet
     assert(ids == Set(1L, 2L), s"got $ids")
   }

@@ -192,10 +192,15 @@ class PlanSpec extends GraftSpec {
     val p = formatted("q_ivfpq_index")
     // the code-table scan must carry a centroid_id partition filter —
     // file skipping, not a post-scan filter, is what bounds the bytes
-    // read per query at 100 TB
+    // read per query at 100 TB. The filter must be the DYNAMIC pruning
+    // subquery (the probed ids as a reused broadcast), not a literal In
+    // list — a literal list is plan-size ∝ nlist·nprobe and stops
+    // being viable at the √N list counts the 100 TB layout needs.
     val pf = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
-    assert(pf.exists(l => l.contains("centroid_id") && l.contains("IN (")),
-      s"probed list ids must reach the scan as PartitionFilters; saw: $pf\n$p")
+    assert(pf.exists(l => l.contains("centroid_id") &&
+        l.contains("dynamicpruningexpression")),
+      s"probed list ids must reach the scan as a dynamic partition-" +
+        s"pruning filter; saw: $pf\n$p")
     assert(!p.contains("CartesianProduct"),
       s"a shuffled cartesian would not survive any scale-up:\n$p")
   }

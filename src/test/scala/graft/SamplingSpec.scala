@@ -158,6 +158,20 @@ class SamplingSpec extends GraftSpec {
     out.foreach { case (id, _, pos) => assert(again(id) == pos) }
   }
 
+  test("interleaveByDomain fails loudly on a high-cardinality domain column") {
+    import spark.implicits._
+    // a per-document key masquerading as a domain: the driver-held
+    // index must refuse, not OOM (the temperatureMix guard)
+    val docs = (0L until 50L).map(i => (i, s"url$i")).toDF("doc_id", "dom")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.interleaveByDomain(docs, "dom", "doc_id", maxDomains = 10)
+    }
+    assert(ex.getMessage.contains("maxDomains"))
+    // at or under the cap the operator works unchanged
+    assert(Sampling.interleaveByDomain(docs, "dom", "doc_id",
+      maxDomains = 50).count() == 50)
+  }
+
   test("tokenBudgetMix fills each domain's token budget in md5 order") {
     import spark.implicits._
     val docs = (0L until 60L).map(i =>

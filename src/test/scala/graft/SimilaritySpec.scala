@@ -420,7 +420,7 @@ class SimilaritySpec extends GraftSpec {
       .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
     val cb2 = Similarity.appendToPqIndex(spark, path, batch, "vec_id", "embedding")
     assert(cb2.flat.sameElements(cb.flat)) // append never retrains
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = graft.operators.Store.read(spark, s"$path/codes")
     assert(codes.count() == vecs.count() + 1)
     val store = vecs.select(col("vec_id"), col("embedding")).unionByName(batch)
     val probes = vecs.filter(col("vec_id") === 7L)

@@ -1,11 +1,12 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Store}
 
 import org.apache.spark.sql.functions._
 
 /** Persisted-store maintenance: retirement (takedown) and compaction
-  * of the MinHash signature table and the Hamming table. */
+  * of the MinHash signature table and the Hamming table, plus the
+  * generation/manifest contract of the shared [[Store]] layer. */
 class StoreMaintenanceSpec extends GraftSpec {
 
   import spark.implicits._
@@ -14,11 +15,7 @@ class StoreMaintenanceSpec extends GraftSpec {
     ids.map(i => (i + offset,
       s"fresh document u$i payload p$i q$i extra e$i")).toDF("doc_id", "text")
 
-  private def parquetFiles(p: String): Long = {
-    val walk = java.nio.file.Files.list(java.nio.file.Paths.get(p))
-    try walk.filter(_.getFileName.toString.endsWith(".parquet")).count()
-    finally walk.close()
-  }
+  private def parquetFiles(p: String): Long = Store.partFileCount(spark, p)
 
   test("retireFromSignatureTable flips exactly the retired docs' copies") {
     val dir = java.nio.file.Files.createTempDirectory("graft_retire_").toString
@@ -160,10 +157,11 @@ class StoreMaintenanceSpec extends GraftSpec {
       .toDF("vec_id", "embedding")
     Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", s"$dir/ivfpq",
       nlist = 4, m = 4, k = 4, iters = 2)
-    // the code table is physically partitioned by list
+    // the code table is physically partitioned by list (inside the
+    // live generation directory)
+    val genData = Store.currentGen(spark, s"$dir/ivfpq/codes").dataPath
     val dirs = {
-      val walk = java.nio.file.Files.list(
-        java.nio.file.Paths.get(s"$dir/ivfpq/codes"))
+      val walk = java.nio.file.Files.list(java.nio.file.Paths.get(genData))
       try walk.filter(_.getFileName.toString.startsWith("centroid_id="))
         .count()
       finally walk.close()
@@ -240,6 +238,108 @@ class StoreMaintenanceSpec extends GraftSpec {
     assert(is.getAs[Long]("n_lists") == 2L)
     assert(is.getAs[Long]("n_vectors") == 8L)
     assert(is.getAs[Long]("max_list_size") >= is.getAs[Long]("min_list_size"))
+    assert(is.getAs[Long]("n_empty_lists") ==
+      2L - Store.read(spark, s"$dir/ivfpq2/codes")
+        .select(col("centroid_id")).distinct().count())
     assert(is.getAs[Long]("n_code_files") >= 1L)
+  }
+
+  // ───────── the Store generation/manifest contract itself ─────────
+
+  test("rewrite flips the manifest; a reader sees old or new, never none") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    val rel = s"$dir/rel"
+    Store.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), rel)
+    val g1 = Store.currentGen(spark, rel)
+    assert(g1.n == 1L)
+    Store.rewrite(spark, rel,
+      Store.read(spark, rel).filter(col("id") === 1L), numFiles = 1)
+    val g2 = Store.currentGen(spark, rel)
+    assert(g2.n == 2L)
+    // the superseded generation is RETAINED one cycle: a reader that
+    // resolved the pointer just before the commit can finish its scan
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(g1.dataPath)),
+      "superseded generation must survive one maintenance cycle")
+    assert(Store.read(spark, rel).count() == 1L)
+    // the NEXT rewrite retires generation 1
+    Store.rewrite(spark, rel, Store.read(spark, rel), numFiles = 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(g1.dataPath)),
+      "generations older than the superseded one are swept")
+    assert(Store.read(spark, rel).count() == 1L)
+  }
+
+  test("a stale append fails loudly when a rewrite committed underneath") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    val rel = s"$dir/rel"
+    Store.create(Seq((1L, "a")).toDF("id", "v"), rel)
+    val ex = intercept[IllegalStateException] {
+      Store.append(spark, rel) { genDir =>
+        // the ingest-vs-maintenance race: a compaction commits while
+        // the batch is writing into the old generation
+        Store.rewrite(spark, rel, Store.read(spark, rel), numFiles = 1)
+        Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(genDir)
+      }
+    }
+    assert(ex.getMessage.contains("rewrite"),
+      s"fence message should name the cause: ${ex.getMessage}")
+    // the lost append's rows are NOT in the live generation
+    assert(Store.read(spark, rel).count() == 1L)
+  }
+
+  test("an empty rewrite is refused (rebuild, not an unreadable store)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    Dedup.writeSignatureTable(freshDocs(1L to 3L, 0L), "doc_id", "text",
+      s"$dir/sig")
+    val ex = intercept[IllegalStateException] {
+      Dedup.retireFromSignatureTable(spark, s"$dir/sig",
+        (1L to 3L).toDF("doc_id"), "doc_id")
+    }
+    assert(ex.getMessage.toLowerCase.contains("empty"))
+    // the store survives the refused takedown intact
+    assert(Store.read(spark, s"$dir/sig/sigs").count() == 3L)
+  }
+
+  test("retire joins on the store's native id type; a lossy cast is loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    // a STRING-id Hamming store: ids that a long cast would null out
+    val sigs = Seq(("img-a", 0x1111L), ("img-b", 0x2222L), ("img-c", 0x4444L))
+      .toDF("doc_id", "sig")
+    Dedup.writeHammingTable(sigs, "doc_id", "sig", s"$dir/ham",
+      maxHamming = 3, maxBucketSize = 100)
+    // native-typed takedown works…
+    val removed = Dedup.retireFromHammingTable(spark, s"$dir/ham",
+      Seq("img-b").toDF("doc_id"), "doc_id")
+    assert(removed == 1L, "a string-id store must retire string ids")
+    // …and a retirement list that cannot round-trip through the
+    // store's id type fails loudly instead of silently removing nothing
+    val longStore = s"$dir/ham2"
+    Dedup.writeHammingTable(
+      Seq((1L, 0x1111L), (2L, 0x2222L)).toDF("doc_id", "sig"),
+      "doc_id", "sig", longStore, maxHamming = 3, maxBucketSize = 100)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.retireFromHammingTable(spark, longStore,
+        Seq("img-a").toDF("doc_id"), "doc_id")
+    }
+    assert(ex.getMessage.contains("round-trip"))
+  }
+
+  test("compaction self-heals bucket rows orphaned by a partial retire") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    Dedup.writeSignatureTable(freshDocs(1L to 6L, 0L), "doc_id", "text",
+      s"$dir/sig")
+    // simulate the crash window between retire's two swaps: rewrite
+    // SIGS without doc 2, leaving its bucket rows orphaned
+    val sigsRel = s"$dir/sig/sigs"
+    Store.rewrite(spark, sigsRel,
+      Store.read(spark, sigsRel).filter(col("id") =!= 2L), numFiles = 1)
+    val orphaned = Store.read(spark, s"$dir/sig/buckets")
+      .filter(col("id") === 2L).count()
+    assert(orphaned > 0L, "the simulated crash left orphaned bucket rows")
+    Dedup.compactSignatureTable(spark, s"$dir/sig", numFiles = 1)
+    assert(Store.read(spark, s"$dir/sig/buckets")
+      .filter(col("id") === 2L).count() == 0L,
+      "compaction sweeps bucket rows whose id left the sig relation")
   }
 }
