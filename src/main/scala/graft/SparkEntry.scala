@@ -8069,11 +8069,121 @@ object SparkEntry {
         |ORDER BY vec_id LIMIT 5""".stripMargin
   )
 
+  /** [[sharedSignatureTable]] built with `multiProbe = true` — the
+    * leave-one-out-banded store q_dedup_incremental_mp exercises.
+    * Looser write cap (10000): LOO sub-buckets aggregate r−1-row
+    * agreement, so a planted-copy sub-bucket can legitimately run
+    * hotter than full-band buckets; the planted contract only needs
+    * ONE of a copy's 64 sub-buckets to survive the cap, and the
+    * looser cap makes that certain at gate scale. */
+  private val sigMpMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedSignatureTableMp(s: SparkSession, dir: String): String = {
+    val ver = corpusVersion(s, dir)
+    sigMpMemo.computeIfAbsent(s"$dir@$ver", _ => {
+      val out = Scratch.path(s"sigmp_${scratchTag(dir)}_$ver")
+      Dedup.writeSignatureTable(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", out,
+        shingleLen = 3, numPerm = 64, bands = 16,
+        maxBucketSize = 10000, multiProbe = true)
+      out
+    })
+  }
+
+  locally {
+    Scratch.onClear(() => sigMpMemo.clear())
+  }
+
+  private val round11Queries: Map[String, Q] = Map(
+    // MULTI-PROBE posture of the PRODUCTION incremental path: the
+    // signature table is built with leave-one-out sub-buckets (the
+    // choice pinned in its meta, so batches can never band differently
+    // than the store). Same planted contract as q_dedup_incremental:
+    // exact copies have identical signatures, so they collide in every
+    // sub-bucket and estimate exactly 1.0 → rejected by their corpus
+    // originals; unique-token fresh docs share no shingle with
+    // anything, estimate ~0 against every candidate, and survive.
+    // Multi-probe only ADDS candidates and the est_jaccard verify is
+    // unchanged, so the surviving set is exactly the fresh slice —
+    // SQL-expressible even though the extra candidates are not.
+    "q_dedup_incremental_mp" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val copies = docs
+        .filter(col("doc_id") % 7 === 0 && col("text").isNotNull &&
+          col("text").rlike("\\S"))
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("fresh document u"), col("doc_id"),
+            lit(" payload p"), col("doc_id"),
+            lit(" q"), col("doc_id")).as("text"))
+      Dedup.nearDedupIncremental(
+        s, sharedSignatureTableMp(s, dir),
+        copies.unionByName(fresh),
+        "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id"))
+    },
+
+    // QUERY-SIDE multi-probe against the persisted Hamming table — the
+    // recall-differential gate: radius bought with probes, the STORE
+    // unchanged. Corpus signatures are the doc ids themselves (pure
+    // arithmetic, the oracle replays them); the batch flips ONE bit in
+    // each of the four 16-bit bands (XOR 0x0001000100010001), putting
+    // every planted pair at Hamming exactly 4 — outside the plain
+    // radius-3 pigeonhole guarantee (no band matches exactly), inside
+    // the one-flip multi-probe completeness bound (2·4−1 = 7).
+    // Organic isolation is PROVABLE, not statistical: for corpus ids
+    // a, c < 4000 (bits ≤ 11), hamming(a⊕mask, c) =
+    // 3 + (1 − bit0(a⊕c)) + popcount((a⊕c) >> 1), which reaches ≤ 4
+    // only for a⊕c ∈ {0} ∪ {1} ∪ {1 + 2^k} — and every nonzero case
+    // makes c odd, impossible in the mod-4 slice. So the plain phase
+    // returns NOTHING and the multi-probe phase returns exactly the
+    // planted (id+200000, id, 4) rows. The id slice is capped < 4000
+    // so the all-zero upper bands stay one bounded bucket at any SF.
+    "q_hamtable_mp" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val tag = s"hammp_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val path = Scratch.path(tag)
+      val corpus = docs
+        .filter(col("doc_id") % 4 === 0 && col("doc_id") < 4000)
+        .select(col("doc_id"), col("doc_id").cast("long").as("sig"))
+      Dedup.writeHammingTable(corpus, "doc_id", "sig", path,
+        maxHamming = 3, maxBucketSize = 1 << 20)
+      val batch = corpus.select((col("doc_id") + 200000L).as("doc_id"),
+        col("sig").bitwiseXOR(lit(0x0001000100010001L)).as("sig"))
+      val plain = Dedup.hammingNearDupsIncremental(s, path, batch,
+        "doc_id", "sig")
+      val mp = Dedup.hammingNearDupsIncremental(s, path, batch,
+        "doc_id", "sig", multiProbe = true, radius = Some(4))
+      plain.withColumn("phase", lit("plain"))
+        .unionByName(mp.withColumn("phase", lit("mp")))
+        .select(col("phase"), col("id_in"), col("corpus_id"), col("hamming"))
+    }
+  )
+
+  private val round11Oracles: Map[String, String] = Map(
+    // identical contract to q_dedup_incremental: survivors are exactly
+    // the fresh slice (multi-probe adds candidates, never survivors)
+    "q_dedup_incremental_mp" ->
+      """SELECT doc_id + 300000 AS doc_id
+        |FROM documents WHERE doc_id % 10 = 1""".stripMargin,
+
+    // plain phase: provably empty; mp phase: exactly the planted pairs
+    // at Hamming 4 (see the gate comment for the arithmetic argument)
+    "q_hamtable_mp" ->
+      """SELECT 'mp' AS phase, doc_id + 200000 AS id_in,
+        |  doc_id AS corpus_id, CAST(4 AS INTEGER) AS hamming
+        |FROM documents WHERE doc_id % 4 = 0 AND doc_id < 4000""".stripMargin
+  )
+
   def queries: Map[String, Q] =
     referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries ++
       round4Queries ++ round5Queries ++ round6Queries ++ round7Queries ++
       round8Queries ++ round9Queries ++ round9bQueries ++ round9cQueries ++
-      round10Queries
+      round10Queries ++ round11Queries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
@@ -8081,5 +8191,5 @@ object SparkEntry {
     referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles ++
       round4Oracles ++ round5Oracles ++ round6Oracles ++ round7Oracles ++
       round8Oracles ++ round9Oracles ++ round9bOracles ++ round9cOracles ++
-      round10Oracles
+      round10Oracles ++ round11Oracles
 }

@@ -1299,13 +1299,27 @@ object Dedup {
     * shape with a scan + broadcast-semi-join per batch. Both mutable
     * relations live under the [[Store]] generation/manifest layout
     * (append fencing, atomic maintenance swaps); `meta` is write-once
-    * plain parquet. Overwrites `path`. */
+    * plain parquet. Overwrites `path`.
+    *
+    * `multiProbe` stores LEAVE-ONE-OUT sub-buckets
+    * ([[bandBucketsMultiProbe]]) instead of full-band buckets: recall
+    * bought with probe keys, the SIGNATURE relation (the heavy 100 TB
+    * asset — numPerm longs per document) unchanged, while the bucket
+    * relation grows ×rowsPerBand. Every query and append against the
+    * table reads the choice from `meta`, so the two sides can never
+    * band differently. (Unlike the Hamming table, minhash multi-probe
+    * cannot be query-side-only: a full-band bucket hash has no
+    * enumerable neighbours, so the omission-tagged sub-keys must exist
+    * on BOTH sides of the join — Lv et al. 2007, adapted.) */
   def writeSignatureTable(
       df: DataFrame, idCol: String, textCol: String, path: String,
       shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
-      maxBucketSize: Int = 1000): Unit = {
+      maxBucketSize: Int = 1000, multiProbe: Boolean = false): Unit = {
     val rowsPerBand = numPerm / bands
     require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    require(!multiProbe || rowsPerBand >= 2,
+      "multiProbe needs rowsPerBand >= 2: omitting the only row of a " +
+        "1-row band would bucket every document together")
     val sigs = df
       .select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleLen).as("sh"))
@@ -1313,9 +1327,11 @@ object Dedup {
       .select(col("id"), minhashSignature(col("sh"), numPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Store.create(sigs, sigTableSigs(path))
+    val bucketFn =
+      if (multiProbe) bandBucketsMultiProbe(col("sig"), bands, rowsPerBand)
+      else bandBuckets(col("sig"), bands, rowsPerBand)
     val buckets = sigs
-      .select(col("id"),
-        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), explode(bucketFn).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     Store.create(
       buckets
@@ -1328,9 +1344,16 @@ object Dedup {
     sigs.unpersist(blocking = false)
     df.sparkSession.range(1)
       .select(lit(shingleLen).as("shingle_len"), lit(numPerm).as("num_perm"),
-        lit(bands).as("bands"), lit(maxBucketSize).as("max_bucket_size"))
+        lit(bands).as("bands"), lit(maxBucketSize).as("max_bucket_size"),
+        lit(multiProbe).as("multi_probe"))
       .write.mode("overwrite").parquet(sigTableMeta(path))
   }
+
+  /** The table's banding choice, from its own meta (older tables
+    * without the column band plain). */
+  private def metaMultiProbe(meta: org.apache.spark.sql.Row): Boolean =
+    meta.schema.fieldNames.contains("multi_probe") &&
+      meta.getAs[Boolean]("multi_probe")
 
   /** PRODUCTION incremental near-dedup: dedup an incoming batch against
     * a corpus whose signature table was persisted once by
@@ -1377,6 +1400,7 @@ object Dedup {
     val bands = meta.getAs[Int]("bands")
     val maxBucketSize = meta.getAs[Int]("max_bucket_size")
     val rowsPerBand = numPerm / bands
+    val mp = metaMultiProbe(meta)
 
     val batch = incoming
       .select(col(idCol).as("id"),
@@ -1384,9 +1408,11 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBucketFn =
+      if (mp) bandBucketsMultiProbe(col("sig"), bands, rowsPerBand)
+      else bandBuckets(col("sig"), bands, rowsPerBand)
     val batchBuckets = batch
-      .select(col("id"),
-        explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), explode(batchBucketFn).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .withColumn("__graft_bsz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -1527,9 +1553,12 @@ object Dedup {
     Store.append(spark, sigTableSigs(path)) { dir =>
       sigs.write.mode("append").parquet(dir)
     }
+    val appendBucketFn =
+      if (metaMultiProbe(meta))
+        bandBucketsMultiProbe(col("sig"), bands, numPerm / bands)
+      else bandBuckets(col("sig"), bands, numPerm / bands)
     val buckets = sigs
-      .select(col("id"),
-        explode(bandBuckets(col("sig"), bands, numPerm / bands)).as("bb"))
+      .select(col("id"), explode(appendBucketFn).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val stored = Store.read(spark, sigTableBuckets(path))
       .join(broadcast(buckets.select(col("band"), col("bucket")).distinct()),

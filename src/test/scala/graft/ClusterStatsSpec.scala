@@ -878,4 +878,48 @@ class ClusterStatsSpec extends GraftSpec {
     // the signal: reference-like text outscores both unseen shapes
     assert(got(10L)._2 > got(11L)._2 && got(11L)._2 > got(13L)._2)
   }
+
+  test("multiProbe signature table catches r-1 band agreement the plain table misses") {
+    import spark.implicits._
+    // Search (deterministically — the hash functions are fixed) for a
+    // candidate that agrees with the original on >= 36 of 64 minhash
+    // rows (est >= 0.5625) with NO band of 4 fully agreeing (plain
+    // banding blind) and >= 1 band agreeing on exactly 3 rows (a
+    // leave-one-out sub-bucket collides). Appending unique tokens
+    // flips exactly the rows where a new shingle's hash becomes the
+    // minimum, so agreement decays controllably with k.
+    val orig = (1 to 40).map(i => s"base$i").mkString(" ")
+    val cands = (1 to 150).map(k =>
+      (k.toLong, orig + " " + (1 to k).map(j => s"xtr${j}q").mkString(" ")))
+    val sigRows = (Seq((0L, orig)) ++ cands).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Dedup.minhashSignature(
+          Dedup.shingleHashes(col("text"), 3), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val origSig = sigRows(0L)
+    val chosen = cands.find { case (k, _) =>
+      val sig = sigRows(k)
+      val bandAgree = (0 until 16).map(b =>
+        (0 until 4).count(j => sig(b * 4 + j) == origSig(b * 4 + j)))
+      bandAgree.sum >= 36 && !bandAgree.contains(4) && bandAgree.contains(3)
+    }
+    assert(chosen.nonEmpty,
+      "no candidate with r-1-but-never-r band agreement in 150 tries")
+    val (_, nearText) = chosen.get
+    val batch = Seq((100L, nearText)).toDF("doc_id", "text")
+    val plainPath = graft.Scratch.path("test_mp_plain")
+    graft.Scratch.remove("test_mp_plain")
+    Dedup.writeSignatureTable(Seq((1L, orig)).toDF("doc_id", "text"),
+      "doc_id", "text", plainPath)
+    assert(Dedup.nearDedupIncremental(spark, plainPath, batch,
+      "doc_id", "text", threshold = 0.55).count() == 1L,
+      "plain banding must MISS the r-1-agreeing near-dup (it is admitted)")
+    val mpPath = graft.Scratch.path("test_mp_loo")
+    graft.Scratch.remove("test_mp_loo")
+    Dedup.writeSignatureTable(Seq((1L, orig)).toDF("doc_id", "text"),
+      "doc_id", "text", mpPath, multiProbe = true)
+    assert(Dedup.nearDedupIncremental(spark, mpPath, batch,
+      "doc_id", "text", threshold = 0.55).count() == 0L,
+      "the leave-one-out store must CATCH the same near-dup (rejected)")
+  }
 }
