@@ -8161,6 +8161,90 @@ object SparkEntry {
       plain.withColumn("phase", lit("plain"))
         .unionByName(mp.withColumn("phase", lit("mp")))
         .select(col("phase"), col("id_in"), col("corpus_id"), col("hamming"))
+    },
+
+    // PARAGRAPH-LEVEL ingest chain, planted TRUE oracle — CCNet-style
+    // first-occurrence dedup made TRANSITIVE across a landing zone:
+    // the corpus paragraph-hash table stores {"common banner"} ∪
+    // {"uniq c<i>"} (synthetic two-line docs, pure id arithmetic the
+    // oracle replays);
+    //   batch 1 (+300000, mod-10=1): "common banner" (stored → drop) +
+    //     two fresh lines → survivor text = both fresh lines;
+    //   batch 2 = (+500000, same slice): batch 1's "fresh f<i>" line
+    //     (dropped ONLY IF batch 1's survivors were appended — the
+    //     behavior under test) + "new g<i>" → survivor = "new g<i>";
+    //     ∪ (+700000, mod-10=3): both lines already stored → the doc
+    //     drops entirely (the paragraphDedup all-dropped contract).
+    "q_para_ingest" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val tag = s"paraingest_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val path = Scratch.path(tag)
+      val corpus = docs.select(col("doc_id"),
+        concat(lit("common banner\nuniq c"), col("doc_id")).as("text"))
+      Dedup.writeParagraphTable(corpus, "doc_id", "text", path)
+      val slice1 = docs.filter(col("doc_id") % 10 === 1)
+      val batch1 = slice1.select((col("doc_id") + 300000L).as("doc_id"),
+        concat(lit("common banner\nuniq b1 u"), col("doc_id"),
+          lit("\nfresh f"), col("doc_id")).as("text"))
+      val batch2 = slice1
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(lit("fresh f"), col("doc_id"),
+            lit("\nnew g"), col("doc_id")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            concat(lit("common banner\nuniq c"), col("doc_id")).as("text")))
+      val surv1 = Dedup.paragraphIngest(s, path, batch1, "doc_id", "text")
+      val surv2 = Dedup.paragraphIngest(s, path, batch2, "doc_id", "text")
+      surv1.unionByName(surv2).select(col("doc_id"), col("text"))
+    },
+
+    // …and the same chain as a REAL streaming query (stream ≡ batch,
+    // same planted oracle): the two batches land as ordered files,
+    // each micro-batch dedups against the paragraph table and appends
+    // its survivors' hashes.
+    "q_para_ingest_stream" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val tag = s"parastream_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val base = Scratch.path(tag)
+      val corpus = docs.select(col("doc_id"),
+        concat(lit("common banner\nuniq c"), col("doc_id")).as("text"))
+      Dedup.writeParagraphTable(corpus, "doc_id", "text", s"$base/para")
+      val slice1 = docs.filter(col("doc_id") % 10 === 1)
+      val batch1 = slice1.select((col("doc_id") + 300000L).as("doc_id"),
+        concat(lit("common banner\nuniq b1 u"), col("doc_id"),
+          lit("\nfresh f"), col("doc_id")).as("text"))
+      val batch2 = slice1
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(lit("fresh f"), col("doc_id"),
+            lit("\nnew g"), col("doc_id")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            concat(lit("common banner\nuniq c"), col("doc_id")).as("text")))
+      val landing = java.nio.file.Paths.get(s"$base/landing")
+      java.nio.file.Files.createDirectories(landing)
+      Seq((batch1, "00001", 1000000000000L),
+          (batch2, "00002", 1000000002000L)).foreach { case (b, n, mtime) =>
+        val stage = s"$base/stage_$n"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = {
+          val walk = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          try walk.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally walk.close()
+        }
+        val target = landing.resolve(s"$n.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      Dedup.paragraphIngestStreamed(s, s"$base/para", landing.toString,
+        "doc_id", "text", outPath = s"$base/out",
+        checkpointDir = Some(s"$base/ckpt"))
+      s.read.parquet(s"$base/out").select(col("doc_id"), col("text"))
     }
   )
 
@@ -8176,7 +8260,27 @@ object SparkEntry {
     "q_hamtable_mp" ->
       """SELECT 'mp' AS phase, doc_id + 200000 AS id_in,
         |  doc_id AS corpus_id, CAST(4 AS INTEGER) AS hamming
-        |FROM documents WHERE doc_id % 4 = 0 AND doc_id < 4000""".stripMargin
+        |FROM documents WHERE doc_id % 4 = 0 AND doc_id < 4000""".stripMargin,
+
+    // batch 1 keeps its two fresh lines; batch 2's +500000 docs keep
+    // only the new line (the fresh line was appended by batch 1);
+    // the +700000 docs drop entirely (every line stored)
+    "q_para_ingest" ->
+      """SELECT doc_id + 300000 AS doc_id,
+        |  'uniq b1 u' || doc_id || chr(10) || 'fresh f' || doc_id AS text
+        |FROM documents WHERE doc_id % 10 = 1
+        |UNION ALL
+        |SELECT doc_id + 500000 AS doc_id, 'new g' || doc_id AS text
+        |FROM documents WHERE doc_id % 10 = 1""".stripMargin,
+
+    // stream ≡ batch: the streamed chain lands on the same survivors
+    "q_para_ingest_stream" ->
+      """SELECT doc_id + 300000 AS doc_id,
+        |  'uniq b1 u' || doc_id || chr(10) || 'fresh f' || doc_id AS text
+        |FROM documents WHERE doc_id % 10 = 1
+        |UNION ALL
+        |SELECT doc_id + 500000 AS doc_id, 'new g' || doc_id AS text
+        |FROM documents WHERE doc_id % 10 = 1""".stripMargin
   )
 
   def queries: Map[String, Q] =

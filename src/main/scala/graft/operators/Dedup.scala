@@ -2269,6 +2269,148 @@ object Dedup {
         sep).as("text"))
   }
 
+  // ───────── persisted paragraph-hash table (incremental CCNet dedup) ─────────
+
+  private def paraTableMeta(path: String) = s"$path/meta"
+  private def paraTableHashes(path: String) = s"$path/hashes"
+
+  /** Persist the paragraph-hash table of a corpus — the incremental
+    * face of [[paragraphDedup]]: one row per DISTINCT paragraph
+    * (xxhash64 of the line), so later batches drop every paragraph the
+    * corpus (or any earlier batch) already contains. Exact hashes, no
+    * banding — paragraph dedup is an exact-match problem, which makes
+    * the store a single distinct-hash relation (8 bytes per distinct
+    * paragraph; the CCNet posture — the table stores hashes, never
+    * text, an xxhash64 collision costs one dropped paragraph and is
+    * the documented trade at corpus scale). The separator is pinned in
+    * `meta` so a batch can never split differently than the store.
+    * Overwrites `path`. */
+  def writeParagraphTable(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      sep: String = "\n"): Unit = {
+    require(sep.nonEmpty, "sep must not be empty")
+    Store.create(
+      df.filter(col(textCol).isNotNull)
+        .select(explode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as("line"))
+        .select(xxhash64(col("line")).as("h"))
+        .distinct(),
+      paraTableHashes(path))
+    df.sparkSession.range(1).select(lit(sep).as("sep"))
+      .write.mode("overwrite").parquet(paraTableMeta(path))
+  }
+
+  /** Incremental paragraph dedup of a batch against the persisted
+    * table: every paragraph whose hash is stored is dropped, the
+    * remaining paragraphs keep their corpus-wide FIRST occurrence
+    * within the batch (min (doc id, position) — the [[paragraphDedup]]
+    * rule, including within-document repeats), and each document
+    * re-assembles from its survivors in original order. Documents left
+    * with no surviving paragraph are dropped (the [[paragraphDedup]]
+    * contract).
+    *
+    * Scale shape: the stored relation is scanned once and reduced with
+    * a broadcast semi-join on the batch's distinct hashes — cost ∝
+    * batch, never corpus; the first-occurrence pick is a map-side
+    * partial agg over batch lines only. */
+  def paragraphDedupIncremental(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sep = spark.read.parquet(paraTableMeta(path)).head().getAs[String]("sep")
+    val lines = incoming
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val storedHit = Store.read(spark, paraTableHashes(path))
+      .join(broadcast(lines.select(col("h")).distinct()), Seq("h"), "left_semi")
+    val freshLines = lines.join(storedHit, Seq("h"), "left_anti")
+    val firsts = freshLines
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .select(col("__first.doc_id").as("doc_id"),
+        col("__first.pos").as("pos"), col("line"))
+    firsts
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")),
+        sep).as("text"))
+      .select(col("doc_id").as(idCol), col("text"))
+  }
+
+  /** Append a batch's paragraph hashes to the persisted table (the
+    * maintenance half of [[paragraphIngest]]): the batch's distinct
+    * hashes anti-join the stored relation — reduced first by the same
+    * broadcast semi-join prune, cost ∝ batch — and only genuinely new
+    * hashes append (the store stays distinct), under the
+    * [[Store.append]] maintenance fence. */
+  def appendToParagraphTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val sep = spark.read.parquet(paraTableMeta(path)).head().getAs[String]("sep")
+    val hashes = batch.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as("line"))
+      .select(xxhash64(col("line")).as("h"))
+      .distinct()
+    val storedHit = Store.read(spark, paraTableHashes(path))
+      .join(broadcast(hashes), Seq("h"), "left_semi")
+    Store.append(spark, paraTableHashes(path)) { dir =>
+      hashes.join(storedHit, Seq("h"), "left_anti")
+        .write.mode("append").parquet(dir)
+    }
+  }
+
+  /** The paragraph-level ingest step — [[nearDedupIngest]]'s contract
+    * at sub-document granularity: dedup the batch's paragraphs against
+    * the table, append the SURVIVING paragraphs' hashes so every later
+    * batch drops them too (a paragraph admitted in batch N rejects its
+    * copy arriving in batch N+1 — transitive first-occurrence across a
+    * landing zone), and return the surviving (id, text) rows.
+    * Survivors are materialized before the append for the same
+    * reason as [[nearDedupIngest]] (their plan reads the relation the
+    * append mutates). */
+  def paragraphIngest(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val survivors = paragraphDedupIncremental(spark, path, incoming,
+      idCol, textCol).localCheckpoint(true)
+    appendToParagraphTable(spark, path, survivors, idCol, "text")
+    survivors
+  }
+
+  /** CONTINUOUS form of [[paragraphIngest]] — the landing-zone twin of
+    * [[nearDedupIngestStreamed]] at paragraph granularity: one
+    * micro-batch per landed file in (modification-time, path) order
+    * (arrival order decides which copy of a paragraph is "first"),
+    * survivors append to the table AND to `outPath`. Same foreachBatch
+    * rationale: the dedup state IS the shared, restart-durable
+    * paragraph table. */
+  def paragraphIngestStreamed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      streamDir: String, idCol: String, textCol: String,
+      outPath: String, checkpointDir: Option[String] = None): Unit = {
+    val schema = spark.read.parquet(streamDir).schema
+    val writer = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(streamDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        paragraphIngest(spark, path, batch, idCol, textCol)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = checkpointDir
+      .fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+    q.awaitTermination()
+  }
+
   /** Boilerplate-line removal: drop every line whose exact text appears
     * in at least `minDocs` DISTINCT documents, rebuild each document's
     * text in original line order.

@@ -922,4 +922,35 @@ class ClusterStatsSpec extends GraftSpec {
       "doc_id", "text", threshold = 0.55).count() == 0L,
       "the leave-one-out store must CATCH the same near-dup (rejected)")
   }
+
+  test("paragraph table: batches drop stored and earlier-batch paragraphs transitively") {
+    import spark.implicits._
+    val path = graft.Scratch.path("test_para_ingest")
+    graft.Scratch.remove("test_para_ingest")
+    Dedup.writeParagraphTable(
+      Seq((1L, "alpha\nbeta")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    // stored "beta" drops; the within-doc "gamma" repeat collapses to
+    // its first position (the paragraphDedup first-occurrence rule)
+    val surv1 = Dedup.paragraphIngest(spark, path,
+      Seq((10L, "beta\ngamma\ngamma\ndelta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(surv1 == Map(10L -> "gamma\ndelta"), s"got $surv1")
+    // batch 2: "gamma" was APPENDED by batch 1 → dropped (transitive);
+    // a doc whose every line is stored drops entirely; within-batch
+    // first occurrence goes to the smaller (doc, pos)
+    val surv2 = Dedup.paragraphIngest(spark, path,
+      Seq((20L, "gamma\nepsilon"),
+          (21L, "alpha\ndelta"),
+          (22L, "epsilon\nzeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(surv2 == Map(20L -> "epsilon", 22L -> "zeta"), s"got $surv2")
+    // a third batch re-offering batch-2 survivors gets nothing through
+    val surv3 = Dedup.paragraphDedupIncremental(spark, path,
+      Seq((30L, "epsilon\nzeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(surv3.isEmpty)
+  }
 }
