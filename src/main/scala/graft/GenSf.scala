@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-replica generator: expand a driver-generated testdata
+  * directory by an integer factor with JOIN-CONSISTENT key remapping
+  * (`key' = key·f + k` for replica k, so every foreign key lands on
+  * its own replica's parent) — the cheapest faithful way to get an
+  * sf1-shaped dataset when the upstream generator is not available.
+  * Dimensions (region, nation) are shared, fact/entity tables
+  * replicate.
+  *
+  * Replicated text is DECORRELATED by rotating the word sequence per
+  * replica (length, vocabulary, and token statistics preserved; the
+  * shingle set is almost entirely new, so replicas do not form
+  * artificial exact/near-duplicate clusters that would quadratically
+  * distort pair-generating operators relative to organically grown
+  * data). Embeddings rotate their component order per replica for the
+  * same reason (norm preserved, cosine decorrelated).
+  *
+  * Usage: runMain graft.GenSf <srcDir> <outDir> <factor>
+  */
+object GenSf {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, fStr) = args
+    val f = fStr.toInt
+    require(f >= 2, s"factor must be >= 2, got $f")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(n: String) = spark.read.parquet(s"$src/$n.parquet")
+    def write(df: DataFrame, n: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+      println(s"[gensf] $n: ${spark.read.parquet(s"$out/$n.parquet").count()} rows")
+    }
+    def reps(df: DataFrame)(fn: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until f).map(k => fn(df, k)).reduce(_ unionByName _)
+    def remap(df: DataFrame, k: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) * f + k))
+
+    // shared dimensions
+    write(t("region"), "region")
+    write(t("nation"), "nation")
+
+    // star schema: every key remapped with the same (·f + k) map, so
+    // replica joins are internally consistent and selectivities match
+    // the source scale
+    write(reps(t("customer"))(remap(_, _, "c_custkey")), "customer")
+    write(reps(t("supplier"))(remap(_, _, "s_suppkey")), "supplier")
+    write(reps(t("part"))(remap(_, _, "p_partkey")), "part")
+    write(reps(t("orders"))(remap(_, _, "o_orderkey", "o_custkey")), "orders")
+    write(reps(t("lineitem"))(
+      remap(_, _, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(reps(t("events"))(remap(_, _, "event_id", "user_id")), "events")
+
+    // documents: rotate the word sequence by a replica-dependent
+    // offset (k = 0 stays verbatim); n_chars re-derived for rotated
+    // rows (the join normalizes whitespace)
+    write(reps(t("documents")) { (d, k) =>
+      val mapped = remap(d, k, "doc_id")
+      if (k == 0) mapped
+      else {
+        val words = split(col("text"), " ")
+        val n = size(words)
+        val rot = pmod(lit(k * 7 + 3), n)
+        val rotated = when(col("text").isNull, lit(null).cast("string"))
+          .when(n <= 1, col("text"))
+          .otherwise(array_join(
+            concat(slice(words, rot + 1, n - rot), slice(words, lit(1), rot)),
+            " "))
+        mapped.withColumn("text", rotated)
+          .withColumn("n_chars",
+            coalesce(length(col("text")), lit(0)).cast(d.schema("n_chars").dataType))
+      }
+    }, "documents")
+
+    // embeddings: rotate component order per replica (k = 0 verbatim)
+    write(reps(t("embeddings")) { (d, k) =>
+      val mapped = remap(d, k, "vec_id")
+      if (k == 0) mapped
+      else {
+        val e = col("embedding")
+        val rot = pmod(lit(k), size(e))
+        mapped.withColumn("embedding",
+          when(e.isNull || size(e) <= 1, e)
+            .otherwise(concat(slice(e, rot + 1, size(e) - rot),
+              slice(e, lit(1), rot))))
+      }
+    }, "embeddings")
+
+    spark.stop()
+  }
+}

@@ -673,11 +673,41 @@ object ScaleRehearsal {
     suite("base", baseDir)
     suite(s"${reps}x", scaledDir)
 
+    // DPP at nlist 10⁴ (r10 verdict item #4's done-criterion): the
+    // probed-list prune is a dynamic-pruning subquery over a broadcast
+    // semi-join, so PLAN size and catalog-pruning cost are constant in
+    // nlist — search wall at nlist 10⁴ must track the nlist-100 run on
+    // the same corpus and probe batch (probed bytes ∝ nprobe lists
+    // either way; the per-list row count shrinks with nlist, so the
+    // big-nlist run may even be cheaper). The literal-In form this
+    // replaced would instead pay 10⁴ literals in every plan. Index
+    // builds run UNTIMED (nightly artifacts).
+    if (only.forall(o => o.contains("ivfpq_dpp_nlist100") ||
+        o.contains("ivfpq_dpp_nlist10000"))) {
+      val emb = spark.read.parquet(s"$scaledDir/embeddings.parquet")
+      val probes = emb.orderBy(col("vec_id")).limit(100)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        .localCheckpoint(true)
+      Seq(100, 10000).foreach { nlist =>
+        val path = s"/tmp/graft_ivfpq_dpp_${reps}x_$nlist"
+        Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path,
+          nlist = nlist)
+        time(s"${reps}x", s"ivfpq_dpp_nlist$nlist") {
+          force(Similarity.searchIvfPqIndex(spark, path,
+            emb.select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", probes, "probe_id", "pv",
+            k = 10, nprobe = 4, shortlist = 50))
+        }
+      }
+    }
+
     val names = results.keys.map(_._1).toSeq.distinct
+    def cell(v: Double) = if (v.isNaN) "null" else f"$v%.2f"
     val summary = names.map { n =>
       val b = results.getOrElse((n, "base"), Double.NaN)
       val s = results.getOrElse((n, s"${reps}x"), Double.NaN)
-      f""""$n":{"base":$b%.2f,"scaled":$s%.2f,"ratio":${s / b}%.2f}"""
+      val ratio = if (b.isNaN || s.isNaN) "null" else f"${s / b}%.2f"
+      s""""$n":{"base":${cell(b)},"scaled":${cell(s)},"ratio":$ratio}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_rehearsal","reps":$reps,"queries":$summary}""")
     spark.stop()
