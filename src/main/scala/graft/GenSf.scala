@@ -36,9 +36,28 @@ object GenSf {
     spark.sparkContext.setLogLevel("WARN")
 
     def t(n: String) = spark.read.parquet(s"$src/$n.parquet")
+    // driver layout parity: each table is ONE parquet FILE named
+    // <table>.parquet (several streamed gates stage the table by
+    // file-copying that path — a directory there is a different,
+    // unfaithful layout)
     def write(df: DataFrame, n: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
-      println(s"[gensf] $n: ${spark.read.parquet(s"$out/$n.parquet").count()} rows")
+      val stage = s"$out/__stage_$n"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val stageDir = java.nio.file.Paths.get(stage)
+      val part = {
+        val walk = java.nio.file.Files.list(stageDir)
+        try walk.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally walk.close()
+      }
+      val target = java.nio.file.Paths.get(s"$out/$n.parquet")
+      java.nio.file.Files.deleteIfExists(target)
+      java.nio.file.Files.move(part, target)
+      val walk2 = java.nio.file.Files.walk(stageDir)
+      try walk2.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk2.close()
+      println(s"[gensf] $n: ${spark.read.parquet(target.toString).count()} rows")
     }
     def reps(df: DataFrame)(fn: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until f).map(k => fn(df, k)).reduce(_ unionByName _)

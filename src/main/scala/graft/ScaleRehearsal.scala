@@ -682,21 +682,61 @@ object ScaleRehearsal {
     // big-nlist run may even be cheaper). The literal-In form this
     // replaced would instead pay 10⁴ literals in every plan. Index
     // builds run UNTIMED (nightly artifacts).
-    if (only.forall(o => o.contains("ivfpq_dpp_nlist100") ||
-        o.contains("ivfpq_dpp_nlist10000"))) {
+    if (only.forall(o => o.exists(_.startsWith("ivfpq_dpp_")))) {
       val emb = spark.read.parquet(s"$scaledDir/embeddings.parquet")
       val probes = emb.orderBy(col("vec_id")).limit(100)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        .select(col("vec_id").as("pb_id"), col("embedding").as("pv"))
         .localCheckpoint(true)
       Seq(100, 10000).foreach { nlist =>
         val path = s"/tmp/graft_ivfpq_dpp_${reps}x_$nlist"
-        Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path,
-          nlist = nlist)
+        if (!Files.exists(Paths.get(s"$path/codebook")))
+          Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path,
+            nlist = nlist)
         time(s"${reps}x", s"ivfpq_dpp_nlist$nlist") {
           force(Similarity.searchIvfPqIndex(spark, path,
             emb.select(col("vec_id"), col("embedding")),
-            "vec_id", "embedding", probes, "probe_id", "pv",
+            "vec_id", "embedding", probes, "pb_id", "pv",
             k = 10, nprobe = 4, shortlist = 50))
+        }
+        // decomposition: the two nlist-PROPORTIONAL index constants —
+        // coarse scoring (probes × centroids) and the full partitioned
+        // relation's discovery+scan — vs the PRUNED scan the DPP join
+        // actually pays. The claim under test is that the pruned scan
+        // stays flat in nlist (probed lists ∝ nprobe·probes), while
+        // any wall growth comes from the constants that vanish
+        // relative to list scans at real corpus scale.
+        time(s"${reps}x", s"ivfpq_dpp_coarse_nlist$nlist") {
+          val cents = spark.read.parquet(s"$path/centroids")
+          val pc = probes.crossJoin(broadcast(cents))
+            .withColumn("ccos", Similarity.cosine(
+              transform(col("pv"), x => x.cast("double")), col("cvec")))
+          val wc = Window.partitionBy(col("pb_id"))
+            .orderBy(col("ccos").desc, col("centroid_id").asc)
+          force(pc.withColumn("crn", row_number().over(wc))
+            .filter(col("crn") <= 4).select(col("centroid_id")).distinct())
+        }
+        time(s"${reps}x", s"ivfpq_dpp_scan_all_nlist$nlist") {
+          force(graft.operators.Store.read(spark, s"$path/codes"))
+        }
+        time(s"${reps}x", s"ivfpq_dpp_scan_pruned_nlist$nlist") {
+          val cents = spark.read.parquet(s"$path/centroids")
+          val pc = probes.crossJoin(broadcast(cents))
+            .withColumn("ccos", Similarity.cosine(
+              transform(col("pv"), x => x.cast("double")), col("cvec")))
+          val wc = Window.partitionBy(col("pb_id"))
+            .orderBy(col("ccos").desc, col("centroid_id").asc)
+          val probed = pc.withColumn("crn", row_number().over(wc))
+            .filter(col("crn") <= 4).select(col("centroid_id")).distinct()
+          force(graft.operators.Store.read(spark, s"$path/codes")
+            .join(broadcast(probed), Seq("centroid_id"), "left_semi"))
+          // the probed-BYTES claim, as row counts: code rows the
+          // pruned scan feeds downstream vs the whole relation
+          System.err.println(s"[scale] nlist=$nlist probed_lists=" +
+            probed.count() + " probed_rows=" +
+            graft.operators.Store.read(spark, s"$path/codes")
+              .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+              .count() + " total_rows=" +
+            graft.operators.Store.read(spark, s"$path/codes").count())
         }
       }
     }

@@ -6505,38 +6505,45 @@ object SparkEntry {
 
     // exact per-node triangle counts (degree-oriented wedge check) on
     // a deterministic Erdős–Rényi-style graph over event users: edge
-    // (u<v) iff an arithmetic PRF of the pair clears a 5% threshold —
-    // cross-engine exact, sparse (max degree 12 at sf0.01, 89 at
-    // sf0.1), triangle-rich. The cross join is the GATE-INPUT
+    // (u<v) iff an arithmetic PRF of the pair clears a DEGREE-
+    // STATIONARY threshold T = (2³¹−1)·8/n (integer division, exact
+    // in both engines) — expected degree ≈ 8 at EVERY scale. A
+    // fixed-probability threshold densifies linearly in n and its
+    // wedge work quadratically (the sf1 bench measured exactly that:
+    // ~750 mean degree and a task OOM in the wedge join at 10×
+    // users); bounded mean degree is also the realistic shape of a
+    // growing interaction graph. The cross join is the GATE-INPUT
     // synthesizer over the small distinct-user set, not the operator
     // (which joins oriented postings only); the oracle counts the
     // same triangles by plain id-ordered enumeration — a different
     // algorithm vouching for the oriented one.
     "q_triangles" -> { (s, dir) =>
       val users = t(s, dir, "events").select(col("user_id")).distinct()
+      val thr = 2147483647L * 8L / math.max(users.count(), 1L)
       val edges = users.select(col("user_id").as("u"))
         .crossJoin(users.select(col("user_id").as("v")))
         .filter(col("u") < col("v"))
         .filter((col("u") * 100003L + col("v")) * 2654435761L %
-          2147483647L < 107374182L)
+          2147483647L < lit(thr))
       graft.operators.Graph.triangleCounts(edges, "u", "v")
         .select(col("node").as("user_id"), col("n_tri"))
     },
 
-    // 5-core of the same PRF graph — iterative peel to the fixed
-    // point (4 rounds at sf0.01, 137/150 nodes survive with their
-    // in-core degrees; at sf0.1 the graph is dense enough that the
-    // peel is a no-op round). Engine bound and oracle unroll share
-    // kcoreRoundsN: the engine fails loudly past the bound, and the
-    // oracle unrolls exactly that many rounds (identity once stable),
-    // so the two sites can only diverge on semantics, never on depth.
+    // 5-core of the same degree-stationary PRF graph (mean degree ≈ 8
+    // at every scale, above the k=5 core-emergence threshold, so a
+    // giant 5-core exists at every SF and the peel does real rounds).
+    // Engine bound and oracle unroll share kcoreRoundsN: the engine
+    // fails loudly past the bound, and the oracle unrolls exactly
+    // that many rounds (identity once stable), so the two sites can
+    // only diverge on semantics, never on depth.
     "q_kcore" -> { (s, dir) =>
       val users = t(s, dir, "events").select(col("user_id")).distinct()
+      val thr = 2147483647L * 8L / math.max(users.count(), 1L)
       val edges = users.select(col("user_id").as("u"))
         .crossJoin(users.select(col("user_id").as("v")))
         .filter(col("u") < col("v"))
         .filter((col("u") * 100003L + col("v")) * 2654435761L %
-          2147483647L < 107374182L)
+          2147483647L < lit(thr))
       graft.operators.Graph.kCore(edges, "u", "v", k = 5,
         maxRounds = kcoreRoundsN)
         .select(col("node").as("user_id"), col("degree"))
@@ -6969,7 +6976,8 @@ object SparkEntry {
     """WITH u AS MATERIALIZED (SELECT DISTINCT user_id AS n FROM events),
       |e0 AS MATERIALIZED (
       | SELECT a.n AS a, b.n AS b FROM u a JOIN u b ON a.n < b.n
-      | WHERE ((a.n * 100003 + b.n) * 2654435761) % 2147483647 < 107374182),
+      | WHERE ((a.n * 100003 + b.n) * 2654435761) % 2147483647
+      |   < CAST(2147483647 AS BIGINT) * 8 // (SELECT count(*) FROM u)),
       |""".stripMargin +
       (1 to kcoreRoundsN).map(round).mkString(",\n") +
       s"""
@@ -7022,7 +7030,8 @@ object SparkEntry {
       """WITH u AS (SELECT DISTINCT user_id AS n FROM events),
         |e AS (
         | SELECT a.n AS x, b.n AS y FROM u a JOIN u b ON a.n < b.n
-        | WHERE ((a.n * 100003 + b.n) * 2654435761) % 2147483647 < 107374182),
+        | WHERE ((a.n * 100003 + b.n) * 2654435761) % 2147483647
+        |   < CAST(2147483647 AS BIGINT) * 8 // (SELECT count(*) FROM u)),
         |tri AS (
         | SELECT e1.x AS a, e1.y AS b, e2.y AS c
         | FROM e e1 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
@@ -8163,6 +8172,37 @@ object SparkEntry {
         .select(col("phase"), col("id_in"), col("corpus_id"), col("hamming"))
     },
 
+    // FLOAT-PCM audio near-dup — the r10 codec-residue item closed by
+    // fixed-point quantization (q = min(⌊|f|·2¹⁵⌋, 2²¹): the 2¹⁵
+    // scale is a pure exponent shift, exact in float32, so the window
+    // sums stay integer-exact). CROSS-FORMAT true oracle: the corpus
+    // carries 16-bit PCM fixtures, the +100000 copies carry the
+    // FLOAT32 twin of the SAME seed — a (original, copy) pair reaches
+    // Hamming 0 only if the float path recovers every amplitude
+    // bit-exactly, and the oracle is q_audio_neardup's arithmetic
+    // replay verbatim (E(k) = 64·a(k) on both formats).
+    "q_audio_neardup_f32" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val ids = docs.select(col("doc_id")).unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id")))
+      val withBin = ids.select(col("doc_id"),
+          when(col("doc_id") >= 100000L, col("doc_id") - 100000L)
+            .otherwise(col("doc_id")).as("seed"))
+        .as[(Long, Long)]
+        .map { case (id, seed) =>
+          (id, if (id >= 100000L) Multimodal.toneWavF32(seed)
+               else Multimodal.toneWav(seed))
+        }
+        .toDF("doc_id", "payload")
+      val sigs = Multimodal.withAudioEnergyHash(withBin, "payload")
+        .select(col("doc_id"), col("ahash"))
+      Dedup.hammingNearDups(sigs, "doc_id", "ahash",
+        maxHamming = 3, maxBucketSize = 10000)
+    },
+
     // PARAGRAPH-LEVEL ingest chain, planted TRUE oracle — CCNet-style
     // first-occurrence dedup made TRANSITIVE across a landing zone:
     // the corpus paragraph-hash table stores {"common banner"} ∪
@@ -8254,6 +8294,11 @@ object SparkEntry {
     "q_dedup_incremental_mp" ->
       """SELECT doc_id + 300000 AS doc_id
         |FROM documents WHERE doc_id % 10 = 1""".stripMargin,
+
+    // cross-format identity: the float fixture carries the SAME
+    // window amplitudes as the 16-bit one, so the integer gate's
+    // arithmetic replay is the float gate's oracle verbatim
+    "q_audio_neardup_f32" -> round9Oracles("q_audio_neardup"),
 
     // plain phase: provably empty; mp phase: exactly the planted pairs
     // at Hamming 4 (see the gate comment for the arithmetic argument)

@@ -2067,18 +2067,28 @@ object Multimodal {
     * [[dHash]]: channel-0 samples split into 65 equal windows
     * ([k·n/65, (k+1)·n/65), integer-floor bounds), window energy
     * E(k) = Σ|sample| summed EXACTLY in Long, bit k set iff
-    * E(k) < E(k+1). Defined for the integer sample formats only —
-    * 16-bit PCM (format 1) and G.711 A-law/μ-law (6/7, expanded to
-    * linear first) — because only integer energies are engine-exact;
-    * float-PCM payloads (format 3) yield None rather than a hash
-    * whose bits could flip in the last ulp of a float sum. Robust to
-    * loudness-preserving edits (re-containerization, padding trim)
-    * the way dHash is to re-encoding; compose with
-    * `Dedup.hammingNearDups` for near-dup pairs. */
+    * E(k) < E(k+1). Integer sample formats — 16-bit PCM (format 1)
+    * and G.711 A-law/μ-law (6/7, expanded to linear first) — sum
+    * their samples directly. 32-bit IEEE-float PCM (format 3) enters
+    * the SAME integer envelope by per-sample fixed-point
+    * quantization: q = min(⌊|f|·2¹⁵⌋, 2²¹) — the 2¹⁵ scale is a pure
+    * exponent shift (exact in float32 for every finite value), the
+    * floor and the Long sum are integer-exact, and the clamp bounds a
+    * rogue out-of-range sample so no window sum can overflow — so a
+    * nominal [-1, 1] float signal quantizes to exactly the 16-bit
+    * integer lattice and its energy profile is engine-exact,
+    * bit-reproducible, and SQL-replayable (the r10 float exclusion
+    * was about summing FLOATS, whose last-ulp order sensitivity is
+    * real; quantize-then-integer-sum has no such term). NaN samples
+    * quantize to 0. Robust to loudness-preserving edits
+    * (re-containerization, padding trim) the way dHash is to
+    * re-encoding; compose with `Dedup.hammingNearDups` for near-dup
+    * pairs. */
   def audioEnergyHash(b: Array[Byte]): Option[Long] =
     parseWavHeader(b) match {
       case Some((fmt, ch, _, bits, off, len))
           if ch > 0 && ((fmt == 1 && bits == 16) ||
+            (fmt == 3 && bits == 32) ||
             ((fmt == 6 || fmt == 7) && bits == 8)) =>
         val frameBytes = (bits / 8) * ch
         val n = len / frameBytes
@@ -2091,13 +2101,21 @@ object Multimodal {
           var s = 0L
           var i = i0
           while (i < i1) {
-            val v =
-              if (fmt == 1) le16(b, off + (i * frameBytes).toInt).toShort.toInt
-              else {
+            val v: Long =
+              if (fmt == 1)
+                math.abs(le16(b, off + (i * frameBytes).toInt).toShort.toLong)
+              else if (fmt == 3) {
+                val f = java.lang.Float.intBitsToFloat(
+                  le32(b, off + (i * frameBytes).toInt))
+                if (java.lang.Float.isNaN(f)) 0L
+                else math.min(
+                  math.floor(math.abs(f) * 32768f).toLong, 1L << 21)
+              } else {
                 val raw = b(off + (i * frameBytes).toInt) & 0xFF
-                if (fmt == 6) alawToLinear(raw) else ulawToLinear(raw)
+                math.abs(
+                  (if (fmt == 6) alawToLinear(raw) else ulawToLinear(raw)).toLong)
               }
-            s += math.abs(v.toLong)
+            s += v
             i += 1
           }
           e(k) = s
@@ -2114,7 +2132,7 @@ object Multimodal {
     }
 
   /** Attach the 64-bit audio energy hash for a binary WAV column
-    * (null for float-PCM and undecodable payloads). */
+    * (null for undecodable payloads and unsupported formats). */
   def withAudioEnergyHash(df: DataFrame, binCol: String,
                           batchSize: Int = 64): DataFrame =
     mapBinary(df, binCol, batchSize,
@@ -2147,6 +2165,37 @@ object Multimodal {
       var j = 0
       while (j < 64) {
         out.putShort((if ((j & 1) == 0) a else -a).toShort)
+        j += 1
+      }
+      k += 1
+    }
+    out.array()
+  }
+
+  /** Float-PCM twin of [[toneWav]]: the SAME per-window amplitudes
+    * a(k) = [[mixValue]](seed, 1000 + k, 30000), carried as float32
+    * samples a(k)/2¹⁵ — exact in float32 (integer < 2¹⁵ scaled by a
+    * power of two), so [[audioEnergyHash]]'s quantization recovers
+    * a(k) bit-exactly and the f32 fixture hashes IDENTICALLY to the
+    * 16-bit fixture of the same seed. That identity is the float
+    * path's engine-exactness proof, and lets the f32 gate reuse the
+    * integer gate's arithmetic oracle verbatim. */
+  def toneWavF32(seed: Long): Array[Byte] = {
+    val n = 65 * 64
+    val out = java.nio.ByteBuffer.allocate(44 + 4 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(3).putShort(1).putInt(8000).putInt(32000)
+      .putShort(4).putShort(32)
+    out.put("data".getBytes("US-ASCII")).putInt(4 * n)
+    var k = 0
+    while (k < 65) {
+      val a = mixValue(seed, 1000L + k, 30000L).toFloat / 32768f
+      var j = 0
+      while (j < 64) {
+        out.putFloat(if ((j & 1) == 0) a else -a)
         j += 1
       }
       k += 1

@@ -212,8 +212,26 @@ object EventStreams {
     val dir = java.nio.file.Paths.get(
       graft.Scratch.path(s"dedup_redelivery_${math.abs(path.hashCode)}"))
     java.nio.file.Files.createDirectories(dir)
+    // the source may be a single parquet file (driver testdata) or a
+    // parquet DIRECTORY (replica datasets): stage each delivery as a
+    // single file either way — a naive Files.copy of a directory
+    // copies an empty dir and the stream source then has no schema
+    val partFile =
+      if (!java.nio.file.Files.isDirectory(src)) src
+      else {
+        val walk = java.nio.file.Files.list(src)
+        val parts =
+          try walk.filter(_.getFileName.toString.endsWith(".parquet"))
+            .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          finally walk.close()
+        require(parts.size == 1,
+          s"dedupStreamed stages the source as one file per delivery; " +
+            s"$path is a directory with ${parts.size} part files — " +
+            s"compact it to one part first")
+        parts.head
+      }
     Seq("redelivery_1.parquet", "redelivery_2.parquet").foreach { n =>
-      java.nio.file.Files.copy(src, dir.resolve(n),
+      java.nio.file.Files.copy(partFile, dir.resolve(n),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     runStreamed(spark, dir.toString, "dedup", outputMode = "append")(ev =>

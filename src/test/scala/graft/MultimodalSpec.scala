@@ -1478,12 +1478,19 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
-  test("audioEnergyHash: float PCM and non-WAV payloads hash None") {
-    // float format is excluded by contract (float energy sums are not
-    // engine-exact); a truncated/garbage payload decodes to nothing
+  test("audioEnergyHash: non-WAV payloads hash None; float PCM quantizes exactly") {
     assert(Multimodal.audioEnergyHash("RIFFgarbage".getBytes("US-ASCII")).isEmpty)
-    // format-3 float WAV from the existing fixture path: reuse header
-    // shape — build minimal float WAV
+    // the float fixture carries the SAME window amplitudes as the
+    // 16-bit fixture (a(k)/2^15 is exact in float32), so the two
+    // formats must hash IDENTICALLY — the engine-exactness proof of
+    // the quantize-then-integer-sum path
+    for (seed <- Seq(0L, 3L, 42L, 12345L)) {
+      val int16 = Multimodal.audioEnergyHash(Multimodal.toneWav(seed))
+      val f32 = Multimodal.audioEnergyHash(Multimodal.toneWavF32(seed))
+      assert(int16.nonEmpty && f32 == int16, s"seed=$seed $f32 != $int16")
+    }
+    // NaN samples quantize to 0 and out-of-range samples clamp — no
+    // crash, a defined hash
     val n = 130
     val bb = java.nio.ByteBuffer.allocate(44 + 4 * n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1493,8 +1500,22 @@ class MultimodalSpec extends GraftSpec {
       .putShort(3).putShort(1).putInt(8000).putInt(32000)
       .putShort(4).putShort(32)
     bb.put("data".getBytes("US-ASCII")).putInt(4 * n)
-    (0 until n).foreach(i => bb.putFloat(0.25f * (i % 7)))
-    assert(Multimodal.audioEnergyHash(bb.array()).isEmpty)
+    (0 until n).foreach { i =>
+      bb.putFloat(if (i % 3 == 0) Float.NaN
+        else if (i % 3 == 1) 1e30f else Float.PositiveInfinity)
+    }
+    assert(Multimodal.audioEnergyHash(bb.array()).nonEmpty)
+    // 64-bit float depth stays unsupported → None
+    val b2 = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b2.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    b2.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(3).putShort(1).putInt(8000).putInt(64000)
+      .putShort(8).putShort(64)
+    b2.put("data".getBytes("US-ASCII")).putInt(8)
+    b2.putDouble(0.5)
+    assert(Multimodal.audioEnergyHash(b2.array()).isEmpty)
   }
 
   test("audioEnergyHash: G.711 mu-law payload hashes (integer expansion path)") {
