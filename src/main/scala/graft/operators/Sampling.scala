@@ -421,17 +421,34 @@ object Sampling {
       .map { case ((d, n, base, _), idx) =>
         d -> math.min(base + (if (idx < rem) 1L else 0L), n)
       }.toMap
-    val quota = bump.foldLeft(lit(0L)) { case (acc, (d, q)) =>
-      when(col(domainCol).cast("string") === d, lit(q)).otherwise(acc)
+    // the quota table joins in as a BROADCAST relation, not a
+    // per-domain when-chain (the interleaveByDomain rationale: a
+    // guarded-but-large domain count would otherwise bloat the plan
+    // and codegen O(nDomains) per row; the hash join is O(1))
+    Seq("__dom", "__quota").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named $c")
     }
+    import scala.jdk.CollectionConverters._
+    val quotaDf = df.sparkSession.createDataFrame(
+      bump.toSeq.sortBy(_._1).map { case (d, q) =>
+        org.apache.spark.sql.Row(d, q)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__dom",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__quota",
+          org.apache.spark.sql.types.LongType))))
     val rnk = row_number().over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col(domainCol))
         .orderBy(md5(col(idCol).cast("string")), col(idCol)))
     df.filter(col(domainCol).isNotNull)
+      .join(broadcast(quotaDf),
+        col(domainCol).cast("string") === col("__dom"))
       .withColumn("__graft_rnk", rnk)
-      .filter(col("__graft_rnk") <= quota)
-      .drop("__graft_rnk")
+      .filter(col("__graft_rnk") <= col("__quota"))
+      .drop("__graft_rnk", "__dom", "__quota")
   }
 
   def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
