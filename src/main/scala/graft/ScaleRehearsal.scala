@@ -148,13 +148,18 @@ object ScaleRehearsal {
       // scale should be ~equal, and each should scale ~linearly with
       // the corpus. compact is the same rewrite shape. These mutate
       // sigPath, so they run after its last query consumer.
+      // takedown lists are STRICT SUBSETS of the store (the mod-2
+      // slice caps the big list at half the corpus): retiring the
+      // whole store is now refused loudly by design (the Store
+      // empty-rewrite guard), as a full wipe should be a rebuild
       time(scale, "sig_retire_100") {
         Dedup.retireFromSignatureTable(spark, sigPath,
           docs.select(col("doc_id")).limit(100), "doc_id")
       }
       time(scale, "sig_retire_10k") {
         Dedup.retireFromSignatureTable(spark, sigPath,
-          docs.select(col("doc_id")).limit(10000), "doc_id")
+          docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id")).limit(10000), "doc_id")
       }
       time(scale, "sig_compact") {
         Dedup.compactSignatureTable(spark, sigPath, numFiles = 32)

@@ -862,6 +862,29 @@ object Similarity {
     }
   }
 
+  /** A RESOLVED handle on a persisted IVF-PQ index — the serving-side
+    * open-once contract: the codebook collects, and the centroid/code
+    * relations resolve their file listings, exactly once; every
+    * [[searchIvfPqIndex]] against the handle then pays only probed-
+    * list work. The distinction is measured (PERF_NOTES_r11 §5): at
+    * nlist 10⁴ a FRESH open lists 10⁴ partition directories (~25 s on
+    * a local FS) while the probed scan itself feeds ~10² rows — a
+    * per-open constant that must not be paid per query. The handle is
+    * a SNAPSHOT of the generation it resolved: appends/rewrites
+    * committed later are not visible until re-open (the Store
+    * retention contract gives an open handle one maintenance cycle). */
+  final case class IvfPqIndexHandle(
+      cb: PqCodebook, centroids: DataFrame, codes: DataFrame)
+
+  /** Open a persisted IVF-PQ index once for repeated searches. */
+  def openIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndexHandle =
+    IvfPqIndexHandle(
+      pqCodebookFromDF(spark.read.parquet(s"$path/codebook")),
+      spark.read.parquet(s"$path/centroids"),
+      Store.read(spark, s"$path/codes"))
+
   /** Search a persisted IVF-PQ index. The coarse stage's probed list
     * ids prune the code scan via DYNAMIC PARTITION PRUNING: the probed
     * set stays a (tiny, nlist-bounded) relation that broadcast-semi-
@@ -873,27 +896,36 @@ object Similarity {
     * catalog-pruning cost, while the DPP subquery is constant-size.
     * [[ivfPqSearch]] then runs ADC + exact rerank over what remains. */
   def searchIvfPqIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String,
+      h: IvfPqIndexHandle,
       vectors: DataFrame, vecIdCol: String, vecCol: String,
       probes: DataFrame, probeIdCol: String, probeVecCol: String,
       k: Int, nprobe: Int, shortlist: Int): DataFrame = {
-    val cb = pqCodebookFromDF(spark.read.parquet(s"$path/codebook"))
-    val centroids = spark.read.parquet(s"$path/centroids")
     val p = probes.select(col(probeIdCol).as("probe_id"),
       transform(col(probeVecCol), x => x.cast("double")).as("pv"))
-    val pc = p.crossJoin(broadcast(centroids))
+    val pc = p.crossJoin(broadcast(h.centroids))
       .withColumn("ccos", cosine(col("pv"), col("cvec")))
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)
     val probed = pc.withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= nprobe)
       .select(col("centroid_id")).distinct()
-    val codes = Store.read(spark, s"$path/codes")
+    val codes = h.codes
       .join(broadcast(probed), Seq("centroid_id"), "left_semi")
-    ivfPqSearch(codes, "id", "pq_code", centroids,
+    ivfPqSearch(codes, "id", "pq_code", h.centroids,
       vectors, vecIdCol, vecCol, probes, probeIdCol, probeVecCol,
-      cb, k, nprobe, shortlist)
+      h.cb, k, nprobe, shortlist)
   }
+
+  /** [[searchIvfPqIndex]] with a one-shot open (ad-hoc queries; a
+    * serving loop should [[openIvfPqIndex]] once instead). */
+  def searchIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int, nprobe: Int, shortlist: Int): DataFrame =
+    searchIvfPqIndex(openIvfPqIndex(spark, path),
+      vectors, vecIdCol, vecCol, probes, probeIdCol, probeVecCol,
+      k, nprobe, shortlist)
 
   /** [[retireFromPqIndex]] for a persisted IVF-PQ index — the
     * partitioned code relation rewrites partitioned, so pruning

@@ -502,4 +502,48 @@ class SimilaritySpec extends GraftSpec {
       .collect().map(_.getSeq[Double](0)).flatten.toSeq
     assert(again == third)
   }
+
+  test("openIvfPqIndex: a handle serves repeated searches identically to per-query opens") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_h_").toString
+    def axis(i: Int, dim: Int): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i % dim) 1f else 0.01f * ((i + j) % 3))
+    val corpus = (0 until 16).map(i => (i.toLong, axis(i, 8)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", s"$dir/idx",
+      nlist = 4, m = 4, k = 4, iters = 2)
+    val h = Similarity.openIvfPqIndex(spark, s"$dir/idx")
+    def probesOf(ids: Seq[Long]) = corpus.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    // two DIFFERENT probe batches through ONE handle, each equal to
+    // the one-shot path form
+    Seq(Seq(0L, 1L), Seq(2L, 3L, 4L)).foreach { ids =>
+      val viaHandle = Similarity.searchIvfPqIndex(h, corpus,
+        "vec_id", "embedding", probesOf(ids), "probe_id", "pv",
+        k = 2, nprobe = 2, shortlist = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val viaPath = Similarity.searchIvfPqIndex(spark, s"$dir/idx", corpus,
+        "vec_id", "embedding", probesOf(ids), "probe_id", "pv",
+        k = 2, nprobe = 2, shortlist = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaHandle == viaPath && viaHandle.nonEmpty)
+    }
+    // snapshot semantics: rows appended AFTER the open are served only
+    // by a RE-OPENED handle (the documented one-maintenance-cycle view)
+    val twin = Seq((100L, axis(0, 8))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfPqIndex(spark, s"$dir/idx", twin,
+      "vec_id", "embedding")
+    val all = corpus.unionByName(twin)
+    val before = Similarity.searchIvfPqIndex(h, all,
+      "vec_id", "embedding", probesOf(Seq(0L)), "probe_id", "pv",
+      k = 1, nprobe = 2, shortlist = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!before.contains(100L), "a handle is a snapshot of its open")
+    val h2 = Similarity.openIvfPqIndex(spark, s"$dir/idx")
+    val after = Similarity.searchIvfPqIndex(h2, all,
+      "vec_id", "embedding", probesOf(Seq(0L)), "probe_id", "pv",
+      k = 1, nprobe = 2, shortlist = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(after == Set(100L), "re-open serves the appended exact twin")
+  }
 }
