@@ -71,7 +71,17 @@ object GenSf {
     // star schema: every key remapped with the same (·f + k) map, so
     // replica joins are internally consistent and selectivities match
     // the source scale
-    write(reps(t("customer"))(remap(_, _, "c_custkey")), "customer")
+    // replica names get a distinct suffix (k = 0 verbatim): exact-
+    // duplicate names across replicas would multiply every name
+    // posting list ×f and quadratically distort edit-distance /
+    // blocking operators relative to organically grown data (suffixes
+    // ≥ 4 edits apart keep depth-2 deletion variants disjoint)
+    write(reps(t("customer")) { (d, k) =>
+      val mapped = remap(d, k, "c_custkey")
+      if (k == 0) mapped
+      else mapped.withColumn("c_name",
+        concat(col("c_name"), lit(s"-rep$k")))
+    }, "customer")
     write(reps(t("supplier"))(remap(_, _, "s_suppkey")), "supplier")
     write(reps(t("part"))(remap(_, _, "p_partkey")), "part")
     write(reps(t("orders"))(remap(_, _, "o_orderkey", "o_custkey")), "orders")

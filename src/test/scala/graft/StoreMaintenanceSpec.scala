@@ -325,6 +325,41 @@ class StoreMaintenanceSpec extends GraftSpec {
     assert(ex.getMessage.contains("round-trip"))
   }
 
+  test("hamming multi-probe completeness fuzz: every pair within 2*nBands-1 is found") {
+    // maxHamming 3 → 4 bands of 16 bits; one-bit probes are complete
+    // for radius ≤ 7. Seeded fuzz: 200 random stored sigs, one query
+    // per stored sig at a random distance d ∈ [0, 7] (d random bit
+    // positions flipped) — EVERY query must surface its source pair,
+    // whatever the bit placement (including the adversarial
+    // one-per-band spread the planted gate uses).
+    val dir = java.nio.file.Files.createTempDirectory("graft_hmpfuzz_").toString
+    val rnd = new scala.util.Random(20260815L)
+    val stored = (0 until 200).map(i => (i.toLong, rnd.nextLong()))
+    Dedup.writeHammingTable(stored.toDF("doc_id", "sig"), "doc_id", "sig",
+      s"$dir/ham", maxHamming = 3, maxBucketSize = 100000)
+    val queries = stored.map { case (i, s) =>
+      val d = rnd.nextInt(8)
+      val bits = rnd.shuffle((0 until 64).toList).take(d)
+      (i + 1000L, bits.foldLeft(s)((acc, b) => acc ^ (1L << b)), d.toLong)
+    }
+    val got = Dedup.hammingNearDupsIncremental(spark, s"$dir/ham",
+      queries.map(q => (q._1, q._2)).toDF("doc_id", "sig"), "doc_id", "sig",
+      multiProbe = true, radius = Some(7))
+      .select("id_in", "corpus_id").as[(Long, Long)].collect().toSet
+    queries.foreach { case (qid, _, d) =>
+      assert(got.contains((qid, qid - 1000L)),
+        s"query $qid at distance $d missed its source — probe set incomplete")
+    }
+    // and the radius guard: plain banding refuses a radius past its
+    // completeness bound instead of silently under-recalling
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupsIncremental(spark, s"$dir/ham",
+        queries.map(q => (q._1, q._2)).toDF("doc_id", "sig"),
+        "doc_id", "sig", multiProbe = false, radius = Some(7))
+    }
+    assert(ex.getMessage.contains("multiProbe"))
+  }
+
   test("compaction self-heals bucket rows orphaned by a partial retire") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
     Dedup.writeSignatureTable(freshDocs(1L to 6L, 0L), "doc_id", "text",
