@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   * Dimensions (region, nation) are shared, fact/entity tables
   * replicate.
   *
-  * Replicated text is DECORRELATED by rotating the word sequence per
-  * replica (length, vocabulary, and token statistics preserved; the
-  * shingle set is almost entirely new, so replicas do not form
-  * artificial exact/near-duplicate clusters that would quadratically
-  * distort pair-generating operators relative to organically grown
-  * data). Embeddings rotate their component order per replica for the
-  * same reason (norm preserved, cosine decorrelated).
+  * Replicated text is DECORRELATED by a seeded deterministic SHUFFLE
+  * of the word sequence per replica — each word sorts by
+  * xxhash64(word, position, k) (length, vocabulary, and token
+  * statistics preserved; a random permutation keeps any given
+  * adjacent pair adjacent with probability ~2/n, so the word-shingle
+  * set is almost entirely new and replicas do not form artificial
+  * exact/near-duplicate cliques that would quadratically distort
+  * pair-generating operators relative to organically grown data — a
+  * single-cut ROTATION does NOT achieve this: it preserves nearly
+  * every shingle). Embeddings rotate their component order per
+  * replica with a never-zero offset (norm preserved, cosine
+  * decorrelated, no verbatim copies).
   *
   * Usage: runMain graft.GenSf <srcDir> <outDir> <factor>
   */
@@ -89,34 +94,40 @@ object GenSf {
       remap(_, _, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     write(reps(t("events"))(remap(_, _, "event_id", "user_id")), "events")
 
-    // documents: rotate the word sequence by a replica-dependent
-    // offset (k = 0 stays verbatim); n_chars re-derived for rotated
-    // rows (the join normalizes whitespace)
+    // documents: seeded deterministic word shuffle per replica (k = 0
+    // stays verbatim) — sort words by xxhash64(word, position, k),
+    // position as tiebreaker so repeated words order deterministically;
+    // n_chars re-derived for shuffled rows (the multiset of words and
+    // separators is preserved, so this is a fixed point in practice)
     write(reps(t("documents")) { (d, k) =>
       val mapped = remap(d, k, "doc_id")
       if (k == 0) mapped
       else {
         val words = split(col("text"), " ")
-        val n = size(words)
-        val rot = pmod(lit(k * 7 + 3), n)
-        val rotated = when(col("text").isNull, lit(null).cast("string"))
-          .when(n <= 1, col("text"))
+        val shuffled = when(col("text").isNull, lit(null).cast("string"))
+          .when(size(words) <= 1, col("text"))
           .otherwise(array_join(
-            concat(slice(words, rot + 1, n - rot), slice(words, lit(1), rot)),
+            transform(
+              array_sort(transform(words, (w, i) =>
+                struct(xxhash64(w, i, lit(k)).as("h"), i.as("i"),
+                  w.as("w")))),
+              x => x.getField("w")),
             " "))
-        mapped.withColumn("text", rotated)
+        mapped.withColumn("text", shuffled)
           .withColumn("n_chars",
             coalesce(length(col("text")), lit(0)).cast(d.schema("n_chars").dataType))
       }
     }, "documents")
 
-    // embeddings: rotate component order per replica (k = 0 verbatim)
+    // embeddings: rotate component order per replica (k = 0 verbatim);
+    // offset 1 + (k mod (dim-1)) ∈ [1, dim-1] is NEVER 0, so no
+    // replica's vector is a verbatim copy of its base
     write(reps(t("embeddings")) { (d, k) =>
       val mapped = remap(d, k, "vec_id")
       if (k == 0) mapped
       else {
         val e = col("embedding")
-        val rot = pmod(lit(k), size(e))
+        val rot = lit(1) + pmod(lit(k), size(e) - 1)
         mapped.withColumn("embedding",
           when(e.isNull || size(e) <= 1, e)
             .otherwise(concat(slice(e, rot + 1, size(e) - rot),

@@ -694,9 +694,33 @@ object ScaleRehearsal {
         .localCheckpoint(true)
       Seq(100, 10000).foreach { nlist =>
         val path = s"/tmp/graft_ivfpq_dpp_${reps}x_$nlist"
-        if (!Files.exists(Paths.get(s"$path/codebook")))
+        // reuse only an index in the CURRENT store layout that actually
+        // resolves — a stale /tmp artifact from an earlier round (no
+        // _manifests, or a pre-file-list empty manifest) rebuilds
+        // instead of failing later in Store.read
+        val reusable = Files.exists(Paths.get(s"$path/codebook")) &&
+          scala.util.Try {
+            graft.operators.Store.snapshot(spark, s"$path/codes")
+          }.toOption.exists(!_.legacy)
+        if (!reusable) {
+          val root = Paths.get(path)
+          if (Files.exists(root)) {
+            val walk = Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.delete(p))
+            finally walk.close()
+          }
           Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path,
             nlist = nlist)
+        }
+        // the O(1)-open point (r11 verdict item #2's done-criterion):
+        // resolving the code relation is a manifest read, never a
+        // partition-directory walk, so open cost must be FLAT in nlist
+        // (10⁴ lists ≈ 10² lists). Timed as resolution + file-index
+        // construction only — no data scan.
+        time(s"${reps}x", s"ivfpq_open_nlist$nlist") {
+          graft.operators.Store.read(spark, s"$path/codes")
+        }
         time(s"${reps}x", s"ivfpq_dpp_nlist$nlist") {
           force(Similarity.searchIvfPqIndex(spark, path,
             emb.select(col("vec_id"), col("embedding")),

@@ -1052,12 +1052,30 @@ object SparkEntry {
       val cb = Similarity.pqTrain(normed, "vec_id", "nv", m = 8, k = 16, iters = 2)
       val codes = Similarity.pqEncodePacked(normed, "nv", cb)
         .select(col("vec_id"), col("pq_code"))
+      // whole-corpus probe stream at the correctness SF (the uncapped
+      // audit the oracle replays); a FIXED-SIZE probe batch — the
+      // production serving shape — beyond it: streaming every corpus
+      // vector as a probe is deliberately quadratic and would dominate
+      // a scale bench while measuring nothing new (r11 verdict watch
+      // item). vec_id < 500 is exactly 500 probes at every SF (GenSf
+      // remaps ids by ·f+k, so ids 0..499 exist at any factor).
+      val capped = emb.count() > 5000
+      val probeDriver = if (capped) emb.filter(col("vec_id") < 500) else emb
+      val probeSrc =
+        if (!capped) s"$dir/embeddings.parquet"
+        else {
+          val p = Scratch.path(
+            s"annprobes_${scratchTag(dir)}_${corpusVersion(s, dir)}")
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+            probeDriver.coalesce(1).write.mode("overwrite").parquet(p)
+          p
+        }
       val streamed = graft.streaming.VectorStreams.nearestByAdcStreamed(
-        s, s"$dir/embeddings.parquet", "vec_id", "embedding",
+        s, probeSrc, "vec_id", "embedding",
         codes, "vec_id", "pq_code", cb)
       val batch = graft.streaming.VectorStreams.nearestByAdc(
-        emb, "vec_id", "embedding", codes, "vec_id", "pq_code", cb)
-      emb.select(col("vec_id").as("probe_id"))
+        probeDriver, "vec_id", "embedding", codes, "vec_id", "pq_code", cb)
+      probeDriver.select(col("vec_id").as("probe_id"))
         .join(streamed.select(col("probe_id"),
           col("neighbor_id").as("s_nb"), col("n_scored").as("s_n")),
           Seq("probe_id"), "left")
@@ -8328,11 +8346,146 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 10 = 1""".stripMargin
   )
 
+  // ───────────────────────── round 12 ─────────────────────────
+
+  private val round12Queries: Map[String, Q] = Map(
+    // PARAGRAPH-TABLE TAKEDOWN — the span-granularity
+    // right-to-be-forgotten contract (q_sigtable_retire's shape on the
+    // fourth store). Corpus: the q_para_ingest construction ("common
+    // banner" + per-doc "uniq c<i>"). A probe batch (+500000, mod-10=1
+    // slice) carries its doc's stored uniq line plus one new line:
+    // BEFORE the takedown the stored line is suppressed (survivor text
+    // = the new line); retiring the mod-3=1 slice's "uniq c<i>"
+    // paragraphs re-admits exactly those lines (survivor text = both
+    // lines, original order). The removed count rides every row.
+    "q_para_retire" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val tag = s"pararetire_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val path = Scratch.path(tag)
+      val corpus = docs.select(col("doc_id"),
+        concat(lit("common banner\nuniq c"), col("doc_id")).as("text"))
+      Dedup.writeParagraphTable(corpus, "doc_id", "text", path)
+      val slice = docs.filter(col("doc_id") % 10 === 1)
+      val batch = slice.select((col("doc_id") + 500000L).as("doc_id"),
+        concat(lit("uniq c"), col("doc_id"),
+          lit("\nnew r"), col("doc_id")).as("text"))
+      val before = Dedup.paragraphDedupIncremental(s, path, batch,
+        "doc_id", "text")
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val retired = slice.filter(col("doc_id") % 3 === 1)
+        .select(concat(lit("uniq c"), col("doc_id")).as("para"))
+      val nRetired = Dedup.retireFromParagraphTable(s, path, retired, "para")
+      val after = Dedup.paragraphDedupIncremental(s, path, batch,
+        "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+      batch.select(col("doc_id"))
+        .join(before.withColumnRenamed("text", "text_before"),
+          Seq("doc_id"), "left")
+        .join(after.withColumnRenamed("text", "text_after"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text_before"), col("text_after"),
+          lit(nRetired).as("n_retired"))
+    },
+
+    // Paragraph-table compaction is a PURE rewrite: the probe batch
+    // (stored banner + an appended line + a fresh line) lands on the
+    // IDENTICAL survivor text before and after the hash relation is
+    // squeezed to one file — and the file count must actually be
+    // bounded (files_bounded rides the hash, so a no-op "compaction"
+    // fails the gate). The append generation first (mod-10=7 slice's
+    // "extra e<i>" lines) makes the compaction non-trivial.
+    "q_para_compact" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val tag = s"paracompact_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val path = Scratch.path(tag)
+      val corpus = docs.select(col("doc_id"),
+        concat(lit("common banner\nuniq c"), col("doc_id")).as("text"))
+      Dedup.writeParagraphTable(corpus, "doc_id", "text", path)
+      val slice7 = docs.filter(col("doc_id") % 10 === 7)
+      Dedup.appendToParagraphTable(s, path,
+        slice7.select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("extra e"), col("doc_id")).as("text")),
+        "doc_id", "text")
+      val probe = slice7.select((col("doc_id") + 500000L).as("doc_id"),
+        concat(lit("common banner\nextra e"), col("doc_id"),
+          lit("\nnew p"), col("doc_id")).as("text"))
+      val before = Dedup.paragraphDedupIncremental(s, path, probe,
+        "doc_id", "text")
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      Dedup.compactParagraphTable(s, path, numFiles = 1)
+      val bounded =
+        graft.operators.Store.partFileCount(s, s"$path/hashes") <= 1
+      val after = Dedup.paragraphDedupIncremental(s, path, probe,
+        "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+      probe.select(col("doc_id"))
+        .join(before.withColumnRenamed("text", "text_before"),
+          Seq("doc_id"), "left")
+        .join(after.withColumnRenamed("text", "text_after"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text_before"), col("text_after"),
+          lit(bounded).as("files_bounded"))
+    },
+
+    // Paragraph-table observability: the pinned separator, the
+    // distinct-paragraph count (1 shared banner + one uniq line per
+    // doc — pure id arithmetic the oracle replays), and the file-count
+    // invariant as a boolean.
+    "q_para_stats" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      assertPlantOffset(docs)
+      val tag = s"parastats_${scratchTag(dir)}_${corpusVersion(s, dir)}"
+      Scratch.remove(tag)
+      val path = Scratch.path(tag)
+      val corpus = docs.select(col("doc_id"),
+        concat(lit("common banner\nuniq c"), col("doc_id")).as("text"))
+      Dedup.writeParagraphTable(corpus, "doc_id", "text", path)
+      Dedup.paragraphTableStats(s, path)
+        .select(col("sep"), col("n_paragraphs"),
+          (col("n_hash_files") >= 1).as("files_ok"))
+    }
+  )
+
+  private val round12Oracles: Map[String, String] = Map(
+    // before: the stored uniq line suppressed everywhere; after: the
+    // retired (mod-3=1) docs get both lines back in original order
+    "q_para_retire" ->
+      """WITH f AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 1)
+        |SELECT doc_id + 500000 AS doc_id,
+        |  'new r' || doc_id AS text_before,
+        |  CASE WHEN doc_id % 3 = 1
+        |    THEN 'uniq c' || doc_id || chr(10) || 'new r' || doc_id
+        |    ELSE 'new r' || doc_id END AS text_after,
+        |  CAST((SELECT count(*) FROM f f2 WHERE f2.doc_id % 3 = 1)
+        |       AS BIGINT) AS n_retired
+        |FROM f""".stripMargin,
+
+    // pure rewrite: survivor text identical in both phases, files
+    // actually bounded
+    "q_para_compact" ->
+      """SELECT doc_id + 500000 AS doc_id,
+        |  'new p' || doc_id AS text_before,
+        |  'new p' || doc_id AS text_after,
+        |  true AS files_bounded
+        |FROM documents WHERE doc_id % 10 = 7""".stripMargin,
+
+    // 1 shared banner + one distinct uniq line per document
+    "q_para_stats" ->
+      """SELECT chr(10) AS sep,
+        |  CAST(count(*) + 1 AS BIGINT) AS n_paragraphs,
+        |  true AS files_ok
+        |FROM documents""".stripMargin
+  )
+
   def queries: Map[String, Q] =
     referenceQueries ++ extensionQueries ++ round2Queries ++ round3Queries ++
       round4Queries ++ round5Queries ++ round6Queries ++ round7Queries ++
       round8Queries ++ round9Queries ++ round9bQueries ++ round9cQueries ++
-      round10Queries ++ round11Queries
+      round10Queries ++ round11Queries ++ round12Queries
 
   /** DuckDB-runnable equivalents; queries absent here get the driver's
     * weaker rows-only check. */
@@ -8340,5 +8493,5 @@ object SparkEntry {
     referenceOracles ++ extensionOracles ++ round2Oracles ++ round3Oracles ++
       round4Oracles ++ round5Oracles ++ round6Oracles ++ round7Oracles ++
       round8Oracles ++ round9Oracles ++ round9bOracles ++ round9cOracles ++
-      round10Oracles ++ round11Oracles
+      round10Oracles ++ round11Oracles ++ round12Oracles
 }

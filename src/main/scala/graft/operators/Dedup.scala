@@ -1984,14 +1984,15 @@ object Dedup {
   def retireFromSignatureTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val sigs = Store.read(spark, sigTableSigs(path))
+    val sigSnap = Store.snapshot(spark, sigTableSigs(path))
+    val sigs = sigSnap.df
     val ids = Store.retireIds(sigs, "id", retired, idCol)
     val removed = sigs.join(broadcast(ids), Seq("id"), "left_semi").count()
-    Store.rewrite(spark, sigTableSigs(path),
+    Store.rewrite(sigSnap,
       sigs.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
-    Store.rewrite(spark, sigTableBuckets(path),
-      Store.read(spark, sigTableBuckets(path))
-        .join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
+    val bktSnap = Store.snapshot(spark, sigTableBuckets(path))
+    Store.rewrite(bktSnap,
+      bktSnap.df.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
     removed
   }
 
@@ -2010,10 +2011,11 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    val sigs = Store.read(spark, sigTableSigs(path))
-    Store.rewrite(spark, sigTableSigs(path), sigs, numFiles)
-    Store.rewrite(spark, sigTableBuckets(path),
-      Store.read(spark, sigTableBuckets(path))
+    val sigSnap = Store.snapshot(spark, sigTableSigs(path))
+    Store.rewrite(sigSnap, sigSnap.df, numFiles)
+    val bktSnap = Store.snapshot(spark, sigTableBuckets(path))
+    Store.rewrite(bktSnap,
+      bktSnap.df
         .join(Store.read(spark, sigTableSigs(path)).select(col("id")),
           Seq("id"), "left_semi"),
       numFiles)
@@ -2025,11 +2027,12 @@ object Dedup {
   def retireFromHammingTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val buckets = Store.read(spark, hamTableBuckets(path))
+    val snap = Store.snapshot(spark, hamTableBuckets(path))
+    val buckets = snap.df
     val ids = Store.retireIds(buckets, "id", retired, idCol)
     val removed = buckets.join(broadcast(ids), Seq("id"), "left_semi")
       .select(col("id")).distinct().count()
-    Store.rewrite(spark, hamTableBuckets(path),
+    Store.rewrite(snap,
       buckets.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
     removed
   }
@@ -2039,8 +2042,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    Store.rewrite(spark, hamTableBuckets(path),
-      Store.read(spark, hamTableBuckets(path)), numFiles)
+    val snap = Store.snapshot(spark, hamTableBuckets(path))
+    Store.rewrite(snap, snap.df, numFiles)
   }
 
   /** One-row operational summary of a persisted signature table — the
@@ -2410,6 +2413,89 @@ object Dedup {
       .start()
     q.awaitTermination()
   }
+
+  /** Remove paragraphs from a persisted paragraph-hash table — the
+    * takedown contract ([[retireFromSignatureTable]]) at SPAN
+    * granularity: a right-to-be-forgotten request that names offending
+    * paragraphs (not whole documents) must stop the table from
+    * suppressing future copies of them, exactly as retiring a document
+    * re-admits its later near-copies.
+    *
+    * `retired` is either the paragraph TEXTS themselves (a string
+    * column — hashed with the store's own xxhash64, so the takedown
+    * list never needs to know the storage encoding) or raw stored
+    * hashes (any integral column — resolved against the store's id
+    * type via [[Store.retireIds]], lossy casts loud). A text entry
+    * that CONTAINS the table's separator could never match a stored
+    * single-line hash, so it fails loudly instead of silently
+    * retiring nothing (the [[Store.retireIds]] rationale).
+    *
+    * Scale shape: cost ∝ store (a full-scan rewrite of the hash
+    * relation), independent of the list size; the list broadcasts.
+    * `numFiles > 0` compacts the rewrite in passing.
+    * @return number of stored paragraph hashes removed */
+  def retireFromParagraphTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      retired: DataFrame, colName: String, numFiles: Int = 0): Long = {
+    val snap = Store.snapshot(spark, paraTableHashes(path))
+    val stored = snap.df
+    val ids = retired.schema(colName).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val sep = spark.read.parquet(paraTableMeta(path))
+          .head().getAs[String]("sep")
+        val bad = retired
+          .filter(col(colName).isNotNull && col(colName).contains(sep))
+          .limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"retirement text ${bad.head.get(0)} contains the table's " +
+            s"paragraph separator — the store hashes single paragraphs, " +
+            s"so a multi-paragraph entry could never match; split it and " +
+            s"retire each paragraph")
+        retired.filter(col(colName).isNotNull)
+          .select(xxhash64(col(colName)).as("h")).distinct()
+          .localCheckpoint(true)
+      case _ =>
+        Store.retireIds(stored, "h", retired, colName)
+          .select(col("id").as("h"))
+    }
+    val removed = stored.join(broadcast(ids), Seq("h"), "left_semi").count()
+    Store.rewrite(snap,
+      stored.join(broadcast(ids), Seq("h"), "left_anti"), numFiles)
+    removed
+  }
+
+  /** Compact a paragraph table's hash relation to `numFiles` files —
+    * the periodic small-file cleanup after many
+    * [[appendToParagraphTable]] generations (the
+    * [[compactSignatureTable]] rationale: at landing-zone cadence the
+    * per-batch semi-join scan becomes open-cost-bound long before it
+    * is byte-bound). The rewrite re-asserts distinctness, which also
+    * self-heals the one double-apply window the append fence
+    * documents (a replayed batch whose failed marker could not be
+    * withdrawn). A pure rewrite otherwise — the gate pins identical
+    * dedup results before and after. */
+  def compactParagraphTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
+    val snap = Store.snapshot(spark, paraTableHashes(path))
+    Store.rewrite(snap, snap.df.distinct(), numFiles)
+  }
+
+  /** One-row operational summary of a persisted paragraph table (the
+    * [[signatureTableStats]] shape): the pinned separator (what every
+    * batch silently splits under), the distinct-paragraph count (8
+    * bytes each — the table's working-set arithmetic at corpus scale),
+    * and the hash relation's part-file count (the
+    * [[compactParagraphTable]] signal). All partial aggs plus 1-row
+    * broadcast joins. */
+  def paragraphTableStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(paraTableMeta(path))
+      .crossJoin(Store.read(spark, paraTableHashes(path))
+        .agg(count(lit(1)).as("n_paragraphs")))
+      .withColumn("n_hash_files",
+        lit(Store.partFileCount(spark, paraTableHashes(path))))
 
   /** Boilerplate-line removal: drop every line whose exact text appears
     * in at least `minDocs` DISTINCT documents, rebuild each document's

@@ -92,11 +92,23 @@ object FuzzyJoin {
     val lv = side(left, leftId, leftStr, "l")
     val rv = side(right, rightId, rightStr, "r")
 
+    // verify IN-STAGE, before the pair-dedup shuffle: candidate
+    // density on digit-embedded key formats grows with the corpus by
+    // construction (depth-2 deletion collisions between lev-3/4 pairs
+    // are genuine — PERF_NOTES_r11 §4 — and any equi-band that would
+    // split same-variant candidates provably loses lev-2 recall, e.g.
+    // "aXbc"/"abcY" whose only depth-1 witnesses delete DIFFERENT
+    // positions), so the scalable shape is to make a far candidate
+    // cost a map-side early-exit O(maxDist·|s|) threshold-levenshtein
+    // instead of a row in the distinct's shuffle. The second exchange
+    // then carries true matches (× their witness multiplicity), not
+    // the candidate set.
     lv.join(rv, "variant")
-      .select(col("l_id"), col("r_id"), col("l_str"), col("r_str"))
+      .withColumn("dist", levenshtein(col("l_str"), col("r_str"), maxDist))
+      .filter(col("dist") >= 0) // threshold form: -1 = beyond maxDist
+      .select(col("l_id"), col("r_id"), col("l_str"), col("r_str"),
+        col("dist"))
       .distinct()
-      .withColumn("dist", levenshtein(col("l_str"), col("r_str")))
-      .filter(col("dist") <= maxDist)
   }
 
   /** [[fuzzyJoin]] as a REAL streaming query — entity resolution on an
@@ -136,8 +148,8 @@ object FuzzyJoin {
       .select(col(dirtyId).as("r_id"), col(dirtyStr).as("r_str"),
         explode(deletionVariants(col(dirtyStr), maxDist)).as("variant"))
       .join(broadcast(rv), "variant")
-      .withColumn("dist", levenshtein(col("l_str"), col("r_str")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("l_str"), col("r_str"), maxDist))
+      .filter(col("dist") >= 0) // threshold form: -1 = beyond maxDist
       .select(col("l_id"), col("r_id"), col("l_str"), col("r_str"), col("dist"))
     val name = "graft_fuzzyjoin_" + math.abs(dirtyPath.hashCode)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -197,8 +209,8 @@ object FuzzyJoin {
       bucketChars: Int = 2): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     rankWindowPairs(df, idCol, col(keyCol), window, bucketChars)
-      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b"), maxDist))
+      .filter(col("dist") >= 0) // threshold form: early-exit verify
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
         col("dist"))
   }
@@ -282,8 +294,8 @@ object FuzzyJoin {
     cands
       .join(keys.select(col("id").as("id_a"), col("key").as("key_a")), "id_a")
       .join(keys.select(col("id").as("id_b"), col("key").as("key_b")), "id_b")
-      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b"), maxDist))
+      .filter(col("dist") >= 0) // threshold form: early-exit verify
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
         col("dist"))
   }

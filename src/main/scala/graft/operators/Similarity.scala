@@ -776,10 +776,11 @@ object Similarity {
   def retireFromPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val codes = Store.read(spark, s"$path/codes")
+    val snap = Store.snapshot(spark, s"$path/codes")
+    val codes = snap.df
     val ids = Store.retireIds(codes, "id", retired, idCol)
     val removed = codes.join(broadcast(ids), Seq("id"), "left_semi").count()
-    Store.rewrite(spark, s"$path/codes",
+    Store.rewrite(snap,
       codes.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
     removed
   }
@@ -791,8 +792,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    Store.rewrite(spark, s"$path/codes",
-      Store.read(spark, s"$path/codes"), numFiles)
+    val snap = Store.snapshot(spark, s"$path/codes")
+    Store.rewrite(snap, snap.df, numFiles)
   }
 
   // ───────── persisted IVF-PQ index (partition-pruned inverted lists) ─────────
@@ -933,10 +934,11 @@ object Similarity {
   def retireFromIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val codes = Store.read(spark, s"$path/codes")
+    val snap = Store.snapshot(spark, s"$path/codes")
+    val codes = snap.df
     val ids = Store.retireIds(codes, "id", retired, idCol)
     val removed = codes.join(broadcast(ids), Seq("id"), "left_semi").count()
-    Store.rewrite(spark, s"$path/codes",
+    Store.rewrite(snap,
       codes.join(broadcast(ids), Seq("id"), "left_anti"), numFiles,
       partitionCols = Seq("centroid_id"))
     removed
@@ -948,8 +950,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    Store.rewrite(spark, s"$path/codes",
-      Store.read(spark, s"$path/codes"), numFiles,
+    val snap = Store.snapshot(spark, s"$path/codes")
+    Store.rewrite(snap, snap.df, numFiles,
       partitionCols = Seq("centroid_id"))
   }
 

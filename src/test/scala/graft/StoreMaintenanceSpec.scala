@@ -252,8 +252,8 @@ class StoreMaintenanceSpec extends GraftSpec {
     Store.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), rel)
     val g1 = Store.currentGen(spark, rel)
     assert(g1.n == 1L)
-    Store.rewrite(spark, rel,
-      Store.read(spark, rel).filter(col("id") === 1L), numFiles = 1)
+    val s1 = Store.snapshot(spark, rel)
+    Store.rewrite(s1, s1.df.filter(col("id") === 1L), numFiles = 1)
     val g2 = Store.currentGen(spark, rel)
     assert(g2.n == 2L)
     // the superseded generation is RETAINED one cycle: a reader that
@@ -263,7 +263,8 @@ class StoreMaintenanceSpec extends GraftSpec {
       "superseded generation must survive one maintenance cycle")
     assert(Store.read(spark, rel).count() == 1L)
     // the NEXT rewrite retires generation 1
-    Store.rewrite(spark, rel, Store.read(spark, rel), numFiles = 1)
+    val s2 = Store.snapshot(spark, rel)
+    Store.rewrite(s2, s2.df, numFiles = 1)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(g1.dataPath)),
       "generations older than the superseded one are swept")
@@ -278,7 +279,8 @@ class StoreMaintenanceSpec extends GraftSpec {
       Store.append(spark, rel) { genDir =>
         // the ingest-vs-maintenance race: a compaction commits while
         // the batch is writing into the old generation
-        Store.rewrite(spark, rel, Store.read(spark, rel), numFiles = 1)
+        val s = Store.snapshot(spark, rel)
+        Store.rewrite(s, s.df, numFiles = 1)
         Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(genDir)
       }
     }
@@ -360,6 +362,134 @@ class StoreMaintenanceSpec extends GraftSpec {
     assert(ex.getMessage.contains("multiProbe"))
   }
 
+  test("a rewrite fails loudly when an append landed after its snapshot") {
+    // the r11 silent ordering: the append completes ENTIRELY inside
+    // the rewrite's snapshot→commit window and used to report success
+    // while the rewrite committed without its rows (they then died
+    // with the superseded generation). Now the rewrite's pre-commit
+    // marker re-check aborts it, and the appended rows stay served.
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    val rel = s"$dir/rel"
+    Store.create(Seq((1L, "a")).toDF("id", "v"), rel)
+    val snap = Store.snapshot(spark, rel)
+    // append completes fully — and succeeds: no rewrite has committed
+    // or declared intent yet
+    Store.append(spark, rel) { d =>
+      Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(d)
+    }
+    assert(Store.read(spark, rel).count() == 2L,
+      "the appended row is served as soon as its marker lands")
+    val ex = intercept[IllegalStateException] {
+      Store.rewrite(snap, snap.df, numFiles = 1)
+    }
+    assert(ex.getMessage.contains("append landed"),
+      s"the rewrite must name the late append: ${ex.getMessage}")
+    // nothing was lost and nothing committed: still generation 1,
+    // with both rows
+    assert(Store.currentGen(spark, rel).n == 1L)
+    assert(Store.read(spark, rel).count() == 2L)
+    // a rewrite from a FRESH snapshot (which includes the appended
+    // rows) goes through
+    val snap2 = Store.snapshot(spark, rel)
+    Store.rewrite(snap2, snap2.df, numFiles = 1)
+    assert(Store.currentGen(spark, rel).n == 2L)
+    assert(Store.read(spark, rel).count() == 2L,
+      "the committed generation carries the appended row")
+  }
+
+  test("an append during a live rewrite fails loudly at the intent") {
+    // mirror ordering of the fence: the rewrite declared intent (it
+    // is mid-write); an append arriving now must fail BEFORE
+    // publishing a marker, so the rewrite is not spuriously aborted
+    // and the caller replays against the committed generation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    val rel = s"$dir/rel"
+    Store.create(Seq((1L, "a")).toDF("id", "v"), rel)
+    // simulate the in-flight rewrite by planting its intent file
+    val intent = java.nio.file.Paths.get(s"$rel/_manifests/r-000000002")
+    java.nio.file.Files.createFile(intent)
+    val ex = intercept[IllegalStateException] {
+      Store.append(spark, rel) { d =>
+        Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(d)
+      }
+    }
+    assert(ex.getMessage.contains("rewrite is in flight"),
+      s"append must name the live rewrite: ${ex.getMessage}")
+    // a stale intent (crashed rewrite) blocks loudly until the janitor
+    // call clears it
+    Store.clearStaleIntent(spark, rel)
+    Store.append(spark, rel) { d =>
+      Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(d)
+    }
+    assert(Store.read(spark, rel).count() == 2L)
+  }
+
+  test("raced rewrites: exactly one commits, loser is loud, data intact") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    val rel = s"$dir/rel"
+    Store.create((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"), rel)
+    val snapA = Store.snapshot(spark, rel)
+    val snapB = Store.snapshot(spark, rel)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def race(snap: Store.Snap, keepBelow: Long): Future[Option[Throwable]] =
+      Future {
+        gate.countDown(); gate.await()
+        try { Store.rewrite(snap, snap.df.filter(col("id") <= keepBelow),
+          numFiles = 1); None }
+        catch { case t: IllegalStateException => Some(t) }
+      }
+    val (ra, rb) = (race(snapA, 10L), race(snapB, 15L))
+    val outcomes = Seq(Await.result(ra, 120.seconds),
+      Await.result(rb, 120.seconds))
+    assert(outcomes.count(_.isEmpty) == 1,
+      s"exactly one rewrite must win, got $outcomes")
+    assert(outcomes.flatten.forall(_.getMessage.contains("rewrite")),
+      "the loser's error must name the race")
+    // the winner's generation is fully intact
+    val n = Store.read(spark, rel).count()
+    assert(Store.currentGen(spark, rel).n == 2L)
+    assert(n == 10L || n == 15L, s"live generation must be one winner's " +
+      s"complete output, got $n rows")
+  }
+
+  test("raced append vs rewrite: an append that reports success is served") {
+    // property form of the fence proof: whatever the interleaving,
+    // an append that RETURNED WITHOUT ERROR must have its rows in the
+    // live generation afterwards (the silent-loss ordering of r11 can
+    // no longer report success).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    (1 to 5).foreach { round =>
+      val rel = s"$dir/rel$round"
+      Store.create(Seq((1L, "base")).toDF("id", "v"), rel)
+      val snap = Store.snapshot(spark, rel)
+      val gate = new java.util.concurrent.CountDownLatch(2)
+      val append = Future {
+        gate.countDown(); gate.await()
+        try { Store.append(spark, rel) { d =>
+          Seq((100L + round, "app")).toDF("id", "v")
+            .write.mode("append").parquet(d) }; true }
+        catch { case _: IllegalStateException => false }
+      }
+      val rewrite = Future {
+        gate.countDown(); gate.await()
+        try { Store.rewrite(snap, snap.df, numFiles = 1); true }
+        catch { case _: IllegalStateException => false }
+      }
+      val appendOk = Await.result(append, 120.seconds)
+      Await.result(rewrite, 120.seconds)
+      val served = Store.read(spark, rel)
+        .filter(col("id") === (100L + round)).count() == 1L
+      if (appendOk) assert(served,
+        s"round $round: append reported success but its row is not served")
+    }
+  }
+
   test("compaction self-heals bucket rows orphaned by a partial retire") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
     Dedup.writeSignatureTable(freshDocs(1L to 6L, 0L), "doc_id", "text",
@@ -367,8 +497,9 @@ class StoreMaintenanceSpec extends GraftSpec {
     // simulate the crash window between retire's two swaps: rewrite
     // SIGS without doc 2, leaving its bucket rows orphaned
     val sigsRel = s"$dir/sig/sigs"
-    Store.rewrite(spark, sigsRel,
-      Store.read(spark, sigsRel).filter(col("id") =!= 2L), numFiles = 1)
+    val sigSnap = Store.snapshot(spark, sigsRel)
+    Store.rewrite(sigSnap,
+      sigSnap.df.filter(col("id") =!= 2L), numFiles = 1)
     val orphaned = Store.read(spark, s"$dir/sig/buckets")
       .filter(col("id") === 2L).count()
     assert(orphaned > 0L, "the simulated crash left orphaned bucket rows")
