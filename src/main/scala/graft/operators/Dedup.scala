@@ -1393,8 +1393,38 @@ object Dedup {
   def nearDedupIncremental(
       spark: org.apache.spark.sql.SparkSession, sigTablePath: String,
       incoming: DataFrame, idCol: String, textCol: String,
+      threshold: Double, pick: Seq[Column]): DataFrame =
+    nearDedupIncremental(openSignatureTable(spark, sigTablePath),
+      incoming, idCol, textCol, threshold, pick)
+
+  /** A RESOLVED handle on a persisted signature table — the serving-
+    * side open-once contract (the IVF-PQ handle's rationale,
+    * Similarity.IvfPqIndexHandle): meta and both relations resolve
+    * their manifests exactly once, so a serving loop probing many
+    * batches pays per-batch work only. The handle is a SNAPSHOT of the
+    * generation it resolved: appends/rewrites committed later are not
+    * visible until re-open (the Store retention contract gives an open
+    * handle one maintenance cycle). The batch-cadence ingest chains
+    * keep re-resolving per batch by design — each append must see the
+    * previous batch's rows. */
+  final case class SigTableHandle(
+      meta: org.apache.spark.sql.Row, sigs: DataFrame, buckets: DataFrame)
+
+  /** Open a persisted signature table once for repeated probes. */
+  def openSignatureTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): SigTableHandle =
+    SigTableHandle(
+      spark.read.parquet(sigTableMeta(path)).head(),
+      Store.read(spark, sigTableSigs(path)),
+      Store.read(spark, sigTableBuckets(path)))
+
+  /** [[nearDedupIncremental]] against an already-open [[SigTableHandle]]. */
+  def nearDedupIncremental(
+      h: SigTableHandle,
+      incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double, pick: Seq[Column]): DataFrame = {
-    val meta = spark.read.parquet(sigTableMeta(sigTablePath)).head()
+    val meta = h.meta
     val shingleLen = meta.getAs[Int]("shingle_len")
     val numPerm = meta.getAs[Int]("num_perm")
     val bands = meta.getAs[Int]("bands")
@@ -1424,7 +1454,7 @@ object Dedup {
     // corpus rows in buckets the batch touches: scan + broadcast
     // semi-join — the corpus side is never shuffled
     val touched = batchBuckets.select(col("band"), col("bucket")).distinct()
-    val corpusMatch = Store.read(spark, sigTableBuckets(sigTablePath))
+    val corpusMatch = h.buckets
       .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
 
     // candidates: batch×batch (self-join) ∪ batch×corpus — id spaces
@@ -1455,7 +1485,7 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
     val neededCorpus = crossPairs.select(col("id_b").as("id")).distinct()
-    val corpusSigs = Store.read(spark, sigTableSigs(sigTablePath))
+    val corpusSigs = h.sigs
       .join(broadcast(neededCorpus), Seq("id"), "left_semi")
     val edgesBatch = estimate(batchPairs,
       batch.select(col("id").as("id_b"), col("sig").as("sig_b")))
@@ -1792,8 +1822,30 @@ object Dedup {
   def hammingNearDupsIncremental(
       spark: org.apache.spark.sql.SparkSession, path: String,
       incoming: DataFrame, idCol: String, sigCol: String,
-      multiProbe: Boolean = false, radius: Option[Int] = None): DataFrame = {
-    val meta = spark.read.parquet(hamTableMeta(path)).head()
+      multiProbe: Boolean = false, radius: Option[Int] = None): DataFrame =
+    hammingNearDupsIncremental(openHammingTable(spark, path),
+      incoming, idCol, sigCol, multiProbe, radius)
+
+  /** A RESOLVED handle on a persisted Hamming table — the
+    * [[SigTableHandle]] contract for the media-signature store. */
+  final case class HamTableHandle(
+      meta: org.apache.spark.sql.Row, buckets: DataFrame)
+
+  /** Open a persisted Hamming table once for repeated probes. */
+  def openHammingTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): HamTableHandle =
+    HamTableHandle(
+      spark.read.parquet(hamTableMeta(path)).head(),
+      Store.read(spark, hamTableBuckets(path)))
+
+  /** [[hammingNearDupsIncremental]] against an already-open
+    * [[HamTableHandle]]. */
+  def hammingNearDupsIncremental(
+      h: HamTableHandle,
+      incoming: DataFrame, idCol: String, sigCol: String,
+      multiProbe: Boolean, radius: Option[Int]): DataFrame = {
+    val meta = h.meta
     val maxHamming = meta.getAs[Int]("max_hamming")
     val nBands = maxHamming + 1
     val r = radius.getOrElse(maxHamming)
@@ -1813,7 +1865,7 @@ object Dedup {
       .select(col("id"), col("sig"), explode(probeBands).as("bb"))
       .select(col("id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val stored = Store.read(spark, hamTableBuckets(path))
+    val stored = h.buckets
       .join(broadcast(incB.select(col("band"), col("bucket")).distinct()),
         Seq("band", "bucket"), "left_semi")
     incB.join(stored.select(col("band"), col("bucket"),

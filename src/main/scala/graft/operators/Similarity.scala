@@ -81,9 +81,24 @@ object Similarity {
       data: DataFrame, idCol: String, vecCol: String,
       probes: DataFrame, probeIdCol: String, probeVecCol: String,
       k: Int): DataFrame = {
-    val scored = data.crossJoin(broadcast(probes))
+    // the map side of the N·P score-and-shuffle must run at full
+    // parallelism: the data relation is often a SMALL file (a few
+    // row groups → a few scan splits), but each of its rows fans out
+    // ×P — measured at the 10× replica, 4 scan splits serialized the
+    // whole 10⁸-row window shuffle through 4 threads (155 s; 32-way
+    // spread + slim rows: 11 s). An exchange of N rows buys
+    // parallelism for N·P work — always worth it when splits are few.
+    val par = data.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (data.rdd.getNumPartitions < par) data.repartition(par) else data
+    // shed the vector payloads BEFORE the rank shuffle: cosine is the
+    // last consumer of either vector, and carrying two dim-sized
+    // arrays per scored row through the window exchange multiplies
+    // the shuffle bytes by ~7× at dim 16
+    val scored = spread.crossJoin(broadcast(probes))
       .withColumn("cosine", cosine(col(vecCol), col(probeVecCol)))
       .filter(col(probeIdCol) =!= col(idCol))
+      .select(col(probeIdCol), col(idCol), col("cosine"))
     val w = Window.partitionBy(col(probeIdCol))
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored

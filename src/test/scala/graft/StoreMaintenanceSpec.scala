@@ -490,6 +490,73 @@ class StoreMaintenanceSpec extends GraftSpec {
     }
   }
 
+  test("manifest read serves partition values and prunes static filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfi_").toString
+    val rel = s"$dir/rel"
+    Store.create(
+      Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2), (4L, "d", 3))
+        .toDF("id", "v", "p"),
+      rel, partitionCols = Seq("p"))
+    val df = Store.read(spark, rel)
+    assert(df.columns.toSet == Set("id", "v", "p"),
+      "partition column restored from the manifest's partition schema")
+    assert(df.filter(col("p") === 2).select("id").as[Long].collect()
+      .toSeq == Seq(3L),
+      "partition values parse from the recorded paths")
+    // static pruning happens in the file index itself: the scan only
+    // sees p = 2's partition
+    val plan = df.filter(col("p") === 2).queryExecution.executedPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, s"expected a file scan in:\n$plan")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      "exactly one partition survives the static filter")
+    // appended files join the manifest view, partition segments intact
+    Store.append(spark, rel) { d =>
+      Seq((5L, "e", 2)).toDF("id", "v", "p")
+        .write.mode("append").partitionBy("p").parquet(d)
+    }
+    assert(Store.read(spark, rel).filter(col("p") === 2)
+      .select("id").as[Long].collect().toSet == Set(3L, 5L))
+  }
+
+  test("open-once handles serve a stable snapshot until re-open") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_handle_").toString
+    Dedup.writeSignatureTable(freshDocs(1L to 8L, 0L), "doc_id", "text",
+      s"$dir/sig")
+    val h = Dedup.openSignatureTable(spark, s"$dir/sig")
+    val copy9 = freshDocs(Seq(9L), 1000L)
+    assert(Dedup.nearDedupIncremental(h, copy9, "doc_id", "text",
+      threshold = 0.7, pick = Nil).count() == 1L,
+      "doc 9 is not stored yet — its copy is admitted")
+    Dedup.appendToSignatureTable(spark, s"$dir/sig",
+      freshDocs(Seq(9L), 0L), "doc_id", "text")
+    assert(Dedup.nearDedupIncremental(h, copy9, "doc_id", "text",
+      threshold = 0.7, pick = Nil).count() == 1L,
+      "the open handle is a snapshot: the append is invisible to it")
+    val h2 = Dedup.openSignatureTable(spark, s"$dir/sig")
+    assert(Dedup.nearDedupIncremental(h2, copy9, "doc_id", "text",
+      threshold = 0.7, pick = Nil).count() == 0L,
+      "a re-open sees the appended signature and rejects the copy")
+
+    // the Hamming twin
+    Dedup.writeHammingTable(Seq((1L, 0x1111L)).toDF("doc_id", "sig"),
+      "doc_id", "sig", s"$dir/ham", maxHamming = 3, maxBucketSize = 100)
+    val hh = Dedup.openHammingTable(spark, s"$dir/ham")
+    val probe = Seq((101L, 0x2222L)).toDF("doc_id", "sig")
+    assert(Dedup.hammingNearDupsIncremental(hh, probe, "doc_id", "sig",
+      multiProbe = false, radius = None).count() == 0L)
+    Dedup.appendToHammingTable(spark, s"$dir/ham",
+      Seq((2L, 0x2222L)).toDF("doc_id", "sig"), "doc_id", "sig")
+    assert(Dedup.hammingNearDupsIncremental(hh, probe, "doc_id", "sig",
+      multiProbe = false, radius = None).count() == 0L,
+      "snapshot: the appended signature is invisible to the open handle")
+    val hh2 = Dedup.openHammingTable(spark, s"$dir/ham")
+    assert(Dedup.hammingNearDupsIncremental(hh2, probe, "doc_id", "sig",
+      multiProbe = false, radius = None).count() == 1L)
+  }
+
   test("compaction self-heals bucket rows orphaned by a partial retire") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
     Dedup.writeSignatureTable(freshDocs(1L to 6L, 0L), "doc_id", "text",
