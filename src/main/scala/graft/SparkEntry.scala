@@ -7765,9 +7765,14 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.7)
         .select(col("doc_id")).localCheckpoint(true)
       Dedup.compactSignatureTable(s, path, numFiles = 2)
+      // the bucket relation is partitioned by band (16 bands): one file
+      // per non-empty band dir is the compaction floor, and each of the
+      // numFiles range tasks adds at most one boundary file — total
+      // ≤ numFiles + bands − 1. The sig relation is unpartitioned
+      // (id-clustered) and compacts to numFiles exactly.
       val bounded =
         graft.operators.Store.partFileCount(s, s"$path/sigs") <= 2 &&
-          graft.operators.Store.partFileCount(s, s"$path/buckets") <= 2
+          graft.operators.Store.partFileCount(s, s"$path/buckets") <= 17
       val after = Dedup.nearDedupIncremental(s, path, batch,
         "doc_id", "text", threshold = 0.7)
         .select(col("doc_id"))
@@ -7883,7 +7888,10 @@ object SparkEntry {
           (col("n_bucket_rows") <= col("n_docs") * col("bands"))
             .as("bucket_rows_ok"),
           (col("n_sig_files") >= 1 && col("n_bucket_files") >= 1)
-            .as("files_ok"))
+            .as("files_ok"),
+          // the retire-crash reconciliation signal: a healthy table
+          // has no bucket row whose id has left the sig relation
+          (col("orphaned_bucket_rows") === 0L).as("orphans_ok"))
     },
 
     // PERSISTED IVF-PQ index — the 100 TB ANN layout as a storage
@@ -8073,7 +8081,8 @@ object SparkEntry {
         |  CAST(16 AS INTEGER) AS bands,
         |  CAST(1000 AS INTEGER) AS max_bucket_size,
         |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  true AS occupancy_ok, true AS bucket_rows_ok, true AS files_ok
+        |  true AS occupancy_ok, true AS bucket_rows_ok, true AS files_ok,
+        |  true AS orphans_ok
         |FROM documents
         |WHERE text IS NOT NULL AND regexp_matches(text, '[^\s\x0B]')""".stripMargin,
 

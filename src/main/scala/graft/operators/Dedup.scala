@@ -1278,6 +1278,90 @@ object Dedup {
   private def sigTableSigs(path: String) = s"$path/sigs"
   private def sigTableBuckets(path: String) = s"$path/buckets"
 
+  // ───────── probe-side dynamic file pruning (shared by the stores) ─────────
+
+  /** Probes touching more keys than this skip driver-side file pruning
+    * (collecting the key list stops being "tiny") and fall back to the
+    * full manifest scan + broadcast semi-join — which a batch of that
+    * size amortizes anyway. The collect this bounds is the SAME key
+    * relation the probe already broadcasts, so the guard's cost model
+    * matches the join's. */
+  private val MaxProbeKeys = 1 << 20
+
+  /** Any key of the sorted array inside `[mn, mx]`? (binary search —
+    * the per-file test of the driver-side prune). */
+  private def anyKeyInRange(sorted: Array[Long], mn: Long, mx: Long): Boolean = {
+    var i = java.util.Arrays.binarySearch(sorted, mn)
+    if (i < 0) i = -i - 1
+    i < sorted.length && sorted(i) <= mx
+  }
+
+  /** The per-file keep decision for a banded bucket relation probed
+    * with `(band, bucket)` keys: the file's band comes from its
+    * partition path (or its recorded band stats for unpartitioned
+    * legacy layouts), its bucket range from the recorded stats;
+    * anything unknown keeps the file (conservative superset). */
+  private def bucketKeepFn(keys: Array[(Int, Long)])
+      : (Map[String, String], Map[String, (Long, Long)]) => Boolean = {
+    val byBand: Map[Int, Array[Long]] =
+      keys.groupBy(_._1).map { case (b, ks) => b -> ks.map(_._2).sorted }
+    (pv, stats) => {
+      val bands: Iterable[Int] =
+        pv.collectFirst { case (k, v) if k.equalsIgnoreCase("band") => v }
+          .flatMap(v => scala.util.Try(v.toInt).toOption)
+          .map(Seq(_))
+          .getOrElse(stats.get("band") match {
+            case Some((mn, mx)) => mn.toInt to mx.toInt
+            case None => byBand.keys
+          })
+      bands.exists(b => byBand.get(b).exists(arr =>
+        stats.get("bucket") match {
+          case Some((mn, mx)) => anyKeyInRange(arr, mn, mx)
+          case None => true
+        }))
+    }
+  }
+
+  /** Driver-side file pruning of a banded bucket store by the probe's
+    * touched `(band, bucket)` keys — the serving-path scan bound: with
+    * the bucket relations partitioned by band and range-clustered by
+    * bucket ([[writeSignatureTable]]), a batch touching K keys reads
+    * O(K) bucket files however large the corpus relation grows,
+    * instead of scanning it end to end. The pruned scan is a
+    * conservative SUPERSET (files without stats survive; legacy
+    * unpartitioned generations scan fully), so the caller's exact
+    * broadcast semi-join downstream is unchanged — this prunes BYTES,
+    * never rows. Catalyst's own DPP additionally prunes the band
+    * partitions through the semi-join (PlanSpec pins it); this covers
+    * the file-in-partition granularity DPP cannot reach on V1 sources. */
+  private def pruneBucketScan(
+      snap: Store.Snap, touched: DataFrame): DataFrame = {
+    if (snap.legacy || snap.files.isEmpty) return snap.df
+    val rows = touched.select(col("band"), col("bucket"))
+      .limit(MaxProbeKeys + 1).collect()
+    if (rows.length > MaxProbeKeys) return snap.df
+    val keys = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getInt(0), r.getLong(1)))
+    Store.pruneFiles(snap)(bucketKeepFn(keys))
+  }
+
+  /** [[pruneBucketScan]] for single-long-keyed relations (paragraph
+    * hashes, signature ids): keep only files whose recorded `[min,
+    * max]` for `keyCol` intersects the probe's key set. */
+  private def pruneLongKeyScan(
+      snap: Store.Snap, keyCol: String, keys: DataFrame): DataFrame = {
+    if (snap.legacy || snap.files.isEmpty) return snap.df
+    val rows = keys.select(col(keyCol)).limit(MaxProbeKeys + 1).collect()
+    if (rows.length > MaxProbeKeys) return snap.df
+    val sorted = rows.filter(!_.isNullAt(0)).map(_.getLong(0)).sorted
+    Store.pruneFiles(snap) { (_, stats) =>
+      stats.get(keyCol) match {
+        case Some((mn, mx)) => anyKeyInRange(sorted, mn, mx)
+        case None => true
+      }
+    }
+  }
+
   /** Materialize the MinHash signature/bucket relations for a corpus —
     * the "build the expensive structure once, reuse it" contract of the
     * reference's Index persist/reload (csvplus.go:655-705), applied to
@@ -1294,9 +1378,14 @@ object Dedup {
     *               read so a batch can never silently join signatures
     *               built with different shingle/permutation settings.
     *
-    * At 100 TB both relations would additionally be bucketed by their
-    * join keys (id / (band, bucket)); the path form keeps the same plan
-    * shape with a scan + broadcast-semi-join per batch. Both mutable
+    * Layout is the 100 TB serving shape: `buckets` is PARTITIONED BY
+    * `band` and range-clustered by `bucket`, `sigs` range-clustered by
+    * `id`, and the [[Store]] manifest records each file's key range —
+    * so a probe touching K `(band, bucket)` keys reads O(K) bucket
+    * files (Catalyst DPP prunes band partitions through the semi-join;
+    * [[pruneBucketScan]] prunes files inside them), and the candidate
+    * sig fetch reads only the files whose id range holds a candidate.
+    * Per-batch probe BYTES are ∝ batch, never corpus. Both mutable
     * relations live under the [[Store]] generation/manifest layout
     * (append fencing, atomic maintenance swaps); `meta` is write-once
     * plain parquet. Overwrites `path`.
@@ -1326,21 +1415,25 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Store.create(sigs, sigTableSigs(path))
+    Store.create(sigs, sigTableSigs(path), clusterBy = Seq("id"))
     val bucketFn =
       if (multiProbe) bandBucketsMultiProbe(col("sig"), bands, rowsPerBand)
       else bandBuckets(col("sig"), bands, rowsPerBand)
     val buckets = sigs
       .select(col("id"), explode(bucketFn).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    Store.create(
-      buckets
-        .withColumn("__graft_bsz",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("bucket"))))
-        .filter(col("__graft_bsz") <= maxBucketSize)
-        .drop("__graft_bsz"),
-      sigTableBuckets(path))
+    // persisted so the range-clustered write's sampling pass re-reads a
+    // cache instead of replaying the occupancy window over the corpus
+    val capped = buckets
+      .withColumn("__graft_bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("__graft_bsz") <= maxBucketSize)
+      .drop("__graft_bsz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Store.create(capped, sigTableBuckets(path),
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"))
+    capped.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
     df.sparkSession.range(1)
       .select(lit(shingleLen).as("shingle_len"), lit(numPerm).as("num_perm"),
@@ -1376,10 +1469,12 @@ object Dedup {
     * is not dropped here.)
     *
     * Scale shape: signatures are computed for the batch only; the
-    * stored bucket relation is scanned once and reduced with a
-    * broadcast semi-join on the batch's (band, bucket) keys — no
-    * corpus-wide shuffle, no corpus signature recompute; corpus
-    * signatures are fetched only for the matched candidate ids. Label
+    * stored bucket relation is FILE-PRUNED to the batch's touched
+    * (band, bucket) keys before the scan is planned ([[pruneBucketScan]]
+    * — bytes read ∝ batch on the partitioned/clustered layout) and
+    * reduced with a broadcast semi-join — no corpus-wide shuffle, no
+    * corpus signature recompute; corpus signatures are fetched only
+    * from the id-range files holding matched candidate ids. Label
     * propagation runs over the BATCH-BATCH edge slice only: corpus
     * flags reduce to one semi-join (no corpus-corpus edges exist, so
     * "my component touches the corpus" is a per-member edge fact, not
@@ -1408,7 +1503,11 @@ object Dedup {
     * keep re-resolving per batch by design — each append must see the
     * previous batch's rows. */
   final case class SigTableHandle(
-      meta: org.apache.spark.sql.Row, sigs: DataFrame, buckets: DataFrame)
+      meta: org.apache.spark.sql.Row,
+      sigsSnap: Store.Snap, bucketsSnap: Store.Snap) {
+    def sigs: DataFrame = sigsSnap.df
+    def buckets: DataFrame = bucketsSnap.df
+  }
 
   /** Open a persisted signature table once for repeated probes. */
   def openSignatureTable(
@@ -1416,8 +1515,42 @@ object Dedup {
       path: String): SigTableHandle =
     SigTableHandle(
       spark.read.parquet(sigTableMeta(path)).head(),
-      Store.read(spark, sigTableSigs(path)),
-      Store.read(spark, sigTableBuckets(path)))
+      Store.snapshot(spark, sigTableSigs(path)),
+      Store.snapshot(spark, sigTableBuckets(path)))
+
+  /** The probe-side file-skipping arithmetic for one batch against an
+    * open signature table, WITHOUT running the dedup: derives the
+    * batch's touched (band, bucket) keys exactly as
+    * [[nearDedupIncremental]] does (minus the bucket-size cap, which
+    * can only SHRINK the touched set) and returns `(keptFiles,
+    * keptBytes, totalFiles, totalBytes)` of the bucket-relation scan
+    * after [[pruneBucketScan]]'s decision — the direct bytes-∝-batch
+    * measurement the scale rehearsal records: probe bytes must stay
+    * ≈ flat as the corpus grows 10× with the batch fixed. */
+  private[graft] def probeFileFootprint(
+      h: SigTableHandle, incoming: DataFrame,
+      idCol: String, textCol: String): (Long, Long, Long, Long) = {
+    val meta = h.meta
+    val shingleLen = meta.getAs[Int]("shingle_len")
+    val numPerm = meta.getAs[Int]("num_perm")
+    val bands = meta.getAs[Int]("bands")
+    val rowsPerBand = numPerm / bands
+    val fn =
+      if (metaMultiProbe(meta))
+        bandBucketsMultiProbe(col("sig"), bands, rowsPerBand)
+      else bandBuckets(col("sig"), bands, rowsPerBand)
+    val touched = incoming
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(minhashSignature(col("sh"), numPerm).as("sig"))
+      .select(explode(fn).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .distinct()
+    val keys = touched.collect().map(r => (r.getInt(0), r.getLong(1)))
+    val p = Store.prunedScan(h.bucketsSnap)(bucketKeepFn(keys))
+    (p.keptFiles, p.keptBytes, p.totalFiles, p.totalBytes)
+  }
 
   /** [[nearDedupIncremental]] against an already-open [[SigTableHandle]]. */
   def nearDedupIncremental(
@@ -1451,10 +1584,13 @@ object Dedup {
       .drop("__graft_bsz")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // corpus rows in buckets the batch touches: scan + broadcast
-    // semi-join — the corpus side is never shuffled
+    // corpus rows in buckets the batch touches: file-pruned scan +
+    // broadcast semi-join — the corpus side is never shuffled, and with
+    // the band-partitioned range-clustered layout the scan READS only
+    // the files whose key range can hold a touched bucket (DPP prunes
+    // the band partitions; pruneBucketScan prunes files inside them)
     val touched = batchBuckets.select(col("band"), col("bucket")).distinct()
-    val corpusMatch = h.buckets
+    val corpusMatch = pruneBucketScan(h.bucketsSnap, touched)
       .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
 
     // candidates: batch×batch (self-join) ∪ batch×corpus — id spaces
@@ -1484,8 +1620,12 @@ object Dedup {
           .cast("double") / lit(numPerm.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
+    // materialized eagerly (tiny: candidate corpus ids) so the sig
+    // relation's file prune can read the id set without replaying the
+    // candidate join inside its own collect
     val neededCorpus = crossPairs.select(col("id_b").as("id")).distinct()
-    val corpusSigs = h.sigs
+      .localCheckpoint(true)
+    val corpusSigs = pruneLongKeyScan(h.sigsSnap, "id", neededCorpus)
       .join(broadcast(neededCorpus), Seq("id"), "left_semi")
     val edgesBatch = estimate(batchPairs,
       batch.select(col("id").as("id_b"), col("sig").as("sig_b")))
@@ -1581,7 +1721,9 @@ object Dedup {
       .select(col("id"), minhashSignature(col("sh"), numPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Store.append(spark, sigTableSigs(path)) { dir =>
-      sigs.write.mode("append").parquet(dir)
+      // sorted batch files carry tight id ranges in their footer stats,
+      // so the candidate sig fetch keeps skipping appended files too
+      sigs.sortWithinPartitions("id").write.mode("append").parquet(dir)
     }
     val appendBucketFn =
       if (metaMultiProbe(meta))
@@ -1590,19 +1732,28 @@ object Dedup {
     val buckets = sigs
       .select(col("id"), explode(appendBucketFn).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val stored = Store.read(spark, sigTableBuckets(path))
-      .join(broadcast(buckets.select(col("band"), col("bucket")).distinct()),
-        Seq("band", "bucket"), "left_semi")
+    val bktSnap = Store.snapshot(spark, sigTableBuckets(path))
+    val touched = buckets.select(col("band"), col("bucket")).distinct()
+    val stored = pruneBucketScan(bktSnap, touched)
+      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__stored"))
+    val partitioned = bktSnap.partitionSchema.fieldNames.nonEmpty
     Store.append(spark, sigTableBuckets(path)) { dir =>
-      buckets
+      val admitted = buckets
         .withColumn("__rn",
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
         .join(stored, Seq("band", "bucket"), "left")
         .filter(coalesce(col("__stored"), lit(0L)) + col("__rn") <= maxBucketSize)
         .select(col("id"), col("band"), col("bucket"))
-        .write.mode("append").parquet(dir)
+      // batch-sized range shaping: a few files per append, each with a
+      // tight (band, bucket) footprint, written into the band partition
+      // dirs when the store is partitioned (legacy stores stay flat)
+      val shaped = admitted
+        .repartitionByRange(4, col("band"), col("bucket"))
+        .sortWithinPartitions(col("band"), col("bucket"))
+      val w = shaped.write.mode("append")
+      (if (partitioned) w.partitionBy("band") else w).parquet(dir)
     }
     sigs.unpersist(blocking = false)
   }
@@ -1778,19 +1929,26 @@ object Dedup {
       s"maxHamming must be in [0, 15], got $maxHamming")
     require(maxBucketSize > 0, "maxBucketSize must be > 0")
     val nBands = maxHamming + 1
-    Store.create(
-      sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
-        .filter(col("sig").isNotNull)
-        .select(col("id"), col("sig"),
-          explode(hammingBands(col("sig"), nBands)).as("bb"))
-        .select(col("id"), col("sig"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-        .withColumn("__bsz",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("bucket"))))
-        .filter(col("__bsz") <= maxBucketSize)
-        .drop("__bsz"),
-      hamTableBuckets(path))
+    // persisted so the range-clustered write's sampling pass re-reads a
+    // cache instead of replaying the occupancy window (the
+    // writeSignatureTable rationale); band-partitioned + bucket-
+    // clustered so incremental probes read O(touched keys) files
+    val capped = sigs
+      .select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        explode(hammingBands(col("sig"), nBands)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("__bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Store.create(capped, hamTableBuckets(path),
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"))
+    capped.unpersist(blocking = false)
     sigs.sparkSession.range(1)
       .select(lit(maxHamming).as("max_hamming"),
         lit(maxBucketSize).as("max_bucket_size"))
@@ -1829,7 +1987,9 @@ object Dedup {
   /** A RESOLVED handle on a persisted Hamming table — the
     * [[SigTableHandle]] contract for the media-signature store. */
   final case class HamTableHandle(
-      meta: org.apache.spark.sql.Row, buckets: DataFrame)
+      meta: org.apache.spark.sql.Row, bucketsSnap: Store.Snap) {
+    def buckets: DataFrame = bucketsSnap.df
+  }
 
   /** Open a persisted Hamming table once for repeated probes. */
   def openHammingTable(
@@ -1837,7 +1997,7 @@ object Dedup {
       path: String): HamTableHandle =
     HamTableHandle(
       spark.read.parquet(hamTableMeta(path)).head(),
-      Store.read(spark, hamTableBuckets(path)))
+      Store.snapshot(spark, hamTableBuckets(path)))
 
   /** [[hammingNearDupsIncremental]] against an already-open
     * [[HamTableHandle]]. */
@@ -1865,9 +2025,9 @@ object Dedup {
       .select(col("id"), col("sig"), explode(probeBands).as("bb"))
       .select(col("id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val stored = h.buckets
-      .join(broadcast(incB.select(col("band"), col("bucket")).distinct()),
-        Seq("band", "bucket"), "left_semi")
+    val touched = incB.select(col("band"), col("bucket")).distinct()
+    val stored = pruneBucketScan(h.bucketsSnap, touched)
+      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
     incB.join(stored.select(col("band"), col("bucket"),
         col("id").as("corpus_id"), col("sig").as("corpus_sig")),
         Seq("band", "bucket"))
@@ -1916,19 +2076,25 @@ object Dedup {
         explode(hammingBands(col("sig"), maxHamming + 1)).as("bb"))
       .select(col("id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val stored = Store.read(spark, hamTableBuckets(path))
-      .join(broadcast(incB.select(col("band"), col("bucket")).distinct()),
-        Seq("band", "bucket"), "left_semi")
+    val bktSnap = Store.snapshot(spark, hamTableBuckets(path))
+    val touched = incB.select(col("band"), col("bucket")).distinct()
+    val stored = pruneBucketScan(bktSnap, touched)
+      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__stored"))
+    val partitioned = bktSnap.partitionSchema.fieldNames.nonEmpty
     Store.append(spark, hamTableBuckets(path)) { dir =>
-      incB
+      val admitted = incB
         .withColumn("__rn",
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
         .join(stored, Seq("band", "bucket"), "left")
         .filter(coalesce(col("__stored"), lit(0L)) + col("__rn") <= maxBucketSize)
         .select(col("id"), col("sig"), col("band"), col("bucket"))
-        .write.mode("append").parquet(dir)
+      val shaped = admitted
+        .repartitionByRange(4, col("band"), col("bucket"))
+        .sortWithinPartitions(col("band"), col("bucket"))
+      val w = shaped.write.mode("append")
+      (if (partitioned) w.partitionBy("band") else w).parquet(dir)
     }
   }
 
@@ -2027,10 +2193,24 @@ object Dedup {
     * broadcasts (caller contract: takedown lists ≪ store; for
     * corpus-scale removal rebuild with [[writeSignatureTable]]).
     * `numFiles > 0` additionally compacts the rewrite (the post-append
-    * small-file cleanup rides along for free). The two relations swap
-    * as two independent commits; a crash between them leaves orphaned
-    * bucket rows for the retired ids — harmless for matching (the sig
-    * fetch drops them) and swept by the next [[compactSignatureTable]].
+    * small-file cleanup rides along for free).
+    *
+    * CROSS-RELATION INVARIANT (the two relations swap as two
+    * independent commits, sigs FIRST): a crash — or a reader — between
+    * the commits sees bucket rows whose id has already left sigs.
+    * That state is benign BY CONSTRUCTION, not by luck: every query
+    * path reaches documents through the candidate estimate's INNER
+    * join against sigs ([[nearDedupIncremental]]'s `corpusSigs`
+    * fetch), so an orphaned bucket row can propose a candidate but
+    * never produce a match — the store answers AS IF the retirement
+    * had fully applied. The orphans cost only probe work and bucket
+    * headroom until the next [[compactSignatureTable]] sweeps them;
+    * [[signatureTableStats]] reports the live orphan count as the
+    * health signal for this window (TextDedupSpec plants the
+    * in-between state and pins both facts). The sigs-first ORDER is
+    * what makes the argument one-directional and safe: committing
+    * buckets first could leave a retired id matchable through its
+    * still-live signatures.
     *
     * @return number of stored documents removed */
   def retireFromSignatureTable(
@@ -2040,11 +2220,16 @@ object Dedup {
     val sigs = sigSnap.df
     val ids = Store.retireIds(sigs, "id", retired, idCol)
     val removed = sigs.join(broadcast(ids), Seq("id"), "left_semi").count()
+    // layout-preserving rewrites: sigs stay id-clustered, buckets stay
+    // band-partitioned + bucket-clustered, so probe file-skipping
+    // survives the takedown (legacy flat stores upgrade here)
     Store.rewrite(sigSnap,
-      sigs.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
+      sigs.join(broadcast(ids), Seq("id"), "left_anti"), numFiles,
+      clusterBy = Seq("id"))
     val bktSnap = Store.snapshot(spark, sigTableBuckets(path))
     Store.rewrite(bktSnap,
-      bktSnap.df.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
+      bktSnap.df.join(broadcast(ids), Seq("id"), "left_anti"), numFiles,
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"))
     removed
   }
 
@@ -2064,13 +2249,13 @@ object Dedup {
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
     val sigSnap = Store.snapshot(spark, sigTableSigs(path))
-    Store.rewrite(sigSnap, sigSnap.df, numFiles)
+    Store.rewrite(sigSnap, sigSnap.df, numFiles, clusterBy = Seq("id"))
     val bktSnap = Store.snapshot(spark, sigTableBuckets(path))
     Store.rewrite(bktSnap,
       bktSnap.df
         .join(Store.read(spark, sigTableSigs(path)).select(col("id")),
           Seq("id"), "left_semi"),
-      numFiles)
+      numFiles, partitionCols = Seq("band"), clusterBy = Seq("bucket"))
   }
 
   /** [[retireFromSignatureTable]] for a persisted Hamming table (one
@@ -2085,7 +2270,8 @@ object Dedup {
     val removed = buckets.join(broadcast(ids), Seq("id"), "left_semi")
       .select(col("id")).distinct().count()
     Store.rewrite(snap,
-      buckets.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
+      buckets.join(broadcast(ids), Seq("id"), "left_anti"), numFiles,
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"))
     removed
   }
 
@@ -2095,7 +2281,8 @@ object Dedup {
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
     val snap = Store.snapshot(spark, hamTableBuckets(path))
-    Store.rewrite(snap, snap.df, numFiles)
+    Store.rewrite(snap, snap.df, numFiles,
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"))
   }
 
   /** One-row operational summary of a persisted signature table — the
@@ -2113,13 +2300,21 @@ object Dedup {
   def signatureTableStats(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val buckets = Store.read(spark, sigTableBuckets(path))
+    val sigs = Store.read(spark, sigTableSigs(path))
     spark.read.parquet(sigTableMeta(path))
-      .crossJoin(Store.read(spark, sigTableSigs(path))
-        .agg(count(lit(1)).as("n_docs")))
+      .crossJoin(sigs.agg(count(lit(1)).as("n_docs")))
       .crossJoin(buckets.agg(count(lit(1)).as("n_bucket_rows")))
       .crossJoin(buckets
         .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__occ"))
         .agg(coalesce(max(col("__occ")), lit(0L)).as("max_bucket_occupancy")))
+      // bucket rows whose id has left sigs — the reconciliation signal
+      // for retireFromSignatureTable's documented two-commit window
+      // (nonzero = a retire crashed between its swaps; answers stay
+      // as-if-retired, the next compaction sweeps). A corpus-sized
+      // id join — the audit-cadence cost of the health check.
+      .crossJoin(buckets
+        .join(sigs.select(col("id")), Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("orphaned_bucket_rows")))
       .withColumn("n_sig_files",
         lit(Store.partFileCount(spark, sigTableSigs(path))))
       .withColumn("n_bucket_files",
@@ -2344,13 +2539,17 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, path: String,
       sep: String = "\n"): Unit = {
     require(sep.nonEmpty, "sep must not be empty")
-    Store.create(
-      df.filter(col(textCol).isNotNull)
-        .select(explode(split(col(textCol),
-          java.util.regex.Pattern.quote(sep))).as("line"))
-        .select(xxhash64(col("line")).as("h"))
-        .distinct(),
-      paraTableHashes(path))
+    // range-clustered by hash so a batch probe touching K distinct
+    // paragraph hashes reads O(K) files (pruneLongKeyScan); persisted
+    // so the range sampling re-reads a cache, not the corpus explode
+    val hashes = df.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as("line"))
+      .select(xxhash64(col("line")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Store.create(hashes, paraTableHashes(path), clusterBy = Seq("h"))
+    hashes.unpersist(blocking = false)
     df.sparkSession.range(1).select(lit(sep).as("sep"))
       .write.mode("overwrite").parquet(paraTableMeta(path))
   }
@@ -2378,8 +2577,11 @@ object Dedup {
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
       .withColumn("h", xxhash64(col("line")))
-    val storedHit = Store.read(spark, paraTableHashes(path))
-      .join(broadcast(lines.select(col("h")).distinct()), Seq("h"), "left_semi")
+    val probeHashes = lines.select(col("h")).distinct()
+    val storedHit =
+      pruneLongKeyScan(Store.snapshot(spark, paraTableHashes(path)),
+        "h", probeHashes)
+      .join(broadcast(probeHashes), Seq("h"), "left_semi")
     val freshLines = lines.join(storedHit, Seq("h"), "left_anti")
     val firsts = freshLines
       .groupBy(col("line"))
@@ -2410,10 +2612,15 @@ object Dedup {
         java.util.regex.Pattern.quote(sep))).as("line"))
       .select(xxhash64(col("line")).as("h"))
       .distinct()
-    val storedHit = Store.read(spark, paraTableHashes(path))
+    val storedHit =
+      pruneLongKeyScan(Store.snapshot(spark, paraTableHashes(path)),
+        "h", hashes)
       .join(broadcast(hashes), Seq("h"), "left_semi")
     Store.append(spark, paraTableHashes(path)) { dir =>
+      // one sorted file per append batch: tight hash range in the
+      // footer stats, so later probes keep skipping appended files too
       hashes.join(storedHit, Seq("h"), "left_anti")
+        .repartitionByRange(1, col("h")).sortWithinPartitions("h")
         .write.mode("append").parquet(dir)
     }
   }
@@ -2512,7 +2719,8 @@ object Dedup {
     }
     val removed = stored.join(broadcast(ids), Seq("h"), "left_semi").count()
     Store.rewrite(snap,
-      stored.join(broadcast(ids), Seq("h"), "left_anti"), numFiles)
+      stored.join(broadcast(ids), Seq("h"), "left_anti"), numFiles,
+      clusterBy = Seq("h"))
     removed
   }
 
@@ -2531,7 +2739,7 @@ object Dedup {
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
     val snap = Store.snapshot(spark, paraTableHashes(path))
-    Store.rewrite(snap, snap.df.distinct(), numFiles)
+    Store.rewrite(snap, snap.df.distinct(), numFiles, clusterBy = Seq("h"))
   }
 
   /** One-row operational summary of a persisted paragraph table (the

@@ -1,9 +1,11 @@
 package graft.operators
 
 import graft.sources.ManifestFileIndex
+import graft.sources.ManifestFileIndex.FileEntry
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
@@ -17,16 +19,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Layout of one RELATION (a store is a few relations under one root):
   *
   * {{{
-  *   <relRoot>/g-000000001/            parquet data of generation 1
-  *   <relRoot>/g-000000002-4f2a91c0/   generation 2 (unique dir per rewrite
-  *                                     attempt, so raced rewrites can never
+  *   <relRoot>/g-000000001-9c41ab02/   parquet data of generation 1
+  *   <relRoot>/g-000000002-4f2a91c0/   generation 2 (unique dir per write
+  *                                     attempt, so raced writers can never
   *                                     clobber each other's files)
   *   <relRoot>/g-NNN.../a-<uuid>/      one subdirectory per APPEND batch
   *   <relRoot>/_manifests/m-000000002  the pointer: highest m-N wins; its
   *                                     content records the generation's
-  *                                     directory name, schema and FILE LIST
+  *                                     directory name, schema, FILE LIST and
+  *                                     per-file column [min,max] stats
   *   <relRoot>/_manifests/a-000000002-<uuid>  append marker: the batch's
-  *                                     file list, relative to the gen dir
+  *                                     file list (+ stats), relative to the
+  *                                     generation dir
   *   <relRoot>/_manifests/r-000000003  rewrite INTENT (exists only while a
   *                                     rewrite is in flight toward gen 3)
   * }}}
@@ -42,14 +46,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * generations. A reader always resolves EITHER the old or the new
   * generation, never none.
   *
-  * Why the manifest records the FILE LIST (with sizes and the data
-  * schema): opening the relation then costs one directory listing of
-  * `_manifests` plus one small-file read per manifest/marker — never a
-  * recursive walk of the data directories. A partitioned code table
-  * with nlist ~10⁵ list directories costs an object-store LIST storm
-  * per cold open under directory discovery; under the manifest it is
-  * a constant ([[ManifestFileIndex]] serves the scan's file index with
-  * zero filesystem calls, and partition pruning / DPP work unchanged).
+  * Why the manifest records the FILE LIST (with sizes, the data
+  * schema, and per-file column stats): opening the relation then costs
+  * one directory listing of `_manifests` plus one small-file read per
+  * manifest/marker — never a recursive walk of the data directories
+  * ([[ManifestFileIndex]] serves the scan's file index with zero
+  * filesystem calls, and partition pruning / DPP work unchanged). The
+  * per-file [min,max] stats (top-level int/long columns, read from the
+  * parquet footers the writer just produced) buy Iceberg-style FILE
+  * SKIPPING on top: a static key-range filter prunes files inside
+  * [[ManifestFileIndex.listFiles]], and a runtime key set (an
+  * incremental-dedup batch's touched bucket keys) prunes files through
+  * [[pruneFiles]] before the scan is even planned. Combined with
+  * range-clustered writes (`clusterBy`), a probe of K keys reads
+  * O(K) files however large the relation grows — the property that
+  * keeps per-batch probe cost ∝ batch at the 100 TB posture.
   *
   * Concurrency contract (checked in BOTH orderings, not assumed):
   *  - two concurrent REWRITES race on the same intent name; the
@@ -71,7 +82,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    re-check (the rewrite aborts); an append that starts after the
   *    intent sees the intent and fails (the rewrite proceeds). Either
   *    way no appended row is ever silently absent from a committed
-  *    generation;
+  *    generation. Fence-loser failures are
+  *    [[RetryableConflictException]]s — a replay against a fresh
+  *    snapshot is expected to succeed ([[rewriteWithRetry]] automates
+  *    the maintenance side);
   *  - a rewrite retains the immediately superseded generation (and
   *    deletes older ones), so a reader that resolved the pointer just
   *    before a commit can finish its scan; readers are expected to
@@ -80,7 +94,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  - a rewrite that CRASHES between intent and commit leaves its
   *    intent file behind, which blocks appends and rewrites loudly
   *    (never silently) until [[clearStaleIntent]] — the janitor call
-  *    every table format documents for abandoned transactions.
+  *    every table format documents for abandoned transactions;
+  *  - a PURE READER that lists a marker which a raced append then
+  *    withdraws (the append lost its gate-2 check) re-resolves from a
+  *    fresh listing instead of surfacing the raw missing-file error —
+  *    the withdrawn batch's rows were never committed, so skipping to
+  *    a consistent re-list is the correct view;
+  *  - [[create]] is NOT safe against a concurrent create of the SAME
+  *    relation (it clears the root first — two racing creators can
+  *    destroy each other's data directories); the exclusive manifest
+  *    create plus unique generation directories make the race END
+  *    loudly with one winner whose manifest lists only its own files,
+  *    but racing creates is a caller bug, not a supported protocol.
   *
   * Generations written by rounds before the file-list manifest (their
   * manifest files are EMPTY) stay readable through directory
@@ -99,23 +124,36 @@ object Store {
 
   final case class Gen(n: Long, dataPath: String)
 
+  /** A fence-loser outcome: the operation conflicted with a concurrent
+    * append/rewrite and failed LOUDLY with nothing half-committed — a
+    * replay against a fresh snapshot is expected to succeed. Typed so
+    * retry harnesses ([[rewriteWithRetry]], ingest loops) can
+    * distinguish "replay me" from genuine corruption; still an
+    * IllegalStateException so untyped callers keep their contract. */
+  final class RetryableConflictException(msg: String)
+      extends IllegalStateException(msg)
+
   /** A resolved read snapshot of one relation: the generation it
     * bound, the fence state observed when the file list was read
     * (v2: the set of append-marker names; legacy: the data
-    * directory's `relPath:size` fingerprint), and the DataFrame over
-    * exactly those files. [[rewrite]] REQUIRES the snapshot its output
-    * was derived from — that is what makes the ingest-vs-maintenance
-    * fence sound in the ordering where the append lands between the
-    * caller's read and the rewrite's commit. */
+    * directory's `relPath:size` fingerprint), the committed file list
+    * with its per-file stats (empty for legacy generations), the
+    * partition/data schema split, and the DataFrame over exactly those
+    * files. [[rewrite]] REQUIRES the snapshot its output was derived
+    * from — that is what makes the ingest-vs-maintenance fence sound
+    * in the ordering where the append lands between the caller's read
+    * and the rewrite's commit. */
   final case class Snap(
       relRoot: String, gen: Gen, fence: Set[String], legacy: Boolean,
-      df: DataFrame)
+      df: DataFrame, files: Seq[FileEntry],
+      partitionSchema: StructType, dataSchema: StructType)
 
   private def manifestsDir(relRoot: String) = s"$relRoot/_manifests"
   private def legacyGenPath(relRoot: String, n: Long) = f"$relRoot/g-$n%09d"
   private def manifestName(n: Long) = f"m-$n%09d"
   private def intentName(n: Long) = f"r-$n%09d"
   private def markerPrefix(n: Long) = f"a-$n%09d-"
+  private def uuid8 = java.util.UUID.randomUUID.toString.take(8)
 
   private def fileSystem(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -130,25 +168,38 @@ object Store {
   /** Parsed manifest content (None = legacy empty manifest). */
   private final case class Manifest(
       dirName: String, partitionSchema: StructType, dataSchema: StructType,
-      files: Seq[(String, Long)])
+      files: Seq[FileEntry])
+
+  private def renderStats(stats: Map[String, (Long, Long)]): String =
+    stats.toSeq.sortBy(_._1)
+      .map { case (c, (mn, mx)) => s"${enc(c)}:$mn:$mx" }
+      .mkString(";")
+
+  private def parseStats(s: String): Map[String, (Long, Long)] =
+    s.split(';').iterator.filter(_.nonEmpty).map { part =>
+      val ps = part.split(':')
+      (dec(ps(0)), (ps(1).toLong, ps(2).toLong))
+    }.toMap
+
+  private def renderFileLine(f: FileEntry): String = {
+    val base = s"f\t${enc(f.rel)}\t${f.size}"
+    if (f.stats.isEmpty) base else s"$base\t${renderStats(f.stats)}"
+  }
 
   private def renderManifest(
       dirName: String, partitionSchema: StructType, dataSchema: StructType,
-      files: Seq[(String, Long)]): String = {
+      files: Seq[FileEntry]): String = {
     val sb = new StringBuilder
     sb.append(FormatTag).append('\n')
     sb.append("d\t").append(enc(dirName)).append('\n')
     sb.append("p\t").append(enc(partitionSchema.json)).append('\n')
     sb.append("s\t").append(enc(dataSchema.json)).append('\n')
-    files.foreach { case (rel, size) =>
-      sb.append("f\t").append(enc(rel)).append('\t').append(size).append('\n')
-    }
+    files.foreach(f => sb.append(renderFileLine(f)).append('\n'))
     sb.result()
   }
 
-  private def renderMarker(files: Seq[(String, Long)]): String =
-    files.map { case (rel, size) => s"f\t${enc(rel)}\t$size" }
-      .mkString("", "\n", "\n")
+  private def renderMarker(files: Seq[FileEntry]): String =
+    files.map(renderFileLine).mkString("", "\n", "\n")
 
   private def readSmallFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -161,13 +212,18 @@ object Store {
     } finally in.close()
   }
 
-  private def parseFileLines(content: String): Seq[(String, Long)] =
+  private def parseFileLines(content: String): Seq[FileEntry] =
     content.linesIterator.filter(_.startsWith("f\t")).map { l =>
       val parts = l.split('\t')
-      (dec(parts(1)), parts(2).toLong)
+      FileEntry(dec(parts(1)), parts(2).toLong,
+        if (parts.length > 3) parseStats(parts(3)) else Map.empty)
     }.toSeq
 
-  private def parseManifest(content: String): Option[Manifest] = {
+  /** `where` names the manifest file in the corrupt-manifest error: a
+    * v2-tagged manifest missing its directory/schema lines is damage
+    * (truncated write, manual edit), never a legal state — failing
+    * loudly here beats a `<relRoot>/null` path or an NPE downstream. */
+  private def parseManifest(content: String, where: String): Option[Manifest] = {
     if (!content.startsWith(FormatTag)) return None
     var dirName: String = null
     var pSchema: StructType = null
@@ -179,6 +235,12 @@ object Store {
       else if (l.startsWith("s\t"))
         dSchema = DataType.fromJson(dec(l.drop(2))).asInstanceOf[StructType]
     }
+    if (dirName == null || pSchema == null || dSchema == null)
+      throw new IllegalStateException(
+        s"corrupt store manifest $where: the $FormatTag header is present " +
+          s"but the directory/partition-schema/data-schema lines are " +
+          s"incomplete (truncated or hand-edited manifest) — restore the " +
+          s"manifest or roll back to the previous generation's pointer")
     Some(Manifest(dirName, pSchema, dSchema, parseFileLines(content)))
   }
 
@@ -221,42 +283,88 @@ object Store {
     val mf = new Path(manifestsDir(relRoot), manifestName(n))
     val fs = fileSystem(spark, mf)
     val content = readSmallFile(fs, mf)
-    parseManifest(content)
+    parseManifest(content, mf.toString)
+  }
+
+  /** A fully-resolved view of the relation's live generation: the
+    * listing, the parsed manifest, and every append marker's file
+    * entries (with the `a-<uuid>/` batch prefix applied). */
+  private final case class Resolved(
+      st: State, manifest: Option[Manifest], markerFiles: Seq[FileEntry])
+
+  /** Resolve listing + manifest + markers as ONE consistent view,
+    * retrying when a listed manifest/marker file vanishes between the
+    * listing and its read — the reader-vs-maintenance race: a raced
+    * append WITHDRAWS its marker (its rows were never committed) and a
+    * committed rewrite sweeps superseded manifests/markers; both are
+    * resolved by re-listing, not by surfacing a raw missing-file
+    * error to a pure reader. */
+  private def resolve(spark: SparkSession, relRoot: String): Resolved = {
+    val mdir = new Path(manifestsDir(relRoot))
+    val fs = fileSystem(spark, mdir)
+    var attempts = 0
+    var lastMiss: java.io.FileNotFoundException = null
+    while (attempts < 4) {
+      attempts += 1
+      val st = listState(spark, relRoot)
+      try {
+        val manifest = loadManifest(spark, relRoot, st.n)
+        val markerFiles = st.markers.toSeq.sorted.flatMap { name =>
+          parseFileLines(readSmallFile(fs, new Path(mdir, name)))
+        }
+        return Resolved(st, manifest, markerFiles)
+      } catch {
+        case e: java.io.FileNotFoundException => lastMiss = e
+      }
+    }
+    throw new IllegalStateException(
+      s"store resolution at $relRoot kept racing concurrent maintenance: a " +
+        s"listed manifest/marker file vanished on $attempts consecutive " +
+        s"attempts — if no writer is active, the manifest directory is " +
+        s"damaged", lastMiss)
   }
 
   /** Resolve the live generation of one relation: the highest-numbered
     * manifest file wins. Fails loudly when the relation does not exist
     * (no manifest directory or no manifest file). */
   def currentGen(spark: SparkSession, relRoot: String): Gen = {
-    val st = listState(spark, relRoot)
-    loadManifest(spark, relRoot, st.n) match {
-      case Some(m) => Gen(st.n, s"$relRoot/${m.dirName}")
-      case None => Gen(st.n, legacyGenPath(relRoot, st.n))
+    val r = resolve(spark, relRoot)
+    r.manifest match {
+      case Some(m) => Gen(r.st.n, s"$relRoot/${m.dirName}")
+      case None => Gen(r.st.n, legacyGenPath(relRoot, r.st.n))
     }
   }
 
   /** Resolve a read snapshot: the generation, its fence state, and a
     * DataFrame over exactly the files the manifest plus the current
     * append markers record — the file index is built from the manifest
-    * ([[ManifestFileIndex]]), so no data directory is ever listed. */
+    * ([[ManifestFileIndex]]), so no data directory is ever listed.
+    *
+    * Visibility note: a batch's rows become visible when its marker
+    * is published, which happens BEFORE the append's final fence
+    * validation — a snapshot taken inside that window can serve rows
+    * of an append that then fails, withdraws, and is replayed, so the
+    * rows transiently appear, vanish, and reappear under a (possibly
+    * different) batch directory. This is inherent to publish-then-
+    * validate; serving-side callers that cannot tolerate it should
+    * re-resolve after the ingest loop quiesces. Rows of a batch whose
+    * append REPORTED SUCCESS are stable. */
   def snapshot(spark: SparkSession, relRoot: String): Snap = {
-    val st = listState(spark, relRoot)
-    loadManifest(spark, relRoot, st.n) match {
+    val r = resolve(spark, relRoot)
+    r.manifest match {
       case Some(m) =>
-        val mdir = new Path(manifestsDir(relRoot))
-        val fs = fileSystem(spark, mdir)
-        val markerFiles = st.markers.toSeq.sorted.flatMap { name =>
-          parseFileLines(readSmallFile(fs, new Path(mdir, name)))
-        }
         val dataPath = s"$relRoot/${m.dirName}"
-        val df = manifestDf(spark, dataPath, m.files ++ markerFiles,
+        val files = m.files ++ r.markerFiles
+        val df = manifestDf(spark, dataPath, files,
           m.partitionSchema, m.dataSchema)
-        Snap(relRoot, Gen(st.n, dataPath), st.markers, legacy = false, df)
+        Snap(relRoot, Gen(r.st.n, dataPath), r.st.markers, legacy = false,
+          df, files, m.partitionSchema, m.dataSchema)
       case None =>
-        val dataPath = legacyGenPath(relRoot, st.n)
+        val dataPath = legacyGenPath(relRoot, r.st.n)
         val df = spark.read.parquet(dataPath)
-        Snap(relRoot, Gen(st.n, dataPath),
-          legacyFingerprint(spark, dataPath), legacy = true, df)
+        Snap(relRoot, Gen(r.st.n, dataPath),
+          legacyFingerprint(spark, dataPath), legacy = true,
+          df, Nil, new StructType(), df.schema)
     }
   }
 
@@ -264,8 +372,16 @@ object Store {
   def read(spark: SparkSession, relRoot: String): DataFrame =
     snapshot(spark, relRoot).df
 
+  /** The relation's partition columns (empty for legacy/unpartitioned
+    * generations) — how layout-preserving maintenance discovers what
+    * to re-apply on rewrite. */
+  def partitionColsOf(spark: SparkSession, relRoot: String): Seq[String] =
+    resolve(spark, relRoot).manifest
+      .map(_.partitionSchema.fields.map(_.name).toSeq)
+      .getOrElse(Nil)
+
   private def manifestDf(
-      spark: SparkSession, dataPath: String, files: Seq[(String, Long)],
+      spark: SparkSession, dataPath: String, files: Seq[FileEntry],
       partitionSchema: StructType, dataSchema: StructType): DataFrame = {
     val base = new Path(dataPath)
     val qualified = fileSystem(spark, base).makeQualified(base)
@@ -274,6 +390,58 @@ object Store {
     classic.baseRelationToDataFrame(HadoopFsRelation(
       index, partitionSchema, dataSchema, None, new ParquetFileFormat,
       Map.empty[String, String])(classic))
+  }
+
+  /** The `k=v` partition-path segments of one committed file, decoded
+    * — the partition identity [[pruneFiles]] callbacks match against. */
+  private def partitionValuesOf(rel: String): Map[String, String] =
+    rel.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else Some(ExternalCatalogUtils.unescapePathName(seg.take(i)) ->
+        ExternalCatalogUtils.unescapePathName(seg.drop(i + 1)))
+    }.toMap
+
+  /** A file-pruned scan plus its pruning arithmetic (counts/bytes are
+    * -1 when the snapshot is legacy and pruning did not apply). */
+  private[graft] final case class PrunedScan(
+      df: DataFrame, keptFiles: Long, keptBytes: Long,
+      totalFiles: Long, totalBytes: Long)
+
+  /** DRIVER-SIDE dynamic file skipping: restrict a snapshot's scan to
+    * the files whose partition values and recorded per-file column
+    * stats survive `keep` — the probe-path complement of Catalyst's
+    * dynamic partition pruning. DPP prunes partition DIRECTORIES
+    * through the plan's own runtime subquery; this prunes FILES inside
+    * them using a key set the caller has already computed (an
+    * incremental batch's touched bucket keys), which Catalyst cannot
+    * express because V1 file sources only accept dynamic filters on
+    * partition columns. On a range-clustered relation (`clusterBy`) a
+    * probe of K keys keeps O(K) files however large the relation is —
+    * the bytes-∝-batch property of the serving path.
+    *
+    * `keep` receives the file's partition values (raw `k=v` path
+    * strings) and its recorded stats (`col -> (min, max)` over the
+    * file's NON-NULL values; sound for the null-insensitive key
+    * lookups probes perform). CONSERVATIVE by construction: legacy
+    * snapshots and files without stats are kept, so the pruned scan is
+    * always a superset of the matching rows — callers keep their
+    * exact semi-joins downstream. */
+  def pruneFiles(snap: Snap)(
+      keep: (Map[String, String], Map[String, (Long, Long)]) => Boolean)
+      : DataFrame =
+    prunedScan(snap)(keep).df
+
+  private[graft] def prunedScan(snap: Snap)(
+      keep: (Map[String, String], Map[String, (Long, Long)]) => Boolean)
+      : PrunedScan = {
+    if (snap.legacy)
+      return PrunedScan(snap.df, -1L, -1L, -1L, -1L)
+    val kept = snap.files.filter(f => keep(partitionValuesOf(f.rel), f.stats))
+    val df = manifestDf(snap.df.sparkSession, snap.gen.dataPath, kept,
+      snap.partitionSchema, snap.dataSchema)
+    PrunedScan(df, kept.size.toLong, kept.map(_.size).sum,
+      snap.files.size.toLong, snap.files.map(_.size).sum)
   }
 
   private def legacyFingerprint(
@@ -309,6 +477,99 @@ object Store {
     b.result()
   }
 
+  /** One file's footer summary: per-column [min,max] over its non-null
+    * values (top-level INT32/INT64 columns only — every store key is
+    * integral; strings would need truncation-safety machinery for no
+    * current caller) plus the footer's top-level field names (the
+    * append-time schema-drift check). A column whose statistics are
+    * MISSING in any row group is omitted entirely (unknown values may
+    * hide there); a row group that is merely all-null for the column
+    * contributes no non-null values and cannot widen the bound. */
+  private final case class FooterInfo(
+      stats: Map[String, (Long, Long)], fieldNames: Seq[String])
+
+  private def readFooterInfo(
+      conf: org.apache.hadoop.conf.Configuration, file: Path): FooterInfo = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val names = schema.getFields.asScala.map(_.getName).toSeq
+      val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+      val unknown = scala.collection.mutable.Set[String]()
+      footer.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { chunk =>
+          val path = chunk.getPath.toArray
+          if (path.length == 1) {
+            val name = path(0)
+            val s = chunk.getStatistics
+            val bound: Option[(Long, Long)] = s match {
+              case null => unknown += name; None
+              case ls: org.apache.parquet.column.statistics.LongStatistics
+                  if !ls.isEmpty =>
+                if (ls.hasNonNullValue) Some((ls.getMin, ls.getMax)) else None
+              case is: org.apache.parquet.column.statistics.IntStatistics
+                  if !is.isEmpty =>
+                if (is.hasNonNullValue)
+                  Some((is.getMin.toLong, is.getMax.toLong))
+                else None
+              case other
+                  if other.isEmpty &&
+                    (chunk.getPrimitiveType.getPrimitiveTypeName ==
+                      org.apache.parquet.schema.PrimitiveType
+                        .PrimitiveTypeName.INT64 ||
+                      chunk.getPrimitiveType.getPrimitiveTypeName ==
+                        org.apache.parquet.schema.PrimitiveType
+                          .PrimitiveTypeName.INT32) =>
+                unknown += name; None
+              case _ => None
+            }
+            bound.foreach { case (mn, mx) =>
+              val cur = acc.get(name)
+              acc(name) = cur match {
+                case Some((cmn, cmx)) => (math.min(cmn, mn), math.max(cmx, mx))
+                case None => (mn, mx)
+              }
+            }
+          }
+        }
+      }
+      unknown.foreach(acc.remove)
+      FooterInfo(acc.toMap, names)
+    } finally reader.close()
+  }
+
+  /** List + footer-summarize a just-written directory (a small
+    * driver-side thread pool over the writer's own output — the cost
+    * every stats-bearing table format pays at commit). */
+  private def statWritten(
+      spark: SparkSession, fs: FileSystem, dir: Path)
+      : Seq[(FileEntry, Seq[String])] = {
+    val raw = listWritten(fs, dir)
+    if (raw.isEmpty) return Nil
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, raw.size))
+    try {
+      val futures = raw.map { case (rel, size) =>
+        pool.submit(new java.util.concurrent.Callable[(FileEntry, Seq[String])] {
+          override def call(): (FileEntry, Seq[String]) = {
+            val info = readFooterInfo(conf, new Path(dir, rel))
+            (FileEntry(rel, size, info.stats), info.fieldNames)
+          }
+        })
+      }
+      futures.map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
+  }
+
   private def splitSchema(
       schema: StructType, partitionCols: Seq[String]): (StructType, StructType) = {
     val pFields = partitionCols.map(c =>
@@ -324,39 +585,66 @@ object Store {
       StructType(dFields.map(_.copy(nullable = true))))
   }
 
-  /** Create (or overwrite) a relation as generation 1. */
+  /** Create (or overwrite) a relation as generation 1.
+    *
+    * `clusterBy` RANGE-CLUSTERS the data: rows are range-partitioned
+    * and sorted on `partitionCols ++ clusterBy`, so each written file
+    * covers a contiguous key range and the recorded per-file stats
+    * make key probes touch O(keys) files ([[pruneFiles]]) — the
+    * layout every probe-serving store should use. The range shaping
+    * SAMPLES its input once (Spark's range partitioner); callers with
+    * an expensive input plan should persist it first. `numFiles` (> 0)
+    * sets the target file count; 0 uses the session's shuffle
+    * parallelism for clustered writes and leaves unclustered data
+    * unshaped. */
   def create(df: DataFrame, relRoot: String,
-             partitionCols: Seq[String] = Nil): Unit = {
+             partitionCols: Seq[String] = Nil,
+             clusterBy: Seq[String] = Nil,
+             numFiles: Int = 0): Unit = {
     val spark = df.sparkSession
     val root = new Path(relRoot)
     val fs = fileSystem(spark, root)
     fs.delete(root, true)
-    val dirName = f"g-${1L}%09d"
+    val dirName = f"g-${1L}%09d-$uuid8"
     val dataPath = new Path(root, dirName)
-    writeData(df, dataPath.toString, partitionCols)
+    writeData(df, dataPath.toString, partitionCols, clusterBy, numFiles)
     val (pSchema, dSchema) = splitSchema(df.schema, partitionCols)
-    val files = listWritten(fs, dataPath)
+    val files = statWritten(spark, fs, dataPath).map(_._1)
     fs.mkdirs(new Path(manifestsDir(relRoot)))
     writeExclusive(fs, new Path(manifestsDir(relRoot), manifestName(1L)),
       renderManifest(dirName, pSchema, dSchema, files)) {
+      fs.delete(dataPath, true)
       throw new IllegalStateException(
         s"store create race on $relRoot: another writer committed " +
-          s"generation 1 first")
+          s"generation 1 first (racing creates of one relation is a " +
+          s"caller bug — the loser's data directory was removed)")
     }
   }
 
   /** Append to the live generation with the ingest-vs-maintenance
     * fence. The batch lands in its own fresh subdirectory of the live
     * generation (`write` receives that path), is published by an
-    * append MARKER (readers see the rows only once the marker exists —
-    * no partial-batch visibility), and the append reports success only
-    * if, after the marker is visible, the generation pointer is
-    * unchanged and no rewrite intent exists. In every interleaving
-    * with a concurrent [[rewrite]] at least one side fails loudly:
-    * rows can never be silently absent from a committed generation.
-    * On failure the caller must replay the batch against the new
-    * generation (the marker is withdrawn; the orphaned files die with
-    * their generation directory one retention cycle later). */
+    * append MARKER, and the append reports success only if, after the
+    * marker is visible, the generation pointer is unchanged and no
+    * rewrite intent exists. In every interleaving with a concurrent
+    * [[rewrite]] at least one side fails loudly: rows can never be
+    * silently absent from a committed generation. On failure the
+    * caller must replay the batch against the new generation (the
+    * marker is withdrawn; the orphaned files die with their generation
+    * directory one retention cycle later).
+    *
+    * Visibility: readers see the rows once the marker exists — there
+    * is no PARTIAL-batch visibility, but there IS a transient window
+    * for a FAILED append: the marker publishes before the final fence
+    * validation, so a reader snapshotting between publish and a
+    * losing validation serves rows that then vanish (marker withdrawn)
+    * and reappear when the batch replays. Inherent to publish-then-
+    * validate; see [[snapshot]] for the serving-side contract.
+    *
+    * The batch's files are footer-checked against the manifest's data
+    * schema before the marker publishes: a drifted batch (missing /
+    * renamed / extra column) fails loudly HERE instead of surfacing
+    * as silent nulls under the manifest's pinned read schema. */
   def append(spark: SparkSession, relRoot: String)(
       write: String => Unit): Unit = {
     val st0 = listState(spark, relRoot)
@@ -373,22 +661,23 @@ object Store {
         failIfIntent(relRoot, st1, "append")
         failIfMoved(relRoot, st0.n, st1.n)
       case Some(m) =>
-        val sub = s"a-${java.util.UUID.randomUUID.toString.take(8)}"
+        val sub = s"a-$uuid8"
         val subPath = new Path(s"$relRoot/${m.dirName}/$sub")
         write(subPath.toString)
-        val written = listWritten(fs, subPath).map {
-          case (rel, size) => (s"$sub/$rel", size)
+        val statted = statWritten(spark, fs, subPath)
+        if (statted.isEmpty) return
+        checkAppendSchema(relRoot, m, statted, fs, subPath)
+        val written = statted.map { case (f, _) =>
+          f.copy(rel = s"$sub/${f.rel}")
         }
-        if (written.isEmpty) return
         // publish gate 1: don't even publish under a live rewrite
         val st1 = listState(spark, relRoot)
         failIfIntent(relRoot, st1, "append")
         failIfMoved(relRoot, st0.n, st1.n)
-        val markerName = markerPrefix(st0.n) +
-          java.util.UUID.randomUUID.toString.take(8)
+        val markerName = markerPrefix(st0.n) + uuid8
         val marker = new Path(mdir, markerName)
         writeExclusive(fs, marker, renderMarker(written)) {
-          throw new IllegalStateException(
+          throw new RetryableConflictException(
             s"append marker collision on $relRoot — retry the batch")
         }
         // publish gate 2: a rewrite intent that raced the marker means
@@ -406,16 +695,53 @@ object Store {
     }
   }
 
+  /** The append-time schema fence: every written file's footer must
+    * carry exactly the manifest's data columns, and its path must
+    * carry every partition column as a `k=v` segment — otherwise the
+    * batch is removed and the append fails loudly (a drifted batch
+    * read under the pinned manifest schema would otherwise surface as
+    * silent nulls). */
+  private def checkAppendSchema(
+      relRoot: String, m: Manifest,
+      statted: Seq[(FileEntry, Seq[String])],
+      fs: FileSystem, subPath: Path): Unit = {
+    val expect = m.dataSchema.fields.map(_.name).toSet
+    val pCols = m.partitionSchema.fields.map(_.name).toSeq
+    statted.foreach { case (f, names) =>
+      val got = names.toSet
+      if (got != expect) {
+        fs.delete(subPath, true)
+        throw new IllegalStateException(
+          s"append to $relRoot rejected: batch file ${f.rel} carries " +
+            s"columns ${names.sorted.mkString("[", ", ", "]")} but the " +
+            s"relation's pinned data schema is " +
+            s"${expect.toSeq.sorted.mkString("[", ", ", "]")} — a drifted " +
+            s"batch would be read as silent nulls; fix the writer's schema")
+      }
+      val pv = partitionValuesOf(f.rel)
+      val missing = pCols.filterNot(c =>
+        pv.keys.exists(_.equalsIgnoreCase(c)))
+      if (missing.nonEmpty) {
+        fs.delete(subPath, true)
+        throw new IllegalStateException(
+          s"append to $relRoot rejected: batch file ${f.rel} lacks the " +
+            s"partition segment(s) ${missing.mkString(", ")} — write the " +
+            s"batch with .partitionBy(${pCols.mkString(", ")}) to match " +
+            s"the relation's layout")
+      }
+    }
+  }
+
   private def failIfIntent(
       relRoot: String, st: State, op: String): Unit =
-    if (st.intents.nonEmpty) throw new IllegalStateException(
+    if (st.intents.nonEmpty) throw new RetryableConflictException(
       s"$op to $relRoot blocked: a rewrite is in flight " +
         s"(intent ${st.intents.toSeq.sorted.mkString(", ")} present) — " +
         s"replay once it completes; if the intent is stale (a crashed " +
         s"rewrite), clear it with Store.clearStaleIntent")
 
   private def failIfMoved(relRoot: String, was: Long, now: Long): Unit =
-    if (now != was) throw new IllegalStateException(
+    if (now != was) throw new RetryableConflictException(
       s"append to $relRoot lost a race with a concurrent rewrite " +
         s"(generation $was was superseded by $now while the batch " +
         s"was writing) — replay the batch against the new generation")
@@ -435,11 +761,27 @@ object Store {
     * then delete every generation OLDER than the one just superseded
     * (which is retained one cycle for in-flight readers).
     *
+    * `partitionCols`/`clusterBy`/`numFiles` shape the new generation
+    * exactly as [[create]] — layout-preserving maintenance passes the
+    * same layout the relation was built with (see [[partitionColsOf]]).
+    * Fence-loser outcomes throw [[RetryableConflictException]]
+    * ([[rewriteWithRetry]] is the bounded-replay harness).
+    *
+    * Availability note: the intent blocks ALL appends for the
+    * rewrite's whole duration. At continuous-ingest cadence, schedule
+    * long rewrites (full compactions) into an ingest pause, or let the
+    * ingest side replay on [[RetryableConflictException]] — the
+    * recommended protocol when both run unattended is exactly
+    * [[rewriteWithRetry]] on the maintenance side plus replay-on-
+    * conflict on the ingest side: every interleaving then converges
+    * with all rows accounted for (StoreMaintenanceSpec pins one).
+    *
     * Refuses an EMPTY rewrite — a takedown that empties a store should
     * be a rebuild decision, not an accident (and the check is free:
     * one `limit(1)` probe of the output plan). */
   def rewrite(snap: Snap, out: DataFrame, numFiles: Int,
-              partitionCols: Seq[String] = Nil): Unit = {
+              partitionCols: Seq[String] = Nil,
+              clusterBy: Seq[String] = Nil): Unit = {
     val spark = out.sparkSession
     val relRoot = snap.relRoot
     if (out.isEmpty) throw new IllegalStateException(
@@ -450,7 +792,7 @@ object Store {
     val fs = fileSystem(spark, mdir)
     val intent = new Path(mdir, intentName(n1))
     writeExclusive(fs, intent, "") {
-      throw new IllegalStateException(
+      throw new RetryableConflictException(
         s"store rewrite race on $relRoot toward generation $n1: another " +
           s"rewrite is in flight (or crashed leaving a stale intent — " +
           s"clear it with Store.clearStaleIntent) — replay this " +
@@ -460,36 +802,29 @@ object Store {
     var dataPath: Path = null
     try {
       val stNow = listState(spark, relRoot)
-      if (stNow.n != snap.gen.n) throw new IllegalStateException(
+      if (stNow.n != snap.gen.n) throw new RetryableConflictException(
         s"rewrite of $relRoot is based on a superseded snapshot " +
           s"(generation ${snap.gen.n}, live is ${stNow.n}) — re-read and " +
           s"replay the maintenance run")
-      val shaped =
-        if (partitionCols.nonEmpty)
-          if (numFiles > 0) out.repartition(numFiles, partitionCols.map(col): _*)
-          else out
-        else if (numFiles > 0) out.coalesce(numFiles)
-        else out
-      val dirName =
-        f"g-$n1%09d-${java.util.UUID.randomUUID.toString.take(8)}"
+      val dirName = f"g-$n1%09d-$uuid8"
       dataPath = new Path(relRoot, dirName)
-      writeData(shaped, dataPath.toString, partitionCols)
+      writeData(out, dataPath.toString, partitionCols, clusterBy, numFiles)
       // the fence, rewrite side: anything appended after the snapshot?
       val lateAppend =
         if (snap.legacy)
           legacyFingerprint(spark, snap.gen.dataPath) != snap.fence
         else
           (listState(spark, relRoot).markers -- snap.fence).nonEmpty
-      if (lateAppend) throw new IllegalStateException(
+      if (lateAppend) throw new RetryableConflictException(
         s"rewrite of $relRoot aborted: an append landed on generation " +
           s"${snap.gen.n} after this rewrite's input snapshot was taken — " +
           s"its rows would be silently absent from generation $n1; replay " +
           s"the maintenance run against the live generation")
       val (pSchema, dSchema) = splitSchema(out.schema, partitionCols)
-      val files = listWritten(fs, dataPath)
+      val files = statWritten(spark, fs, dataPath).map(_._1)
       writeExclusive(fs, new Path(mdir, manifestName(n1)),
         renderManifest(dirName, pSchema, dSchema, files)) {
-        throw new IllegalStateException(
+        throw new RetryableConflictException(
           s"store commit race on $relRoot generation $n1: another writer " +
             s"committed first — replay this maintenance run against the " +
             s"new generation")
@@ -500,6 +835,42 @@ object Store {
       fs.delete(intent, false)
     }
     dropGenerationsBelow(spark, relRoot, snap.gen.n)
+  }
+
+  /** Bounded-replay rewrite: snapshot, derive the output with `out`,
+    * [[rewrite]] — and on a fence-loser outcome (a late append, a
+    * superseded snapshot, a raced commit, a rewrite already in flight)
+    * re-snapshot and replay, up to `maxAttempts`. This is the
+    * maintenance loop a continuously-ingesting store runs unattended:
+    * a compaction racing a stream of appends eventually commits with
+    * every appended row accounted for, because each replay derives its
+    * output from a FRESH snapshot that includes everything the
+    * previous attempt's abort protected. A STALE intent (crashed
+    * rewrite) never clears on its own — after `maxAttempts` the last
+    * conflict surfaces with the [[clearStaleIntent]] guidance. */
+  def rewriteWithRetry(
+      spark: SparkSession, relRoot: String, numFiles: Int = 0,
+      partitionCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+      maxAttempts: Int = 5)(out: Snap => DataFrame): Unit = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val snap = snapshot(spark, relRoot)
+      try {
+        rewrite(snap, out(snap), numFiles, partitionCols, clusterBy)
+        return
+      } catch {
+        case e: RetryableConflictException =>
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"rewrite of $relRoot did not commit after $maxAttempts " +
+              s"attempts — if the ingest side is quiescent, a stale " +
+              s"intent from a crashed rewrite may be blocking " +
+              s"(Store.clearStaleIntent); otherwise pause ingest for the " +
+              s"maintenance window and retry", e)
+          Thread.sleep(50L * attempt)
+      }
+    }
   }
 
   /** Remove a stale rewrite intent left by a crashed rewrite — the
@@ -514,8 +885,22 @@ object Store {
   }
 
   private def writeData(df: DataFrame, dataPath: String,
-                        partitionCols: Seq[String]): Unit = {
-    val w = df.write.mode("overwrite")
+                        partitionCols: Seq[String],
+                        clusterBy: Seq[String],
+                        numFiles: Int): Unit = {
+    val shaped =
+      if (clusterBy.nonEmpty) {
+        val keys = (partitionCols ++ clusterBy).map(col)
+        val n =
+          if (numFiles > 0) numFiles
+          else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+      } else if (partitionCols.nonEmpty) {
+        if (numFiles > 0) df.repartition(numFiles, partitionCols.map(col): _*)
+        else df
+      } else if (numFiles > 0) df.coalesce(numFiles)
+      else df
+    val w = shaped.write.mode("overwrite")
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(dataPath)
   }
@@ -562,15 +947,11 @@ object Store {
     * the recursive listing. The compaction signal every store's stats
     * query reports. */
   def partFileCount(spark: SparkSession, relRoot: String): Long = {
-    val st = listState(spark, relRoot)
-    loadManifest(spark, relRoot, st.n) match {
-      case Some(m) =>
-        val mdir = new Path(manifestsDir(relRoot))
-        val fs = fileSystem(spark, mdir)
-        m.files.size.toLong + st.markers.toSeq.map(name =>
-          parseFileLines(readSmallFile(fs, new Path(mdir, name))).size.toLong).sum
+    val r = resolve(spark, relRoot)
+    r.manifest match {
+      case Some(m) => m.files.size.toLong + r.markerFiles.size.toLong
       case None =>
-        val p = new Path(legacyGenPath(relRoot, st.n))
+        val p = new Path(legacyGenPath(relRoot, r.st.n))
         val fs = fileSystem(spark, p)
         val it = fs.listFiles(p, true)
         var n = 0L

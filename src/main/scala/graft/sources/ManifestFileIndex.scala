@@ -4,10 +4,20 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+object ManifestFileIndex {
+  /** One committed file of a store generation: its path relative to
+    * the generation directory, its size, and optional per-column
+    * `[min, max]` bounds over the file's NON-NULL values (top-level
+    * INT32/INT64 columns, read from the parquet footer at commit
+    * time by `graft.operators.Store`). */
+  final case class FileEntry(
+      rel: String, size: Long, stats: Map[String, (Long, Long)])
+}
 
 /** A [[FileIndex]] served entirely from an already-loaded manifest —
   * the O(1)-open half of the `graft.operators.Store` generation layer
@@ -17,35 +27,51 @@ import org.apache.spark.unsafe.types.UTF8String
   * at nlist ~10⁵ partition directories on an object store, discovery
   * is a LIST storm per cold open; this is a constant).
   *
-  * `files` are `(path relative to basePath, size in bytes)` as
-  * recorded at commit time. Partition values are parsed from the
-  * `k=v` path segments (Spark's own layout, written by `partitionBy`)
-  * against the recorded `partitionSchema` — no footer reads, no
-  * directory listings, no `getFileStatus` calls: the scan's first
-  * filesystem touch is the executor-side read of a file that survived
-  * partition pruning.
+  * `files` are recorded at commit time, relative to `basePath`.
+  * Partition values are parsed from the `k=v` path segments (Spark's
+  * own layout, written by `partitionBy`) against the recorded
+  * `partitionSchema` — no footer reads, no directory listings, no
+  * `getFileStatus` calls: the scan's first filesystem touch is the
+  * executor-side read of a file that survived pruning.
   *
-  * Static partition filters prune here (the scan trusts
-  * `listFiles`); dynamic-partition-pruning filters are evaluated by
-  * `FileSourceScanExec` itself over the returned partitions, so DPP
-  * (the IVF-PQ probed-list prune) works unchanged.
+  * Two prunes happen in [[listFiles]]:
+  *  - static PARTITION filters drop whole partition directories (the
+  *    scan trusts `listFiles`); dynamic-partition-pruning filters are
+  *    evaluated by `FileSourceScanExec` itself over the returned
+  *    partitions, so DPP (the IVF-PQ probed-list prune) works
+  *    unchanged;
+  *  - static DATA filters on stats-covered integral columns drop
+  *    individual FILES whose recorded `[min, max]` cannot satisfy the
+  *    predicate — Iceberg-style file skipping. Evaluation is
+  *    conservative interval logic: a file is dropped only when the
+  *    predicate is provably false for every value in range; files
+  *    without stats (legacy commits, non-integral columns) always
+  *    survive. Null semantics are safe by construction: the bounds
+  *    cover non-null values and every supported comparison is
+  *    null-insensitive (NULL never satisfies `=`, `<`, `IN`).
   */
 final class ManifestFileIndex(
     spark: SparkSession,
     basePath: Path,
-    files: Seq[(String, Long)],
+    files: Seq[ManifestFileIndex.FileEntry],
     override val partitionSchema: StructType) extends FileIndex {
 
-  private val partitions: Seq[PartitionDirectory] = {
-    val byValues = files
-      .map { case (rel, size) =>
-        (partitionValuesOf(rel), new FileStatus(
-          size, false, 1, 134217728L, 0L, new Path(basePath, rel)))
+  private val hasAnyStats = files.exists(_.stats.nonEmpty)
+
+  private val partitions
+      : Seq[(InternalRow, Seq[(FileStatus, Map[String, (Long, Long)])])] = {
+    files
+      .map { f =>
+        (partitionValuesOf(f.rel),
+          (new FileStatus(
+            f.size, false, 1, 134217728L, 0L, new Path(basePath, f.rel)),
+            f.stats))
       }
       .groupBy(_._1)
-    byValues.toSeq.map { case (values, fs) =>
-      PartitionDirectory(InternalRow.fromSeq(values), fs.map(_._2).toArray)
-    }
+      .toSeq
+      .map { case (values, fs) =>
+        (InternalRow.fromSeq(values), fs.map(_._2))
+      }
   }
 
   private def partitionValuesOf(relPath: String): Seq[Any] = {
@@ -85,30 +111,120 @@ final class ManifestFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(basePath)
 
+  // ── static data-filter evaluation against per-file [min,max] stats ──
+
+  private def litLong(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, _) => Some(v)
+    case Literal(v: Short, _) => Some(v.toLong)
+    case Literal(v: Byte, _) => Some(v.toLong)
+    case _ => None
+  }
+
+  private def statsOf(
+      name: String,
+      stats: Map[String, (Long, Long)]): Option[(Long, Long)] =
+    stats.get(name).orElse(stats.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
+    })
+
+  /** Conservative "may the predicate hold for some row of this file"
+    * — `true` whenever the expression shape or the file's stats can't
+    * prove otherwise. */
+  private def mayMatch(
+      e: Expression, stats: Map[String, (Long, Long)]): Boolean = e match {
+    case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
+    case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
+    case EqualTo(a: AttributeReference, v) =>
+      bound(a, stats, litLong(v))((mn, mx, x) => mn <= x && x <= mx)
+    case EqualTo(v, a: AttributeReference) =>
+      bound(a, stats, litLong(v))((mn, mx, x) => mn <= x && x <= mx)
+    case EqualNullSafe(a: AttributeReference, v) =>
+      bound(a, stats, litLong(v))((mn, mx, x) => mn <= x && x <= mx)
+    case EqualNullSafe(v, a: AttributeReference) =>
+      bound(a, stats, litLong(v))((mn, mx, x) => mn <= x && x <= mx)
+    case GreaterThan(a: AttributeReference, v) =>
+      bound(a, stats, litLong(v))((_, mx, x) => mx > x)
+    case GreaterThan(v, a: AttributeReference) =>
+      bound(a, stats, litLong(v))((mn, _, x) => mn < x)
+    case GreaterThanOrEqual(a: AttributeReference, v) =>
+      bound(a, stats, litLong(v))((_, mx, x) => mx >= x)
+    case GreaterThanOrEqual(v, a: AttributeReference) =>
+      bound(a, stats, litLong(v))((mn, _, x) => mn <= x)
+    case LessThan(a: AttributeReference, v) =>
+      bound(a, stats, litLong(v))((mn, _, x) => mn < x)
+    case LessThan(v, a: AttributeReference) =>
+      bound(a, stats, litLong(v))((_, mx, x) => mx > x)
+    case LessThanOrEqual(a: AttributeReference, v) =>
+      bound(a, stats, litLong(v))((mn, _, x) => mn <= x)
+    case LessThanOrEqual(v, a: AttributeReference) =>
+      bound(a, stats, litLong(v))((_, mx, x) => mx >= x)
+    case In(a: AttributeReference, vs) =>
+      val longs = vs.map(litLong)
+      if (longs.exists(_.isEmpty)) true
+      else statsOf(a.name, stats) match {
+        case Some((mn, mx)) => longs.flatten.exists(x => mn <= x && x <= mx)
+        case None => true
+      }
+    case InSet(a: AttributeReference, vs) =>
+      statsOf(a.name, stats) match {
+        case Some((mn, mx)) => vs.exists {
+          case v: java.lang.Integer => mn <= v.longValue && v.longValue <= mx
+          case v: java.lang.Long => mn <= v.longValue && v.longValue <= mx
+          case v: java.lang.Short => mn <= v.longValue && v.longValue <= mx
+          case v: java.lang.Byte => mn <= v.longValue && v.longValue <= mx
+          case _ => true
+        }
+        case None => true
+      }
+    case _ => true
+  }
+
+  private def bound(
+      a: AttributeReference, stats: Map[String, (Long, Long)],
+      lit: Option[Long])(check: (Long, Long, Long) => Boolean): Boolean =
+    (statsOf(a.name, stats), lit) match {
+      case (Some((mn, mx)), Some(x)) => check(mn, mx, x)
+      case _ => true
+    }
+
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val usable = partitionFilters.filter(
       _.references.forall(a =>
         partitionSchema.fields.exists(_.name.equalsIgnoreCase(a.name))))
-    if (usable.isEmpty || partitionSchema.isEmpty) partitions
-    else {
-      val bound = Predicate.create(usable.reduce(And).transform {
-        case a: AttributeReference =>
-          val i = partitionSchema.fields
-            .indexWhere(_.name.equalsIgnoreCase(a.name))
-          BoundReference(i, partitionSchema.fields(i).dataType,
-            nullable = true)
-      })
-      bound.initialize(0)
-      partitions.filter(p => bound.eval(p.values))
+    val afterPart =
+      if (usable.isEmpty || partitionSchema.isEmpty) partitions
+      else {
+        val bound = Predicate.create(usable.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fields
+              .indexWhere(_.name.equalsIgnoreCase(a.name))
+            BoundReference(i, partitionSchema.fields(i).dataType,
+              nullable = true)
+        })
+        bound.initialize(0)
+        partitions.filter(p => bound.eval(p._1))
+      }
+    val afterStats =
+      if (dataFilters.isEmpty || !hasAnyStats) afterPart
+      else afterPart
+        .map { case (values, fs) =>
+          (values, fs.filter { case (_, stats) =>
+            stats.isEmpty || dataFilters.forall(f => mayMatch(f, stats))
+          })
+        }
+        .filter(_._2.nonEmpty)
+    afterStats.map { case (values, fs) =>
+      PartitionDirectory(values, fs.map(_._1).toArray)
     }
   }
 
   override def inputFiles: Array[String] =
-    files.map { case (rel, _) => new Path(basePath, rel).toString }.toArray
+    files.map(f => new Path(basePath, f.rel).toString).toArray
 
   override def refresh(): Unit = ()
 
-  override val sizeInBytes: Long = files.map(_._2).sum
+  override val sizeInBytes: Long = files.map(_.size).sum
 }

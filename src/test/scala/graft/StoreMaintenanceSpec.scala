@@ -84,7 +84,13 @@ class StoreMaintenanceSpec extends GraftSpec {
       .select("doc_id").as[Long].collect().toSet
     Dedup.compactSignatureTable(spark, s"$dir/sig", numFiles = 1)
     assert(parquetFiles(s"$dir/sig/sigs") == 1L)
-    assert(parquetFiles(s"$dir/sig/buckets") == 1L)
+    // the bucket relation is PARTITIONED BY band (16 bands) — a
+    // partitioned relation cannot compact below one file per non-empty
+    // band dir, and each of the numFiles range tasks writes one file
+    // per band it covers: total ≤ numFiles + bands − 1
+    assert(parquetFiles(s"$dir/sig/buckets") <= 16L,
+      s"bucket files ${parquetFiles(s"$dir/sig/buckets")} exceed the " +
+        s"one-per-band floor of the partitioned layout")
     assert(parquetFiles(s"$dir/sig/sigs") < filesBefore,
       "compaction actually reduced the file count")
     val after = Dedup.nearDedupIncremental(spark, s"$dir/sig", copies,
@@ -112,7 +118,9 @@ class StoreMaintenanceSpec extends GraftSpec {
     assert(matches() == Set(101L, 103L),
       "the retired signature no longer matches")
     Dedup.compactHammingTable(spark, s"$dir/ham", numFiles = 1)
-    assert(parquetFiles(s"$dir/ham/buckets") == 1L)
+    // band-partitioned layout: one file per non-empty band dir is the
+    // compaction floor (maxHamming = 3 → 4 bands)
+    assert(parquetFiles(s"$dir/ham/buckets") <= 4L)
     assert(matches() == Set(101L, 103L), "compaction is a pure rewrite")
   }
 
