@@ -1345,6 +1345,27 @@ object Dedup {
     Store.pruneFiles(snap)(bucketKeepFn(keys))
   }
 
+  /** The production bucket-probe plan: file-pruned scan of a banded
+    * bucket relation semi-joined (broadcast) on the probe's touched
+    * keys. Package-visible so PlanSpec pins the REAL serving plan —
+    * the semi-join must reach the scan as a `dynamicpruningexpression`
+    * partition filter on `band` (file skipping at partition
+    * granularity even when the driver-side key prune fell back). */
+  private[graft] def corpusBucketProbe(
+      snap: Store.Snap, touched: DataFrame): DataFrame = {
+    // `band >= 0` is a construction invariant of every banding scheme
+    // in this file — restating it HERE is what makes Catalyst plan the
+    // dynamic partition prune: the touched relation is usually a
+    // projection over a CACHED batch, whose internal filters an
+    // InMemoryRelation hides from PartitionPruning's selectivity
+    // check; without a visible selective predicate the rule never
+    // inserts the band subquery. Semantically a no-op, plan-wise the
+    // DPP trigger (PlanSpec pins the resulting PartitionFilters).
+    val probeKeys = touched.filter(col("band") >= 0)
+    pruneBucketScan(snap, probeKeys)
+      .join(broadcast(probeKeys), Seq("band", "bucket"), "left_semi")
+  }
+
   /** [[pruneBucketScan]] for single-long-keyed relations (paragraph
     * hashes, signature ids): keep only files whose recorded `[min,
     * max]` for `keyCol` intersects the probe's key set. */
@@ -1590,8 +1611,7 @@ object Dedup {
     // the files whose key range can hold a touched bucket (DPP prunes
     // the band partitions; pruneBucketScan prunes files inside them)
     val touched = batchBuckets.select(col("band"), col("bucket")).distinct()
-    val corpusMatch = pruneBucketScan(h.bucketsSnap, touched)
-      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+    val corpusMatch = corpusBucketProbe(h.bucketsSnap, touched)
 
     // candidates: batch×batch (self-join) ∪ batch×corpus — id spaces
     // are disjoint, so the two relations cannot share a pair, and they
@@ -1734,8 +1754,7 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val bktSnap = Store.snapshot(spark, sigTableBuckets(path))
     val touched = buckets.select(col("band"), col("bucket")).distinct()
-    val stored = pruneBucketScan(bktSnap, touched)
-      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+    val stored = corpusBucketProbe(bktSnap, touched)
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__stored"))
     val partitioned = bktSnap.partitionSchema.fieldNames.nonEmpty
     Store.append(spark, sigTableBuckets(path)) { dir =>
@@ -2026,8 +2045,7 @@ object Dedup {
       .select(col("id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val touched = incB.select(col("band"), col("bucket")).distinct()
-    val stored = pruneBucketScan(h.bucketsSnap, touched)
-      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+    val stored = corpusBucketProbe(h.bucketsSnap, touched)
     incB.join(stored.select(col("band"), col("bucket"),
         col("id").as("corpus_id"), col("sig").as("corpus_sig")),
         Seq("band", "bucket"))
@@ -2078,8 +2096,7 @@ object Dedup {
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val bktSnap = Store.snapshot(spark, hamTableBuckets(path))
     val touched = incB.select(col("band"), col("bucket")).distinct()
-    val stored = pruneBucketScan(bktSnap, touched)
-      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+    val stored = corpusBucketProbe(bktSnap, touched)
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__stored"))
     val partitioned = bktSnap.partitionSchema.fieldNames.nonEmpty
     Store.append(spark, hamTableBuckets(path)) { dir =>

@@ -205,6 +205,43 @@ class PlanSpec extends GraftSpec {
       s"a shuffled cartesian would not survive any scale-up:\n$p")
   }
 
+  test("persisted bucket store: touched keys prune band partitions dynamically") {
+    // the serving-path plan of every incremental dedup probe
+    // (Dedup.corpusBucketProbe — nearDedupIncremental, the Hamming
+    // probe and both append occupancy counts all share it): the
+    // batch's touched (band, bucket) keys must reach the bucket-store
+    // scan as a DYNAMIC partition-pruning filter on the band
+    // partition column, exactly like the IVF-PQ probed-list prune —
+    // never as a post-scan filter, and never as a literal In list.
+    // (Driver-side file pruning additionally skips files INSIDE the
+    // surviving partitions; StoreMaintenanceSpec pins that half.)
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    val docs = (1L to 40L)
+      .map(i => (i, s"fresh document u$i payload p$i q$i extra e$i"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureTable(docs, "doc_id", "text", s"$tmp/sig")
+    val h = Dedup.openSignatureTable(spark, s"$tmp/sig")
+    // a probe-shaped touched relation: distinct over a CACHED batch,
+    // as the production path derives it (batchBuckets is persisted —
+    // over a bare LocalRelation the optimizer would constant-fold
+    // corpusBucketProbe's band-invariant filter away and the fixture
+    // would stop resembling the serving plan)
+    val touched = (1L to 3L)
+      .map(i => (i.toInt % 16, i * 7919L)).toDF("band", "bucket")
+      .persist()
+      .distinct()
+    val p = Dedup.corpusBucketProbe(h.bucketsSnap, touched)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("band") &&
+        l.contains("dynamicpruningexpression")),
+      s"touched keys must reach the bucket scan as a dynamic " +
+        s"partition-pruning filter on band; saw: $pf\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pixel gates: one shuffle-free MapPartitions over the synthesized payloads") {
     Seq("q_media_pixels_png", "q_media_pixels_gif", "q_media_pixels_jpeg",
       "q_media_pixels_jpeg_prog", "q_media_pixels_png_gray",

@@ -578,9 +578,191 @@ class StoreMaintenanceSpec extends GraftSpec {
     val orphaned = Store.read(spark, s"$dir/sig/buckets")
       .filter(col("id") === 2L).count()
     assert(orphaned > 0L, "the simulated crash left orphaned bucket rows")
+    // the in-between state ANSWERS as-if-retired: doc 2's orphaned
+    // bucket rows still propose candidates, but the estimate's inner
+    // join against sigs drops them, so a fresh copy of doc 2 is
+    // ADMITTED — exactly what a completed retirement would do
+    assert(Dedup.nearDedupIncremental(spark, s"$dir/sig",
+      freshDocs(Seq(2L), 1000L), "doc_id", "text", threshold = 0.7)
+      .count() == 1L,
+      "queries in the crash window behave as if the retire completed")
+    // and the health signal reports the window instead of hiding it
+    assert(Dedup.signatureTableStats(spark, s"$dir/sig")
+      .select("orphaned_bucket_rows").head().getLong(0) == orphaned,
+      "signatureTableStats reports the orphaned-bucket count")
     Dedup.compactSignatureTable(spark, s"$dir/sig", numFiles = 1)
     assert(Store.read(spark, s"$dir/sig/buckets")
       .filter(col("id") === 2L).count() == 0L,
       "compaction sweeps bucket rows whose id left the sig relation")
+    assert(Dedup.signatureTableStats(spark, s"$dir/sig")
+      .select("orphaned_bucket_rows").head().getLong(0) == 0L,
+      "the signal returns to zero once the sweep heals the window")
+  }
+
+  test("clustered relation: a static key-range scan touches a bounded file subset") {
+    // the Iceberg-style file-skipping contract of the manifest stats:
+    // the relation is range-clustered by id into 16 files, so a
+    // 500-wide id range can physically live in at most 2 of them —
+    // and the scan's file index must prove it from the recorded
+    // per-file [min,max], without touching the other 14.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_").toString
+    val rel = s"$dir/rel"
+    Store.create((0L until 10000L).map(i => (i, i % 7)).toDF("id", "v"),
+      rel, clusterBy = Seq("id"), numFiles = 16)
+    assert(parquetFiles(rel) == 16L)
+    val q = Store.read(spark, rel)
+      .filter(col("id") >= 1000L && col("id") < 1500L)
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val touched = scans.head.selectedPartitions.totalNumberOfFiles
+    assert(touched <= 2L,
+      s"a 500-wide range over 625-wide clustered files must touch at " +
+        s"most 2 files, scanned $touched of 16")
+    assert(q.count() == 500L, "pruning must not drop matching rows")
+    // point lookup: exactly one file
+    val q1 = Store.read(spark, rel).filter(col("id") === 4242L)
+    val s1 = q1.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head.selectedPartitions.totalNumberOfFiles
+    assert(s1 == 1L, s"a point lookup must touch exactly 1 file, got $s1")
+    assert(q1.count() == 1L)
+  }
+
+  test("bucket-store probe keeps O(touched keys) files, not the corpus") {
+    // the serving-path bytes bound: a 1-doc probe of a signature table
+    // spread over many bucket files must READ only the files whose
+    // band partition + bucket range can hold one of its 16 keys.
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe_").toString
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // widen the build parallelism so the bucket relation lands in
+      // ~4 range files per band dir — enough spread for the per-band
+      // bucket ranges to discriminate
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      Dedup.writeSignatureTable(freshDocs(1L to 800L, 0L), "doc_id",
+        "text", s"$dir/sig")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val total = parquetFiles(s"$dir/sig/buckets")
+    assert(total >= 48L, s"fixture needs file spread, got $total files")
+    val h = Dedup.openSignatureTable(spark, s"$dir/sig")
+    val (kept, keptBytes, totalF, totalBytes) =
+      Dedup.probeFileFootprint(h, freshDocs(Seq(5L), 1000L),
+        "doc_id", "text")
+    assert(totalF == total)
+    // 16 touched keys (one per band): at most one in-range file per
+    // band plus range-boundary neighbours — far below the corpus scan
+    assert(kept <= 32L && kept < totalF / 2,
+      s"a 1-doc probe must skip most bucket files: kept $kept of $totalF")
+    assert(keptBytes < totalBytes)
+    // and the pruned probe is still exact: the copy of doc 5 is caught
+    assert(Dedup.nearDedupIncremental(h, freshDocs(Seq(5L), 1000L),
+      "doc_id", "text", threshold = 0.7, pick = Nil).count() == 0L,
+      "file pruning must never lose a real match")
+  }
+
+  test("append schema drift fails loudly before the marker publishes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_").toString
+    val rel = s"$dir/rel"
+    Store.create(Seq((1L, "a")).toDF("id", "v"), rel)
+    val ex = intercept[IllegalStateException] {
+      Store.append(spark, rel) { d =>
+        Seq((2L, 3L)).toDF("id", "w").write.mode("append").parquet(d)
+      }
+    }
+    assert(ex.getMessage.contains("pinned data schema"),
+      s"drifted append must name the schema fence: ${ex.getMessage}")
+    assert(Store.read(spark, rel).count() == 1L,
+      "the rejected batch is not served")
+    assert(parquetFiles(rel) == Store.partFileCount(spark, rel),
+      "the rejected batch's files were removed")
+    // a conforming append then lands normally
+    Store.append(spark, rel) { d =>
+      Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(d)
+    }
+    assert(Store.read(spark, rel).count() == 2L)
+    // partitioned relation: a batch written WITHOUT the partition
+    // layout is rejected with the partitionBy guidance
+    val rel2 = s"$dir/rel2"
+    Store.create(Seq((1L, "a", 1)).toDF("id", "v", "p"), rel2,
+      partitionCols = Seq("p"))
+    val ex2 = intercept[IllegalStateException] {
+      Store.append(spark, rel2) { d =>
+        Seq((2L, "b", 2)).toDF("id", "v", "p")
+          .write.mode("append").parquet(d)
+      }
+    }
+    assert(ex2.getMessage.contains("partitionBy") ||
+      ex2.getMessage.contains("pinned data schema"),
+      s"flat append into a partitioned relation must be rejected: " +
+        s"${ex2.getMessage}")
+  }
+
+  test("a corrupt v2 manifest fails loudly, naming the file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt_").toString
+    val rel = s"$dir/rel"
+    Store.create(Seq((1L, "a")).toDF("id", "v"), rel)
+    val mf = java.nio.file.Paths.get(s"$rel/_manifests/m-000000001")
+    java.nio.file.Files.write(mf,
+      "graft-store-v2\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the write above bypassed Hadoop's local checksum shadow file —
+    // drop it so the read surfaces the CONTENT corruption, not the crc
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$rel/_manifests/.m-000000001.crc"))
+    val ex = intercept[IllegalStateException] {
+      Store.read(spark, rel)
+    }
+    assert(ex.getMessage.contains("corrupt store manifest") &&
+      ex.getMessage.contains("m-000000001"),
+      s"expected a loud corrupt-manifest error, got: ${ex.getMessage}")
+  }
+
+  test("rewriteWithRetry racing a stream of appends commits with all rows accounted") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry_").toString
+    val rel = s"$dir/rel"
+    Store.create(Seq((0L, "base")).toDF("id", "v"), rel)
+    // ingest side: 10 batches, each replayed on fence conflicts (the
+    // documented ingest contract — a failed append is fully withdrawn,
+    // so a replay can never double-apply)
+    val appender = Future {
+      (1L to 10L).foreach { i =>
+        var done = false
+        var tries = 0
+        while (!done) {
+          try {
+            Store.append(spark, rel) { d =>
+              Seq((i, s"v$i")).toDF("id", "v")
+                .write.mode("append").parquet(d)
+            }
+            done = true
+          } catch {
+            case _: Store.RetryableConflictException =>
+              tries += 1
+              assert(tries < 100, s"append $i starved")
+              Thread.sleep(20)
+          }
+        }
+      }
+    }
+    // maintenance side: compactions racing the ingest stream, each
+    // a pure rewrite that must not lose any committed append
+    (1 to 3).foreach { _ =>
+      Store.rewriteWithRetry(spark, rel, numFiles = 1,
+        maxAttempts = 50)(snap => snap.df)
+      Thread.sleep(10)
+    }
+    Await.result(appender, 300.seconds)
+    // one final compaction after the stream drains
+    Store.rewriteWithRetry(spark, rel, numFiles = 1,
+      maxAttempts = 50)(snap => snap.df)
+    val served = Store.read(spark, rel).select("id")
+      .as[Long].collect().toSet
+    assert(served == (0L to 10L).toSet,
+      s"every successfully-appended row must survive the maintenance " +
+        s"races, got $served")
   }
 }
