@@ -199,13 +199,19 @@ object ScaleRehearsal {
         val p = s"/tmp/graft_scale_probeflat_${scale.replace('.', '_')}"
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         try {
+          // pin file SIZE, not count: ~625 bucket rows (16·n total)
+          // per file, so corpus growth adds FILES of constant size —
+          // only then is "kept bytes ≈ touched keys × file size" a
+          // corpus-independent bound the two scales can exhibit
           spark.conf.set("spark.sql.shuffle.partitions",
-            math.max(64L, n / 250L).toString)
+            math.max(32L, n * 16L / 625L).toString)
           Dedup.writeSignatureTable(docs, "doc_id", "text", p)
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         val h = Dedup.openSignatureTable(spark, p)
+        // 4 docs → 64 touched keys: the byte bound (keys × file size)
+        // sits BELOW the base corpus, so both scales read ≈ the bound
         val batch = spark.read.parquet(s"$baseDir/documents.parquet")
-          .orderBy(col("doc_id")).limit(8)
+          .orderBy(col("doc_id")).limit(4)
           .select((col("doc_id") + lit(70000000L)).as("doc_id"),
             regexp_replace(col("text"), "(\\S+)", "$1_pf").as("text"))
           .localCheckpoint(true)
