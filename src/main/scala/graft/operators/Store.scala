@@ -253,6 +253,39 @@ object Store {
     finally out.close()
   }
 
+  /** Atomically publish a small metadata file whose CONTENT readers
+    * act on (manifests, append markers): write the full content to a
+    * `t-<uuid>` sibling, close, then rename into place. Readers can
+    * never observe a partial file — the create-then-write publication
+    * this replaces had a window between `create` (name instantly
+    * visible, zero bytes) and `close` where a racing [[snapshot]]
+    * read a just-published marker back EMPTY: the marker's NAME then
+    * sat in the rewrite fence (so the rewrite did not abort) while its
+    * rows were absent from the fold — a committed silent loss the
+    * raced StoreMaintenanceSpec reproduced under full-suite load.
+    * Rename-onto-existing fails without clobbering on HDFS and on the
+    * checksummed local FS (verified), so the loser path keeps the
+    * exclusive-create contract. Object stores without atomic rename
+    * need a real commit service behind this seam. Intent files stay on
+    * [[writeExclusive]]: they are empty and name-only, no torn-content
+    * window exists for them. */
+  private def publishExclusive(
+      fs: FileSystem, p: Path, content: String)(onRace: => Nothing): Unit = {
+    val tmp = new Path(p.getParent, s"t-$uuid8")
+    val out =
+      try fs.create(tmp, false)
+      catch { case _: java.io.IOException => onRace }
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val renamed =
+      try fs.rename(tmp, p)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) {
+      fs.delete(tmp, false)
+      onRace
+    }
+  }
+
   /** One `_manifests` listing, shared by every resolution step: the
     * live generation number, its marker names, and any pending rewrite
     * intents (targets above the live generation). */
@@ -594,9 +627,10 @@ object Store {
     * layout every probe-serving store should use. The range shaping
     * SAMPLES its input once (Spark's range partitioner); callers with
     * an expensive input plan should persist it first. `numFiles` (> 0)
-    * sets the target file count; 0 uses the session's shuffle
-    * parallelism for clustered writes and leaves unclustered data
-    * unshaped. */
+    * sets the target file count; 0 lets the planner choose for
+    * clustered writes (AQE coalesces by advisory partition size, so
+    * small relations land in few files and large ones in many) and
+    * leaves unclustered data unshaped. */
   def create(df: DataFrame, relRoot: String,
              partitionCols: Seq[String] = Nil,
              clusterBy: Seq[String] = Nil,
@@ -611,7 +645,7 @@ object Store {
     val (pSchema, dSchema) = splitSchema(df.schema, partitionCols)
     val files = statWritten(spark, fs, dataPath).map(_._1)
     fs.mkdirs(new Path(manifestsDir(relRoot)))
-    writeExclusive(fs, new Path(manifestsDir(relRoot), manifestName(1L)),
+    publishExclusive(fs, new Path(manifestsDir(relRoot), manifestName(1L)),
       renderManifest(dirName, pSchema, dSchema, files)) {
       fs.delete(dataPath, true)
       throw new IllegalStateException(
@@ -655,8 +689,19 @@ object Store {
     manifest match {
       case None =>
         // legacy generation: files must land where directory discovery
-        // finds them; the fence is the pointer re-check + intent check
-        write(legacyGenPath(relRoot, st0.n))
+        // finds them; the fence is the pointer re-check + intent check.
+        // A legacy (empty) manifest always has its exact-named data
+        // directory — with manifests now rename-published a torn read
+        // can no longer masquerade as legacy, so a missing directory
+        // here is damage, and writing the batch into a fresh directory
+        // no reader resolves would be a silent loss
+        val legacyDir = new Path(legacyGenPath(relRoot, st0.n))
+        if (!fs.exists(legacyDir)) throw new IllegalStateException(
+          s"append to $relRoot: manifest ${manifestName(st0.n)} is empty " +
+            s"(legacy format) but its data directory $legacyDir does not " +
+            s"exist — the manifest directory is damaged; refusing to " +
+            s"write the batch where no reader would find it")
+        write(legacyDir.toString)
         val st1 = listState(spark, relRoot)
         failIfIntent(relRoot, st1, "append")
         failIfMoved(relRoot, st0.n, st1.n)
@@ -676,7 +721,7 @@ object Store {
         failIfMoved(relRoot, st0.n, st1.n)
         val markerName = markerPrefix(st0.n) + uuid8
         val marker = new Path(mdir, markerName)
-        writeExclusive(fs, marker, renderMarker(written)) {
+        publishExclusive(fs, marker, renderMarker(written)) {
           throw new RetryableConflictException(
             s"append marker collision on $relRoot — retry the batch")
         }
@@ -822,7 +867,7 @@ object Store {
           s"the maintenance run against the live generation")
       val (pSchema, dSchema) = splitSchema(out.schema, partitionCols)
       val files = statWritten(spark, fs, dataPath).map(_._1)
-      writeExclusive(fs, new Path(mdir, manifestName(n1)),
+      publishExclusive(fs, new Path(mdir, manifestName(n1)),
         renderManifest(dirName, pSchema, dSchema, files)) {
         throw new RetryableConflictException(
           s"store commit race on $relRoot generation $n1: another writer " +
@@ -891,10 +936,15 @@ object Store {
     val shaped =
       if (clusterBy.nonEmpty) {
         val keys = (partitionCols ++ clusterBy).map(col)
-        val n =
-          if (numFiles > 0) numFiles
-          else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-        df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+        // numFiles == 0 leaves the range-shuffle partition count to the
+        // planner: AQE coalesces a tiny relation to a handful of files
+        // (a fixed count would scatter 5k rows over 32 near-empty
+        // files) and sizes a 100 TB one by advisory partition bytes —
+        // both better file layouts than any constant.
+        val ranged =
+          if (numFiles > 0) df.repartitionByRange(numFiles, keys: _*)
+          else df.repartitionByRange(keys: _*)
+        ranged.sortWithinPartitions(keys: _*)
       } else if (partitionCols.nonEmpty) {
         if (numFiles > 0) df.repartition(numFiles, partitionCols.map(col): _*)
         else df
@@ -930,13 +980,21 @@ object Store {
       }
     }
     val mdir = new Path(manifestsDir(relRoot))
+    val now = System.currentTimeMillis()
     fs.listStatus(mdir).foreach { st =>
       val name = st.getPath.getName
       val stale =
         (name.startsWith("m-") && name.drop(2).toLong < keep) ||
           (name.startsWith("a-") &&
             name.drop(2).takeWhile(_.isDigit).toLong < keep) ||
-          (name.startsWith("r-") && name.drop(2).toLong <= keep)
+          (name.startsWith("r-") && name.drop(2).toLong <= keep) ||
+          // a publish temp a crashed writer abandoned; age-gated so a
+          // LIVE publish's temp (written and renamed within ms) is
+          // never swept out from under it — a raced deletion would
+          // only fail that publish's rename, a loud replayable
+          // conflict, but there is no reason to cause one
+          (name.startsWith("t-") &&
+            now - st.getModificationTime > 10 * 60 * 1000L)
       if (stale) fs.delete(st.getPath, false)
     }
   }

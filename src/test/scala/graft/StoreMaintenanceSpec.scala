@@ -636,14 +636,23 @@ class StoreMaintenanceSpec extends GraftSpec {
     // band partition + bucket range can hold one of its 16 keys.
     val dir = java.nio.file.Files.createTempDirectory("graft_probe_").toString
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     try {
       // widen the build parallelism so the bucket relation lands in
       // ~4 range files per band dir — enough spread for the per-band
-      // bucket ranges to discriminate
+      // bucket ranges to discriminate (AQE would coalesce this tiny
+      // fixture to a handful of files, which is the right production
+      // layout but defeats the spread this spec needs)
       spark.conf.set("spark.sql.shuffle.partitions", "64")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       Dedup.writeSignatureTable(freshDocs(1L to 800L, 0L), "doc_id",
         "text", s"$dir/sig")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        prevCoalesce)
+    }
     val total = parquetFiles(s"$dir/sig/buckets")
     assert(total >= 48L, s"fixture needs file spread, got $total files")
     val h = Dedup.openSignatureTable(spark, s"$dir/sig")
@@ -764,5 +773,52 @@ class StoreMaintenanceSpec extends GraftSpec {
     assert(served == (0L to 10L).toSet,
       s"every successfully-appended row must survive the maintenance " +
         s"races, got $served")
+  }
+
+  test("marker publication is atomic: a racing reader never sees a " +
+    "committed append's rows partially") {
+    // The torn-publication race: create-then-write marker files left a
+    // window where a reader listed a marker NAME but read ZERO file
+    // entries — a snapshot (or a rewrite's fold) then served the
+    // generation without the batch's rows while the marker sat in the
+    // fence set, i.e. a silent committed loss. With rename-published
+    // markers a snapshot taken at any instant serves EVERY append that
+    // completed before the snapshot started (no rewrites here, so
+    // nothing ever withdraws).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_").toString
+    val rel = s"$dir/rel"
+    Store.create(Seq((0L, "base")).toDF("id", "v"), rel)
+    @volatile var completed = 0L
+    @volatile var stop = false
+    val reader = Future {
+      // partFileCount resolves the same manifest+marker view a
+      // snapshot serves, without a Spark job — the tight loop is what
+      // gives this reader enough samples to land inside a
+      // microsecond-scale publication window
+      var worst: Option[(Long, Long)] = None
+      while (!stop) {
+        val floor = completed // appends completed BEFORE this resolve
+        val n = Store.partFileCount(spark, rel)
+        // base file + one batch file per completed append
+        if (n < floor + 1) worst = Some((floor, n))
+      }
+      worst
+    }
+    (1L to 200L).foreach { i =>
+      Store.append(spark, rel) { d =>
+        Seq((i, s"v$i")).toDF("id", "v")
+          .write.mode("append").parquet(d)
+      }
+      completed = i
+    }
+    stop = true
+    Await.result(reader, 300.seconds).foreach { case (floor, n) =>
+      fail(s"a view resolved after $floor appends completed carried " +
+        s"only $n files — a published marker was read back torn")
+    }
+    assert(Store.read(spark, rel).count() == 201L)
   }
 }
