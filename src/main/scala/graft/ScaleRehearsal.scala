@@ -194,19 +194,35 @@ object ScaleRehearsal {
       // build is untimed (a nightly artifact); the probe wall is timed
       // against an already-open handle, and the footprint line records
       // the prune's exact file/byte arithmetic.
+      // pinned-layout store build: file SIZE held constant (~`rows`
+      // rows per file) so corpus growth adds FILES of constant size —
+      // only then is "kept bytes ≈ touched keys × file size" a
+      // corpus-independent bound the two scales can exhibit. AQE
+      // partition coalescing is disabled for the build (production
+      // writes WANT it; this rehearsal needs the pinned spread).
+      def pinnedBuild(totalRows: Long, rows: Long)(build: => Unit): Unit = {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevCoal = spark.conf.get(
+          "spark.sql.adaptive.coalescePartitions.enabled", "true")
+        try {
+          spark.conf.set("spark.sql.shuffle.partitions",
+            math.max(32L, totalRows / rows).toString)
+          spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false")
+          build
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prevCoal)
+        }
+      }
       if (only.forall(o => o.exists(_.startsWith("probe_flat")))) {
         val n = docs.count()
         val p = s"/tmp/graft_scale_probeflat_${scale.replace('.', '_')}"
-        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-        try {
-          // pin file SIZE, not count: ~625 bucket rows (16·n total)
-          // per file, so corpus growth adds FILES of constant size —
-          // only then is "kept bytes ≈ touched keys × file size" a
-          // corpus-independent bound the two scales can exhibit
-          spark.conf.set("spark.sql.shuffle.partitions",
-            math.max(32L, n * 16L / 625L).toString)
+        // ~625 bucket rows (16·n total) per file
+        pinnedBuild(n * 16L, 625L) {
           Dedup.writeSignatureTable(docs, "doc_id", "text", p)
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         val h = Dedup.openSignatureTable(spark, p)
         // 4 docs → 64 touched keys: the byte bound (keys × file size)
         // sits BELOW the base corpus, so both scales read ≈ the bound
@@ -223,6 +239,61 @@ object ScaleRehearsal {
         time(scale, "probe_flat_wall") {
           force(Dedup.nearDedupIncremental(h, batch, "doc_id", "text",
             threshold = 0.7, pick = Nil))
+        }
+      }
+
+      // the same bytes-∝-batch measurement for the HAMMING (media)
+      // store: 64-bit signatures derived deterministically from text
+      // (the store only sees longs), 4 bands, fixed 8-signature batch
+      if (only.forall(o => o.exists(_.startsWith("hamming_probe_flat")))) {
+        val sigs = docs.select(col("doc_id"),
+          xxhash64(col("text")).as("sig"))
+        val n = docs.count()
+        val p = s"/tmp/graft_scale_hamflat_${scale.replace('.', '_')}"
+        pinnedBuild(n * 4L, 625L) {
+          Dedup.writeHammingTable(sigs, "doc_id", "sig", p)
+        }
+        val h = Dedup.openHammingTable(spark, p)
+        val batch = spark.read.parquet(s"$baseDir/documents.parquet")
+          .orderBy(col("doc_id")).limit(8)
+          .select((col("doc_id") + lit(70000000L)).as("doc_id"),
+            xxhash64(col("text"), lit(7L)).as("sig"))
+          .localCheckpoint(true)
+        val (kept, keptBytes, totF, totBytes) =
+          Dedup.hammingProbeFootprint(h, batch, "sig")
+        println(s"""{"query":"hamming_probe_flat_files","scale":"$scale",""" +
+          s""""kept_files":$kept,"kept_bytes":$keptBytes,""" +
+          s""""total_files":$totF,"total_bytes":$totBytes}""")
+        time(scale, "hamming_probe_flat_wall") {
+          force(Dedup.hammingNearDupsIncremental(h, batch, "doc_id",
+            "sig", multiProbe = false, radius = None))
+        }
+      }
+
+      // and for the PARAGRAPH store: the hash relation is h-clustered
+      // (hash space uniform), a fixed 4-doc batch touches O(its own
+      // paragraphs) hash-range files however many the corpus adds
+      if (only.forall(o => o.exists(_.startsWith("para_probe_flat")))) {
+        val n = docs.count()
+        val p = s"/tmp/graft_scale_paraflat_${scale.replace('.', '_')}"
+        // ~8 paragraphs per doc at the corpus's construction; ~625
+        // hash rows per file
+        pinnedBuild(n * 8L, 625L) {
+          Dedup.writeParagraphTable(docs, "doc_id", "text", p)
+        }
+        val batch = spark.read.parquet(s"$baseDir/documents.parquet")
+          .orderBy(col("doc_id")).limit(4)
+          .select((col("doc_id") + lit(70000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1_ppf").as("text"))
+          .localCheckpoint(true)
+        val (kept, keptBytes, totF, totBytes) =
+          Dedup.paragraphProbeFootprint(spark, p, batch, "text")
+        println(s"""{"query":"para_probe_flat_files","scale":"$scale",""" +
+          s""""kept_files":$kept,"kept_bytes":$keptBytes,""" +
+          s""""total_files":$totF,"total_bytes":$totBytes}""")
+        time(scale, "para_probe_flat_wall") {
+          force(Dedup.paragraphDedupIncremental(spark, p, batch,
+            "doc_id", "text"))
         }
       }
 

@@ -3577,6 +3577,27 @@ object SparkEntry {
             Seq(col("zx"), col("zy")), bits = 10).as("z"))
     },
 
+    // the same Z-layout committed through the Store layer: pruning
+    // moves from parquet footers to manifest stats (driver-side, zero
+    // file opens) and the relation gains atomic generation
+    // maintenance; the stored __graft_z column must EQUAL the
+    // recomputed interleave (the oracle replays the arithmetic)
+    "q_zorder_store" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 1024).as("zx"),
+        (col("l_suppkey") % 1024).as("zy"))
+      val rel = Scratch.path(s"zorder_store_${math.abs(dir.hashCode)}")
+      Scratch.remove(s"zorder_store_${math.abs(dir.hashCode)}")
+      graft.operators.Layout.writeZOrderedStore(li, rel, Seq("zx", "zy"),
+        numFiles = 8, bits = 10)
+      graft.operators.Store.read(s, rel)
+        .filter(col("zx") >= 100 && col("zx") < 200 &&
+          col("zy") >= 10 && col("zy") < 40)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("__graft_z").as("z"))
+    },
+
     // length-bucketed batching: equal-size token-count buckets with
     // exact ntile semantics but NO global window — per-value counts +
     // broadcast offsets + within-value rank (Sampling.ntileBuckets),
@@ -3689,6 +3710,16 @@ object SparkEntry {
     // q_zorder: the same box filter over the original table, z
     // recomputed in SQL with the kernel's exact bit layout
     "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(range(0, 10), i ->
+        |    (((l_partkey % 1024) // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i))
+        |    + (((l_suppkey % 1024) // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i + 1))
+        |  )) AS BIGINT) AS z
+        |FROM lineitem
+        |WHERE l_partkey % 1024 >= 100 AND l_partkey % 1024 < 200
+        |  AND l_suppkey % 1024 >= 10 AND l_suppkey % 1024 < 40""".stripMargin,
+
+    "q_zorder_store" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(list_sum(list_transform(range(0, 10), i ->
         |    (((l_partkey % 1024) // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i))

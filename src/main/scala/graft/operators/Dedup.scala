@@ -2018,6 +2018,28 @@ object Dedup {
       spark.read.parquet(hamTableMeta(path)).head(),
       Store.snapshot(spark, hamTableBuckets(path)))
 
+  /** [[probeFileFootprint]] for a persisted Hamming table: the batch's
+    * touched (band, bucket) keys against the stored bucket relation's
+    * file layout — the scale rehearsal's bytes-∝-batch measurement for
+    * the media store. */
+  private[graft] def hammingProbeFootprint(
+      h: HamTableHandle, incoming: DataFrame, sigCol: String,
+      multiProbe: Boolean = false): (Long, Long, Long, Long) = {
+    val nBands = h.meta.getAs[Int]("max_hamming") + 1
+    val probeBands =
+      if (multiProbe) hammingBandsMultiProbe(col("sig"), nBands)
+      else hammingBands(col("sig"), nBands)
+    val keys = incoming
+      .select(col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(explode(probeBands).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val p = Store.prunedScan(h.bucketsSnap)(bucketKeepFn(keys))
+    (p.keptFiles, p.keptBytes, p.totalFiles, p.totalBytes)
+  }
+
   /** [[hammingNearDupsIncremental]] against an already-open
     * [[HamTableHandle]]. */
   def hammingNearDupsIncremental(
@@ -2612,6 +2634,30 @@ object Dedup {
           x => x.getField("line")),
         sep).as("text"))
       .select(col("doc_id").as(idCol), col("text"))
+  }
+
+  /** [[probeFileFootprint]] for a persisted paragraph table: the
+    * batch's distinct paragraph hashes against the hash relation's
+    * file layout — the scale rehearsal's bytes-∝-batch measurement for
+    * the exact-paragraph store. */
+  private[graft] def paragraphProbeFootprint(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame, textCol: String): (Long, Long, Long, Long) = {
+    val sep = spark.read.parquet(paraTableMeta(path)).head().getAs[String]("sep")
+    val keys = incoming.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as("line"))
+      .select(xxhash64(col("line")).as("h"))
+      .distinct()
+      .collect().map(_.getLong(0)).sorted
+    val snap = Store.snapshot(spark, paraTableHashes(path))
+    val p = Store.prunedScan(snap) { (_, stats) =>
+      stats.get("h") match {
+        case Some((mn, mx)) => anyKeyInRange(keys, mn, mx)
+        case None => true
+      }
+    }
+    (p.keptFiles, p.keptBytes, p.totalFiles, p.totalBytes)
   }
 
   /** Append a batch's paragraph hashes to the persisted table (the

@@ -89,4 +89,44 @@ object Layout {
     require(numFiles > 0, "numFiles must be > 0")
     df.coalesce(numFiles).write.mode("overwrite").parquet(path)
   }
+
+  /** [[writeClustered]] committed through the [[Store]] layer: the
+    * same range-clustered layout, with the manifest recording each
+    * file's `[min,max]` for the cluster (and every other top-level
+    * int/long) column — so range/point pruning moves from parquet
+    * footer statistics (paid per query, per file OPEN) to MANIFEST
+    * statistics evaluated driver-side before the scan is planned, with
+    * zero file opens, and the relation gains the store's atomic
+    * generation maintenance (`Store.append`/`rewrite`/
+    * `rewriteWithRetry` for compaction without readers ever seeing a
+    * half-written state). Read it back with [[Store.read]];
+    * `numFiles = 0` lets the planner size the files (AQE advisory
+    * bytes). */
+  def writeClusteredStore(
+      df: DataFrame, relRoot: String, clusterCols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    require(clusterCols.nonEmpty, "clusterCols must not be empty")
+    Store.create(df, relRoot, clusterBy = clusterCols, numFiles = numFiles)
+  }
+
+  /** [[writeZOrdered]] committed through the [[Store]] layer: rows are
+    * clustered by the interleaved Z-value, so each file covers a small
+    * RECTANGLE of the key space and the manifest's per-file `[min,max]`
+    * on EVERY original column is narrow — a predicate on ANY clustered
+    * dimension prunes files driver-side, no file opens, which is the
+    * multi-dimensional file-skipping Iceberg/Delta get from Z-ordered
+    * stats. Unlike [[writeZOrdered]] the Z column IS stored (as
+    * `__graft_z`): 8 bytes/row buys maintenance rewrites
+    * ([[Store.rewriteWithRetry]] compactions) that re-cluster on it
+    * without recomputing the interleave, and keeps the layout contract
+    * inspectable. Values must be non-negative ints; `bits` per the
+    * columns' range. */
+  def writeZOrderedStore(
+      df: DataFrame, relRoot: String, clusterCols: Seq[String],
+      numFiles: Int = 0, bits: Int = 16): Unit = {
+    require(clusterCols.nonEmpty, "clusterCols must not be empty")
+    Store.create(
+      df.withColumn("__graft_z", zValue(clusterCols.map(col), bits)),
+      relRoot, clusterBy = Seq("__graft_z"), numFiles = numFiles)
+  }
 }

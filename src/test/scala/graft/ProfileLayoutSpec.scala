@@ -307,4 +307,52 @@ class ProfileLayoutSpec extends GraftSpec {
     val nFiles = withFile.select("__f").distinct().count()
     assert(nFiles <= 4, s"aligned 8×8 box touched $nFiles of 16 z-range files")
   }
+
+  private def scannedFiles(q: org.apache.spark.sql.DataFrame): Long =
+    q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head.selectedPartitions.totalNumberOfFiles
+
+  test("writeClusteredStore: manifest-stat pruning bounds a range scan, " +
+    "no file opens") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lcs_").toString
+    val rel = s"$dir/rel"
+    Layout.writeClusteredStore(
+      (0L until 8000L).map(i => (i, i % 5)).toDF("k", "v"),
+      rel, Seq("k"), numFiles = 16)
+    // a 500-wide range over 500-wide clustered files: ≤ 2 files of 16,
+    // decided by the FileIndex from the manifest's recorded [min,max]
+    // BEFORE the scan plans — not by parquet footers at execution
+    val q = graft.operators.Store.read(spark, rel)
+      .filter(col("k") >= 2000L && col("k") < 2500L)
+    assert(scannedFiles(q) <= 2L)
+    assert(q.count() == 500L)
+  }
+
+  test("writeZOrderedStore: a predicate on EITHER dimension prunes " +
+    "files from the manifest stats") {
+    import spark.implicits._
+    val rows = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lzs_").toString
+    val rel = s"$dir/rel"
+    Layout.writeZOrderedStore(rows, rel, Seq("x", "y"),
+      numFiles = 16, bits = 6)
+    val back = graft.operators.Store.read(spark, rel)
+    assert(back.count() == 64 * 64)
+    // the z column is STORED (maintenance rewrites re-cluster on it)
+    assert(back.columns.toSet == Set("x", "y", "__graft_z"))
+    // each z-range file covers a small rectangle, so its manifest
+    // [min,max] on BOTH original columns is narrow: a 16-wide slab in
+    // x prunes most files, and so does one in y — the multi-dim
+    // skipping lexicographic clustering cannot give the trailing column
+    val qx = back.filter(col("x") >= 16 && col("x") < 32)
+    val qy = back.filter(col("y") >= 16 && col("y") < 32)
+    assert(scannedFiles(qx) <= 8L,
+      s"x-slab touched ${scannedFiles(qx)} of 16 z-range files")
+    assert(scannedFiles(qy) <= 8L,
+      s"y-slab touched ${scannedFiles(qy)} of 16 z-range files")
+    assert(qx.count() == 16 * 64 && qy.count() == 16 * 64)
+  }
 }

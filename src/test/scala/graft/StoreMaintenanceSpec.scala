@@ -775,6 +775,36 @@ class StoreMaintenanceSpec extends GraftSpec {
         s"races, got $served")
   }
 
+  test("concurrent appenders: every batch lands, none clobbered") {
+    // appends are designed to be mutually concurrent (unique batch
+    // dirs + unique marker names; only REWRITES serialize) — N threads
+    // appending disjoint batches must all succeed with every row
+    // served, exercising the marker-publish path under real contention
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_").toString
+    val rel = s"$dir/rel"
+    Store.create(Seq((0L, "base")).toDF("id", "v"), rel)
+    val writers = (1 to 4).map { w =>
+      Future {
+        (1L to 10L).foreach { i =>
+          val id = w * 100L + i
+          Store.append(spark, rel) { d =>
+            Seq((id, s"v$id")).toDF("id", "v")
+              .write.mode("append").parquet(d)
+          }
+        }
+      }
+    }
+    writers.foreach(Await.result(_, 300.seconds))
+    val served = Store.read(spark, rel).select("id").as[Long].collect().toSet
+    val expect = (for (w <- 1 to 4; i <- 1L to 10L) yield w * 100L + i)
+      .toSet + 0L
+    assert(served == expect,
+      s"missing: ${expect -- served}, extra: ${served -- expect}")
+  }
+
   test("marker publication is atomic: a racing reader never sees a " +
     "committed append's rows partially") {
     // The torn-publication race: create-then-write marker files left a
