@@ -775,6 +775,48 @@ class StoreMaintenanceSpec extends GraftSpec {
         s"races, got $served")
   }
 
+  test("manifest-stat file skipping is exact under 80 seeded random " +
+    "predicates (plain-parquet oracle)") {
+    // the conservative-superset contract: pruning may only DROP files
+    // the predicate provably cannot match — so every query must return
+    // exactly what the same data answers without any manifest stats.
+    // Data includes negatives, duplicates and NULLs; predicates cover
+    // supported shapes (=, <, <=, >, >=, isin, AND, OR) and
+    // deliberately unsupported ones (!=, isNull, arithmetic) that must
+    // fall back to keep-all rather than mis-prune.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    val rows = (0 until 4000).map { i =>
+      (if (i % 17 == 0) None else Some((i * 37 % 401) - 200L),
+        i.toLong)
+    }.toDF("k", "id")
+    Store.create(rows, s"$dir/rel", clusterBy = Seq("k"), numFiles = 16)
+    rows.write.parquet(s"$dir/plain")
+    val stored = Store.read(spark, s"$dir/rel")
+    val plain = spark.read.parquet(s"$dir/plain")
+    val rnd = new scala.util.Random(20260815L)
+    def c(): Long = rnd.nextInt(500) - 250L
+    (1 to 80).foreach { i =>
+      val p = rnd.nextInt(11) match {
+        case 0 => col("k") === c()
+        case 1 => col("k") > c()
+        case 2 => col("k") < c()
+        case 3 => col("k") >= c()
+        case 4 => col("k") <= c()
+        case 5 => col("k").isin(c(), c(), c())
+        case 6 => val a = c(); col("k") > a && col("k") <= a + rnd.nextInt(60)
+        case 7 => col("k") < c() || col("k") > c()
+        case 8 => col("k") =!= c()
+        case 9 => col("k").isNull
+        case _ => col("k") + 1 === c()
+      }
+      val got = stored.filter(p).count()
+      val want = plain.filter(p).count()
+      assert(got == want,
+        s"predicate #$i ($p): pruned store answered $got, oracle $want")
+    }
+  }
+
   test("concurrent appenders: every batch lands, none clobbered") {
     // appends are designed to be mutually concurrent (unique batch
     // dirs + unique marker names; only REWRITES serialize) — N threads
