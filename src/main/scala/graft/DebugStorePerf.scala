@@ -19,10 +19,35 @@ object DebugStorePerf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(j.jobId, (System.nanoTime(),
+            Option(j.properties.getProperty("spark.job.description"))
+              .orElse(Option(j.properties.getProperty("callSite.short")))
+              .getOrElse("?")))
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = jobs.remove(j.jobId)
+          if (st != null)
+            done.add(((System.nanoTime() - st._1) / 1e9, st._2))
+        }
+      })
     def tm[A](name: String)(body: => A): A = {
+      done.clear()
       val t0 = System.nanoTime()
       val r = body
       println(f"[dbg] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val it = done.iterator()
+      var i = 0
+      while (it.hasNext) {
+        val (sec, desc) = it.next()
+        println(f"[dbg]    job#$i%-2d ${sec}%.2f s  ${desc.take(90)}")
+        i += 1
+      }
       r
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
