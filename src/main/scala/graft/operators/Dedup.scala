@@ -1286,7 +1286,7 @@ object Dedup {
     * size amortizes anyway. The collect this bounds is the SAME key
     * relation the probe already broadcasts, so the guard's cost model
     * matches the join's. */
-  private val MaxProbeKeys = 1 << 20
+  private[graft] val MaxProbeKeys = 1 << 20
 
   /** Any key of the sorted array inside `[mn, mx]`? (binary search —
     * the per-file test of the driver-side prune). */
@@ -1334,39 +1334,52 @@ object Dedup {
     * never rows. Catalyst's own DPP additionally prunes the band
     * partitions through the semi-join (PlanSpec pins it); this covers
     * the file-in-partition granularity DPP cannot reach on V1 sources. */
-  private def pruneBucketScan(
-      snap: Store.Snap, touched: DataFrame): DataFrame = {
-    if (snap.legacy || snap.files.isEmpty) return snap.df
-    val rows = touched.select(col("band"), col("bucket"))
-      .limit(MaxProbeKeys + 1).collect()
-    if (rows.length > MaxProbeKeys) return snap.df
-    val keys = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      .map(r => (r.getInt(0), r.getLong(1)))
-    Store.pruneFiles(snap)(bucketKeepFn(keys))
-  }
-
   /** The production bucket-probe plan: file-pruned scan of a banded
     * bucket relation semi-joined (broadcast) on the probe's touched
     * keys. Package-visible so PlanSpec pins the REAL serving plan —
     * the semi-join must reach the scan as a `dynamicpruningexpression`
     * partition filter on `band` (file skipping at partition
-    * granularity even when the driver-side key prune fell back). */
+    * granularity even when the driver-side key prune fell back).
+    *
+    * The touched-key plan is evaluated ONCE: the same collected rows
+    * drive both the driver-side file prune and (as a local relation)
+    * the exact semi-join — re-evaluating the distributed plan for the
+    * broadcast would repeat its distinct shuffle on every probe,
+    * append occupancy count and Hamming probe. Probes touching more
+    * keys than [[MaxProbeKeys]] (or legacy/stat-less stores) fall back
+    * to the distributed broadcast, where the scan-side bound comes
+    * from DPP alone. */
   private[graft] def corpusBucketProbe(
       snap: Store.Snap, touched: DataFrame): DataFrame = {
     // `band >= 0` is a construction invariant of every banding scheme
-    // in this file — restating it HERE is what makes Catalyst plan the
-    // dynamic partition prune: the touched relation is usually a
-    // projection over a CACHED batch, whose internal filters an
-    // InMemoryRelation hides from PartitionPruning's selectivity
-    // check; without a visible selective predicate the rule never
-    // inserts the band subquery. Semantically a no-op, plan-wise the
-    // DPP trigger (PlanSpec pins the resulting PartitionFilters).
+    // in this file — restating it HERE (on both the local and the
+    // fallback probe side) is what makes Catalyst plan the dynamic
+    // partition prune: the touched relation is usually a projection
+    // over a CACHED batch, whose internal filters an InMemoryRelation
+    // hides from PartitionPruning's selectivity check; without a
+    // visible selective predicate the rule never inserts the band
+    // subquery. Semantically a no-op, plan-wise the DPP trigger
+    // (PlanSpec pins the resulting PartitionFilters).
     val probeKeys = touched.filter(col("band") >= 0)
-    pruneBucketScan(snap, probeKeys)
-      .join(broadcast(probeKeys), Seq("band", "bucket"), "left_semi")
+      .select(col("band"), col("bucket"))
+    if (snap.legacy || snap.files.isEmpty)
+      return snap.df.join(broadcast(probeKeys),
+        Seq("band", "bucket"), "left_semi")
+    val rows = probeKeys.limit(MaxProbeKeys + 1).collect()
+    if (rows.length > MaxProbeKeys)
+      return snap.df.join(broadcast(probeKeys),
+        Seq("band", "bucket"), "left_semi")
+    val keys = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val pruned = Store.pruneFiles(snap)(bucketKeepFn(keys))
+    val spark = touched.sparkSession
+    val localKeys = spark
+      .createDataFrame(java.util.Arrays.asList(rows: _*), probeKeys.schema)
+      .filter(col("band") >= 0)
+    pruned.join(broadcast(localKeys), Seq("band", "bucket"), "left_semi")
   }
 
-  /** [[pruneBucketScan]] for single-long-keyed relations (paragraph
+  /** The [[corpusBucketProbe]] file prune for single-long-keyed relations (paragraph
     * hashes, signature ids): keep only files whose recorded `[min,
     * max]` for `keyCol` intersects the probe's key set. */
   private def pruneLongKeyScan(
@@ -1404,7 +1417,7 @@ object Dedup {
     * `id`, and the [[Store]] manifest records each file's key range —
     * so a probe touching K `(band, bucket)` keys reads O(K) bucket
     * files (Catalyst DPP prunes band partitions through the semi-join;
-    * [[pruneBucketScan]] prunes files inside them), and the candidate
+    * [[corpusBucketProbe]] prunes files inside them), and the candidate
     * sig fetch reads only the files whose id range holds a candidate.
     * Per-batch probe BYTES are ∝ batch, never corpus. Both mutable
     * relations live under the [[Store]] generation/manifest layout
@@ -1491,7 +1504,7 @@ object Dedup {
     *
     * Scale shape: signatures are computed for the batch only; the
     * stored bucket relation is FILE-PRUNED to the batch's touched
-    * (band, bucket) keys before the scan is planned ([[pruneBucketScan]]
+    * (band, bucket) keys before the scan is planned ([[corpusBucketProbe]]
     * — bytes read ∝ batch on the partitioned/clustered layout) and
     * reduced with a broadcast semi-join — no corpus-wide shuffle, no
     * corpus signature recompute; corpus signatures are fetched only
@@ -1545,7 +1558,7 @@ object Dedup {
     * [[nearDedupIncremental]] does (minus the bucket-size cap, which
     * can only SHRINK the touched set) and returns `(keptFiles,
     * keptBytes, totalFiles, totalBytes)` of the bucket-relation scan
-    * after [[pruneBucketScan]]'s decision — the direct bytes-∝-batch
+    * after [[corpusBucketProbe]]'s file-prune decision — the direct bytes-∝-batch
     * measurement the scale rehearsal records: probe bytes must stay
     * ≈ flat as the corpus grows 10× with the batch fixed. */
   private[graft] def probeFileFootprint(
@@ -1568,7 +1581,12 @@ object Dedup {
       .select(explode(fn).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .distinct()
-    val keys = touched.collect().map(r => (r.getInt(0), r.getLong(1)))
+    val rows = touched.limit(MaxProbeKeys + 1).collect()
+    require(rows.length <= MaxProbeKeys,
+      s"probe footprint is a rehearsal measurement of the pruned path — " +
+        s"this batch touches > $MaxProbeKeys keys, where the production " +
+        s"probe falls back to the full scan; measure a smaller batch")
+    val keys = rows.map(r => (r.getInt(0), r.getLong(1)))
     val p = Store.prunedScan(h.bucketsSnap)(bucketKeepFn(keys))
     (p.keptFiles, p.keptBytes, p.totalFiles, p.totalBytes)
   }
@@ -1609,7 +1627,7 @@ object Dedup {
     // broadcast semi-join — the corpus side is never shuffled, and with
     // the band-partitioned range-clustered layout the scan READS only
     // the files whose key range can hold a touched bucket (DPP prunes
-    // the band partitions; pruneBucketScan prunes files inside them)
+    // the band partitions; the key prune drops files inside them)
     val touched = batchBuckets.select(col("band"), col("bucket")).distinct()
     val corpusMatch = corpusBucketProbe(h.bucketsSnap, touched)
 
@@ -1741,9 +1759,13 @@ object Dedup {
       .select(col("id"), minhashSignature(col("sh"), numPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Store.append(spark, sigTableSigs(path)) { dir =>
-      // sorted batch files carry tight id ranges in their footer stats,
-      // so the candidate sig fetch keeps skipping appended files too
-      sigs.sortWithinPartitions("id").write.mode("append").parquet(dir)
+      // RANGE-shaped batch files carry tight, disjoint id ranges in
+      // their footer stats, so the candidate sig fetch keeps skipping
+      // appended files too (sortWithinPartitions alone would leave
+      // every file spanning the whole batch range on a hash-partitioned
+      // input — each file's [min,max] then prunes nothing)
+      sigs.repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.mode("append").parquet(dir)
     }
     val appendBucketFn =
       if (metaMultiProbe(meta))
@@ -2029,13 +2051,18 @@ object Dedup {
     val probeBands =
       if (multiProbe) hammingBandsMultiProbe(col("sig"), nBands)
       else hammingBands(col("sig"), nBands)
-    val keys = incoming
+    val rows = incoming
       .select(col(sigCol).cast("long").as("sig"))
       .filter(col("sig").isNotNull)
       .select(explode(probeBands).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .distinct()
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .limit(MaxProbeKeys + 1).collect()
+    require(rows.length <= MaxProbeKeys,
+      s"probe footprint is a rehearsal measurement of the pruned path — " +
+        s"this batch touches > $MaxProbeKeys keys, where the production " +
+        s"probe falls back to the full scan; measure a smaller batch")
+    val keys = rows.map(r => (r.getInt(0), r.getLong(1)))
     val p = Store.prunedScan(h.bucketsSnap)(bucketKeepFn(keys))
     (p.keptFiles, p.keptBytes, p.totalFiles, p.totalBytes)
   }
@@ -2644,12 +2671,17 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       incoming: DataFrame, textCol: String): (Long, Long, Long, Long) = {
     val sep = spark.read.parquet(paraTableMeta(path)).head().getAs[String]("sep")
-    val keys = incoming.filter(col(textCol).isNotNull)
+    val rows = incoming.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as("line"))
       .select(xxhash64(col("line")).as("h"))
       .distinct()
-      .collect().map(_.getLong(0)).sorted
+      .limit(MaxProbeKeys + 1).collect()
+    require(rows.length <= MaxProbeKeys,
+      s"probe footprint is a rehearsal measurement of the pruned path — " +
+        s"this batch touches > $MaxProbeKeys keys, where the production " +
+        s"probe falls back to the full scan; measure a smaller batch")
+    val keys = rows.map(_.getLong(0)).sorted
     val snap = Store.snapshot(spark, paraTableHashes(path))
     val p = Store.prunedScan(snap) { (_, stats) =>
       stats.get("h") match {

@@ -271,18 +271,25 @@ object Store {
     * window exists for them. */
   private def publishExclusive(
       fs: FileSystem, p: Path, content: String)(onRace: => Nothing): Unit = {
+    // the uuid tmp name never collides, so an IOException HERE is a
+    // real filesystem error, not a race — let it surface as itself
+    // (onRace paths may delete just-written generation data, which
+    // must never happen for a transient IO failure)
     val tmp = new Path(p.getParent, s"t-$uuid8")
-    val out =
-      try fs.create(tmp, false)
-      catch { case _: java.io.IOException => onRace }
+    val out = fs.create(tmp, false)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val renamed =
       try fs.rename(tmp, p)
       catch { case _: java.io.IOException => false }
     if (!renamed) {
+      val lost = fs.exists(p)
       fs.delete(tmp, false)
-      onRace
+      if (lost) onRace
+      else throw new IllegalStateException(
+        s"publishing $p failed: rename from $tmp returned false but no " +
+          s"competing file exists — filesystem error, not a commit race " +
+          s"(nothing was committed; the operation can be retried as-is)")
     }
   }
 
@@ -404,14 +411,6 @@ object Store {
   /** Read the live generation of one relation. */
   def read(spark: SparkSession, relRoot: String): DataFrame =
     snapshot(spark, relRoot).df
-
-  /** The relation's partition columns (empty for legacy/unpartitioned
-    * generations) — how layout-preserving maintenance discovers what
-    * to re-apply on rewrite. */
-  def partitionColsOf(spark: SparkSession, relRoot: String): Seq[String] =
-    resolve(spark, relRoot).manifest
-      .map(_.partitionSchema.fields.map(_.name).toSeq)
-      .getOrElse(Nil)
 
   private def manifestDf(
       spark: SparkSession, dataPath: String, files: Seq[FileEntry],
@@ -750,18 +749,22 @@ object Store {
       relRoot: String, m: Manifest,
       statted: Seq[(FileEntry, Seq[String])],
       fs: FileSystem, subPath: Path): Unit = {
-    val expect = m.dataSchema.fields.map(_.name).toSet
+    // case-insensitive, matching Spark's default resolution (and every
+    // other name comparison in this layer): a batch whose column is
+    // merely cased differently reads fine under the pinned schema
+    val expect = m.dataSchema.fields.map(_.name.toLowerCase).toSet
     val pCols = m.partitionSchema.fields.map(_.name).toSeq
     statted.foreach { case (f, names) =>
-      val got = names.toSet
+      val got = names.map(_.toLowerCase).toSet
       if (got != expect) {
         fs.delete(subPath, true)
         throw new IllegalStateException(
           s"append to $relRoot rejected: batch file ${f.rel} carries " +
             s"columns ${names.sorted.mkString("[", ", ", "]")} but the " +
             s"relation's pinned data schema is " +
-            s"${expect.toSeq.sorted.mkString("[", ", ", "]")} — a drifted " +
-            s"batch would be read as silent nulls; fix the writer's schema")
+            s"${m.dataSchema.fields.map(_.name).sorted.mkString("[", ", ", "]")}" +
+            s" — a drifted batch would be read as silent nulls; fix the " +
+            s"writer's schema")
       }
       val pv = partitionValuesOf(f.rel)
       val missing = pCols.filterNot(c =>
@@ -808,7 +811,10 @@ object Store {
     *
     * `partitionCols`/`clusterBy`/`numFiles` shape the new generation
     * exactly as [[create]] — layout-preserving maintenance passes the
-    * same layout the relation was built with (see [[partitionColsOf]]).
+    * same layout the relation was built with (the retire/compact call
+    * sites pass their table's layout literally — deliberately, since a
+    * rewrite is also the legacy-store UPGRADE path, where discovering
+    * the old layout would preserve flatness instead of fixing it).
     * Fence-loser outcomes throw [[RetryableConflictException]]
     * ([[rewriteWithRetry]] is the bounded-replay harness).
     *
@@ -854,17 +860,30 @@ object Store {
       val dirName = f"g-$n1%09d-$uuid8"
       dataPath = new Path(relRoot, dirName)
       writeData(out, dataPath.toString, partitionCols, clusterBy, numFiles)
-      // the fence, rewrite side: anything appended after the snapshot?
-      val lateAppend =
-        if (snap.legacy)
-          legacyFingerprint(spark, snap.gen.dataPath) != snap.fence
-        else
-          (listState(spark, relRoot).markers -- snap.fence).nonEmpty
-      if (lateAppend) throw new RetryableConflictException(
-        s"rewrite of $relRoot aborted: an append landed on generation " +
-          s"${snap.gen.n} after this rewrite's input snapshot was taken — " +
-          s"its rows would be silently absent from generation $n1; replay " +
-          s"the maintenance run against the live generation")
+      // The fence, rewrite side: the marker set at commit must EQUAL
+      // the snapshot's. A marker ADDED since the snapshot is an append
+      // whose rows the fold never saw (committing would silently drop
+      // them). A marker REMOVED since the snapshot is an append that
+      // WITHDREW after its gate-2 saw this rewrite's intent and
+      // reported failure to its caller — but its rows sat in the
+      // snapshot, so committing the fold would serve rows of a batch
+      // whose contract says "replay me": the replay would then
+      // double-apply. Both directions abort loudly and retryably;
+      // while this rewrite's intent exists no OTHER maintenance can
+      // commit, so a vanished fence marker can only mean withdrawal,
+      // never a concurrent sweep.
+      val fenceNow =
+        if (snap.legacy) legacyFingerprint(spark, snap.gen.dataPath)
+        else listState(spark, relRoot).markers
+      if (fenceNow != snap.fence) throw new RetryableConflictException(
+        s"rewrite of $relRoot aborted: the append-marker set changed " +
+          s"after this rewrite's input snapshot was taken (added: " +
+          s"${(fenceNow -- snap.fence).toSeq.sorted.mkString(", ")}; " +
+          s"withdrawn: " +
+          s"${(snap.fence -- fenceNow).toSeq.sorted.mkString(", ")}) — " +
+          s"committing would silently drop a landed batch or double-apply " +
+          s"a withdrawn one; replay the maintenance run against the live " +
+          s"generation")
       val (pSchema, dSchema) = splitSchema(out.schema, partitionCols)
       val files = statWritten(spark, fs, dataPath).map(_._1)
       publishExclusive(fs, new Path(mdir, manifestName(n1)),

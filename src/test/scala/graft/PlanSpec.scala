@@ -205,16 +205,17 @@ class PlanSpec extends GraftSpec {
       s"a shuffled cartesian would not survive any scale-up:\n$p")
   }
 
-  test("persisted bucket store: touched keys prune band partitions dynamically") {
+  test("persisted bucket store: the probe plan evaluates the touched " +
+    "keys ONCE and scans only driver-pruned files") {
     // the serving-path plan of every incremental dedup probe
     // (Dedup.corpusBucketProbe — nearDedupIncremental, the Hamming
     // probe and both append occupancy counts all share it): the
-    // batch's touched (band, bucket) keys must reach the bucket-store
-    // scan as a DYNAMIC partition-pruning filter on the band
-    // partition column, exactly like the IVF-PQ probed-list prune —
-    // never as a post-scan filter, and never as a literal In list.
-    // (Driver-side file pruning additionally skips files INSIDE the
-    // surviving partitions; StoreMaintenanceSpec pins that half.)
+    // batch's touched (band, bucket) keys are collected once; they
+    // prune the scan to O(touched keys) FILES driver-side (stronger
+    // than DPP's partition granularity) and replay as a LOCAL relation
+    // for the exact broadcast semi-join — the distributed touched plan
+    // must not be evaluated a second time for the broadcast, and the
+    // scan must carry only the kept files.
     import graft.operators.Dedup
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
@@ -223,22 +224,61 @@ class PlanSpec extends GraftSpec {
       .toDF("doc_id", "text")
     Dedup.writeSignatureTable(docs, "doc_id", "text", s"$tmp/sig")
     val h = Dedup.openSignatureTable(spark, s"$tmp/sig")
-    // a probe-shaped touched relation: distinct over a CACHED batch,
-    // as the production path derives it (batchBuckets is persisted —
-    // over a bare LocalRelation the optimizer would constant-fold
-    // corpusBucketProbe's band-invariant filter away and the fixture
-    // would stop resembling the serving plan)
     val touched = (1L to 3L)
       .map(i => (i.toInt % 16, i * 7919L)).toDF("band", "bucket")
       .persist()
       .distinct()
+    val probe = Dedup.corpusBucketProbe(h.bucketsSnap, touched)
+    val p = probe.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LocalTableScan"),
+      s"the collected keys must replay as a local relation (one " +
+        s"evaluation of the touched plan), not re-run distributed:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val plan0 = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val scanned = plan0.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }
+    val total = h.bucketsSnap.files.size.toLong
+    assert(scanned.nonEmpty && scanned.head < total,
+      s"the probe scan must carry only driver-pruned files " +
+        s"(${scanned.headOption} of $total)")
+  }
+
+  test("persisted bucket store: the over-budget fallback keeps the " +
+    "dynamic band-partition prune") {
+    // probes touching more keys than MaxProbeKeys skip the driver-side
+    // collect — there the scan-side bound is Catalyst's DPP on the
+    // band partition column, planned through the broadcast semi-join's
+    // restated band-invariant filter (never a post-scan filter, never
+    // a literal In list)
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dppf_").toString
+    val docs = (1L to 40L)
+      .map(i => (i, s"fresh document u$i payload p$i q$i extra e$i"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureTable(docs, "doc_id", "text", s"$tmp/sig")
+    val h = Dedup.openSignatureTable(spark, s"$tmp/sig")
+    import org.apache.spark.sql.functions.col
+    val touched = spark.range(Dedup.MaxProbeKeys + 64L)
+      .select((col("id") % 16).cast("int").as("band"),
+        (col("id") * 7919L).as("bucket"))
+      .persist()
+      .distinct()
     val p = Dedup.corpusBucketProbe(h.bucketsSnap, touched)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    touched.unpersist(blocking = false)
     val pf = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
     assert(pf.exists(l => l.contains("band") &&
         l.contains("dynamicpruningexpression")),
-      s"touched keys must reach the bucket scan as a dynamic " +
-        s"partition-pruning filter on band; saw: $pf\n$p")
+      s"over-budget probes must still reach the bucket scan as a " +
+        s"dynamic partition-pruning filter on band; saw: $pf\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 

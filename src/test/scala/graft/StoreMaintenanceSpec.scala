@@ -390,8 +390,9 @@ class StoreMaintenanceSpec extends GraftSpec {
     val ex = intercept[IllegalStateException] {
       Store.rewrite(snap, snap.df, numFiles = 1)
     }
-    assert(ex.getMessage.contains("append landed"),
-      s"the rewrite must name the late append: ${ex.getMessage}")
+    assert(ex.getMessage.contains("marker set changed") &&
+      ex.getMessage.contains("added: a-"),
+      s"the rewrite must name the late append's marker: ${ex.getMessage}")
     // nothing was lost and nothing committed: still generation 1,
     // with both rows
     assert(Store.currentGen(spark, rel).n == 1L)
@@ -684,8 +685,17 @@ class StoreMaintenanceSpec extends GraftSpec {
       s"drifted append must name the schema fence: ${ex.getMessage}")
     assert(Store.read(spark, rel).count() == 1L,
       "the rejected batch is not served")
-    assert(parquetFiles(rel) == Store.partFileCount(spark, rel),
-      "the rejected batch's files were removed")
+    // count files ON DISK (not via the manifest, which never listed
+    // the batch): the rejected batch's directory must be gone
+    val onDisk = {
+      val root = new java.io.File(rel)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(root)
+    }
+    assert(onDisk == Store.partFileCount(spark, rel),
+      s"the rejected batch's files were removed ($onDisk on disk)")
     // a conforming append then lands normally
     Store.append(spark, rel) { d =>
       Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(d)
@@ -815,6 +825,40 @@ class StoreMaintenanceSpec extends GraftSpec {
       assert(got == want,
         s"predicate #$i ($p): pruned store answered $got, oracle $want")
     }
+  }
+
+  test("rewrite aborts when a fence marker was WITHDRAWN after the " +
+    "snapshot (double-apply guard)") {
+    // the other direction of the fence: an append published its
+    // marker, this rewrite snapshotted it (rows in the fold), then the
+    // append's gate-2 saw the intent, withdrew and reported failure —
+    // its caller WILL replay the batch. Committing the fold would
+    // serve the withdrawn rows AND their replay. The commit-time
+    // marker set must therefore equal the snapshot's exactly.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wdrw_").toString
+    val rel = s"$dir/rel"
+    Store.create(Seq((0L, "base")).toDF("id", "v"), rel)
+    Store.append(spark, rel) { d =>
+      Seq((1L, "v1")).toDF("id", "v").write.mode("append").parquet(d)
+    }
+    val snap = Store.snapshot(spark, rel)
+    assert(snap.fence.size == 1, "fixture: one marker in the fence")
+    // simulate the withdrawal landing between snapshot and commit
+    val mdir = new java.io.File(s"$rel/_manifests")
+    val marker = mdir.listFiles().filter(_.getName.startsWith("a-")).head
+    assert(marker.delete())
+    val ex = intercept[Store.RetryableConflictException] {
+      Store.rewrite(snap, snap.df, numFiles = 1)
+    }
+    assert(ex.getMessage.contains("withdrawn"),
+      s"must name the withdrawn marker: ${ex.getMessage}")
+    // the replayed batch + a fresh rewrite then converge normally
+    Store.append(spark, rel) { d =>
+      Seq((1L, "v1")).toDF("id", "v").write.mode("append").parquet(d)
+    }
+    Store.rewriteWithRetry(spark, rel, numFiles = 1)(s => s.df)
+    assert(Store.read(spark, rel).as[(Long, String)].collect().toSet ==
+      Set((0L, "base"), (1L, "v1")))
   }
 
   test("concurrent appenders: every batch lands, none clobbered") {
