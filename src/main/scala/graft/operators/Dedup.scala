@@ -1518,6 +1518,14 @@ object Dedup {
     * Caller contract: id spaces disjoint (as in the reference form) and
     * the batch small enough to broadcast its bucket keys.
     *
+    * EAGER: this call RUNS Spark jobs before returning (the touched-key
+    * collect that drives file pruning, and the survivor materialization
+    * that cuts lineage from the store relations) — the returned frame
+    * is a stable materialized result, not a reusable lazy plan.
+    * Failures surface at call time, and the store view is frozen at
+    * the call, not at the first action on the result. Same for
+    * [[hammingNearDupsIncremental]] and the appendTo* family.
+    *
     * @return the surviving rows of `incoming` (original columns) */
   def nearDedupIncremental(
       spark: org.apache.spark.sql.SparkSession, sigTablePath: String,
@@ -2017,7 +2025,11 @@ object Dedup {
     * 2·nBands − 1 — beyond the plain banding's nBands − 1 guarantee —
     * at ~(64/nBands + 1)× the probe keys and the store not a byte
     * bigger. A radius past the plain guarantee without multiProbe
-    * fails loudly rather than returning silently-incomplete matches. */
+    * fails loudly rather than returning silently-incomplete matches.
+    *
+    * EAGER ([[nearDedupIncremental]]'s contract): the touched-key
+    * collect runs at call time, so the result is not a reusable lazy
+    * plan and the store view freezes when the function is called. */
   def hammingNearDupsIncremental(
       spark: org.apache.spark.sql.SparkSession, path: String,
       incoming: DataFrame, idCol: String, sigCol: String,
@@ -2244,9 +2256,13 @@ object Dedup {
     * reference's Index has no delete: csvplus.go:655 persists a frozen
     * lookup; a standing ingest store additionally needs retirement).
     * Every `sigs` and `buckets` row whose id is in `retired` is
-    * dropped and both relations rewrite via [[Store.rewrite]] (new
-    * generation + atomic manifest flip — no rename, no headless
-    * window); later batches no longer dedup against the retired
+    * dropped and both relations rewrite via [[Store.rewriteWithRetry]]
+    * (new generation + atomic manifest flip — no rename, no headless
+    * window — with bounded replay: a retire racing a stream of
+    * appends re-derives from a fresh snapshot and converges instead
+    * of surfacing the fence conflict to the operator; takedown runs
+    * on production cadence, so the safe path is the default path);
+    * later batches no longer dedup against the retired
     * documents, and the freed bucket headroom is reusable by later
     * appends (the occupancy count in [[appendToSignatureTable]] reads
     * live rows). The retirement ids are resolved against the store's
@@ -2282,20 +2298,23 @@ object Dedup {
   def retireFromSignatureTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val sigSnap = Store.snapshot(spark, sigTableSigs(path))
-    val sigs = sigSnap.df
-    val ids = Store.retireIds(sigs, "id", retired, idCol)
-    val removed = sigs.join(broadcast(ids), Seq("id"), "left_semi").count()
+    val ids = Store.retireIds(
+      Store.read(spark, sigTableSigs(path)), "id", retired, idCol)
     // layout-preserving rewrites: sigs stay id-clustered, buckets stay
     // band-partitioned + bucket-clustered, so probe file-skipping
-    // survives the takedown (legacy flat stores upgrade here)
-    Store.rewrite(sigSnap,
-      sigs.join(broadcast(ids), Seq("id"), "left_anti"), numFiles,
-      clusterBy = Seq("id"))
-    val bktSnap = Store.snapshot(spark, sigTableBuckets(path))
-    Store.rewrite(bktSnap,
-      bktSnap.df.join(broadcast(ids), Seq("id"), "left_anti"), numFiles,
-      partitionCols = Seq("band"), clusterBy = Seq("bucket"))
+    // survives the takedown (legacy flat stores upgrade here); the
+    // removed count is taken inside the replay loop so it reflects the
+    // snapshot the commit actually applied to
+    var removed = 0L
+    Store.rewriteWithRetry(spark, sigTableSigs(path), numFiles,
+      clusterBy = Seq("id")) { snap =>
+      removed = snap.df.join(broadcast(ids), Seq("id"), "left_semi").count()
+      snap.df.join(broadcast(ids), Seq("id"), "left_anti")
+    }
+    Store.rewriteWithRetry(spark, sigTableBuckets(path), numFiles,
+      partitionCols = Seq("band"), clusterBy = Seq("bucket")) { snap =>
+      snap.df.join(broadcast(ids), Seq("id"), "left_anti")
+    }
     removed
   }
 
@@ -2314,14 +2333,16 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    val sigSnap = Store.snapshot(spark, sigTableSigs(path))
-    Store.rewrite(sigSnap, sigSnap.df, numFiles, clusterBy = Seq("id"))
-    val bktSnap = Store.snapshot(spark, sigTableBuckets(path))
-    Store.rewrite(bktSnap,
-      bktSnap.df
+    Store.rewriteWithRetry(spark, sigTableSigs(path), numFiles,
+      clusterBy = Seq("id"))(_.df)
+    Store.rewriteWithRetry(spark, sigTableBuckets(path), numFiles,
+      partitionCols = Seq("band"), clusterBy = Seq("bucket")) { snap =>
+      // the live-sig read happens INSIDE the replay loop, so each
+      // attempt sweeps against the sig generation current at that point
+      snap.df
         .join(Store.read(spark, sigTableSigs(path)).select(col("id")),
-          Seq("id"), "left_semi"),
-      numFiles, partitionCols = Seq("band"), clusterBy = Seq("bucket"))
+          Seq("id"), "left_semi")
+    }
   }
 
   /** [[retireFromSignatureTable]] for a persisted Hamming table (one
@@ -2330,14 +2351,15 @@ object Dedup {
   def retireFromHammingTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val snap = Store.snapshot(spark, hamTableBuckets(path))
-    val buckets = snap.df
-    val ids = Store.retireIds(buckets, "id", retired, idCol)
-    val removed = buckets.join(broadcast(ids), Seq("id"), "left_semi")
-      .select(col("id")).distinct().count()
-    Store.rewrite(snap,
-      buckets.join(broadcast(ids), Seq("id"), "left_anti"), numFiles,
-      partitionCols = Seq("band"), clusterBy = Seq("bucket"))
+    val ids = Store.retireIds(
+      Store.read(spark, hamTableBuckets(path)), "id", retired, idCol)
+    var removed = 0L
+    Store.rewriteWithRetry(spark, hamTableBuckets(path), numFiles,
+      partitionCols = Seq("band"), clusterBy = Seq("bucket")) { snap =>
+      removed = snap.df.join(broadcast(ids), Seq("id"), "left_semi")
+        .select(col("id")).distinct().count()
+      snap.df.join(broadcast(ids), Seq("id"), "left_anti")
+    }
     removed
   }
 
@@ -2346,9 +2368,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    val snap = Store.snapshot(spark, hamTableBuckets(path))
-    Store.rewrite(snap, snap.df, numFiles,
-      partitionCols = Seq("band"), clusterBy = Seq("bucket"))
+    Store.rewriteWithRetry(spark, hamTableBuckets(path), numFiles,
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"))(_.df)
   }
 
   /** One-row operational summary of a persisted signature table — the
@@ -2791,8 +2812,7 @@ object Dedup {
   def retireFromParagraphTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, colName: String, numFiles: Int = 0): Long = {
-    val snap = Store.snapshot(spark, paraTableHashes(path))
-    val stored = snap.df
+    val stored = Store.read(spark, paraTableHashes(path))
     val ids = retired.schema(colName).dataType match {
       case org.apache.spark.sql.types.StringType =>
         val sep = spark.read.parquet(paraTableMeta(path))
@@ -2812,10 +2832,12 @@ object Dedup {
         Store.retireIds(stored, "h", retired, colName)
           .select(col("id").as("h"))
     }
-    val removed = stored.join(broadcast(ids), Seq("h"), "left_semi").count()
-    Store.rewrite(snap,
-      stored.join(broadcast(ids), Seq("h"), "left_anti"), numFiles,
-      clusterBy = Seq("h"))
+    var removed = 0L
+    Store.rewriteWithRetry(spark, paraTableHashes(path), numFiles,
+      clusterBy = Seq("h")) { snap =>
+      removed = snap.df.join(broadcast(ids), Seq("h"), "left_semi").count()
+      snap.df.join(broadcast(ids), Seq("h"), "left_anti")
+    }
     removed
   }
 
@@ -2833,8 +2855,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    val snap = Store.snapshot(spark, paraTableHashes(path))
-    Store.rewrite(snap, snap.df.distinct(), numFiles, clusterBy = Seq("h"))
+    Store.rewriteWithRetry(spark, paraTableHashes(path), numFiles,
+      clusterBy = Seq("h"))(_.df.distinct())
   }
 
   /** One-row operational summary of a persisted paragraph table (the

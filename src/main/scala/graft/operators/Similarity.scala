@@ -791,12 +791,13 @@ object Similarity {
   def retireFromPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val snap = Store.snapshot(spark, s"$path/codes")
-    val codes = snap.df
-    val ids = Store.retireIds(codes, "id", retired, idCol)
-    val removed = codes.join(broadcast(ids), Seq("id"), "left_semi").count()
-    Store.rewrite(snap,
-      codes.join(broadcast(ids), Seq("id"), "left_anti"), numFiles)
+    val ids = Store.retireIds(
+      Store.read(spark, s"$path/codes"), "id", retired, idCol)
+    var removed = 0L
+    Store.rewriteWithRetry(spark, s"$path/codes", numFiles) { snap =>
+      removed = snap.df.join(broadcast(ids), Seq("id"), "left_semi").count()
+      snap.df.join(broadcast(ids), Seq("id"), "left_anti")
+    }
     removed
   }
 
@@ -807,8 +808,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    val snap = Store.snapshot(spark, s"$path/codes")
-    Store.rewrite(snap, snap.df, numFiles)
+    Store.rewriteWithRetry(spark, s"$path/codes", numFiles)(_.df)
   }
 
   // ───────── persisted IVF-PQ index (partition-pruned inverted lists) ─────────
@@ -949,13 +949,14 @@ object Similarity {
   def retireFromIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val snap = Store.snapshot(spark, s"$path/codes")
-    val codes = snap.df
-    val ids = Store.retireIds(codes, "id", retired, idCol)
-    val removed = codes.join(broadcast(ids), Seq("id"), "left_semi").count()
-    Store.rewrite(snap,
-      codes.join(broadcast(ids), Seq("id"), "left_anti"), numFiles,
-      partitionCols = Seq("centroid_id"))
+    val ids = Store.retireIds(
+      Store.read(spark, s"$path/codes"), "id", retired, idCol)
+    var removed = 0L
+    Store.rewriteWithRetry(spark, s"$path/codes", numFiles,
+      partitionCols = Seq("centroid_id")) { snap =>
+      removed = snap.df.join(broadcast(ids), Seq("id"), "left_semi").count()
+      snap.df.join(broadcast(ids), Seq("id"), "left_anti")
+    }
     removed
   }
 
@@ -965,9 +966,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
-    val snap = Store.snapshot(spark, s"$path/codes")
-    Store.rewrite(snap, snap.df, numFiles,
-      partitionCols = Seq("centroid_id"))
+    Store.rewriteWithRetry(spark, s"$path/codes", numFiles,
+      partitionCols = Seq("centroid_id"))(_.df)
   }
 
   /** One-row operational summary of a persisted PQ index

@@ -263,12 +263,22 @@ object Store {
     * sat in the rewrite fence (so the rewrite did not abort) while its
     * rows were absent from the fold — a committed silent loss the
     * raced StoreMaintenanceSpec reproduced under full-suite load.
-    * Rename-onto-existing fails without clobbering on HDFS and on the
-    * checksummed local FS (verified), so the loser path keeps the
-    * exclusive-create contract. Object stores without atomic rename
-    * need a real commit service behind this seam. Intent files stay on
-    * [[writeExclusive]]: they are empty and name-only, no torn-content
-    * window exists for them. */
+    *
+    * FILESYSTEM REQUIREMENT: the loser-fails contract needs rename to
+    * FAIL (without clobbering) when the destination already exists.
+    * HDFS and the checksummed local FS (`ChecksumFileSystem`, what
+    * `file://` resolves to through `LocalFileSystem`) both refuse —
+    * but a bare `RawLocalFileSystem` is a POSIX rename and silently
+    * REPLACES the destination, and object stores have no atomic
+    * rename at all; both need a real commit service behind this seam
+    * ([[StoreCommit]]). The `fs.exists` probe before the rename is a
+    * best-effort belt on such filesystems — it restores the detection
+    * level of the exclusive-create protocol this replaced (an
+    * already-published competitor is seen and the loser fails loudly)
+    * and shrinks the undetected window to a sub-millisecond race, but
+    * it is NOT a substitute for the non-clobbering primitive. Intent
+    * files stay on [[writeExclusive]]: they are empty and name-only,
+    * no torn-content window exists for them. */
   private def publishExclusive(
       fs: FileSystem, p: Path, content: String)(onRace: => Nothing): Unit = {
     // the uuid tmp name never collides, so an IOException HERE is a
@@ -279,6 +289,7 @@ object Store {
     val out = fs.create(tmp, false)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) { fs.delete(tmp, false); onRace }
     val renamed =
       try fs.rename(tmp, p)
       catch { case _: java.io.IOException => false }
@@ -366,13 +377,32 @@ object Store {
 
   /** Resolve the live generation of one relation: the highest-numbered
     * manifest file wins. Fails loudly when the relation does not exist
-    * (no manifest directory or no manifest file). */
+    * (no manifest directory or no manifest file). Reads the listing
+    * plus ONE manifest file — never the append markers' contents
+    * (which only [[snapshot]]/[[partFileCount]] consume); on an object
+    * store that is one GET however many batches have landed. Retries
+    * a manifest that vanishes between the listing and its read (a
+    * committed rewrite sweeping superseded manifests), same as
+    * [[resolve]]. */
   def currentGen(spark: SparkSession, relRoot: String): Gen = {
-    val r = resolve(spark, relRoot)
-    r.manifest match {
-      case Some(m) => Gen(r.st.n, s"$relRoot/${m.dirName}")
-      case None => Gen(r.st.n, legacyGenPath(relRoot, r.st.n))
+    var attempts = 0
+    var lastMiss: java.io.FileNotFoundException = null
+    while (attempts < 4) {
+      attempts += 1
+      val st = listState(spark, relRoot)
+      try {
+        return loadManifest(spark, relRoot, st.n) match {
+          case Some(m) => Gen(st.n, s"$relRoot/${m.dirName}")
+          case None => Gen(st.n, legacyGenPath(relRoot, st.n))
+        }
+      } catch {
+        case e: java.io.FileNotFoundException => lastMiss = e
+      }
     }
+    throw new IllegalStateException(
+      s"store resolution at $relRoot kept racing concurrent maintenance: " +
+        s"the listed manifest vanished on $attempts consecutive attempts — " +
+        s"if no writer is active, the manifest directory is damaged", lastMiss)
   }
 
   /** Resolve a read snapshot: the generation, its fence state, and a

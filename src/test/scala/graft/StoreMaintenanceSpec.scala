@@ -785,6 +785,57 @@ class StoreMaintenanceSpec extends GraftSpec {
         s"races, got $served")
   }
 
+  test("retire/compact racing an append stream converge with no " +
+    "caller-visible conflict and every row accounted") {
+    // takedown runs at PRODUCTION cadence, not in a maintenance window
+    // — the maintenance entry points route through rewriteWithRetry,
+    // so a retire racing continuous ingest must replay internally and
+    // never surface RetryableConflictException to the operator. The
+    // ingest side keeps the documented replay-on-conflict contract.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret_race_").toString
+    Dedup.writeSignatureTable(freshDocs(1L to 12L, 0L), "doc_id", "text",
+      s"$dir/sig", shingleLen = 3, numPerm = 64, bands = 16)
+    val appender = Future {
+      (1 to 5).foreach { i =>
+        var done = false
+        var tries = 0
+        while (!done) {
+          try {
+            Dedup.appendToSignatureTable(spark, s"$dir/sig",
+              freshDocs(Seq(100L + i), 0L), "doc_id", "text")
+            done = true
+          } catch {
+            case _: Store.RetryableConflictException =>
+              tries += 1
+              assert(tries < 100, s"append $i starved")
+              Thread.sleep(20)
+          }
+        }
+      }
+    }
+    // maintenance side on the main thread: any fence conflict with the
+    // live stream replays inside rewriteWithRetry — an exception here
+    // fails the test, which IS the assertion
+    val removed = Dedup.retireFromSignatureTable(spark, s"$dir/sig",
+      Seq(2L, 4L).toDF("doc_id"), "doc_id")
+    assert(removed == 2L)
+    Dedup.compactSignatureTable(spark, s"$dir/sig", numFiles = 2)
+    Await.result(appender, 600.seconds)
+    // every successfully-appended doc present, every retired doc gone
+    // (set compare: an ingest-side replay whose first half landed may
+    // legally leave a duplicate sig row — harmless per the append
+    // contract, restored to unique by the next compaction's sweep)
+    val sigIds = Store.read(spark, s"$dir/sig/sigs")
+      .select("id").as[Long].collect().toSet
+    val expect = ((1L to 12L).toSet -- Set(2L, 4L)) ++
+      (1 to 5).map(i => 100L + i)
+    assert(sigIds == expect,
+      s"store must hold exactly the survivors + appends, got $sigIds")
+  }
+
   test("manifest-stat file skipping is exact under 80 seeded random " +
     "predicates (plain-parquet oracle)") {
     // the conservative-superset contract: pruning may only DROP files
