@@ -52,8 +52,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * manifest/marker — never a recursive walk of the data directories
   * ([[ManifestFileIndex]] serves the scan's file index with zero
   * filesystem calls, and partition pruning / DPP work unchanged). The
-  * per-file [min,max] stats (top-level int/long columns, read from the
-  * parquet footers the writer just produced) buy Iceberg-style FILE
+  * per-file [min,max] stats (top-level int/long columns exact, string
+  * columns UTF-8-truncated Iceberg-style — both read from the parquet
+  * footers the writer just produced) buy Iceberg-style FILE
   * SKIPPING on top: a static key-range filter prunes files inside
   * [[ManifestFileIndex.listFiles]], and a runtime key set (an
   * incremental-dedup batch's touched bucket keys) prunes files through
@@ -170,20 +171,39 @@ object Store {
       dirName: String, partitionSchema: StructType, dataSchema: StructType,
       files: Seq[FileEntry])
 
-  private def renderStats(stats: Map[String, (Long, Long)]): String =
-    stats.toSeq.sortBy(_._1)
+  /** Stat entries: integral columns as `enc(col):min:max` (3 fields),
+    * string columns as `enc(col):s:enc(min):enc(max)` (4 fields, `s`
+    * tag) — URL-encoding removes `:`/`;` from names and values, so the
+    * two shapes parse unambiguously and legacy 3-field manifests read
+    * unchanged. */
+  private def renderStats(
+      stats: Map[String, (Long, Long)],
+      strStats: Map[String, (String, String)]): String = {
+    val ints = stats.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"${enc(c)}:$mn:$mx" }
-      .mkString(";")
+    val strs = strStats.toSeq.sortBy(_._1)
+      .map { case (c, (mn, mx)) => s"${enc(c)}:s:${enc(mn)}:${enc(mx)}" }
+    (ints ++ strs).mkString(";")
+  }
 
-  private def parseStats(s: String): Map[String, (Long, Long)] =
-    s.split(';').iterator.filter(_.nonEmpty).map { part =>
-      val ps = part.split(':')
-      (dec(ps(0)), (ps(1).toLong, ps(2).toLong))
-    }.toMap
+  private def parseStats(
+      s: String): (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+    val ints = Map.newBuilder[String, (Long, Long)]
+    val strs = Map.newBuilder[String, (String, String)]
+    s.split(';').iterator.filter(_.nonEmpty).foreach { part =>
+      // limit -1 keeps trailing empty fields (an empty-string bound)
+      val ps = part.split(":", -1)
+      if (ps.length == 4 && ps(1) == "s")
+        strs += ((dec(ps(0)), (dec(ps(2)), dec(ps(3)))))
+      else ints += ((dec(ps(0)), (ps(1).toLong, ps(2).toLong)))
+    }
+    (ints.result(), strs.result())
+  }
 
   private def renderFileLine(f: FileEntry): String = {
     val base = s"f\t${enc(f.rel)}\t${f.size}"
-    if (f.stats.isEmpty) base else s"$base\t${renderStats(f.stats)}"
+    if (f.stats.isEmpty && f.strStats.isEmpty) base
+    else s"$base\t${renderStats(f.stats, f.strStats)}"
   }
 
   private def renderManifest(
@@ -215,8 +235,10 @@ object Store {
   private def parseFileLines(content: String): Seq[FileEntry] =
     content.linesIterator.filter(_.startsWith("f\t")).map { l =>
       val parts = l.split('\t')
-      FileEntry(dec(parts(1)), parts(2).toLong,
-        if (parts.length > 3) parseStats(parts(3)) else Map.empty)
+      val (ints, strs) =
+        if (parts.length > 3) parseStats(parts(3))
+        else (Map.empty[String, (Long, Long)], Map.empty[String, (String, String)])
+      FileEntry(dec(parts(1)), parts(2).toLong, ints, strs)
     }.toSeq
 
   /** `where` names the manifest file in the corrupt-manifest error: a
@@ -540,15 +562,63 @@ object Store {
   }
 
   /** One file's footer summary: per-column [min,max] over its non-null
-    * values (top-level INT32/INT64 columns only — every store key is
-    * integral; strings would need truncation-safety machinery for no
-    * current caller) plus the footer's top-level field names (the
-    * append-time schema-drift check). A column whose statistics are
-    * MISSING in any row group is omitted entirely (unknown values may
-    * hide there); a row group that is merely all-null for the column
-    * contributes no non-null values and cannot widen the bound. */
+    * values (top-level INT32/INT64 columns exact; top-level STRING
+    * columns as truncation-safe inclusive bounds — see
+    * [[truncLowerBound]]/[[truncUpperBound]]) plus the footer's
+    * top-level field names (the append-time schema-drift check). A
+    * column whose statistics are MISSING in any row group is omitted
+    * entirely (unknown values may hide there); a row group that is
+    * merely all-null for the column contributes no non-null values and
+    * cannot widen the bound. */
   private final case class FooterInfo(
-      stats: Map[String, (Long, Long)], fieldNames: Seq[String])
+      stats: Map[String, (Long, Long)],
+      strStats: Map[String, (String, String)],
+      fieldNames: Seq[String])
+
+  /** Manifest string bounds are truncated to this many code points —
+    * Iceberg's default; long url/document keys stay prunable without
+    * bloating the manifest. */
+  private val StrBoundLen = 16
+
+  /** Lower bound: the min's first [[StrBoundLen]]-code-point prefix —
+    * a prefix is ≤ the original in UTF-8 binary order, so the bound
+    * stays valid (inclusive) for every value in the file. */
+  private def truncLowerBound(s: String): String =
+    if (s.codePointCount(0, s.length) <= StrBoundLen) s
+    else s.substring(0, s.offsetByCodePoints(0, StrBoundLen))
+
+  /** Upper bound: the max's prefix with its LAST code point
+    * incremented (skipping the unencodable surrogate gap) — every
+    * string sharing the prefix is strictly below the incremented form,
+    * so it is a valid inclusive upper bound. Positions that cannot
+    * increment (U+10FFFF) retreat left; a prefix of all-U+10FFFF
+    * yields None and the column is left unbounded (file kept). */
+  private def truncUpperBound(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= StrBoundLen) return Some(s)
+    var prefix = s.substring(0, s.offsetByCodePoints(0, StrBoundLen))
+    while (prefix.nonEmpty) {
+      val last = prefix.codePointBefore(prefix.length)
+      val cut = prefix.length - Character.charCount(last)
+      if (last < Character.MAX_CODE_POINT) {
+        val next =
+          if (last + 1 >= Character.MIN_SURROGATE.toInt &&
+            last + 1 <= Character.MAX_SURROGATE.toInt) 0xE000
+          else last + 1
+        return Some(prefix.substring(0, cut) +
+          new String(Character.toChars(next)))
+      }
+      prefix = prefix.substring(0, cut)
+    }
+    None
+  }
+
+  /** UTF-8 binary order over raw stat bytes — Spark's own string
+    * ordering (and the order parquet computes binary stats in);
+    * `String.compareTo` is UTF-16 code-unit order and diverges on
+    * supplementary characters. */
+  private def utf8Compare(a: Array[Byte], b: Array[Byte]): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromBytes(b))
 
   private def readFooterInfo(
       conf: org.apache.hadoop.conf.Configuration, file: Path): FooterInfo = {
@@ -560,12 +630,21 @@ object Store {
       val schema = footer.getFileMetaData.getSchema
       val names = schema.getFields.asScala.map(_.getName).toSeq
       val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+      val strAcc =
+        scala.collection.mutable.Map[String, (Array[Byte], Array[Byte])]()
       val unknown = scala.collection.mutable.Set[String]()
       footer.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { chunk =>
           val path = chunk.getPath.toArray
           if (path.length == 1) {
             val name = path(0)
+            val ptype = chunk.getPrimitiveType
+            val isString = ptype.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType
+                .PrimitiveTypeName.BINARY &&
+              ptype.getLogicalTypeAnnotation.isInstanceOf[
+                org.apache.parquet.schema.LogicalTypeAnnotation
+                  .StringLogicalTypeAnnotation]
             val s = chunk.getStatistics
             val bound: Option[(Long, Long)] = s match {
               case null => unknown += name; None
@@ -577,6 +656,18 @@ object Store {
                 if (is.hasNonNullValue)
                   Some((is.getMin.toLong, is.getMax.toLong))
                 else None
+              case bs: org.apache.parquet.column.statistics.BinaryStatistics
+                  if !bs.isEmpty && isString =>
+                if (bs.hasNonNullValue) {
+                  val (mn, mx) = (bs.getMinBytes, bs.getMaxBytes)
+                  strAcc(name) = strAcc.get(name) match {
+                    case Some((cmn, cmx)) =>
+                      (if (utf8Compare(mn, cmn) < 0) mn else cmn,
+                        if (utf8Compare(mx, cmx) > 0) mx else cmx)
+                    case None => (mn, mx)
+                  }
+                }
+                None
               case other
                   if other.isEmpty &&
                     (chunk.getPrimitiveType.getPrimitiveTypeName ==
@@ -584,7 +675,8 @@ object Store {
                         .PrimitiveTypeName.INT64 ||
                       chunk.getPrimitiveType.getPrimitiveTypeName ==
                         org.apache.parquet.schema.PrimitiveType
-                          .PrimitiveTypeName.INT32) =>
+                          .PrimitiveTypeName.INT32 ||
+                      isString) =>
                 unknown += name; None
               case _ => None
             }
@@ -598,8 +690,19 @@ object Store {
           }
         }
       }
-      unknown.foreach(acc.remove)
-      FooterInfo(acc.toMap, names)
+      unknown.foreach { n => acc.remove(n); strAcc.remove(n) }
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val strStats = strAcc.iterator.flatMap { case (name, (mnB, mxB)) =>
+        val mn = new String(mnB, utf8)
+        val mx = new String(mxB, utf8)
+        // round-trip check: non-UTF-8 bytes masquerading as a string
+        // would corrupt the bound through replacement characters —
+        // omit the column (file kept) instead of mis-pruning
+        if (!java.util.Arrays.equals(mn.getBytes(utf8), mnB) ||
+          !java.util.Arrays.equals(mx.getBytes(utf8), mxB)) None
+        else truncUpperBound(mx).map(u => name -> (truncLowerBound(mn), u))
+      }.toMap
+      FooterInfo(acc.toMap, strStats, names)
     } finally reader.close()
   }
 
@@ -619,7 +722,7 @@ object Store {
         pool.submit(new java.util.concurrent.Callable[(FileEntry, Seq[String])] {
           override def call(): (FileEntry, Seq[String]) = {
             val info = readFooterInfo(conf, new Path(dir, rel))
-            (FileEntry(rel, size, info.stats), info.fieldNames)
+            (FileEntry(rel, size, info.stats, info.strStats), info.fieldNames)
           }
         })
       }

@@ -12,11 +12,17 @@ import org.apache.spark.unsafe.types.UTF8String
 object ManifestFileIndex {
   /** One committed file of a store generation: its path relative to
     * the generation directory, its size, and optional per-column
-    * `[min, max]` bounds over the file's NON-NULL values (top-level
-    * INT32/INT64 columns, read from the parquet footer at commit
-    * time by `graft.operators.Store`). */
+    * `[min, max]` bounds over the file's NON-NULL values, read from
+    * the parquet footer at commit time by `graft.operators.Store` —
+    * `stats` for top-level INT32/INT64 columns (exact bounds),
+    * `strStats` for top-level STRING columns (INCLUSIVE bounds under
+    * UTF-8 binary order, truncated Iceberg-style: the lower bound is
+    * the min truncated to a code-point prefix, the upper bound the
+    * max truncated then incremented at its last code point — both
+    * remain valid inclusive bounds for every value in the file). */
   final case class FileEntry(
-      rel: String, size: Long, stats: Map[String, (Long, Long)])
+      rel: String, size: Long, stats: Map[String, (Long, Long)],
+      strStats: Map[String, (String, String)] = Map.empty)
 }
 
 /** A [[FileIndex]] served entirely from an already-loaded manifest —
@@ -56,16 +62,17 @@ final class ManifestFileIndex(
     files: Seq[ManifestFileIndex.FileEntry],
     override val partitionSchema: StructType) extends FileIndex {
 
-  private val hasAnyStats = files.exists(_.stats.nonEmpty)
+  private val hasAnyStats =
+    files.exists(f => f.stats.nonEmpty || f.strStats.nonEmpty)
 
   private val partitions
-      : Seq[(InternalRow, Seq[(FileStatus, Map[String, (Long, Long)])])] = {
+      : Seq[(InternalRow, Seq[(FileStatus, ManifestFileIndex.FileEntry)])] = {
     files
       .map { f =>
         (partitionValuesOf(f.rel),
           (new FileStatus(
             f.size, false, 1, 134217728L, 0L, new Path(basePath, f.rel)),
-            f.stats))
+            f))
       }
       .groupBy(_._1)
       .toSeq
@@ -121,71 +128,125 @@ final class ManifestFileIndex(
     case _ => None
   }
 
-  private def statsOf(
-      name: String,
-      stats: Map[String, (Long, Long)]): Option[(Long, Long)] =
-    stats.get(name).orElse(stats.collectFirst {
+  private def litStr(e: Expression): Option[UTF8String] = e match {
+    case Literal(v: UTF8String, StringType) => Some(v)
+    case _ => None
+  }
+
+  private def lookIC[V](name: String, m: Map[String, V]): Option[V] =
+    m.get(name).orElse(m.collectFirst {
       case (k, v) if k.equalsIgnoreCase(name) => v
     })
 
+  private def statsOf(
+      name: String,
+      stats: Map[String, (Long, Long)]): Option[(Long, Long)] =
+    lookIC(name, stats)
+
+  private type Entry = ManifestFileIndex.FileEntry
+
   /** Conservative "may the predicate hold for some row of this file"
     * — `true` whenever the expression shape or the file's stats can't
-    * prove otherwise. */
-  private def mayMatch(
-      e: Expression, stats: Map[String, (Long, Long)]): Boolean = e match {
-    case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
-    case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
+    * prove otherwise. Integral columns compare against exact [min,max]
+    * bounds; string columns against the manifest's truncation-safe
+    * INCLUSIVE bounds under UTF-8 binary order ([[UTF8String]]'s
+    * comparator — Spark's own string ordering and the order parquet
+    * binary stats are computed in; `java.lang.String` comparison is
+    * UTF-16 code-unit order and diverges on supplementary characters,
+    * so it is never used here). The check shapes are IDENTICAL across
+    * the two type families: only the ordering differs, and truncation
+    * only ever WIDENS the string interval, which keeps every decision
+    * conservative. */
+  private def mayMatch(e: Expression, f: Entry): Boolean = e match {
+    case And(l, r) => mayMatch(l, f) && mayMatch(r, f)
+    case Or(l, r) => mayMatch(l, f) || mayMatch(r, f)
     case EqualTo(a: AttributeReference, v) =>
-      bound(a, stats, litLong(v))((mn, mx, x) => mn <= x && x <= mx)
+      cmp(a, f, v)((mnx, mxx) => mnx <= 0 && mxx >= 0)
     case EqualTo(v, a: AttributeReference) =>
-      bound(a, stats, litLong(v))((mn, mx, x) => mn <= x && x <= mx)
+      cmp(a, f, v)((mnx, mxx) => mnx <= 0 && mxx >= 0)
     case EqualNullSafe(a: AttributeReference, v) =>
-      bound(a, stats, litLong(v))((mn, mx, x) => mn <= x && x <= mx)
+      cmp(a, f, v)((mnx, mxx) => mnx <= 0 && mxx >= 0)
     case EqualNullSafe(v, a: AttributeReference) =>
-      bound(a, stats, litLong(v))((mn, mx, x) => mn <= x && x <= mx)
+      cmp(a, f, v)((mnx, mxx) => mnx <= 0 && mxx >= 0)
     case GreaterThan(a: AttributeReference, v) =>
-      bound(a, stats, litLong(v))((_, mx, x) => mx > x)
+      cmp(a, f, v)((_, mxx) => mxx > 0)
     case GreaterThan(v, a: AttributeReference) =>
-      bound(a, stats, litLong(v))((mn, _, x) => mn < x)
+      cmp(a, f, v)((mnx, _) => mnx < 0)
     case GreaterThanOrEqual(a: AttributeReference, v) =>
-      bound(a, stats, litLong(v))((_, mx, x) => mx >= x)
+      cmp(a, f, v)((_, mxx) => mxx >= 0)
     case GreaterThanOrEqual(v, a: AttributeReference) =>
-      bound(a, stats, litLong(v))((mn, _, x) => mn <= x)
+      cmp(a, f, v)((mnx, _) => mnx <= 0)
     case LessThan(a: AttributeReference, v) =>
-      bound(a, stats, litLong(v))((mn, _, x) => mn < x)
+      cmp(a, f, v)((mnx, _) => mnx < 0)
     case LessThan(v, a: AttributeReference) =>
-      bound(a, stats, litLong(v))((_, mx, x) => mx > x)
+      cmp(a, f, v)((_, mxx) => mxx > 0)
     case LessThanOrEqual(a: AttributeReference, v) =>
-      bound(a, stats, litLong(v))((mn, _, x) => mn <= x)
+      cmp(a, f, v)((mnx, _) => mnx <= 0)
     case LessThanOrEqual(v, a: AttributeReference) =>
-      bound(a, stats, litLong(v))((_, mx, x) => mx >= x)
+      cmp(a, f, v)((_, mxx) => mxx >= 0)
     case In(a: AttributeReference, vs) =>
       val longs = vs.map(litLong)
-      if (longs.exists(_.isEmpty)) true
-      else statsOf(a.name, stats) match {
+      if (longs.forall(_.nonEmpty)) statsOf(a.name, f.stats) match {
         case Some((mn, mx)) => longs.flatten.exists(x => mn <= x && x <= mx)
         case None => true
+      } else {
+        val strs = vs.map(litStr)
+        if (strs.forall(_.nonEmpty)) strBounds(a.name, f) match {
+          case Some((mn, mx)) =>
+            strs.flatten.exists(x => mn.compareTo(x) <= 0 && x.compareTo(mx) <= 0)
+          case None => true
+        } else true
       }
     case InSet(a: AttributeReference, vs) =>
-      statsOf(a.name, stats) match {
-        case Some((mn, mx)) => vs.exists {
-          case v: java.lang.Integer => mn <= v.longValue && v.longValue <= mx
-          case v: java.lang.Long => mn <= v.longValue && v.longValue <= mx
-          case v: java.lang.Short => mn <= v.longValue && v.longValue <= mx
-          case v: java.lang.Byte => mn <= v.longValue && v.longValue <= mx
+      val intStats = statsOf(a.name, f.stats)
+      val strStats = strBounds(a.name, f)
+      if (intStats.isEmpty && strStats.isEmpty) true
+      else vs.exists { v =>
+        val asLong: Option[Long] = v match {
+          case x: java.lang.Integer => Some(x.longValue)
+          case x: java.lang.Long => Some(x.longValue)
+          case x: java.lang.Short => Some(x.longValue)
+          case x: java.lang.Byte => Some(x.longValue)
+          case _ => None
+        }
+        (asLong, v) match {
+          case (Some(x), _) => intStats match {
+            case Some((mn, mx)) => mn <= x && x <= mx
+            case None => true
+          }
+          case (None, s: UTF8String) => strStats match {
+            case Some((mn, mx)) =>
+              mn.compareTo(s) <= 0 && s.compareTo(mx) <= 0
+            case None => true
+          }
           case _ => true
         }
-        case None => true
       }
     case _ => true
   }
 
-  private def bound(
-      a: AttributeReference, stats: Map[String, (Long, Long)],
-      lit: Option[Long])(check: (Long, Long, Long) => Boolean): Boolean =
-    (statsOf(a.name, stats), lit) match {
-      case (Some((mn, mx)), Some(x)) => check(mn, mx, x)
-      case _ => true
+  private def strBounds(
+      name: String, f: Entry): Option[(UTF8String, UTF8String)] =
+    lookIC(name, f.strStats).map { case (mn, mx) =>
+      (UTF8String.fromString(mn), UTF8String.fromString(mx))
+    }
+
+  /** Dispatch one comparison shape to the column's stat family —
+    * exact long bounds or truncation-safe string bounds — and hand the
+    * check the SIGNS of compare(min, lit) and compare(max, lit), so
+    * the interval logic is written once for both orderings. Unknown
+    * column / literal / type combination ⇒ keep the file. */
+  private def cmp(a: AttributeReference, f: Entry, v: Expression)(
+      check: (Int, Int) => Boolean): Boolean =
+    (statsOf(a.name, f.stats), litLong(v)) match {
+      case (Some((mn, mx)), Some(x)) =>
+        check(java.lang.Long.compare(mn, x), java.lang.Long.compare(mx, x))
+      case _ =>
+        (strBounds(a.name, f), litStr(v)) match {
+          case (Some((mn, mx)), Some(x)) =>
+            check(mn.compareTo(x), mx.compareTo(x))
+          case _ => true
+        }
     }
 
   override def listFiles(
@@ -211,8 +272,9 @@ final class ManifestFileIndex(
       if (dataFilters.isEmpty || !hasAnyStats) afterPart
       else afterPart
         .map { case (values, fs) =>
-          (values, fs.filter { case (_, stats) =>
-            stats.isEmpty || dataFilters.forall(f => mayMatch(f, stats))
+          (values, fs.filter { case (_, entry) =>
+            (entry.stats.isEmpty && entry.strStats.isEmpty) ||
+              dataFilters.forall(f => mayMatch(f, entry))
           })
         }
         .filter(_._2.nonEmpty)

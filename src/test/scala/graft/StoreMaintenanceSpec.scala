@@ -631,6 +631,91 @@ class StoreMaintenanceSpec extends GraftSpec {
     assert(q1.count() == 1L)
   }
 
+  test("string-clustered relation: a url-prefix range scan touches a " +
+    "bounded file subset") {
+    // the first string-clustered layout a user writes (url/domain) must
+    // get the same Iceberg-style file skipping the integral keys get:
+    // bounds are stored UTF-8-truncated (lower = 16-cp prefix of min,
+    // upper = truncated max incremented), so long urls stay prunable.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sstats_").toString
+    val rel = s"$dir/rel"
+    val rows = (0 until 10000).map { i =>
+      // 16 domains; every url is LONGER than the 16-code-point
+      // truncation, so this exercises the truncated-bound path
+      (f"https://${i / 625}%04d.example.com/page/$i", i.toLong)
+    }.toDF("url", "id")
+    Store.create(rows, rel, clusterBy = Seq("url"), numFiles = 16)
+    assert(parquetFiles(rel) == 16L)
+    val q = Store.read(spark, rel)
+      .filter(col("url") >= "https://0004" && col("url") < "https://0005")
+    val touched = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head.selectedPartitions.totalNumberOfFiles
+    assert(touched <= 3L,
+      s"one domain's url range over 16 range-clustered files must touch " +
+        s"a bounded subset, scanned $touched of 16")
+    assert(q.count() == 625L, "string pruning must not drop matching rows")
+    // exact-url point lookup: the bound is truncated, so neighbours
+    // sharing the 16-cp prefix legally survive — but not the corpus
+    val q1 = Store.read(spark, rel)
+      .filter(col("url") === "https://0007.example.com/page/4500")
+    val s1 = q1.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head.selectedPartitions.totalNumberOfFiles
+    assert(s1 <= 2L, s"a url point lookup must touch ≤2 files, got $s1")
+    assert(q1.count() == 1L)
+  }
+
+  test("manifest string-stat skipping is exact under 80 seeded random " +
+    "predicates (plain-parquet oracle)") {
+    // the string sibling of the integral property test: NULLs, empty
+    // strings, supplementary characters, and keys that only differ
+    // PAST the 16-code-point truncation (where pruning must widen,
+    // never drop). Unsupported shapes (startsWith, !=, isNull,
+    // length()) must fall back to keep-all rather than mis-prune.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sprune_").toString
+    val longPfx = "zz-" + ("x" * 20)
+    def mk(i: Int): Option[String] = i % 19 match {
+      case 0 => None
+      case 1 => Some("")
+      case 2 => Some(s"$longPfx-${i % 7}") // differs past truncation
+      case 3 => Some(s"émoji😀${i % 50}") // non-ASCII + supplementary
+      case _ => Some(f"k${(i * 37) % 401}%04d")
+    }
+    val rows = (0 until 4000).map(i => (mk(i), i.toLong)).toDF("k", "id")
+    Store.create(rows, s"$dir/rel", clusterBy = Seq("k"), numFiles = 16)
+    rows.write.parquet(s"$dir/plain")
+    val stored = Store.read(spark, s"$dir/rel")
+    val plain = spark.read.parquet(s"$dir/plain")
+    val rnd = new scala.util.Random(20260815L)
+    def c(): String = rnd.nextInt(6) match {
+      case 0 => s"$longPfx-${rnd.nextInt(9)}"
+      case 1 => s"émoji😀${rnd.nextInt(60)}"
+      case 2 => ""
+      case _ => f"k${rnd.nextInt(500)}%04d"
+    }
+    (1 to 80).foreach { i =>
+      val p = rnd.nextInt(11) match {
+        case 0 => col("k") === c()
+        case 1 => col("k") > c()
+        case 2 => col("k") < c()
+        case 3 => col("k") >= c()
+        case 4 => col("k") <= c()
+        case 5 => col("k").isin(c(), c(), c())
+        case 6 => val a = c(); col("k") > a && col("k") <= a + "zz"
+        case 7 => col("k") < c() || col("k") > c()
+        case 8 => col("k") =!= c()
+        case 9 => col("k").isNull
+        case _ => col("k").startsWith("k01")
+      }
+      val got = stored.filter(p).count()
+      val want = plain.filter(p).count()
+      assert(got == want,
+        s"string predicate #$i ($p): pruned store answered $got, oracle $want")
+    }
+  }
+
   test("bucket-store probe keeps O(touched keys) files, not the corpus") {
     // the serving-path bytes bound: a 1-doc probe of a signature table
     // spread over many bucket files must READ only the files whose
