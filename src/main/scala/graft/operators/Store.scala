@@ -266,13 +266,25 @@ object Store {
     Some(Manifest(dirName, pSchema, dSchema, parseFileLines(content)))
   }
 
+  /** The pluggable commit primitive ([[StoreCommit]]): rename-based by
+    * default (HDFS / checksummed local FS); an object-store deployment
+    * installs a conditional-PUT or catalog-backed implementation here
+    * ONCE at startup. Process-wide because relations have no
+    * per-relation configuration surface — the substrate is a property
+    * of the filesystem, not of a store. */
+  @volatile private var commitService: StoreCommit = LinkOrRenameStoreCommit
+
+  def setCommitService(c: StoreCommit): Unit = {
+    require(c != null, "commit service must not be null")
+    commitService = c
+  }
+
   private def writeExclusive(
       fs: FileSystem, p: Path, content: String)(onRace: => Nothing): Unit = {
-    val out =
-      try fs.create(p, false)
-      catch { case _: java.io.IOException => onRace }
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    require(content.isEmpty,
+      "writeExclusive publishes name-only exclusion tokens (intents); " +
+        "content-bearing metadata must go through publishExclusive")
+    if (!commitService.createExclusive(fs, p)) onRace
   }
 
   /** Atomically publish a small metadata file whose CONTENT readers
@@ -285,46 +297,13 @@ object Store {
     * sat in the rewrite fence (so the rewrite did not abort) while its
     * rows were absent from the fold — a committed silent loss the
     * raced StoreMaintenanceSpec reproduced under full-suite load.
-    *
-    * FILESYSTEM REQUIREMENT: the loser-fails contract needs rename to
-    * FAIL (without clobbering) when the destination already exists.
-    * HDFS and the checksummed local FS (`ChecksumFileSystem`, what
-    * `file://` resolves to through `LocalFileSystem`) both refuse —
-    * but a bare `RawLocalFileSystem` is a POSIX rename and silently
-    * REPLACES the destination, and object stores have no atomic
-    * rename at all; both need a real commit service behind this seam
-    * ([[StoreCommit]]). The `fs.exists` probe before the rename is a
-    * best-effort belt on such filesystems — it restores the detection
-    * level of the exclusive-create protocol this replaced (an
-    * already-published competitor is seen and the loser fails loudly)
-    * and shrinks the undetected window to a sub-millisecond race, but
-    * it is NOT a substitute for the non-clobbering primitive. Intent
-    * files stay on [[writeExclusive]]: they are empty and name-only,
-    * no torn-content window exists for them. */
+    * The filesystem requirements and the object-store contract live on
+    * the [[StoreCommit]] seam; [[LinkOrRenameStoreCommit]] is the default.
+    * Intent files stay on [[writeExclusive]]: they are empty and
+    * name-only, no torn-content window exists for them. */
   private def publishExclusive(
-      fs: FileSystem, p: Path, content: String)(onRace: => Nothing): Unit = {
-    // the uuid tmp name never collides, so an IOException HERE is a
-    // real filesystem error, not a race — let it surface as itself
-    // (onRace paths may delete just-written generation data, which
-    // must never happen for a transient IO failure)
-    val tmp = new Path(p.getParent, s"t-$uuid8")
-    val out = fs.create(tmp, false)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(p)) { fs.delete(tmp, false); onRace }
-    val renamed =
-      try fs.rename(tmp, p)
-      catch { case _: java.io.IOException => false }
-    if (!renamed) {
-      val lost = fs.exists(p)
-      fs.delete(tmp, false)
-      if (lost) onRace
-      else throw new IllegalStateException(
-        s"publishing $p failed: rename from $tmp returned false but no " +
-          s"competing file exists — filesystem error, not a commit race " +
-          s"(nothing was committed; the operation can be retried as-is)")
-    }
-  }
+      fs: FileSystem, p: Path, content: String)(onRace: => Nothing): Unit =
+    if (!commitService.publishExclusive(fs, p, content)) onRace
 
   /** One `_manifests` listing, shared by every resolution step: the
     * live generation number, its marker names, and any pending rewrite

@@ -921,6 +921,49 @@ class StoreMaintenanceSpec extends GraftSpec {
       s"store must hold exactly the survivors + appends, got $sigIds")
   }
 
+  test("StoreCommit contract: exactly one racing publisher wins; readers " +
+    "never see a partial object; tokens are single-create") {
+    // the executable form of the StoreCommit trait's contract, run
+    // against the default rename implementation — an object-store
+    // implementation (conditional PUT / catalog) must pass this same
+    // block verbatim. Every Store race spec in this file additionally
+    // exercises the seam end-to-end through append/rewrite.
+    val svc: graft.operators.StoreCommit = graft.operators.LinkOrRenameStoreCommit
+    val dir = java.nio.file.Files.createTempDirectory("graft_commit_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (2b) N concurrent publishers of one path: exactly one true
+    (1 to 20).foreach { round =>
+      val p = new org.apache.hadoop.fs.Path(dir, s"m-$round")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val wins = (0 until 8).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = {
+            gate.await()
+            svc.publishExclusive(fs, p, s"content-of-writer-$w\n" * 50)
+          }
+        })
+      }
+      gate.countDown()
+      val results = wins.map(_.get())
+      pool.shutdown()
+      assert(results.count(identity) == 1,
+        s"round $round: ${results.count(identity)} publishers won")
+      // (2a) the committed object is the winner's COMPLETE content
+      val winner = results.indexWhere(identity)
+      val in = fs.open(p)
+      val content = try scala.io.Source.fromInputStream(in).mkString
+      finally in.close()
+      assert(content == s"content-of-writer-$winner\n" * 50,
+        s"round $round: committed content is torn or not the winner's")
+    }
+    // (1) exclusion tokens: two creates, one winner
+    val tok = new org.apache.hadoop.fs.Path(dir, "r-1")
+    assert(svc.createExclusive(fs, tok))
+    assert(!svc.createExclusive(fs, tok), "second create must lose")
+  }
+
   test("manifest-stat file skipping is exact under 80 seeded random " +
     "predicates (plain-parquet oracle)") {
     // the conservative-superset contract: pruning may only DROP files
