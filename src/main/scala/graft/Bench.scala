@@ -153,6 +153,54 @@ object Bench {
         name -> rerun
       } else name -> best
     }
+    // Probe-only serving rows (r13 verdict #5): when
+    // SPARK_GRAFT_PROBE_ROWS is set (the standing sf1 gate sets it),
+    // build the three probe-serving stores UNTIMED and time ONLY a
+    // fixed small batch's probe against each pre-built store — the
+    // serving-path numbers the probe-flat rehearsals measure, now
+    // regression-tracked round-over-round beside the gate rows. They
+    // are EXCLUDED from `total`/`n_queries` so the gate total stays
+    // comparable across rounds; the fixed batch makes the walls a
+    // bytes-∝-batch check at whatever SF the gate runs.
+    val probeRows: Seq[(String, Double)] =
+      if (!sys.env.contains("SPARK_GRAFT_PROBE_ROWS")) Nil
+      else {
+        import org.apache.spark.sql.functions._
+        import graft.operators.Dedup
+        val root = "/tmp/graft_bench_probe"
+        val rootP = new org.apache.hadoop.fs.Path(root)
+        rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(rootP, true)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val batch = docs.orderBy(col("doc_id")).limit(4)
+          .select((col("doc_id") + lit(70000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1_pb").as("text"))
+          .localCheckpoint(true)
+        Dedup.writeSignatureTable(docs, "doc_id", "text", s"$root/sig")
+        val sh = Dedup.openSignatureTable(spark, s"$root/sig")
+        val tSig = time(force(Dedup.nearDedupIncremental(
+          sh, batch, "doc_id", "text", 0.7, Nil)))
+        val sigRows = docs
+          .select(col("doc_id"), xxhash64(col("text")).as("sig"))
+        Dedup.writeHammingTable(sigRows, "doc_id", "sig", s"$root/ham")
+        val hh = Dedup.openHammingTable(spark, s"$root/ham")
+        val hamBatch = docs.orderBy(col("doc_id")).limit(8)
+          .select((col("doc_id") + lit(70000000L)).as("doc_id"),
+            xxhash64(col("text"), lit(7L)).as("sig"))
+          .localCheckpoint(true)
+        val tHam = time(force(Dedup.hammingNearDupsIncremental(
+          hh, hamBatch, "doc_id", "sig", multiProbe = false, radius = None)))
+        Dedup.writeParagraphTable(docs, "doc_id", "text", s"$root/para")
+        val tPara = time(force(Dedup.paragraphDedupIncremental(
+          spark, s"$root/para", batch, "doc_id", "text")))
+        spark.catalog.clearCache()
+        Seq("q_probe_sig_serving" -> tSig,
+          "q_probe_hamming_serving" -> tHam,
+          "q_probe_para_serving" -> tPara)
+      }
+    probeRows.foreach { case (n, s) =>
+      System.err.println(f"[bench] probe-row $n: $s%.2f s")
+    }
     calibrate("end")
     def jsonMap(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -176,7 +224,7 @@ object Bench {
       "q_window_rank")
     val headlineResults = results.filter { case (n, _) => headline.contains(n) }
     val fullLine =
-      s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedCount,"queries":${jsonMap(results)},"entry_sec":$entry,"calib_sec":$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedCount,"queries":${jsonMap(results ++ probeRows)},"entry_sec":$entry,"calib_sec":$calibJson,"sf":"$sfDir"}"""
     System.err.println("[bench] full: " + fullLine)
     // compact top-20 (r8 verdict #8): the harness keeps only the tail of
     // combined output and the full per-query map exceeds that window, so
@@ -195,7 +243,7 @@ object Bench {
       // queries. One line PER QUERY in a dedicated file makes every
       // query diffable without archaeology.
       val pq = java.nio.file.Paths.get("target", "bench_queries.json")
-      val lines = results.map { case (n, v) =>
+      val lines = (results ++ probeRows).map { case (n, v) =>
         s"""{"query":"$n","sec":${f"$v%.3f"}}"""
       }.mkString("", "\n", "\n")
       java.nio.file.Files.write(pq, lines.getBytes("UTF-8"))

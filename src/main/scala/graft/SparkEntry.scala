@@ -3557,6 +3557,23 @@ object SparkEntry {
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
     },
 
+    // STRING-clustered store write → read back with a url-prefix range
+    // predicate: the manifest's truncated string bounds prune files
+    // driver-side (the Iceberg lower/upper truncation semantics), and
+    // the result must equal the same filter on the original rows —
+    // pruning changes bytes read, never content
+    "q_string_cluster" -> { (s, dir) =>
+      val keyed = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/"), col("doc_id").cast("string")).as("url"))
+      val out = Scratch.path(s"strcluster_${math.abs(dir.hashCode)}")
+      graft.operators.Layout.writeClusteredStore(keyed, out, Seq("url"),
+        numFiles = 8)
+      graft.operators.Store.read(s, out)
+        .filter(col("url") >= "https://src1" && col("url") < "https://src5")
+        .select(col("doc_id"), col("url"))
+    },
+
     // Z-order clustered write → read back with a 2-D box predicate:
     // rows must equal the same filter on the original (layout changes
     // organization, never content), and the interleaved z-value itself
@@ -3706,6 +3723,14 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-06-01'
         |  AND o_orderdate < TIMESTAMP '1996-09-01'""".stripMargin,
+
+    "q_string_cluster" ->
+      """SELECT doc_id, url FROM (
+        |  SELECT doc_id,
+        |         'https://' || source || '.example.com/' || lang || '/' ||
+        |           CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents)
+        |WHERE url >= 'https://src1' AND url < 'https://src5'""".stripMargin,
 
     // q_zorder: the same box filter over the original table, z
     // recomputed in SQL with the kernel's exact bit layout

@@ -1458,16 +1458,20 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // persisted so the range-clustered write's sampling pass re-reads a
     // cache instead of replaying the occupancy window over the corpus
+    // bucket is xxhash64 — uniform by construction, so the clustered
+    // write derives its range placement with ZERO sampling: the plan
+    // (occupancy-cap window included) executes exactly once, needing
+    // neither the range partitioner's re-read nor a cache to absorb it
     val capped = buckets
       .withColumn("__graft_bsz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("__graft_bsz") <= maxBucketSize)
       .drop("__graft_bsz")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Store.create(capped, sigTableBuckets(path),
-      partitionCols = Seq("band"), clusterBy = Seq("bucket"))
-    capped.unpersist(blocking = false)
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"),
+      splits = Some(Store.hashKeySplits(col("bucket"),
+        Some((col("band"), if (multiProbe) numPerm else bands)))))
     sigs.unpersist(blocking = false)
     df.sparkSession.range(1)
       .select(lit(shingleLen).as("shingle_len"), lit(numPerm).as("num_perm"),
@@ -1481,6 +1485,22 @@ object Dedup {
   private def metaMultiProbe(meta: org.apache.spark.sql.Row): Boolean =
     meta.schema.fieldNames.contains("multi_probe") &&
       meta.getAs[Boolean]("multi_probe")
+
+  /** Monotone partition index over the composite (band, hash-bucket)
+    * order for a batch append's few-file range shaping: global
+    * fraction = (band + bucket-as-unsigned-fraction) / bandCount,
+    * zero sampling (the bucket is xxhash64-uniform, the band domain is
+    * known) — where `repartitionByRange` would EXECUTE the batch plan
+    * (occupancy window + store probe join included) a second time just
+    * to sample it. Long arithmetic exact: g ≤ bands·2³², slots small. */
+  private def bandBucketSlot(
+      band: Column, bucket: Column, bandCount: Int, slots: Int): Column = {
+    val top =
+      shiftrightunsigned(bucket.bitwiseXOR(lit(Long.MinValue)), 32)
+    val g = band.cast("long") * lit(4294967296L) + top
+    floor(g * lit(slots.toLong) / (lit(bandCount.toDouble) * 4294967296.0))
+      .cast("int")
+  }
 
   /** PRODUCTION incremental near-dedup: dedup an incoming batch against
     * a corpus whose signature table was persisted once by
@@ -1797,9 +1817,13 @@ object Dedup {
         .select(col("id"), col("band"), col("bucket"))
       // batch-sized range shaping: a few files per append, each with a
       // tight (band, bucket) footprint, written into the band partition
-      // dirs when the store is partitioned (legacy stores stay flat)
-      val shaped = admitted
-        .repartitionByRange(4, col("band"), col("bucket"))
+      // dirs when the store is partitioned (legacy stores stay flat);
+      // placed by arithmetic, not sampling — the sample would run the
+      // occupancy window + store probe a second time per append
+      val bandCount = if (metaMultiProbe(meta)) numPerm else bands
+      val shaped = Store.placeByPid(admitted,
+          bandBucketSlot(col("band"), col("bucket"), bandCount, 4), 4,
+          Seq(col("band"), col("bucket")))
         .sortWithinPartitions(col("band"), col("bucket"))
       val w = shaped.write.mode("append")
       (if (partitioned) w.partitionBy("band") else w).parquet(dir)
@@ -1960,6 +1984,26 @@ object Dedup {
         shiftrightunsigned(sig, lo).bitwiseAND(lit(mask)).as("bucket"))
     }: _*)
 
+  /** [[bandBucketSlot]] for Hamming buckets, whose domain is the
+    * band's BIT WIDTH (not the full long range): the bucket is scaled
+    * to a 32-bit fraction of its own 2^width domain per band, then
+    * blocked by band — zero-sampling monotone placement over the
+    * (band, bucket) order. Hash-like media signatures spread the bit
+    * patterns; a skewed corpus only skews FILE SIZES (ranges stay
+    * tight and disjoint, which is what probes prune on). */
+  private def hammingSlot(
+      band: Column, bucket: Column, nBands: Int, slots: Int): Column = {
+    val top = (0 until nBands).foldLeft(lit(0L)) { (acc, b) =>
+      val lo = b * 64 / nBands
+      val width = (b + 1) * 64 / nBands - lo
+      when(band === b,
+        shiftrightunsigned(shiftleft(bucket, 64 - width), 32)).otherwise(acc)
+    }
+    val g = band.cast("long") * lit(4294967296L) + top
+    floor(g * lit(slots.toLong) / (lit(nBands.toDouble) * 4294967296.0))
+      .cast("int")
+  }
+
   private def hamTableMeta(path: String) = s"$path/meta"
   private def hamTableBuckets(path: String) = s"$path/buckets"
 
@@ -1994,10 +2038,12 @@ object Dedup {
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("__bsz") <= maxBucketSize)
       .drop("__bsz")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // zero-sampling placement: the plan (window cap included) executes
+    // exactly once, so it no longer needs a cache to absorb a re-read
     Store.create(capped, hamTableBuckets(path),
-      partitionCols = Seq("band"), clusterBy = Seq("bucket"))
-    capped.unpersist(blocking = false)
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"),
+      splits = Some(Store.RangeSplits(n =>
+        (hammingSlot(col("band"), col("bucket"), nBands, n), n))))
     sigs.sparkSession.range(1)
       .select(lit(maxHamming).as("max_hamming"),
         lit(maxBucketSize).as("max_bucket_size"))
@@ -2168,8 +2214,11 @@ object Dedup {
         .join(stored, Seq("band", "bucket"), "left")
         .filter(coalesce(col("__stored"), lit(0L)) + col("__rn") <= maxBucketSize)
         .select(col("id"), col("sig"), col("band"), col("bucket"))
-      val shaped = admitted
-        .repartitionByRange(4, col("band"), col("bucket"))
+      // placed by arithmetic, not sampling — the sample would run the
+      // occupancy window + store probe a second time per append
+      val shaped = Store.placeByPid(admitted,
+          hammingSlot(col("band"), col("bucket"), maxHamming + 1, 4), 4,
+          Seq(col("band"), col("bucket")))
         .sortWithinPartitions(col("band"), col("bucket"))
       val w = shaped.write.mode("append")
       (if (partitioned) w.partitionBy("band") else w).parquet(dir)
@@ -2306,13 +2355,20 @@ object Dedup {
     // removed count is taken inside the replay loop so it reflects the
     // snapshot the commit actually applied to
     var removed = 0L
+    // zero-sampling rewrites: id split points come from the snapshot's
+    // own manifest stats, bucket placement from hash arithmetic — the
+    // range partitioner would read the WHOLE store once more per
+    // relation just to re-learn its layout
     Store.rewriteWithRetry(spark, sigTableSigs(path), numFiles,
-      clusterBy = Seq("id")) { snap =>
+      clusterBy = Seq("id"),
+      splits = s => Store.statsSplits(s, "id")) { snap =>
       removed = snap.df.join(broadcast(ids), Seq("id"), "left_semi").count()
       snap.df.join(broadcast(ids), Seq("id"), "left_anti")
     }
     Store.rewriteWithRetry(spark, sigTableBuckets(path), numFiles,
-      partitionCols = Seq("band"), clusterBy = Seq("bucket")) { snap =>
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"),
+      splits = s => Store.partitionBlockCount(s, "band").map(c =>
+        Store.hashKeySplits(col("bucket"), Some((col("band"), c))))) { snap =>
       snap.df.join(broadcast(ids), Seq("id"), "left_anti")
     }
     removed
@@ -2334,9 +2390,12 @@ object Dedup {
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
     Store.rewriteWithRetry(spark, sigTableSigs(path), numFiles,
-      clusterBy = Seq("id"))(_.df)
+      clusterBy = Seq("id"),
+      splits = s => Store.statsSplits(s, "id"))(_.df)
     Store.rewriteWithRetry(spark, sigTableBuckets(path), numFiles,
-      partitionCols = Seq("band"), clusterBy = Seq("bucket")) { snap =>
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"),
+      splits = s => Store.partitionBlockCount(s, "band").map(c =>
+        Store.hashKeySplits(col("bucket"), Some((col("band"), c))))) { snap =>
       // the live-sig read happens INSIDE the replay loop, so each
       // attempt sweeps against the sig generation current at that point
       snap.df
@@ -2353,9 +2412,14 @@ object Dedup {
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
     val ids = Store.retireIds(
       Store.read(spark, hamTableBuckets(path)), "id", retired, idCol)
+    val nBands =
+      spark.read.parquet(hamTableMeta(path)).head()
+        .getAs[Int]("max_hamming") + 1
     var removed = 0L
     Store.rewriteWithRetry(spark, hamTableBuckets(path), numFiles,
-      partitionCols = Seq("band"), clusterBy = Seq("bucket")) { snap =>
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"),
+      splits = _ => Some(Store.RangeSplits(n =>
+        (hammingSlot(col("band"), col("bucket"), nBands, n), n)))) { snap =>
       removed = snap.df.join(broadcast(ids), Seq("id"), "left_semi")
         .select(col("id")).distinct().count()
       snap.df.join(broadcast(ids), Seq("id"), "left_anti")
@@ -2368,8 +2432,13 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
+    val nBands =
+      spark.read.parquet(hamTableMeta(path)).head()
+        .getAs[Int]("max_hamming") + 1
     Store.rewriteWithRetry(spark, hamTableBuckets(path), numFiles,
-      partitionCols = Seq("band"), clusterBy = Seq("bucket"))(_.df)
+      partitionCols = Seq("band"), clusterBy = Seq("bucket"),
+      splits = _ => Some(Store.RangeSplits(n =>
+        (hammingSlot(col("band"), col("bucket"), nBands, n), n))))(_.df)
   }
 
   /** One-row operational summary of a persisted signature table — the
@@ -2627,16 +2696,16 @@ object Dedup {
       sep: String = "\n"): Unit = {
     require(sep.nonEmpty, "sep must not be empty")
     // range-clustered by hash so a batch probe touching K distinct
-    // paragraph hashes reads O(K) files (pruneLongKeyScan); persisted
-    // so the range sampling re-reads a cache, not the corpus explode
+    // paragraph hashes reads O(K) files (pruneLongKeyScan); h is
+    // xxhash64-uniform, so the placement is arithmetic — no sampling
+    // pass, no need to even persist the explode for a re-read
     val hashes = df.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as("line"))
       .select(xxhash64(col("line")).as("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Store.create(hashes, paraTableHashes(path), clusterBy = Seq("h"))
-    hashes.unpersist(blocking = false)
+    Store.create(hashes, paraTableHashes(path), clusterBy = Seq("h"),
+      splits = Some(Store.hashKeySplits(col("h"))))
     df.sparkSession.range(1).select(lit(sep).as("sep"))
       .write.mode("overwrite").parquet(paraTableMeta(path))
   }
@@ -2834,7 +2903,8 @@ object Dedup {
     }
     var removed = 0L
     Store.rewriteWithRetry(spark, paraTableHashes(path), numFiles,
-      clusterBy = Seq("h")) { snap =>
+      clusterBy = Seq("h"),
+      splits = _ => Some(Store.hashKeySplits(col("h")))) { snap =>
       removed = snap.df.join(broadcast(ids), Seq("h"), "left_semi").count()
       snap.df.join(broadcast(ids), Seq("h"), "left_anti")
     }
@@ -2856,7 +2926,8 @@ object Dedup {
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
     Store.rewriteWithRetry(spark, paraTableHashes(path), numFiles,
-      clusterBy = Seq("h"))(_.df.distinct())
+      clusterBy = Seq("h"),
+      splits = _ => Some(Store.hashKeySplits(col("h"))))(_.df.distinct())
   }
 
   /** One-row operational summary of a persisted paragraph table (the

@@ -125,8 +125,54 @@ object Layout {
       df: DataFrame, relRoot: String, clusterCols: Seq[String],
       numFiles: Int = 0, bits: Int = 16): Unit = {
     require(clusterCols.nonEmpty, "clusterCols must not be empty")
-    Store.create(
-      df.withColumn("__graft_z", zValue(clusterCols.map(col), bits)),
-      relRoot, clusterBy = Seq("__graft_z"), numFiles = numFiles)
+    val withZ =
+      df.withColumn("__graft_z", zValue(clusterCols.map(col), bits))
+    Store.create(withZ, relRoot, clusterBy = Seq("__graft_z"),
+      numFiles = numFiles,
+      splits = Some(zSnappedSplits(withZ, clusterCols.size)))
   }
+
+  /** Quantile split points over the Z column, SNAPPED to the curve's
+    * own block boundaries: a Z-curve's natural units are multiples of
+    * 2^(dims·j) — whole 2^j-wide hyper-rectangles — so each split is
+    * moved to the coarsest such boundary within half an ideal file's
+    * Z-width. Files then cover WHOLE rectangles (their per-dimension
+    * [min,max] is as tight as the row count allows) instead of
+    * rectangles clipped one row past a boundary, which is what raw
+    * quantiles (or the range partitioner's sample) produce and what
+    * costs an extra touched file per slab query. One narrow aggregate
+    * over the Z column; no sampling pass over the full rows. */
+  private def zSnappedSplits(
+      withZ: DataFrame, dims: Int): Store.RangeSplits =
+    Store.RangeSplits { n =>
+      if (n <= 1) (lit(0), 1)
+      else {
+        val ps = (1 until n).map(_.toDouble / n).toArray
+        val row = withZ
+          .select(
+            percentile_approx(col("__graft_z"), lit(ps), lit(10000)).as("q"),
+            min(col("__graft_z")).as("lo"), max(col("__graft_z")).as("hi"))
+          .head()
+        if (row.isNullAt(0)) (lit(0), 1)
+        else {
+          val raw = row.getSeq[Long](0)
+          val tol = math.max(1L, (row.getLong(2) - row.getLong(1)) / (2L * n))
+          def snap(s: Long): Long = {
+            var j = 62 / dims
+            while (j >= 1) {
+              val a = 1L << (dims * j)
+              if (a > 0) {
+                val snapped = math.round(s.toDouble / a) * a
+                if (math.abs(snapped - s) <= tol) return snapped
+              }
+              j -= 1
+            }
+            s
+          }
+          val pts = raw.map(snap).distinct.sorted.toArray
+          if (pts.isEmpty) (lit(0), 1)
+          else Store.pointSplits(col("__graft_z"), pts).pid(n)
+        }
+      }
+    }
 }

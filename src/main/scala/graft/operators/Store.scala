@@ -745,14 +745,15 @@ object Store {
   def create(df: DataFrame, relRoot: String,
              partitionCols: Seq[String] = Nil,
              clusterBy: Seq[String] = Nil,
-             numFiles: Int = 0): Unit = {
+             numFiles: Int = 0,
+             splits: Option[RangeSplits] = None): Unit = {
     val spark = df.sparkSession
     val root = new Path(relRoot)
     val fs = fileSystem(spark, root)
     fs.delete(root, true)
     val dirName = f"g-${1L}%09d-$uuid8"
     val dataPath = new Path(root, dirName)
-    writeData(df, dataPath.toString, partitionCols, clusterBy, numFiles)
+    writeData(df, dataPath.toString, partitionCols, clusterBy, numFiles, splits)
     val (pSchema, dSchema) = splitSchema(df.schema, partitionCols)
     val files = statWritten(spark, fs, dataPath).map(_._1)
     fs.mkdirs(new Path(manifestsDir(relRoot)))
@@ -944,7 +945,8 @@ object Store {
     * one `limit(1)` probe of the output plan). */
   def rewrite(snap: Snap, out: DataFrame, numFiles: Int,
               partitionCols: Seq[String] = Nil,
-              clusterBy: Seq[String] = Nil): Unit = {
+              clusterBy: Seq[String] = Nil,
+              splits: Option[RangeSplits] = None): Unit = {
     val spark = out.sparkSession
     val relRoot = snap.relRoot
     if (out.isEmpty) throw new IllegalStateException(
@@ -971,7 +973,8 @@ object Store {
           s"replay the maintenance run")
       val dirName = f"g-$n1%09d-$uuid8"
       dataPath = new Path(relRoot, dirName)
-      writeData(out, dataPath.toString, partitionCols, clusterBy, numFiles)
+      writeData(out, dataPath.toString, partitionCols, clusterBy, numFiles,
+        splits)
       // The fence, rewrite side: the marker set at commit must EQUAL
       // the snapshot's. A marker ADDED since the snapshot is an append
       // whose rows the fold never saw (committing would silently drop
@@ -1027,14 +1030,17 @@ object Store {
   def rewriteWithRetry(
       spark: SparkSession, relRoot: String, numFiles: Int = 0,
       partitionCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
-      maxAttempts: Int = 5)(out: Snap => DataFrame): Unit = {
+      maxAttempts: Int = 5,
+      splits: Snap => Option[RangeSplits] = _ => None)(
+      out: Snap => DataFrame): Unit = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var attempt = 0
     while (true) {
       attempt += 1
       val snap = snapshot(spark, relRoot)
       try {
-        rewrite(snap, out(snap), numFiles, partitionCols, clusterBy)
+        rewrite(snap, out(snap), numFiles, partitionCols, clusterBy,
+          splits(snap))
         return
       } catch {
         case e: RetryableConflictException =>
@@ -1060,21 +1066,232 @@ object Store {
     st.intents.foreach(name => fs.delete(new Path(mdir, name), false))
   }
 
+  // ───────────── sampling-free range-clustered writes ─────────────
+
+  /** Sampling-free range placement for one clustered write: given the
+    * write's target partition count `n`, produce `(pid, m)` — a column
+    * evaluating to a partition index in `[0, m)` that is MONOTONE in
+    * the cluster-key order (m ≤ n; a blocked layout may round). The
+    * write layer then places pid p in shuffle partition p EXACTLY (the
+    * hash-slot remap below), so files inherit tight, disjoint key
+    * ranges WITHOUT the range partitioner's sampling pass — a full
+    * extra read of the input that Spark's `repartitionByRange` pays on
+    * every clustered create/rewrite. The caller asserts it KNOWS the
+    * key distribution instead of sampling it: hash-valued keys are
+    * uniform by construction ([[hashKeySplits]]), a rewrite's input
+    * distribution is already recorded in its own manifest stats
+    * ([[statsSplits]]). */
+  final case class RangeSplits(pid: Int => (Column, Int))
+
+  /** [[RangeSplits]] for a HASH-VALUED long cluster key (xxhash64
+    * bucket keys, paragraph hashes): uniform on the full 64-bit range
+    * by construction, so equi-width slots are correct at every scale
+    * with zero sampling. `partitionCol` (value domain `0 until count`,
+    * e.g. LSH band ids) blocks pids per partition value, so each range
+    * task writes exactly one file into its partition directory. */
+  def hashKeySplits(
+      hashKey: Column,
+      partitionCol: Option[(Column, Int)] = None): RangeSplits =
+    RangeSplits { n =>
+      partitionCol match {
+        case None => (equiWidthSlot(hashKey, math.max(1, n)), math.max(1, n))
+        case Some((p, count)) =>
+          val slots = math.max(1, n / math.max(1, count))
+          ((p.cast("int") * slots + equiWidthSlot(hashKey, slots))
+            .cast("int"), count * slots)
+      }
+    }
+
+  /** slot = floor(unsigned(h XOR sign bit) / 2⁶⁴ · slots), computed on
+    * the key's top 32 bits — monotone in SIGNED long order, uniform
+    * for hash-valued keys, null-first like a range sort. */
+  private def equiWidthSlot(h: Column, slots: Int): Column = {
+    val top =
+      shiftrightunsigned(h.cast("long").bitwiseXOR(lit(Long.MinValue)), 32)
+    coalesce(shiftright(top * lit(slots.toLong), 32).cast("int"), lit(0))
+  }
+
+  /** [[RangeSplits]] from explicit ASCENDING split points: pid = the
+    * insertion index of the key among the points (nulls first) — a
+    * driver-side binary search per row, microseconds against the
+    * shuffle it shapes. */
+  def pointSplits(key: Column, points: Array[Long]): RangeSplits =
+    RangeSplits { _ =>
+      val pts = points
+      val search = udf { (k: java.lang.Long) =>
+        if (k == null) 0
+        else {
+          val i = java.util.Arrays.binarySearch(pts, k.longValue)
+          if (i >= 0) i + 1 else -(i + 1)
+        }
+      }
+      (search(key.cast("long")), pts.length + 1)
+    }
+
+  /** Derive split points for an int/long `key` from a snapshot's OWN
+    * manifest stats — size-weighted quantiles assuming uniform keys
+    * within each file's recorded [min,max]: exactly right for a
+    * relation this layer range-clustered in the first place, and a
+    * sampling pass over the whole store avoided on every maintenance
+    * rewrite. None when any file lacks the stat (legacy generation) —
+    * the caller falls back to sampling. */
+  def statsSplits(snap: Snap, key: String): Option[RangeSplits] = {
+    if (snap.legacy || snap.files.isEmpty) return None
+    val ranged = snap.files.map { f =>
+      f.stats.get(key).orElse(f.stats.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(key) => v
+      }).map { case (mn, mx) => (mn, mx, math.max(f.size, 1L)) }
+    }
+    if (ranged.exists(_.isEmpty)) return None
+    val files = ranged.flatten.sortBy(_._1)
+    val total = files.map(_._3.toDouble).sum
+    Some(RangeSplits { n =>
+      if (n <= 1) (lit(0), 1)
+      else {
+        val pts = Array.newBuilder[Long]
+        var cum = 0.0
+        var q = 1
+        files.foreach { case (mn, mx, w) =>
+          while (q < n && q * total / n <= cum + w) {
+            val frac = (q * total / n - cum) / w
+            pts += mn + math.round((mx - mn) * frac)
+            q += 1
+          }
+          cum += w
+        }
+        val distinct = pts.result().distinct.sorted
+        if (distinct.isEmpty) (lit(0), 1)
+        else pointSplits(col(key), distinct).pid(n)
+      }
+    })
+  }
+
+  /** Percentile-derived splits for a single un-partitioned int/long
+    * cluster key with no better mechanism: ONE narrow aggregate over
+    * just the key column (column-pruned from parquet and cached data
+    * both) replaces the range partitioner's full-width sample pass. */
+  private def autoSplits(
+      df: DataFrame, partitionCols: Seq[String],
+      clusterBy: Seq[String]): Option[RangeSplits] = {
+    if (partitionCols.nonEmpty || clusterBy.size != 1) return None
+    val key = clusterBy.head
+    val integral = df.schema.fields.find(_.name.equalsIgnoreCase(key))
+      .exists(f => f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (!integral) return None
+    Some(RangeSplits { n =>
+      if (n <= 1) (lit(0), 1)
+      else {
+        val ps = (1 until n).map(_.toDouble / n).toArray
+        val row = df
+          .select(percentile_approx(col(key).cast("long"),
+            lit(ps), lit(10000)).as("q"))
+          .head()
+        if (row.isNullAt(0)) (lit(0), 1)
+        else {
+          val pts = row.getSeq[Long](0).distinct.sorted.toArray
+          if (pts.isEmpty) (lit(0), 1) else pointSplits(col(key), pts).pid(n)
+        }
+      }
+    })
+  }
+
+  /** For each pid p < m, the smallest non-negative int whose Spark
+    * shuffle hash (`pmod(murmur3(v, 42), n)`) IS p — the remap that
+    * makes `repartition` place pid p in shuffle partition p exactly,
+    * so monotone pids become monotone partition indexes (and AQE's
+    * coalescing of ADJACENT partitions merges adjacent key ranges,
+    * preserving tight per-file bounds). Solved driver-side in ~n·ln n
+    * probes; None above the cap (a pathological file count falls back
+    * to sampling rather than a megabyte plan literal). */
+  private def remapToHashSlots(m: Int, n: Int): Option[Array[Int]] = {
+    if (m <= 0 || m > 65536 || n < m) return None
+    val remap = new Array[Int](m)
+    val found = new Array[Boolean](m)
+    var need = m
+    var v = 0
+    while (need > 0 && v >= 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+      val slot = ((h % n) + n) % n
+      if (slot < m && !found(slot)) {
+        found(slot) = true; remap(slot) = v; need -= 1
+      }
+      v += 1
+    }
+    if (need > 0) None else Some(remap)
+  }
+
+  /** Shuffle `df` into exactly `m` partitions with partition index ==
+    * `pid` (a column in [0, m)) — the zero-sampling placement primitive
+    * under [[RangeSplits]], public for batch-shaping call sites (an
+    * append's 4-file range shaping would otherwise re-execute the
+    * batch plan a second time for the range partitioner's sample).
+    * Falls back to range partitioning on `fallbackKeys` above the
+    * remap cap. */
+  def placeByPid(df: DataFrame, pid: Column, m: Int,
+                 fallbackKeys: Seq[Column]): DataFrame =
+    remapToHashSlots(m, m).map { remap =>
+      df.repartition(m, element_at(typedLit(remap.toSeq),
+        coalesce(pid.cast("int"), lit(0)) + 1))
+    }.getOrElse(df.repartitionByRange(m, fallbackKeys: _*))
+
+  /** Highest value of an int partition column recorded in the
+    * snapshot's file paths, plus one — the block count a maintenance
+    * rewrite hands [[hashKeySplits]] for a 0-based partition domain
+    * (LSH band ids). None on legacy snapshots or when any file lacks
+    * the segment. */
+  def partitionBlockCount(snap: Snap, colName: String): Option[Int] = {
+    if (snap.legacy || snap.files.isEmpty) return None
+    val vals = snap.files.flatMap(f =>
+      partitionValuesOf(f.rel).collectFirst {
+        case (k, v) if k.equalsIgnoreCase(colName) => v.toInt
+      })
+    if (vals.size != snap.files.size) None else Some(vals.max + 1)
+  }
+
   private def writeData(df: DataFrame, dataPath: String,
                         partitionCols: Seq[String],
                         clusterBy: Seq[String],
-                        numFiles: Int): Unit = {
+                        numFiles: Int,
+                        splits: Option[RangeSplits] = None): Unit = {
     val shaped =
       if (clusterBy.nonEmpty) {
         val keys = (partitionCols ++ clusterBy).map(col)
-        // numFiles == 0 leaves the range-shuffle partition count to the
-        // planner: AQE coalesces a tiny relation to a handful of files
-        // (a fixed count would scatter 5k rows over 32 near-empty
-        // files) and sizes a 100 TB one by advisory partition bytes —
-        // both better file layouts than any constant.
-        val ranged =
+        // numFiles == 0 leaves the partition count to the planner: AQE
+        // coalesces a tiny relation to a handful of files (a fixed
+        // count would scatter 5k rows over 32 near-empty files) and
+        // sizes a 100 TB one by advisory partition bytes — both better
+        // file layouts than any constant. The sampling-free path keeps
+        // that: pid p lands in partition p, so AQE's adjacent-partition
+        // coalescing merges ADJACENT KEY RANGES.
+        val n =
+          if (numFiles > 0) numFiles
+          else {
+            // the modulus an implicit `repartition(col)` shuffle will
+            // actually use: AQE's initialPartitionNum (when coalescing
+            // is on and it is set) overrides spark.sql.shuffle.partitions
+            val conf = df.sparkSession.sessionState.conf
+            val aqeCoalesce = conf.adaptiveExecutionEnabled &&
+              conf.coalesceShufflePartitionsEnabled
+            df.sparkSession.conf
+              .getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+              .filter(_ => aqeCoalesce).map(_.toInt)
+              .getOrElse(conf.numShufflePartitions)
+          }
+        val placed = splits.orElse(autoSplits(df, partitionCols, clusterBy))
+          .flatMap { rs =>
+            val (pid, m) = rs.pid(n)
+            remapToHashSlots(m, if (numFiles > 0) m else n).map { remap =>
+              val slot = element_at(typedLit(remap.toSeq),
+                coalesce(pid.cast("int"), lit(0)) + 1)
+              if (numFiles > 0) df.repartition(m, slot)
+              else df.repartition(slot) // REPARTITION_BY_COL: AQE-coalescable
+            }
+          }
+        val ranged = placed.getOrElse {
           if (numFiles > 0) df.repartitionByRange(numFiles, keys: _*)
           else df.repartitionByRange(keys: _*)
+        }
         ranged.sortWithinPartitions(keys: _*)
       } else if (partitionCols.nonEmpty) {
         if (numFiles > 0) df.repartition(numFiles, partitionCols.map(col): _*)

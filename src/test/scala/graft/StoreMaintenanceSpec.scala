@@ -921,6 +921,22 @@ class StoreMaintenanceSpec extends GraftSpec {
       s"store must hold exactly the survivors + appends, got $sigIds")
   }
 
+  test("placeByPid lands pid p in shuffle partition p exactly " +
+    "(hash-slot remap pin)") {
+    // the zero-sampling range-clustering primitive rests on Spark's
+    // hash partitioning being pmod(murmur3(v, 42), n) — this pins it:
+    // if the partitioner ever changes, placement (not correctness of
+    // results, only file-range tightness) would silently degrade, and
+    // this spec is the alarm.
+    val df = spark.range(0, 10000)
+      .select((col("id") % 7).cast("int").as("pid"), col("id"))
+    val placed = Store.placeByPid(df, col("pid"), 7, Seq(col("pid")))
+    val bad = placed.select(spark_partition_id().as("part"), col("pid"))
+      .filter(col("part") =!= col("pid")).count()
+    assert(bad == 0L, "every row must land in the partition named by its pid")
+    assert(placed.rdd.getNumPartitions == 7)
+  }
+
   test("StoreCommit contract: exactly one racing publisher wins; readers " +
     "never see a partial object; tokens are single-create") {
     // the executable form of the StoreCommit trait's contract, run
