@@ -735,9 +735,14 @@ object Store {
     * and sorted on `partitionCols ++ clusterBy`, so each written file
     * covers a contiguous key range and the recorded per-file stats
     * make key probes touch O(keys) files ([[pruneFiles]]) — the
-    * layout every probe-serving store should use. The range shaping
-    * SAMPLES its input once (Spark's range partitioner); callers with
-    * an expensive input plan should persist it first. `numFiles` (> 0)
+    * layout every probe-serving store should use. Range placement is
+    * SAMPLING-FREE whenever the distribution is knowable: pass
+    * `splits` ([[hashKeySplits]] for hash-valued keys,
+    * [[statsSplits]] on rewrites), or let a single-numeric-key write
+    * derive quantiles from one column-pruned aggregate; only the
+    * generic multi-column/string case falls back to Spark's range
+    * partitioner, whose sample pass EXECUTES the input plan once more
+    * (persist expensive inputs first on that path). `numFiles` (> 0)
     * sets the target file count; 0 lets the planner choose for
     * clustered writes (AQE coalesces by advisory partition size, so
     * small relations land in few files and large ones in many) and
