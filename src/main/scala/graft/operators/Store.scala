@@ -685,15 +685,45 @@ object Store {
     } finally reader.close()
   }
 
-  /** List + footer-summarize a just-written directory (a small
-    * driver-side thread pool over the writer's own output — the cost
-    * every stats-bearing table format pays at commit). */
+  /** Footer reads of a commit move off the driver once the file count
+    * crosses this: below, a thread pool amortizes in microseconds;
+    * above, the O(files) footer pass is the kind of driver-side loop a
+    * 10k-file generation must not serialize (an executor pass returns
+    * only the per-file stat summaries). */
+  private val DistributedStatThreshold = 64
+
+  /** List + footer-summarize a just-written directory — the cost every
+    * stats-bearing table format pays at commit. Small commits use a
+    * driver-side thread pool over the writer's own output; large ones
+    * (≥ [[DistributedStatThreshold]] files) fan the footer reads out
+    * as one Spark job, so commit cost scales with executors, not with
+    * the driver's ability to open files. */
   private def statWritten(
       spark: SparkSession, fs: FileSystem, dir: Path)
       : Seq[(FileEntry, Seq[String])] = {
     val raw = listWritten(fs, dir)
     if (raw.isEmpty) return Nil
     val conf = spark.sparkContext.hadoopConfiguration
+    if (raw.size >= DistributedStatThreshold) {
+      val base = fs.makeQualified(dir).toString
+      val bc = spark.sparkContext.broadcast(
+        new org.apache.spark.SerializableWritable(conf))
+      val parts = math.min(raw.size, spark.sparkContext.defaultParallelism)
+      return spark.sparkContext.parallelize(raw, parts)
+        .map { case (rel, size) =>
+          // per-task Configuration copy: the broadcast instance is
+          // shared executor-wide and Configuration reads are not
+          // safely concurrent with its lazy initialization
+          val taskConf = new org.apache.hadoop.conf.Configuration(bc.value.value)
+          val info = readFooterInfo(taskConf, new Path(s"$base/$rel"))
+          (rel, size, info.stats, info.strStats, info.fieldNames)
+        }
+        .collect()
+        .toSeq
+        .map { case (rel, size, stats, strStats, names) =>
+          (FileEntry(rel, size, stats, strStats), names)
+        }
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, raw.size))
     try {

@@ -921,6 +921,33 @@ class StoreMaintenanceSpec extends GraftSpec {
       s"store must hold exactly the survivors + appends, got $sigIds")
   }
 
+  test("large commits stat their footers through the distributed path " +
+    "with the same bounds as the driver pool") {
+    // ≥64 files crosses into the executor-side footer pass — a 10k-file
+    // generation must not serialize footer opens on the driver. The
+    // recorded bounds must be exactly what the driver pool records
+    // (same readFooterInfo), pinned here by exact range pruning.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dstat_").toString
+    val rel = s"$dir/rel"
+    Store.create(
+      (0L until 80000L).map(i => (i, f"key-$i%07d", i % 9)).toDF("id", "k", "v"),
+      rel, clusterBy = Seq("id"), numFiles = 80)
+    val snap = Store.snapshot(spark, rel)
+    assert(snap.files.size == 80L, s"fixture wants 80 files, got ${snap.files.size}")
+    assert(snap.files.forall(f => f.stats.contains("id")),
+      "every distributed-statted file records its int bounds")
+    assert(snap.files.forall(f => f.strStats.contains("k")),
+      "every distributed-statted file records its string bounds")
+    val q = snap.df.filter(col("id") >= 40000L && col("id") < 41000L)
+    val touched = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head.selectedPartitions.totalNumberOfFiles
+    assert(touched <= 2L, s"1000-wide range over 1000-wide files: $touched")
+    assert(q.count() == 1000L)
+    val qs = snap.df.filter(col("k") === "key-0055555")
+    assert(qs.count() == 1L, "string bounds from the distributed path prune exactly")
+  }
+
   test("placeByPid lands pid p in shuffle partition p exactly " +
     "(hash-slot remap pin)") {
     // the zero-sampling range-clustering primitive rests on Spark's
