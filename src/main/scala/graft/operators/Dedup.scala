@@ -1996,8 +1996,12 @@ object Dedup {
     val top = (0 until nBands).foldLeft(lit(0L)) { (acc, b) =>
       val lo = b * 64 / nBands
       val width = (b + 1) * 64 / nBands - lo
-      when(band === b,
-        shiftrightunsigned(shiftleft(bucket, 64 - width), 32)).otherwise(acc)
+      // width 64 (nBands = 1) keeps the sign bit: flip it so placement
+      // stays monotone in the SIGNED order the files are sorted in
+      val scaled =
+        if (width == 64) bucket.bitwiseXOR(lit(Long.MinValue))
+        else shiftleft(bucket, 64 - width)
+      when(band === b, shiftrightunsigned(scaled, 32)).otherwise(acc)
     }
     val g = band.cast("long") * lit(4294967296L) + top
     floor(g * lit(slots.toLong) / (lit(nBands.toDouble) * 4294967296.0))

@@ -948,6 +948,41 @@ class StoreMaintenanceSpec extends GraftSpec {
     assert(qs.count() == 1L, "string bounds from the distributed path prune exactly")
   }
 
+  test("hashKeySplits writes files with DISJOINT bucket ranges inside " +
+    "every band (random longs incl. extremes)") {
+    // the property pruning rests on: placement monotone in the SIGNED
+    // key order the files are sorted and footer-statted in — an
+    // ordering mismatch would not corrupt results (stats are real) but
+    // would silently widen per-file ranges until probes stop skipping
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (Seq.fill(20000)((rnd.nextInt(4), rnd.nextLong())) ++
+      Seq((0, Long.MinValue), (0, Long.MaxValue), (3, -1L), (3, 0L)))
+      .toDF("band", "bucket")
+    val dir = java.nio.file.Files.createTempDirectory("graft_disj_").toString
+    val rel = s"$dir/rel"
+    Store.create(rows, rel, partitionCols = Seq("band"),
+      clusterBy = Seq("bucket"), numFiles = 16,
+      splits = Some(Store.hashKeySplits(col("bucket"),
+        Some((col("band"), 4)))))
+    val snap = Store.snapshot(spark, rel)
+    val byBand = snap.files.groupBy(
+      _.rel.split('/').find(_.startsWith("band=")).getOrElse("?"))
+    assert(byBand.size == 4)
+    byBand.foreach { case (band, fs) =>
+      val iv = fs.flatMap(_.stats.get("bucket")).sortBy(_._1)
+      assert(iv.size == fs.size, s"$band: every file carries bucket stats")
+      iv.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax < bMin,
+            s"$band: file ranges overlap ([..,$aMax] vs [$bMin,..])")
+        case _ => ()
+      }
+    }
+    assert(Store.read(spark, rel).count() == rows.count(),
+      "placement never drops rows")
+  }
+
   test("placeByPid lands pid p in shuffle partition p exactly " +
     "(hash-slot remap pin)") {
     // the zero-sampling range-clustering primitive rests on Spark's
