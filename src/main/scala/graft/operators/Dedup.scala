@@ -1495,9 +1495,8 @@ object Dedup {
     * to sample it. Long arithmetic exact: g ≤ bands·2³², slots small. */
   private def bandBucketSlot(
       band: Column, bucket: Column, bandCount: Int, slots: Int): Column = {
-    val top =
-      shiftrightunsigned(bucket.bitwiseXOR(lit(Long.MinValue)), 32)
-    val g = band.cast("long") * lit(4294967296L) + top
+    val g = band.cast("long") * lit(4294967296L) +
+      Store.signedTopFraction(bucket)
     floor(g * lit(slots.toLong) / (lit(bandCount.toDouble) * 4294967296.0))
       .cast("int")
   }
@@ -1996,12 +1995,13 @@ object Dedup {
     val top = (0 until nBands).foldLeft(lit(0L)) { (acc, b) =>
       val lo = b * 64 / nBands
       val width = (b + 1) * 64 / nBands - lo
-      // width 64 (nBands = 1) keeps the sign bit: flip it so placement
-      // stays monotone in the SIGNED order the files are sorted in
-      val scaled =
-        if (width == 64) bucket.bitwiseXOR(lit(Long.MinValue))
-        else shiftleft(bucket, 64 - width)
-      when(band === b, shiftrightunsigned(scaled, 32)).otherwise(acc)
+      // width 64 (nBands = 1) keeps the sign bit: the shared
+      // signed-order fraction handles the flip so placement stays
+      // monotone in the order the files are sorted in
+      val frac =
+        if (width == 64) Store.signedTopFraction(bucket)
+        else shiftrightunsigned(shiftleft(bucket, 64 - width), 32)
+      when(band === b, frac).otherwise(acc)
     }
     val g = band.cast("long") * lit(4294967296L) + top
     floor(g * lit(slots.toLong) / (lit(nBands.toDouble) * 4294967296.0))

@@ -708,21 +708,24 @@ object Store {
       val base = fs.makeQualified(dir).toString
       val bc = spark.sparkContext.broadcast(
         new org.apache.spark.SerializableWritable(conf))
-      val parts = math.min(raw.size, spark.sparkContext.defaultParallelism)
-      return spark.sparkContext.parallelize(raw, parts)
-        .map { case (rel, size) =>
-          // per-task Configuration copy: the broadcast instance is
-          // shared executor-wide and Configuration reads are not
-          // safely concurrent with its lazy initialization
-          val taskConf = new org.apache.hadoop.conf.Configuration(bc.value.value)
-          val info = readFooterInfo(taskConf, new Path(s"$base/$rel"))
-          (rel, size, info.stats, info.strStats, info.fieldNames)
-        }
-        .collect()
-        .toSeq
-        .map { case (rel, size, stats, strStats, names) =>
-          (FileEntry(rel, size, stats, strStats), names)
-        }
+      try {
+        val parts = math.min(raw.size, spark.sparkContext.defaultParallelism)
+        return spark.sparkContext.parallelize(raw, parts)
+          .map { case (rel, size) =>
+            // per-task Configuration copy: the broadcast instance is
+            // shared executor-wide and Configuration reads are not
+            // safely concurrent with its lazy initialization
+            val taskConf = new org.apache.hadoop.conf.Configuration(bc.value.value)
+            val info = readFooterInfo(taskConf, new Path(s"$base/$rel"))
+            (rel, size, info.stats, info.strStats, info.fieldNames)
+          }
+          .collect()
+          .toSeq
+          .map { case (rel, size, stats, strStats, names) =>
+            (FileEntry(rel, size, stats, strStats), names)
+          }
+      } finally bc.destroy() // one broadcast per large commit otherwise
+        // accumulates on a continuously-ingesting driver
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, raw.size))
@@ -1137,14 +1140,20 @@ object Store {
       }
     }
 
+  /** The key's position in the signed long order as a 32-bit fraction
+    * (top 32 bits of the sign-flipped value, in [0, 2³²)) — the shared
+    * monotone-fraction kernel under [[equiWidthSlot]] and the Dedup
+    * batch-placement slots. */
+  private[operators] def signedTopFraction(h: Column): Column =
+    shiftrightunsigned(h.cast("long").bitwiseXOR(lit(Long.MinValue)), 32)
+
   /** slot = floor(unsigned(h XOR sign bit) / 2⁶⁴ · slots), computed on
     * the key's top 32 bits — monotone in SIGNED long order, uniform
     * for hash-valued keys, null-first like a range sort. */
-  private def equiWidthSlot(h: Column, slots: Int): Column = {
-    val top =
-      shiftrightunsigned(h.cast("long").bitwiseXOR(lit(Long.MinValue)), 32)
-    coalesce(shiftright(top * lit(slots.toLong), 32).cast("int"), lit(0))
-  }
+  private def equiWidthSlot(h: Column, slots: Int): Column =
+    coalesce(
+      shiftright(signedTopFraction(h) * lit(slots.toLong), 32).cast("int"),
+      lit(0))
 
   /** [[RangeSplits]] from explicit ASCENDING split points: pid = the
     * insertion index of the key among the points (nulls first) — a
@@ -1189,7 +1198,15 @@ object Store {
         files.foreach { case (mn, mx, w) =>
           while (q < n && q * total / n <= cum + w) {
             val frac = (q * total / n - cum) / w
-            pts += mn + math.round((mx - mn) * frac)
+            // double interpolation: (mx - mn) in LONG wraps negative
+            // when one file's range spans more than half the 64-bit
+            // domain (hash-valued keys coalesced into few files) —
+            // the ~2^10-ulp double imprecision is irrelevant for a
+            // split point, a wrapped sign is a degenerate layout
+            val p = mn + (mx.toDouble - mn.toDouble) * frac
+            pts += math.max(mn, math.min(mx,
+              math.round(math.max(Long.MinValue.toDouble,
+                math.min(Long.MaxValue.toDouble, p)))))
             q += 1
           }
           cum += w
@@ -1313,16 +1330,29 @@ object Store {
               .filter(_ => aqeCoalesce).map(_.toInt)
               .getOrElse(conf.numShufflePartitions)
           }
-        val placed = splits.orElse(autoSplits(df, partitionCols, clusterBy))
-          .flatMap { rs =>
-            val (pid, m) = rs.pid(n)
-            remapToHashSlots(m, if (numFiles > 0) m else n).map { remap =>
-              val slot = element_at(typedLit(remap.toSeq),
-                coalesce(pid.cast("int"), lit(0)) + 1)
-              if (numFiles > 0) df.repartition(m, slot)
-              else df.repartition(slot) // REPARTITION_BY_COL: AQE-coalescable
-            }
+        val spec = splits.orElse(autoSplits(df, partitionCols, clusterBy))
+        val placed = spec.flatMap { rs =>
+          val (pid, m) = rs.pid(n)
+          // m > n (a band domain wider than the shuffle target, e.g.
+          // multi-probe's numPerm blocks vs 32 partitions) pins the
+          // count explicitly: AQE coalescing is lost but the pid
+          // count IS the partitioned-write floor (one file per band
+          // dir), and a silent sampling fallback here would execute
+          // the input plan twice uncached
+          val explicitCount = numFiles > 0 || m > n
+          remapToHashSlots(m, if (explicitCount) m else n).map { remap =>
+            val slot = element_at(typedLit(remap.toSeq),
+              coalesce(pid.cast("int"), lit(0)) + 1)
+            if (explicitCount) df.repartition(m, slot)
+            else df.repartition(slot) // REPARTITION_BY_COL: AQE-coalescable
           }
+        }
+        if (spec.nonEmpty && placed.isEmpty)
+          System.err.println(
+            s"[graft.Store] declared range placement for $dataPath " +
+              s"exceeded the 65536-pid remap cap — falling back to the " +
+              s"range partitioner's sampling pass (input plan executes " +
+              s"twice; persist it first if it is expensive)")
         val ranged = placed.getOrElse {
           if (numFiles > 0) df.repartitionByRange(numFiles, keys: _*)
           else df.repartitionByRange(keys: _*)

@@ -103,7 +103,7 @@ object LinkOrRenameStoreCommit extends StoreCommit {
     val out = fs.create(tmp, false)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (isLocal(fs)) {
+    if (isLocal(fs) && !linkUnsupported.get()) {
       // hard-link the staged inode to the final name: the name appears
       // with its complete content or not at all, and EEXIST makes the
       // loser loud — rename would silently REPLACE a raced winner here
@@ -114,24 +114,49 @@ object LinkOrRenameStoreCommit extends StoreCommit {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           fs.delete(tmp, false); false
+        case e @ (_: UnsupportedOperationException |
+                  _: java.nio.file.FileSystemException) =>
+          // a local filesystem WITHOUT hard links (exFAT, some FUSE /
+          // network mounts): fall back to exists-probe + rename for
+          // this process — weaker (a sub-ms same-path race can
+          // clobber; see the trait doc), loudly noted once, and still
+          // torn-read-free (content staged and closed before rename)
+          if (linkUnsupported.compareAndSet(false, true))
+            System.err.println(
+              s"[graft.StoreCommit] hard links unsupported on this " +
+                s"local filesystem (${e.getMessage}); falling back to " +
+                s"exists-probe + rename — concurrent same-path commits " +
+                s"lose the one-winner guarantee on this mount")
+          renamePublish(fs, p, tmp)
       }
     } else {
       // non-local: rename must refuse an existing destination (HDFS
       // does). The exists-probe is belt-and-braces loser detection.
-      if (fs.exists(p)) { fs.delete(tmp, false); return false }
-      val renamed =
-        try fs.rename(tmp, p)
-        catch { case _: java.io.IOException => false }
-      if (!renamed) {
-        val lost = fs.exists(p)
-        fs.delete(tmp, false)
-        if (lost) return false
-        throw new IllegalStateException(
-          s"publishing $p failed: rename from $tmp returned false but no " +
-            s"competing file exists — filesystem error, not a commit race " +
-            s"(nothing was committed; the operation can be retried as-is)")
-      }
-      true
+      renamePublish(fs, p, tmp)
     }
+  }
+
+  /** Once a local mount proves it cannot hard-link, stop retrying the
+    * link per publish (the probe exception is not free and the answer
+    * will not change for the process's lifetime). */
+  private val linkUnsupported =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def renamePublish(
+      fs: FileSystem, p: Path, tmp: Path): Boolean = {
+    if (fs.exists(p)) { fs.delete(tmp, false); return false }
+    val renamed =
+      try fs.rename(tmp, p)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) {
+      val lost = fs.exists(p)
+      fs.delete(tmp, false)
+      if (lost) return false
+      throw new IllegalStateException(
+        s"publishing $p failed: rename from $tmp returned false but no " +
+          s"competing file exists — filesystem error, not a commit race " +
+          s"(nothing was committed; the operation can be retried as-is)")
+    }
+    true
   }
 }

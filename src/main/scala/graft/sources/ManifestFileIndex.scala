@@ -65,14 +65,26 @@ final class ManifestFileIndex(
   private val hasAnyStats =
     files.exists(f => f.stats.nonEmpty || f.strStats.nonEmpty)
 
+  /** A file's bounds in evaluation form: string bounds converted to
+    * [[UTF8String]] ONCE at construction — [[listFiles]] runs per
+    * query plan over every (file × predicate) pair, and re-encoding
+    * immutable bounds there would be pure allocation. */
+  private final case class EvalEntry(
+      stats: Map[String, (Long, Long)],
+      strStats: Map[String, (UTF8String, UTF8String)]) {
+    def isEmpty: Boolean = stats.isEmpty && strStats.isEmpty
+  }
+
   private val partitions
-      : Seq[(InternalRow, Seq[(FileStatus, ManifestFileIndex.FileEntry)])] = {
+      : Seq[(InternalRow, Seq[(FileStatus, EvalEntry)])] = {
     files
       .map { f =>
         (partitionValuesOf(f.rel),
           (new FileStatus(
             f.size, false, 1, 134217728L, 0L, new Path(basePath, f.rel)),
-            f))
+            EvalEntry(f.stats, f.strStats.map { case (c, (mn, mx)) =>
+              (c, (UTF8String.fromString(mn), UTF8String.fromString(mx)))
+            })))
       }
       .groupBy(_._1)
       .toSeq
@@ -143,7 +155,7 @@ final class ManifestFileIndex(
       stats: Map[String, (Long, Long)]): Option[(Long, Long)] =
     lookIC(name, stats)
 
-  private type Entry = ManifestFileIndex.FileEntry
+  private type Entry = EvalEntry
 
   /** Conservative "may the predicate hold for some row of this file"
     * — `true` whenever the expression shape or the file's stats can't
@@ -227,9 +239,7 @@ final class ManifestFileIndex(
 
   private def strBounds(
       name: String, f: Entry): Option[(UTF8String, UTF8String)] =
-    lookIC(name, f.strStats).map { case (mn, mx) =>
-      (UTF8String.fromString(mn), UTF8String.fromString(mx))
-    }
+    lookIC(name, f.strStats)
 
   /** Dispatch one comparison shape to the column's stat family —
     * exact long bounds or truncation-safe string bounds — and hand the
@@ -273,8 +283,7 @@ final class ManifestFileIndex(
       else afterPart
         .map { case (values, fs) =>
           (values, fs.filter { case (_, entry) =>
-            (entry.stats.isEmpty && entry.strStats.isEmpty) ||
-              dataFilters.forall(f => mayMatch(f, entry))
+            entry.isEmpty || dataFilters.forall(f => mayMatch(f, entry))
           })
         }
         .filter(_._2.nonEmpty)

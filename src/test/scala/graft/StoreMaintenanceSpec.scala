@@ -983,6 +983,54 @@ class StoreMaintenanceSpec extends GraftSpec {
       "placement never drops rows")
   }
 
+  test("statsSplits survives files spanning the full 64-bit key range " +
+    "(no Long-wrap degenerate layout)") {
+    // (mx - mn) wraps negative in Long when one file covers more than
+    // half the signed domain (hash-valued keys coalesced into few
+    // files) — the interpolation must run in double or the rewrite
+    // silently collapses to one giant partition
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(8000)((rnd.nextLong(), 1)).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wide_").toString
+    val rel = s"$dir/rel"
+    Store.create(rows, rel, clusterBy = Seq("id"), numFiles = 1)
+    Store.rewriteWithRetry(spark, rel, numFiles = 8, clusterBy = Seq("id"),
+      splits = s => Store.statsSplits(s, "id"))(_.df)
+    val snap = Store.snapshot(spark, rel)
+    assert(snap.files.size == 8,
+      s"full-range compaction must spread over 8 files, got ${snap.files.size}")
+    val iv = snap.files.flatMap(_.stats.get("id")).sortBy(_._1)
+    iv.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, "stat-derived splits keep files disjoint")
+      case _ => ()
+    }
+    assert(Store.read(spark, rel).count() == 8000L)
+  }
+
+  test("multi-probe signature build places without sampling even when " +
+    "the band domain exceeds the shuffle target") {
+    // numPerm = 64 band blocks vs 32 shuffle partitions: the placed
+    // write must pin the count (one file per band dir — the
+    // partitioned floor) rather than silently falling back to the
+    // sampling pass the declared placement exists to avoid
+    val dir = java.nio.file.Files.createTempDirectory("graft_mp_").toString
+    Dedup.writeSignatureTable(freshDocs(1L to 60L, 0L), "doc_id", "text",
+      s"$dir/sig", shingleLen = 3, numPerm = 64, bands = 16,
+      multiProbe = true)
+    val snap = Store.snapshot(spark, s"$dir/sig/buckets")
+    val bands = snap.files.flatMap(
+      _.rel.split('/').find(_.startsWith("band="))).distinct
+    assert(bands.size == 64, s"64 LOO band dirs expected, got ${bands.size}")
+    assert(snap.files.size == 64,
+      s"one placed file per band dir, got ${snap.files.size}")
+    // and the store still serves: a copy of a stored doc is rejected
+    assert(Dedup.nearDedupIncremental(spark, s"$dir/sig",
+      freshDocs(Seq(7L), 1000L), "doc_id", "text", threshold = 0.7)
+      .count() == 0L)
+  }
+
   test("placeByPid lands pid p in shuffle partition p exactly " +
     "(hash-slot remap pin)") {
     // the zero-sampling range-clustering primitive rests on Spark's
