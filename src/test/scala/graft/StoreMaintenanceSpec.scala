@@ -655,14 +655,19 @@ class StoreMaintenanceSpec extends GraftSpec {
       s"one domain's url range over 16 range-clustered files must touch " +
         s"a bounded subset, scanned $touched of 16")
     assert(q.count() == 625L, "string pruning must not drop matching rows")
-    // exact-url point lookup: the bound is truncated, so neighbours
-    // sharing the 16-cp prefix legally survive — but not the corpus
+    // exact-url point lookup: every url of one domain shares the same
+    // 16-code-point truncated prefix, so the bounds cannot discriminate
+    // WITHIN the domain — the guarantee is "every file holding (or
+    // bordering) the domain", i.e. the domain's ~1/16 of the relation
+    // plus range-boundary neighbours, never the corpus (the exact
+    // count wobbles with the range sampler's boundaries)
     val q1 = Store.read(spark, rel)
       .filter(col("url") === "https://0007.example.com/page/4500")
     val s1 = q1.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.head.selectedPartitions.totalNumberOfFiles
-    assert(s1 <= 2L, s"a url point lookup must touch ≤2 files, got $s1")
+    assert(s1 <= 4L,
+      s"a url point lookup must touch only the domain's files, got $s1 of 16")
     assert(q1.count() == 1L)
   }
 
