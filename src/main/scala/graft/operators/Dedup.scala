@@ -1773,8 +1773,19 @@ object Dedup {
     * replayed batch restores them). */
   def appendToSignatureTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, idCol: String, textCol: String): Unit = {
-    val meta = spark.read.parquet(sigTableMeta(path)).head()
+      batch: DataFrame, idCol: String, textCol: String): Unit =
+    appendToSignatureTable(spark, path, batch, idCol, textCol,
+      spark.read.parquet(sigTableMeta(path)).head())
+
+  /** [[appendToSignatureTable]] with the table's meta row already in
+    * hand — the ingest chain probes and appends against the SAME path
+    * in one call, so it reads the immutable meta once instead of per
+    * phase (snapshots still re-resolve per phase: only the
+    * construction parameters are immutable, the fence is not). */
+  private def appendToSignatureTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      meta: org.apache.spark.sql.Row): Unit = {
     val shingleLen = meta.getAs[Int]("shingle_len")
     val numPerm = meta.getAs[Int]("num_perm")
     val bands = meta.getAs[Int]("bands")
@@ -1848,9 +1859,14 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, sigTablePath: String,
       incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double, pick: Seq[Column] = Nil): DataFrame = {
-    val survivors = nearDedupIncremental(spark, sigTablePath, incoming,
-      idCol, textCol, threshold, pick).localCheckpoint(true)
-    appendToSignatureTable(spark, sigTablePath, survivors, idCol, textCol)
+    // one handle open: the probe and the append share the immutable
+    // meta read (the append still re-resolves its snapshots — the
+    // fence is per phase, only the construction parameters are not)
+    val h = openSignatureTable(spark, sigTablePath)
+    val survivors = nearDedupIncremental(h,
+      incoming, idCol, textCol, threshold, pick).localCheckpoint(true)
+    appendToSignatureTable(spark, sigTablePath, survivors, idCol, textCol,
+      h.meta)
     survivors
   }
 
@@ -2194,8 +2210,14 @@ object Dedup {
     * must not itself read from `path`. */
   def appendToHammingTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, idCol: String, sigCol: String): Unit = {
-    val meta = spark.read.parquet(hamTableMeta(path)).head()
+      batch: DataFrame, idCol: String, sigCol: String): Unit =
+    appendToHammingTable(spark, path, batch, idCol, sigCol,
+      spark.read.parquet(hamTableMeta(path)).head())
+
+  private def appendToHammingTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, sigCol: String,
+      meta: org.apache.spark.sql.Row): Unit = {
     val maxHamming = meta.getAs[Int]("max_hamming")
     val maxBucketSize = meta.getAs[Int]("max_bucket_size")
     val incB = batch
@@ -2244,7 +2266,10 @@ object Dedup {
   def hammingIngest(
       spark: org.apache.spark.sql.SparkSession, path: String,
       incoming: DataFrame, idCol: String, sigCol: String): DataFrame = {
-    val meta = spark.read.parquet(hamTableMeta(path)).head()
+    // one handle open per batch: the incremental probe and the append
+    // share the immutable meta (snapshots still resolve per phase)
+    val h = openHammingTable(spark, path)
+    val meta = h.meta
     val maxHamming = meta.getAs[Int]("max_hamming")
     val inc = incoming
       .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
@@ -2258,7 +2283,8 @@ object Dedup {
       .select(col("id"), col("sig"),
         coalesce(col("component"), col("id")).as("__comp"))
     val rejectedComps = withComp
-      .join(hammingNearDupsIncremental(spark, path, inc, "id", "sig")
+      .join(hammingNearDupsIncremental(h, inc, "id", "sig",
+          multiProbe = false, radius = None)
           .select(col("id_in").as("id")).distinct(),
         Seq("id"), "left_semi")
       .select(col("__comp")).distinct()
@@ -2267,7 +2293,7 @@ object Dedup {
       .join(rejectedComps, Seq("__comp"), "left_anti")
       .select(col("id").as(idCol), col("sig").as(sigCol))
       .localCheckpoint(true)
-    appendToHammingTable(spark, path, survivors, idCol, sigCol)
+    appendToHammingTable(spark, path, survivors, idCol, sigCol, meta)
     survivors
   }
 
@@ -2729,8 +2755,17 @@ object Dedup {
     * partial agg over batch lines only. */
   def paragraphDedupIncremental(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      incoming: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sep = spark.read.parquet(paraTableMeta(path)).head().getAs[String]("sep")
+      incoming: DataFrame, idCol: String, textCol: String): DataFrame =
+    paragraphDedupIncremental(spark, path, incoming, idCol, textCol,
+      spark.read.parquet(paraTableMeta(path)).head().getAs[String]("sep"))
+
+  /** [[paragraphDedupIncremental]] with the table's pinned separator
+    * already in hand — the ingest chain reads the immutable meta once
+    * per batch instead of per phase. */
+  private def paragraphDedupIncremental(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame = {
     val lines = incoming
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
@@ -2794,8 +2829,14 @@ object Dedup {
     * [[Store.append]] maintenance fence. */
   def appendToParagraphTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, idCol: String, textCol: String): Unit = {
-    val sep = spark.read.parquet(paraTableMeta(path)).head().getAs[String]("sep")
+      batch: DataFrame, idCol: String, textCol: String): Unit =
+    appendToParagraphTable(spark, path, batch, idCol, textCol,
+      spark.read.parquet(paraTableMeta(path)).head().getAs[String]("sep"))
+
+  private def appendToParagraphTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      sep: String): Unit = {
     val hashes = batch.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as("line"))
@@ -2826,9 +2867,13 @@ object Dedup {
   def paragraphIngest(
       spark: org.apache.spark.sql.SparkSession, path: String,
       incoming: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // one meta read per batch, shared by the probe and the append (the
+    // separator is pinned at build; snapshots still resolve per phase)
+    val sep =
+      spark.read.parquet(paraTableMeta(path)).head().getAs[String]("sep")
     val survivors = paragraphDedupIncremental(spark, path, incoming,
-      idCol, textCol).localCheckpoint(true)
-    appendToParagraphTable(spark, path, survivors, idCol, "text")
+      idCol, textCol, sep).localCheckpoint(true)
+    appendToParagraphTable(spark, path, survivors, idCol, "text", sep)
     survivors
   }
 
