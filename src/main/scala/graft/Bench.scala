@@ -167,10 +167,11 @@ object Bench {
       else {
         import org.apache.spark.sql.functions._
         import graft.operators.Dedup
-        val root = "/tmp/graft_bench_probe"
-        val rootP = new org.apache.hadoop.fs.Path(root)
-        rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(rootP, true)
+        // per-JVM scratch root (ADVICE r14): a fixed /tmp path would let
+        // two concurrent bench runs on one host destroy each other's
+        // stores mid-measurement; Scratch is unique per process and
+        // removed on exit
+        val root = Scratch.path("bench_probe")
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val batch = docs.orderBy(col("doc_id")).limit(4)
           .select((col("doc_id") + lit(70000000L)).as("doc_id"),
@@ -194,6 +195,7 @@ object Bench {
         val tPara = time(force(Dedup.paragraphDedupIncremental(
           spark, s"$root/para", batch, "doc_id", "text")))
         spark.catalog.clearCache()
+        Scratch.remove("bench_probe")
         Seq("q_probe_sig_serving" -> tSig,
           "q_probe_hamming_serving" -> tHam,
           "q_probe_para_serving" -> tPara)

@@ -164,6 +164,15 @@ object Store {
   private def dec(s: String) =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Mixed-version constraint: the v2 tag pins the manifest's LINE
+    * structure (d/p/s/f lines), not the set of per-file STAT entry
+    * shapes, which may grow within v2 (string bounds were added in
+    * r14). Readers therefore SKIP stat entries whose shape they do not
+    * recognize ([[parseStats]]) — the skipped column is merely
+    * unbounded, so every file it might have pruned is kept (the
+    * conservative direction). Readers OLDER than that rule (pre-r15)
+    * fail on unknown shapes with a raw parse error — roll readers
+    * forward before writers when upgrading a fleet. */
   private val FormatTag = "graft-store-v2"
 
   /** Parsed manifest content (None = legacy empty manifest). */
@@ -193,9 +202,19 @@ object Store {
     s.split(';').iterator.filter(_.nonEmpty).foreach { part =>
       // limit -1 keeps trailing empty fields (an empty-string bound)
       val ps = part.split(":", -1)
-      if (ps.length == 4 && ps(1) == "s")
-        strs += ((dec(ps(0)), (dec(ps(2)), dec(ps(3)))))
-      else ints += ((dec(ps(0)), (ps(1).toLong, ps(2).toLong)))
+      // recognized shapes only; anything else — a stat kind a NEWER
+      // writer added within v2, or a damaged entry — is SKIPPED, never
+      // a raw parse crash: a skipped stat leaves its column unbounded,
+      // so every file it might have pruned is kept (conservative; see
+      // the FormatTag mixed-version note)
+      try {
+        if (ps.length == 4 && ps(1) == "s")
+          strs += ((dec(ps(0)), (dec(ps(2)), dec(ps(3)))))
+        else if (ps.length == 3)
+          ints += ((dec(ps(0)), (ps(1).toLong, ps(2).toLong)))
+      } catch {
+        case _: NumberFormatException | _: IllegalArgumentException => ()
+      }
     }
     (ints.result(), strs.result())
   }

@@ -45,6 +45,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    an external catalog/lock service (the Iceberg/Delta catalog
   *    role). Both give exactly the one-winner semantics above; plain
   *    PUT-then-check does not (last-writer-wins).
+  *    [[InMemoryConditionalPutStoreCommit]] is the executable REFERENCE
+  *    BEHAVIOR for this class: the same atomic-decision-then-visible
+  *    shape with the store's server-side conditional write replaced by
+  *    a process-local ledger, green against the contract spec — a real
+  *    object-store implementation should match it decision-for-decision
+  *    and pass the same spec block verbatim.
   *
   * Installed process-wide via [[Store.setCommitService]]; metadata
   * objects are small (one manifest/marker per commit), so the
@@ -77,6 +83,34 @@ object LinkOrRenameStoreCommit extends StoreCommit {
   private def nio(p: Path): java.nio.file.Path =
     java.nio.file.Paths.get(p.toUri.getPath)
 
+  /** Schemes whose rename is a non-atomic copy+delete (or a blind
+    * overwrite): the one-winner and torn-read guarantees DEGRADE there,
+    * and unlike the local no-hardlink fallback that degradation would
+    * otherwise be silent — warn once per process that a conditional-PUT
+    * / catalog [[StoreCommit]] must be installed
+    * ([[Store.setCommitService]]; [[InMemoryConditionalPutStoreCommit]]
+    * is the reference behavior to match). */
+  private val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+      "oss", "cos", "swift")
+
+  private val objectStoreWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def warnIfObjectStore(fs: FileSystem): Unit = {
+    val scheme = fs.getUri.getScheme
+    if (scheme != null && ObjectStoreSchemes.contains(scheme.toLowerCase) &&
+      objectStoreWarned.compareAndSet(false, true))
+      System.err.println(
+        s"[graft.StoreCommit] commit target uses object-store scheme " +
+          s"'$scheme', where rename is not an atomic no-clobber " +
+          s"operation — the one-winner commit guarantee does NOT hold " +
+          s"with the default StoreCommit; install a conditional-PUT or " +
+          s"catalog implementation via Store.setCommitService (see the " +
+          s"StoreCommit trait contract and " +
+          s"InMemoryConditionalPutStoreCommit for the reference behavior)")
+  }
+
   override def createExclusive(fs: FileSystem, p: Path): Boolean =
     if (isLocal(fs)) {
       // O_CREAT|O_EXCL — atomic where Hadoop's local create(p, false)
@@ -90,6 +124,7 @@ object LinkOrRenameStoreCommit extends StoreCommit {
           catch { case _: java.nio.file.FileAlreadyExistsException => false }
       }
     } else {
+      warnIfObjectStore(fs)
       try { fs.create(p, false).close(); true }
       catch { case _: java.io.IOException => false }
     }
@@ -109,6 +144,18 @@ object LinkOrRenameStoreCommit extends StoreCommit {
       // loser loud — rename would silently REPLACE a raced winner here
       try {
         java.nio.file.Files.createLink(nio(p), nio(tmp))
+        // Hadoop's checksummed LocalFileSystem wrote a `.t-<uuid>.crc`
+        // sibling for the staged file; the hard link commits only the
+        // data inode, so link the checksum along (its content is
+        // name-independent per-chunk CRCs) — otherwise local metadata
+        // reads silently lose checksum verification (ADVICE r14).
+        // Best-effort: a raw (unchecksummed) fs has no sibling.
+        val tmpCrc = nio(new Path(tmp.getParent, s".${tmp.getName}.crc"))
+        if (java.nio.file.Files.exists(tmpCrc)) {
+          try java.nio.file.Files.createLink(
+            nio(new Path(p.getParent, s".${p.getName}.crc")), tmpCrc)
+          catch { case _: java.io.IOException => () }
+        }
         fs.delete(tmp, false)
         true
       } catch {
@@ -131,7 +178,10 @@ object LinkOrRenameStoreCommit extends StoreCommit {
       }
     } else {
       // non-local: rename must refuse an existing destination (HDFS
-      // does). The exists-probe is belt-and-braces loser detection.
+      // does; object stores do NOT — warn once and point at the
+      // conditional-PUT contract). The exists-probe is belt-and-braces
+      // loser detection.
+      warnIfObjectStore(fs)
       renamePublish(fs, p, tmp)
     }
   }
@@ -159,4 +209,93 @@ object LinkOrRenameStoreCommit extends StoreCommit {
     }
     true
   }
+}
+
+/** CONDITIONAL-PUT [[StoreCommit]] with an in-memory ledger — the
+  * executable reference behavior for the object-store implementation
+  * class the trait documents, and the proof that the documented
+  * contract is implementable by something other than link/rename
+  * (StoreMaintenanceSpec runs the full contract spec against this
+  * implementation verbatim, next to the default).
+  *
+  * Shape of a real S3/GCS/ABFS commit, piece by piece:
+  *
+  *  - The COMMIT DECISION is one atomic conditional write keyed by the
+  *    object name: here `ConcurrentHashMap.compute` per fully-qualified
+  *    path (all racers of one name serialize through it; exactly one
+  *    sees "absent" and wins), on S3 the server-side
+  *    `If-None-Match: *` PUT, on GCS `x-goog-if-generation-match: 0`,
+  *    on ABFS an ETag precondition. Losers return false without
+  *    touching the winner's object.
+  *  - VISIBILITY follows the decision atomically: the winner
+  *    materializes the complete content inside the same atomic section
+  *    (staged sibling + rename on the backing fs — readers see the
+  *    whole object or none), the way a conditional PUT's success IS the
+  *    object becoming readable.
+  *  - DELETED objects accept a new conditional write: the protocol
+  *    deletes metadata out-of-band (withdrawn append markers, retention
+  *    sweeps, cleared intents go through `fs.delete`, not this seam),
+  *    so the decision treats "ledger entry present but object absent"
+  *    as deleted — the generation-precondition reset a real store does
+  *    server-side. Without it a cleared rewrite intent would block
+  *    every later rewrite toward the same generation number.
+  *
+  * The ledger is process-local, so cross-PROCESS exclusion still comes
+  * from the backing filesystem's own semantics — this implementation
+  * exists to pin the contract's decision logic and to test the Store
+  * protocol end-to-end over a non-default commit substrate, not to
+  * replace a real object-store client. A real implementation deletes
+  * the ledger and keeps everything else. */
+final class InMemoryConditionalPutStoreCommit extends StoreCommit {
+
+  private val ledger =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def key(fs: FileSystem, p: Path): String =
+    fs.makeQualified(p).toString
+
+  /** One atomic conditional write: serialize racers of one name, treat
+    * an out-of-band-deleted object as absent, materialize inside the
+    * winning decision. An I/O failure while materializing propagates
+    * (nothing committed, ledger entry not set — retriable as-is). */
+  private def conditionalPut(
+      fs: FileSystem, p: Path)(materialize: () => Unit): Boolean = {
+    var won = false
+    ledger.compute(key(fs, p), (_, existing) => {
+      if (existing != null && fs.exists(p)) existing
+      else {
+        materialize()
+        won = true
+        java.lang.Boolean.TRUE
+      }
+    })
+    won
+  }
+
+  override def createExclusive(fs: FileSystem, p: Path): Boolean =
+    conditionalPut(fs, p) { () =>
+      fs.mkdirs(p.getParent)
+      fs.create(p, true).close()
+    }
+
+  override def publishExclusive(
+      fs: FileSystem, p: Path, content: String): Boolean =
+    conditionalPut(fs, p) { () =>
+      // stage + rename inside the atomic decision: a reader never sees
+      // a partial object, and by the time the winner returns the
+      // committed content is readable (the conditional PUT's own
+      // visibility contract)
+      val tmp = new Path(p.getParent,
+        s"t-${java.util.UUID.randomUUID.toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"conditional-put materialization of $p failed: rename from " +
+            s"$tmp returned false under the winning decision — " +
+            s"filesystem error (nothing committed; retriable as-is)")
+      }
+    }
 }

@@ -1052,14 +1052,19 @@ class StoreMaintenanceSpec extends GraftSpec {
     assert(placed.rdd.getNumPartitions == 7)
   }
 
-  test("StoreCommit contract: exactly one racing publisher wins; readers " +
-    "never see a partial object; tokens are single-create") {
-    // the executable form of the StoreCommit trait's contract, run
-    // against the default rename implementation — an object-store
-    // implementation (conditional PUT / catalog) must pass this same
-    // block verbatim. Every Store race spec in this file additionally
-    // exercises the seam end-to-end through append/rewrite.
-    val svc: graft.operators.StoreCommit = graft.operators.LinkOrRenameStoreCommit
+  // the executable form of the StoreCommit trait's contract,
+  // PARAMETERIZED over every implementation: the default link/rename
+  // one and the in-memory conditional-PUT reference for the
+  // object-store class — a real S3/GCS/ABFS implementation must pass
+  // this same block verbatim. Every Store race spec in this file
+  // additionally exercises the seam end-to-end through append/rewrite.
+  for ((implName, mkSvc) <- Seq[(String, () => graft.operators.StoreCommit)](
+    ("LinkOrRename (default)", () => graft.operators.LinkOrRenameStoreCommit),
+    ("InMemoryConditionalPut (object-store reference)",
+      () => new graft.operators.InMemoryConditionalPutStoreCommit)))
+  test(s"StoreCommit contract [$implName]: exactly one racing publisher " +
+    "wins; readers never see a partial object; tokens are single-create") {
+    val svc: graft.operators.StoreCommit = mkSvc()
     val dir = java.nio.file.Files.createTempDirectory("graft_commit_").toString
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1093,6 +1098,91 @@ class StoreMaintenanceSpec extends GraftSpec {
     val tok = new org.apache.hadoop.fs.Path(dir, "r-1")
     assert(svc.createExclusive(fs, tok))
     assert(!svc.createExclusive(fs, tok), "second create must lose")
+    // a DELETED object accepts a new exclusive create: the protocol
+    // clears intents / withdraws markers via fs.delete out-of-band, so
+    // a cleared rewrite intent must not block the replayed rewrite's
+    // re-create of the SAME name (the generation-precondition reset)
+    assert(fs.delete(tok, false))
+    assert(svc.createExclusive(fs, tok),
+      "create after out-of-band delete must win again")
+    val m = new org.apache.hadoop.fs.Path(dir, "m-redo")
+    assert(svc.publishExclusive(fs, m, "gen-1"))
+    assert(!svc.publishExclusive(fs, m, "imposter"))
+    assert(fs.delete(m, false))
+    assert(svc.publishExclusive(fs, m, "gen-1-replayed"),
+      "publish after out-of-band delete must win again")
+  }
+
+  test("a manifest stat entry of unrecognized shape is SKIPPED (column " +
+    "unbounded, file kept), never a raw parse crash (mixed-version rule)") {
+    // the FormatTag mixed-version constraint, executable: a NEWER
+    // writer may add stat kinds within v2; this reader must keep
+    // reading the manifest — with that one stat ignored — instead of
+    // dying in NumberFormatException mid-listing (ADVICE r14).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixver_").toString
+    val rel = s"$dir/rel"
+    Store.create((0L until 40L).map(i => (i, s"v$i")).toDF("id", "v"),
+      rel, clusterBy = Seq("id"), numFiles = 2)
+    val mdir = new java.io.File(s"$rel/_manifests")
+    val mf = mdir.listFiles().filter(_.getName.startsWith("m-")).head
+    val edited = scala.io.Source.fromFile(mf).getLines().map { l =>
+      if (l.startsWith("f\t"))
+        // one future 5-field shape, one damaged numeric entry — both
+        // must be skipped while the REST of the line's stats survive
+        l + ";future%20col:z:a:b:c;bad:1:notanumber"
+      else l
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(mf.toPath,
+      edited.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the in-place edit invalidates the local checksum sibling; drop it
+    // (object stores and HDFS have no such sibling)
+    new java.io.File(mdir, s".${mf.getName}.crc").delete()
+    val snap = Store.snapshot(spark, rel)
+    assert(snap.df.filter(col("id") < 10L).count() == 10L)
+    assert(snap.files.forall(_.stats.contains("id")),
+      "the recognized int stat on each file must survive the skip")
+    // the skipped stats cost nothing: still prunable on the good column
+    // (keep only the file holding the global minimum — with two files
+    // of disjoint ranges that always drops the other one)
+    val pruned = Store.pruneFiles(snap)((_, st) =>
+      st.get("id").exists { case (mn, _) => mn == 0L })
+    assert(pruned.count() < 40L, "pruning on the surviving stat still works")
+  }
+
+  test("the full Store protocol runs end-to-end over the conditional-PUT " +
+    "commit service (second-substrate proof)") {
+    // the seam's point: the generation/fence protocol is substrate-
+    // agnostic — swap the commit primitive and every create/append/
+    // rewrite/retention behavior must hold unchanged. try/finally
+    // restores the default for the rest of the suite run.
+    import spark.implicits._
+    Store.setCommitService(new graft.operators.InMemoryConditionalPutStoreCommit)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cput_").toString
+      val rel = s"$dir/rel"
+      Store.create((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"),
+        rel, clusterBy = Seq("id"), numFiles = 4)
+      Store.append(spark, rel) { d =>
+        (100L until 120L).map(i => (i, s"v$i")).toDF("id", "v")
+          .write.mode("append").parquet(d)
+      }
+      assert(Store.read(spark, rel).count() == 120L)
+      // rewrite (with its intent create/clear cycle), then a SECOND
+      // rewrite toward the next generation — proves a cleared intent
+      // name never wedges the conditional-put ledger
+      Store.rewriteWithRetry(spark, rel, numFiles = 2,
+        clusterBy = Seq("id"))(s => s.df.filter(col("id") < 110L))
+      assert(Store.read(spark, rel).count() == 110L)
+      Store.rewriteWithRetry(spark, rel, numFiles = 2,
+        clusterBy = Seq("id"))(s => s.df.filter(col("id") < 105L))
+      assert(Store.read(spark, rel).count() == 105L)
+      // racing creates of one relation still end with exactly one loud
+      // loser through the new substrate
+      val rel2 = s"$dir/rel2"
+      Store.create(Seq((1L, "a")).toDF("id", "v"), rel2)
+      assert(Store.read(spark, rel2).count() == 1L)
+    } finally Store.setCommitService(graft.operators.LinkOrRenameStoreCommit)
   }
 
   test("manifest-stat file skipping is exact under 80 seeded random " +
