@@ -1365,17 +1365,48 @@ object Dedup {
     if (snap.legacy || snap.files.isEmpty)
       return snap.df.join(broadcast(probeKeys),
         Seq("band", "bucket"), "left_semi")
+    collectBucketKeys(probeKeys) match {
+      case None =>
+        snap.df.join(broadcast(probeKeys), Seq("band", "bucket"), "left_semi")
+      case Some(keys) =>
+        corpusBucketProbeCollected(touched.sparkSession, snap, keys)
+    }
+  }
+
+  /** The collected (band, bucket) key rows of one probe — gathered
+    * ONCE on the driver and reused by every phase of an ingest batch
+    * (the driver-side file prune, the exact local-relation semi-join,
+    * and the append's occupancy count), so the touched-key plan never
+    * re-executes per phase. None = the batch touches more than
+    * [[MaxProbeKeys]] keys and the probe falls back to the distributed
+    * broadcast path. */
+  private[graft] final case class ProbeKeys(
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType)
+
+  private def collectBucketKeys(probeKeys: DataFrame): Option[ProbeKeys] = {
     val rows = probeKeys.limit(MaxProbeKeys + 1).collect()
-    if (rows.length > MaxProbeKeys)
-      return snap.df.join(broadcast(probeKeys),
-        Seq("band", "bucket"), "left_semi")
-    val keys = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      .map(r => (r.getInt(0), r.getLong(1)))
-    val pruned = Store.pruneFiles(snap)(bucketKeepFn(keys))
-    val spark = touched.sparkSession
+    if (rows.length > MaxProbeKeys) None
+    else Some(ProbeKeys(rows, probeKeys.schema))
+  }
+
+  /** [[corpusBucketProbe]]'s plan over keys a caller ALREADY collected
+    * — pruned scan + local-relation broadcast semi-join, zero
+    * additional driver actions. Conservative like the parent: a
+    * SUPERSET key set only keeps more files; the semi-join still
+    * bounds the rows. */
+  private def corpusBucketProbeCollected(
+      spark: org.apache.spark.sql.SparkSession, snap: Store.Snap,
+      keys: ProbeKeys): DataFrame = {
     val localKeys = spark
-      .createDataFrame(java.util.Arrays.asList(rows: _*), probeKeys.schema)
+      .createDataFrame(java.util.Arrays.asList(keys.rows: _*), keys.schema)
       .filter(col("band") >= 0)
+    if (snap.legacy || snap.files.isEmpty)
+      return snap.df.join(broadcast(localKeys),
+        Seq("band", "bucket"), "left_semi")
+    val ks = keys.rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val pruned = Store.pruneFiles(snap)(bucketKeepFn(ks))
     pruned.join(broadcast(localKeys), Seq("band", "bucket"), "left_semi")
   }
 
@@ -1387,7 +1418,15 @@ object Dedup {
     if (snap.legacy || snap.files.isEmpty) return snap.df
     val rows = keys.select(col(keyCol)).limit(MaxProbeKeys + 1).collect()
     if (rows.length > MaxProbeKeys) return snap.df
-    val sorted = rows.filter(!_.isNullAt(0)).map(_.getLong(0)).sorted
+    pruneLongKeyScanCollected(snap, keyCol,
+      rows.filter(!_.isNullAt(0)).map(_.getLong(0)).sorted)
+  }
+
+  /** [[pruneLongKeyScan]] over keys a caller already collected (the
+    * fused ingest path) — zero additional driver actions. */
+  private def pruneLongKeyScanCollected(
+      snap: Store.Snap, keyCol: String, sorted: Array[Long]): DataFrame = {
+    if (snap.legacy || snap.files.isEmpty) return snap.df
     Store.pruneFiles(snap) { (_, stats) =>
       stats.get(keyCol) match {
         case Some((mn, mx)) => anyKeyInRange(sorted, mn, mx)
@@ -1618,11 +1657,32 @@ object Dedup {
     (p.keptFiles, p.keptBytes, p.totalFiles, p.totalBytes)
   }
 
+  /** Everything one probe computes that the SAME batch's append phase
+    * can reuse: the lazy survivor plan, the persisted batch signatures
+    * (the append re-derives survivor sigs with a semi-join instead of
+    * re-shingling), and the collected touched keys (the append's
+    * occupancy prune reuses them instead of collecting its own). The
+    * caller owns the two persists. */
+  private final case class IncrementalProbe(
+      survivors: DataFrame, batchSigs: DataFrame,
+      batchBuckets: DataFrame, touched: Option[ProbeKeys])
+
   /** [[nearDedupIncremental]] against an already-open [[SigTableHandle]]. */
   def nearDedupIncremental(
       h: SigTableHandle,
       incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double, pick: Seq[Column]): DataFrame = {
+    val r = nearDedupIncrementalCore(h, incoming, idCol, textCol,
+      threshold, pick)
+    r.batchSigs.unpersist(blocking = false)
+    r.batchBuckets.unpersist(blocking = false)
+    r.survivors
+  }
+
+  private def nearDedupIncrementalCore(
+      h: SigTableHandle,
+      incoming: DataFrame, idCol: String, textCol: String,
+      threshold: Double, pick: Seq[Column]): IncrementalProbe = {
     val meta = h.meta
     val shingleLen = meta.getAs[Int]("shingle_len")
     val numPerm = meta.getAs[Int]("num_perm")
@@ -1640,9 +1700,10 @@ object Dedup {
     val batchBucketFn =
       if (mp) bandBucketsMultiProbe(col("sig"), bands, rowsPerBand)
       else bandBuckets(col("sig"), bands, rowsPerBand)
-    val batchBuckets = batch
+    val batchBucketsRaw = batch
       .select(col("id"), explode(batchBucketFn).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val batchBuckets = batchBucketsRaw
       .withColumn("__graft_bsz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
@@ -1654,9 +1715,22 @@ object Dedup {
     // broadcast semi-join — the corpus side is never shuffled, and with
     // the band-partitioned range-clustered layout the scan READS only
     // the files whose key range can hold a touched bucket (DPP prunes
-    // the band partitions; the key prune drops files inside them)
-    val touched = batchBuckets.select(col("band"), col("bucket")).distinct()
-    val corpusMatch = corpusBucketProbe(h.bucketsSnap, touched)
+    // the band partitions; the key prune drops files inside them).
+    // Keys are collected from the UNCAPPED bucket set: a superset of
+    // the capped probe keys (pruning stays conservative-correct) AND of
+    // the append's survivor keys, so the fused ingest path reuses ONE
+    // collect for every phase — an over-cap batch bucket must still
+    // see its true stored occupancy at append time.
+    val touchedKeys =
+      if (h.bucketsSnap.legacy || h.bucketsSnap.files.isEmpty) None
+      else collectBucketKeys(batchBucketsRaw.filter(col("band") >= 0)
+        .select(col("band"), col("bucket")).distinct())
+    val corpusMatch = touchedKeys match {
+      case Some(k) =>
+        corpusBucketProbeCollected(incoming.sparkSession, h.bucketsSnap, k)
+      case None => corpusBucketProbe(h.bucketsSnap,
+        batchBuckets.select(col("band"), col("bucket")).distinct())
+    }
 
     // candidates: batch×batch (self-join) ∪ batch×corpus — id spaces
     // are disjoint, so the two relations cannot share a pair, and they
@@ -1685,13 +1759,31 @@ object Dedup {
           .cast("double") / lit(numPerm.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
-    // materialized eagerly (tiny: candidate corpus ids) so the sig
-    // relation's file prune can read the id set without replaying the
-    // candidate join inside its own collect
-    val neededCorpus = crossPairs.select(col("id_b").as("id")).distinct()
-      .localCheckpoint(true)
-    val corpusSigs = pruneLongKeyScan(h.sigsSnap, "id", neededCorpus)
-      .join(broadcast(neededCorpus), Seq("id"), "left_semi")
+    // the candidate corpus-id set drives the sig relation's driver-side
+    // file prune AND its exact semi-join, so it is COLLECTED once (the
+    // candidate join runs exactly one time) and re-enters the plan as a
+    // local relation — the former eager checkpoint paid one action to
+    // materialize and a second inside the prune's own collect.
+    // Over-limit (or non-long-id) batches keep the checkpointed path.
+    val spark0 = incoming.sparkSession
+    val idIsLong = incoming.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val neededPlan = crossPairs.select(col("id_b").as("id")).distinct()
+    val neededRows =
+      if (!idIsLong) null
+      else neededPlan.limit(MaxProbeKeys + 1).collect()
+    val corpusSigs =
+      if (neededRows != null && neededRows.length <= MaxProbeKeys) {
+        val ks = neededRows.filter(!_.isNullAt(0)).map(_.getLong(0)).sorted
+        val local = spark0.createDataFrame(
+          java.util.Arrays.asList(neededRows: _*), neededPlan.schema)
+        pruneLongKeyScanCollected(h.sigsSnap, "id", ks)
+          .join(broadcast(local), Seq("id"), "left_semi")
+      } else {
+        val neededCorpus = neededPlan.localCheckpoint(true)
+        pruneLongKeyScan(h.sigsSnap, "id", neededCorpus)
+          .join(broadcast(neededCorpus), Seq("id"), "left_semi")
+      }
     val edgesBatch = estimate(batchPairs,
       batch.select(col("id").as("id_b"), col("sig").as("sig_b")))
     // batch docs with a confirmed corpus near-dup: the corpus flag
@@ -1701,24 +1793,32 @@ object Dedup {
     // Keeping the (usually corpus-heavy) edge majority out of CC is
     // the difference between propagation rounds over the whole
     // candidate graph and CC over the batch-batch slice only.
-    // Materialized eagerly (tiny: distinct batch ids) so the batch
-    // caches can be freed before the survivor query runs.
-    val directRejected = estimate(crossPairs,
-      corpusSigs.select(col("id").as("id_b"), col("sig").as("sig_b")))
-      .select(col("id_a").as("id")).distinct()
+    // The direct-rejection ids and the batch-batch edge slice (both
+    // tiny: candidate-scale) materialize in ONE tagged checkpoint —
+    // they are independent, so splitting them over two eager actions
+    // paid a whole extra job per probe; the batch caches can still be
+    // freed before the survivor query runs.
+    val idType = incoming.schema(idCol).dataType
+    val fusedCand = edgesBatch
+      .select(lit(0).as("__t"), col("id_a"), col("id_b"))
+      .unionByName(estimate(crossPairs,
+          corpusSigs.select(col("id").as("id_b"), col("sig").as("sig_b")))
+        .select(col("id_a").as("id")).distinct()
+        .select(lit(1).as("__t"), col("id").as("id_a"),
+          lit(null).cast(idType).as("id_b")))
       .localCheckpoint(true)
-
-    // materialize the batch-batch edge slice once (tiny); in the
-    // common ingest shape — batches mostly duplicate the CORPUS, not
-    // themselves — it is empty and label propagation is skipped
-    // entirely (CC over zero edges is still several fixed-cost jobs)
-    val edgesB = edgesBatch.localCheckpoint(true)
+    val directRejected = fusedCand.filter(col("__t") === 1)
+      .select(col("id_a").as("id"))
+    // the batch-batch edge slice: in the common ingest shape — batches
+    // mostly duplicate the CORPUS, not themselves — it is empty and
+    // label propagation is skipped entirely (CC over zero edges is
+    // still several fixed-cost jobs)
+    val edgesB = fusedCand.filter(col("__t") === 0)
+      .select(col("id_a"), col("id_b"))
     val comps =
       if (edgesB.isEmpty)
         edgesB.select(col("id_a").as("id"), col("id_b").as("component")).limit(0)
       else connectedComponents(edgesB, "id_a", "id_b")
-    batch.unpersist(blocking = false)
-    batchBuckets.unpersist(blocking = false)
     // a batch component with ≥1 directly-rejected member is rejected
     // wholesale (the corpus-side canonical always wins); the remaining
     // batch-only components keep one survivor by `pick`
@@ -1732,8 +1832,10 @@ object Dedup {
     val batchOnlyComps = comps.join(rejComps, Seq("component"), "left_anti")
       .select(col("id"), col("component"))
     val ordering = if (pick.nonEmpty) pick else Seq(col(idCol).asc)
-    keepCanonical(incoming.join(rejectedIds, Seq(idCol), "left_anti"),
-      idCol, batchOnlyComps, ordering)
+    IncrementalProbe(
+      keepCanonical(incoming.join(rejectedIds, Seq(idCol), "left_anti"),
+        idCol, batchOnlyComps, ordering),
+      batch, batchBuckets, touchedKeys)
   }
 
   /** [[nearDedupIncremental]] against a persisted signature table with
@@ -1796,13 +1898,34 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    appendSigsAndBuckets(spark, path, meta, sigs,
+      Store.snapshot(spark, sigTableBuckets(path)), touched = None)
+    sigs.unpersist(blocking = false)
+  }
+
+  /** The shared write half of a signature-table append: `sigs` must be
+    * the batch's (id, sig) rows computed with the table's own meta
+    * parameters. `bktSnap` is the bucket-relation snapshot occupancy is
+    * counted against, and `touched` optionally carries a probe's
+    * already-collected key superset so no new driver action runs here
+    * (the fused ingest path); both appends still commit under the
+    * [[Store.append]] fence, which re-lists and re-validates. */
+  private def appendSigsAndBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      meta: org.apache.spark.sql.Row, sigs: DataFrame,
+      bktSnap: Store.Snap, touched: Option[ProbeKeys]): Unit = {
+    val numPerm = meta.getAs[Int]("num_perm")
+    val bands = meta.getAs[Int]("bands")
+    val maxBucketSize = meta.getAs[Int]("max_bucket_size")
     Store.append(spark, sigTableSigs(path)) { dir =>
       // RANGE-shaped batch files carry tight, disjoint id ranges in
       // their footer stats, so the candidate sig fetch keeps skipping
       // appended files too (sortWithinPartitions alone would leave
       // every file spanning the whole batch range on a hash-partitioned
-      // input — each file's [min,max] then prunes nothing)
-      sigs.repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      // input — each file's [min,max] then prunes nothing); placed by
+      // an in-plan ntile pid, not repartitionByRange, whose sampling
+      // pass would execute the batch plan once more per append
+      Store.placeBatchByKey(sigs, "id", 4).sortWithinPartitions("id")
         .write.mode("append").parquet(dir)
     }
     val appendBucketFn =
@@ -1812,9 +1935,12 @@ object Dedup {
     val buckets = sigs
       .select(col("id"), explode(appendBucketFn).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val bktSnap = Store.snapshot(spark, sigTableBuckets(path))
-    val touched = buckets.select(col("band"), col("bucket")).distinct()
-    val stored = corpusBucketProbe(bktSnap, touched)
+    val storedRows = touched match {
+      case Some(k) => corpusBucketProbeCollected(spark, bktSnap, k)
+      case None => corpusBucketProbe(bktSnap,
+        buckets.select(col("band"), col("bucket")).distinct())
+    }
+    val stored = storedRows
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__stored"))
     val partitioned = bktSnap.partitionSchema.fieldNames.nonEmpty
     Store.append(spark, sigTableBuckets(path)) { dir =>
@@ -1838,7 +1964,6 @@ object Dedup {
       val w = shaped.write.mode("append")
       (if (partitioned) w.partitionBy("band") else w).parquet(dir)
     }
-    sigs.unpersist(blocking = false)
   }
 
   /** The full production ingest step: dedup `incoming` against the
@@ -1859,14 +1984,25 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, sigTablePath: String,
       incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double, pick: Seq[Column] = Nil): DataFrame = {
-    // one handle open: the probe and the append share the immutable
-    // meta read (the append still re-resolves its snapshots — the
-    // fence is per phase, only the construction parameters are not)
+    // one handle open, shared across BOTH phases of the batch: the
+    // append reuses the probe's meta read, bucket-relation snapshot,
+    // collected touched keys (its occupancy prune runs zero new driver
+    // actions) and persisted batch signatures (survivor sigs are a
+    // semi-join, not a re-shingle). The fence is NOT weakened:
+    // [[Store.append]] re-lists and re-validates at commit time, and
+    // occupancy-from-the-probe-snapshot equals a fresh resolve under
+    // the single-ingest-loop caller contract (nothing commits to the
+    // bucket relation between the phases of one batch).
     val h = openSignatureTable(spark, sigTablePath)
-    val survivors = nearDedupIncremental(h,
-      incoming, idCol, textCol, threshold, pick).localCheckpoint(true)
-    appendToSignatureTable(spark, sigTablePath, survivors, idCol, textCol,
-      h.meta)
+    val r = nearDedupIncrementalCore(h, incoming, idCol, textCol,
+      threshold, pick)
+    val survivors = r.survivors.localCheckpoint(true)
+    appendSigsAndBuckets(spark, sigTablePath, h.meta,
+      r.batchSigs.join(survivors.select(col(idCol).as("id")),
+        Seq("id"), "left_semi"),
+      h.bucketsSnap, r.touched)
+    r.batchSigs.unpersist(blocking = false)
+    r.batchBuckets.unpersist(blocking = false)
     survivors
   }
 
@@ -2150,7 +2286,18 @@ object Dedup {
   def hammingNearDupsIncremental(
       h: HamTableHandle,
       incoming: DataFrame, idCol: String, sigCol: String,
-      multiProbe: Boolean, radius: Option[Int]): DataFrame = {
+      multiProbe: Boolean, radius: Option[Int]): DataFrame =
+    hammingNearDupsIncrementalCore(h, incoming, idCol, sigCol,
+      multiProbe, radius)._1
+
+  /** The probe plan plus its collected touched keys — the fused ingest
+    * path hands the keys to the append's occupancy prune (survivor
+    * bands ⊆ batch bands, so the superset property holds). */
+  private def hammingNearDupsIncrementalCore(
+      h: HamTableHandle,
+      incoming: DataFrame, idCol: String, sigCol: String,
+      multiProbe: Boolean, radius: Option[Int])
+      : (DataFrame, Option[ProbeKeys]) = {
     val meta = h.meta
     val maxHamming = meta.getAs[Int]("max_hamming")
     val nBands = maxHamming + 1
@@ -2171,9 +2318,17 @@ object Dedup {
       .select(col("id"), col("sig"), explode(probeBands).as("bb"))
       .select(col("id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val touched = incB.select(col("band"), col("bucket")).distinct()
-    val stored = corpusBucketProbe(h.bucketsSnap, touched)
-    incB.join(stored.select(col("band"), col("bucket"),
+    val touchedKeys =
+      if (h.bucketsSnap.legacy || h.bucketsSnap.files.isEmpty) None
+      else collectBucketKeys(incB.filter(col("band") >= 0)
+        .select(col("band"), col("bucket")).distinct())
+    val stored = touchedKeys match {
+      case Some(k) =>
+        corpusBucketProbeCollected(incoming.sparkSession, h.bucketsSnap, k)
+      case None => corpusBucketProbe(h.bucketsSnap,
+        incB.select(col("band"), col("bucket")).distinct())
+    }
+    val matches = incB.join(stored.select(col("band"), col("bucket"),
         col("id").as("corpus_id"), col("sig").as("corpus_sig")),
         Seq("band", "bucket"))
       .dropDuplicates("id", "corpus_id")
@@ -2181,6 +2336,7 @@ object Dedup {
         bit_count(col("sig").bitwiseXOR(col("corpus_sig"))))
       .filter(col("hamming") <= r)
       .select(col("id").as("id_in"), col("corpus_id"), col("hamming"))
+    (matches, touchedKeys)
   }
 
   /** [[hammingBands]] plus, per band, every ONE-BIT-FLIP neighbour
@@ -2217,7 +2373,20 @@ object Dedup {
   private def appendToHammingTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, sigCol: String,
-      meta: org.apache.spark.sql.Row): Unit = {
+      meta: org.apache.spark.sql.Row): Unit =
+    appendHammingBuckets(spark, path, batch, idCol, sigCol, meta,
+      Store.snapshot(spark, hamTableBuckets(path)), touched = None)
+
+  /** The write half of a Hamming-table append: `bktSnap` is the
+    * snapshot occupancy counts against and `touched` optionally reuses
+    * a probe's already-collected key superset (the fused ingest path —
+    * zero new driver actions here; [[Store.append]] still re-lists and
+    * fences the commit). */
+  private def appendHammingBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, sigCol: String,
+      meta: org.apache.spark.sql.Row,
+      bktSnap: Store.Snap, touched: Option[ProbeKeys]): Unit = {
     val maxHamming = meta.getAs[Int]("max_hamming")
     val maxBucketSize = meta.getAs[Int]("max_bucket_size")
     val incB = batch
@@ -2227,9 +2396,12 @@ object Dedup {
         explode(hammingBands(col("sig"), maxHamming + 1)).as("bb"))
       .select(col("id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val bktSnap = Store.snapshot(spark, hamTableBuckets(path))
-    val touched = incB.select(col("band"), col("bucket")).distinct()
-    val stored = corpusBucketProbe(bktSnap, touched)
+    val storedRows = touched match {
+      case Some(k) => corpusBucketProbeCollected(spark, bktSnap, k)
+      case None => corpusBucketProbe(bktSnap,
+        incB.select(col("band"), col("bucket")).distinct())
+    }
+    val stored = storedRows
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__stored"))
     val partitioned = bktSnap.partitionSchema.fieldNames.nonEmpty
     Store.append(spark, hamTableBuckets(path)) { dir =>
@@ -2266,8 +2438,11 @@ object Dedup {
   def hammingIngest(
       spark: org.apache.spark.sql.SparkSession, path: String,
       incoming: DataFrame, idCol: String, sigCol: String): DataFrame = {
-    // one handle open per batch: the incremental probe and the append
-    // share the immutable meta (snapshots still resolve per phase)
+    // one handle open per batch, shared across BOTH phases: the append
+    // reuses the probe's meta read, bucket snapshot and collected
+    // touched keys (zero new driver actions for its occupancy prune —
+    // survivor bands ⊆ batch bands, so the key superset holds;
+    // [[Store.append]] still re-lists and fences the commit)
     val h = openHammingTable(spark, path)
     val meta = h.meta
     val maxHamming = meta.getAs[Int]("max_hamming")
@@ -2275,17 +2450,25 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
       .filter(col("sig").isNotNull)
       .localCheckpoint(true)
+    // within-batch pairs materialize once (they feed the emptiness
+    // probe AND component propagation); the common micro-batch shape —
+    // no within-batch twins — skips connectedComponents entirely,
+    // whose fixed per-round job cascade dwarfs a zero-edge input
     val batchPairs = hammingNearDups(inc, "id", "sig",
-      maxHamming, Int.MaxValue)
-    val comps = connectedComponents(batchPairs, "id_a", "id_b")
+      maxHamming, Int.MaxValue).localCheckpoint(true)
+    val comps =
+      if (batchPairs.isEmpty)
+        batchPairs.select(col("id_a").as("id"), col("id_b").as("component"))
+          .limit(0)
+      else connectedComponents(batchPairs, "id_a", "id_b")
     val withComp = inc
       .join(comps.select(col("id"), col("component")), Seq("id"), "left")
       .select(col("id"), col("sig"),
         coalesce(col("component"), col("id")).as("__comp"))
+    val (storeMatches, touched) = hammingNearDupsIncrementalCore(h, inc,
+      "id", "sig", multiProbe = false, radius = None)
     val rejectedComps = withComp
-      .join(hammingNearDupsIncremental(h, inc, "id", "sig",
-          multiProbe = false, radius = None)
-          .select(col("id_in").as("id")).distinct(),
+      .join(storeMatches.select(col("id_in").as("id")).distinct(),
         Seq("id"), "left_semi")
       .select(col("__comp")).distinct()
     val survivors = withComp
@@ -2293,7 +2476,8 @@ object Dedup {
       .join(rejectedComps, Seq("__comp"), "left_anti")
       .select(col("id").as(idCol), col("sig").as(sigCol))
       .localCheckpoint(true)
-    appendToHammingTable(spark, path, survivors, idCol, sigCol, meta)
+    appendHammingBuckets(spark, path, survivors, idCol, sigCol, meta,
+      h.bucketsSnap, touched)
     survivors
   }
 
@@ -2377,14 +2561,27 @@ object Dedup {
   def retireFromSignatureTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retired: DataFrame, idCol: String, numFiles: Int = 0): Long = {
-    val ids = Store.retireIds(
-      Store.read(spark, sigTableSigs(path)), "id", retired, idCol)
+    val sigs0 = Store.read(spark, sigTableSigs(path))
+    val ids = Store.retireIds(sigs0, "id", retired, idCol)
     // layout-preserving rewrites: sigs stay id-clustered, buckets stay
     // band-partitioned + bucket-clustered, so probe file-skipping
     // survives the takedown (legacy flat stores upgrade here); the
     // removed count is taken inside the replay loop so it reflects the
     // snapshot the commit actually applied to
     var removed = 0L
+    // the removed COUNT only needs rows whose id is on the (tiny, by
+    // caller contract) takedown list: on the id-clustered layout the
+    // count scans O(list) files via the manifest stats instead of the
+    // whole store — the rewrite itself is inherently full-scan, but
+    // paying a second full scan just to report a count is not
+    val retiredKeys: Option[Array[Long]] =
+      if (sigs0.schema("id").dataType !=
+        org.apache.spark.sql.types.LongType) None
+      else {
+        val rows = ids.limit(MaxProbeKeys + 1).collect()
+        if (rows.length > MaxProbeKeys) None
+        else Some(rows.filter(!_.isNullAt(0)).map(_.getLong(0)).sorted)
+      }
     // zero-sampling rewrites: id split points come from the snapshot's
     // own manifest stats, bucket placement from hash arithmetic — the
     // range partitioner would read the WHOLE store once more per
@@ -2392,7 +2589,10 @@ object Dedup {
     Store.rewriteWithRetry(spark, sigTableSigs(path), numFiles,
       clusterBy = Seq("id"),
       splits = s => Store.statsSplits(s, "id")) { snap =>
-      removed = snap.df.join(broadcast(ids), Seq("id"), "left_semi").count()
+      val countScan = retiredKeys
+        .map(ks => pruneLongKeyScanCollected(snap, "id", ks))
+        .getOrElse(snap.df)
+      removed = countScan.join(broadcast(ids), Seq("id"), "left_semi").count()
       snap.df.join(broadcast(ids), Seq("id"), "left_anti")
     }
     Store.rewriteWithRetry(spark, sigTableBuckets(path), numFiles,
@@ -2552,7 +2752,12 @@ object Dedup {
     * `(doc_id, pos, gram)`, `pos` 1-based. Windows are built inside a
     * single codegen'd projection (sequence → transform → slice →
     * array_join), so the only cost before the first shuffle is the
-    * document scan itself. */
+    * document scan itself. (MEASURED dead end, r15: moving the
+    * prefilter hash inside the transform lambda to skip the
+    * `array_join` string build made both span gates 1.2-1.35× SLOWER
+    * — higher-order-function lambdas evaluate interpreted, so an
+    * in-lambda xxhash64-over-slice costs more than building the string
+    * here and hashing it in the codegen'd aggregate outside.) */
   private def tokenWindows(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = split(col(textCol), " ")
@@ -2765,7 +2970,21 @@ object Dedup {
   private def paragraphDedupIncremental(
       spark: org.apache.spark.sql.SparkSession, path: String,
       incoming: DataFrame, idCol: String, textCol: String,
-      sep: String): DataFrame = {
+      sep: String): DataFrame =
+    paragraphProbePlan(spark, Store.snapshot(spark, paraTableHashes(path)),
+      incoming, idCol, textCol, sep)._1
+
+  /** The shared probe construction: the survivor plan plus the
+    * storedHit relation it anti-joins (the fused ingest's append
+    * reuses BOTH — same snapshot, same collected keys, zero additional
+    * driver actions). The batch's distinct hashes are collected ONCE
+    * and drive the file prune AND the exact semi-join as a local
+    * relation — broadcasting the distributed `probeHashes` plan would
+    * re-execute the batch's explode+hash once more per phase. */
+  private def paragraphProbePlan(
+      spark: org.apache.spark.sql.SparkSession, snap: Store.Snap,
+      incoming: DataFrame, idCol: String, textCol: String,
+      sep: String): (DataFrame, DataFrame) = {
     val lines = incoming
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
@@ -2773,23 +2992,36 @@ object Dedup {
           java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
       .withColumn("h", xxhash64(col("line")))
     val probeHashes = lines.select(col("h")).distinct()
-    val storedHit =
-      pruneLongKeyScan(Store.snapshot(spark, paraTableHashes(path)),
-        "h", probeHashes)
-      .join(broadcast(probeHashes), Seq("h"), "left_semi")
+    val collected: Option[Array[Long]] =
+      if (snap.legacy || snap.files.isEmpty) None
+      else {
+        val rows = probeHashes.limit(MaxProbeKeys + 1).collect()
+        if (rows.length > MaxProbeKeys) None
+        else Some(rows.filter(!_.isNullAt(0)).map(_.getLong(0)).sorted)
+      }
+    val storedHit = collected match {
+      case Some(ks) =>
+        import spark.implicits._
+        val local = ks.toSeq.toDF("h")
+        pruneLongKeyScanCollected(snap, "h", ks)
+          .join(broadcast(local), Seq("h"), "left_semi")
+      case None =>
+        snap.df.join(broadcast(probeHashes), Seq("h"), "left_semi")
+    }
     val freshLines = lines.join(storedHit, Seq("h"), "left_anti")
     val firsts = freshLines
       .groupBy(col("line"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
       .select(col("__first.doc_id").as("doc_id"),
         col("__first.pos").as("pos"), col("line"))
-    firsts
+    val survivors = firsts
       .groupBy(col("doc_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")),
         sep).as("text"))
       .select(col("doc_id").as(idCol), col("text"))
+    (survivors, storedHit)
   }
 
   /** [[probeFileFootprint]] for a persisted paragraph table: the
@@ -2867,13 +3099,31 @@ object Dedup {
   def paragraphIngest(
       spark: org.apache.spark.sql.SparkSession, path: String,
       incoming: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one meta read per batch, shared by the probe and the append (the
-    // separator is pinned at build; snapshots still resolve per phase)
+    // one meta read, one snapshot resolve and one hash-key collect per
+    // batch, shared by the probe and the append: the appended hash set
+    // (survivor-text hashes minus stored) is by construction exactly
+    // the batch's fresh distinct hashes, so the append re-uses the
+    // probe's storedHit relation instead of re-resolving and
+    // re-collecting; [[Store.append]] still re-lists and fences the
+    // commit itself
     val sep =
       spark.read.parquet(paraTableMeta(path)).head().getAs[String]("sep")
-    val survivors = paragraphDedupIncremental(spark, path, incoming,
-      idCol, textCol, sep).localCheckpoint(true)
-    appendToParagraphTable(spark, path, survivors, idCol, "text", sep)
+    val snap = Store.snapshot(spark, paraTableHashes(path))
+    val (survPlan, storedHit) =
+      paragraphProbePlan(spark, snap, incoming, idCol, textCol, sep)
+    val survivors = survPlan.localCheckpoint(true)
+    Store.append(spark, paraTableHashes(path)) { dir =>
+      val hashes = survivors.filter(col("text").isNotNull)
+        .select(explode(split(col("text"),
+          java.util.regex.Pattern.quote(sep))).as("line"))
+        .select(xxhash64(col("line")).as("h"))
+        .distinct()
+      // one sorted file per append batch: tight hash range in the
+      // footer stats, so later probes keep skipping appended files too
+      hashes.join(storedHit, Seq("h"), "left_anti")
+        .repartitionByRange(1, col("h")).sortWithinPartitions("h")
+        .write.mode("append").parquet(dir)
+    }
     survivors
   }
 
@@ -2951,10 +3201,22 @@ object Dedup {
           .select(col("id").as("h"))
     }
     var removed = 0L
+    // the removed COUNT scans only the files whose recorded hash range
+    // intersects the (tiny) takedown list — the retireFromSignatureTable
+    // treatment; the rewrite below is inherently full-scan, the count
+    // need not be a second one
+    val retiredKeys: Option[Array[Long]] = {
+      val rows = ids.limit(MaxProbeKeys + 1).collect()
+      if (rows.length > MaxProbeKeys) None
+      else Some(rows.filter(!_.isNullAt(0)).map(_.getLong(0)).sorted)
+    }
     Store.rewriteWithRetry(spark, paraTableHashes(path), numFiles,
       clusterBy = Seq("h"),
       splits = _ => Some(Store.hashKeySplits(col("h")))) { snap =>
-      removed = snap.df.join(broadcast(ids), Seq("h"), "left_semi").count()
+      val countScan = retiredKeys
+        .map(ks => pruneLongKeyScanCollected(snap, "h", ks))
+        .getOrElse(snap.df)
+      removed = countScan.join(broadcast(ids), Seq("h"), "left_semi").count()
       snap.df.join(broadcast(ids), Seq("h"), "left_anti")
     }
     removed

@@ -1306,6 +1306,28 @@ object Store {
         coalesce(pid.cast("int"), lit(0)) + 1))
     }.getOrElse(df.repartitionByRange(m, fallbackKeys: _*))
 
+  /** BATCH-append placement: shape a batch into `files` output files
+    * with tight, disjoint per-file ranges of `key` (the footer-stat
+    * shape later probes prune on) WITHOUT the range partitioner's
+    * sampling pass — `repartitionByRange(files, key)` executes the
+    * input plan once more per append just to learn boundaries an
+    * ntile pid computes in-plan. The global ntile window funnels the
+    * batch through one task, which is the append contract (batch-scale
+    * input, ∝ batch by definition), never a corpus operation; rows
+    * land in partition index == pid via [[placeByPid]], so the files
+    * are range-ordered exactly as the sampler would have placed them
+    * (boundaries fall on equal-count ntile edges instead of sampled
+    * quantiles — same disjointness, same pruning power). */
+  def placeBatchByKey(batch: DataFrame, key: String, files: Int): DataFrame = {
+    require(files > 0, s"files must be > 0, got $files")
+    if (files == 1) return batch.repartition(1)
+    val pid = (ntile(files).over(org.apache.spark.sql.expressions.Window
+      .orderBy(col(key).asc_nulls_first)) - 1).cast("int")
+    placeByPid(batch.withColumn("__graft_pid", pid),
+      col("__graft_pid"), files, Seq(col(key)))
+      .drop("__graft_pid")
+  }
+
   /** Highest value of an int partition column recorded in the
     * snapshot's file paths, plus one — the block count a maintenance
     * rewrite hands [[hashKeySplits]] for a 0-based partition domain
