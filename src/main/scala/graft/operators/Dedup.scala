@@ -1070,17 +1070,25 @@ object Dedup {
     var (labels, labelsRdd) = eagerCheckpoint(
       sym.select(col("__s").as("__id")).distinct()
         .withColumn("__comp", col("__id")))
+    // exact node count (cheap: labels are already materialized) —
+    // gates the per-round broadcast hints: the N-row label table sits
+    // behind a checkpoint whose size estimate is unknown, so without
+    // the hint the planner shuffles (or worse, broadcasts) the E-row
+    // edge side every round (the Graph.broadcastIfSmall rationale)
+    val nNodes = labels.count()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val roundT0 = System.nanoTime()
       // min label among neighbours (partial agg → tiny shuffle)
+      val lb = Graph.broadcastIfSmall(
+        labels.select(col("__id").as("__s"), col("__comp").as("__sc")), nNodes)
       val nbrMin = sym
-        .join(labels.select(col("__id").as("__s"), col("__comp").as("__sc")), "__s")
+        .join(lb, "__s")
         .groupBy(col("__d").as("__id"))
         .agg(min(col("__sc")).as("__nbr"))
       val (stepped, steppedRdd) = eagerCheckpoint(labels
-        .join(nbrMin, Seq("__id"), "left")
+        .join(Graph.broadcastIfSmall(nbrMin, nNodes), Seq("__id"), "left")
         .select(col("__id"),
           least(col("__comp"), coalesce(col("__nbr"), col("__comp"))).as("__comp"),
           col("__comp").as("__prev")))

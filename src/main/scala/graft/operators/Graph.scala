@@ -26,6 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Broadcast-hint `df` when an exact, already-paid row count says it
+    * fits the session's broadcast threshold (conservative 64 B/row for
+    * two-long rows plus hash-relation overhead); otherwise leave the
+    * planner's choice. The iterative operators need this because their
+    * N-row rank/label/vote tables sit behind localCheckpoint +
+    * aggregates, whose size ESTIMATES are unknown — the planner then
+    * broadcasts the E-ROW EDGE table instead (its parquet-derived
+    * estimate is visible), rebuilding an edge-sized hash relation
+    * every materialized round (measured: the q_label_prop plan
+    * broadcast the symmetrised 2E-row edge RDD each of 4 rounds while
+    * the 33k-row label table went through a sort-merge join). With the
+    * hint the N-row side broadcasts and the edge table is the streamed
+    * side — scanned in place, never shuffled, never broadcast. Above
+    * the threshold (honest 100 TB posture: N can be billions) nothing
+    * is hinted and the planner's shuffle join stands. */
+  private[operators] def broadcastIfSmall(
+      df: DataFrame, rows: Long): DataFrame = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 && rows >= 0 && rows <= thr / 64) broadcast(df) else df
+  }
+
   /** Fixed-point PageRank over a directed edge list.
     *
     * Contract (replayed verbatim by the SQL oracle):
@@ -112,6 +133,9 @@ object Graph {
     val nMass = nodes.filter(col("isSeed")).count()
     require(nMass > 0, seedsOpt.fold("pageRank needs a non-empty graph")(
       _ => "personalizedPageRank needs at least one seed present in the graph"))
+    // exact node count (cheap: nodes are already materialized) — gates
+    // the per-round broadcast hints below
+    val nNodes = nodes.count()
     val base = scale / nMass
     val teleport = base * (dampDen - dampNum) / dampDen
     // out-degrees ride the edge table once — the per-round join then
@@ -123,12 +147,17 @@ object Graph {
     var ranks = nodes.select(col("node"), col("isSeed"),
       when(col("isSeed"), lit(base)).otherwise(lit(0L)).as("r"))
     for (k <- 1 to iters) {
+      // rank table (N rows, exact count known) broadcasts when small:
+      // the E-row edge table is then the streamed side — never
+      // shuffled, never built into a hash relation ([[broadcastIfSmall]])
+      val rb = broadcastIfSmall(ranks, nNodes)
       val contrib = eDeg
-        .join(ranks, eDeg("src") === ranks("node"))
+        .join(rb, eDeg("src") === rb("node"))
         .select(col("dst"), expr("r div outdeg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("c"))
+      val cb = broadcastIfSmall(contrib, nNodes)
       ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .join(cb, nodes("node") === cb("dst"), "left")
         .select(col("node"), col("isSeed"),
           (tpCol +
             expr(s"${dampNum}L * coalesce(c, 0L) div ${dampDen}L")).as("r"))
@@ -204,9 +233,16 @@ object Graph {
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
+    // exact node count (cheap: nodes are already materialized) — gates
+    // the per-round broadcast hints below
+    val nNodes = nodes.count()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     for (k <- 1 to iters) {
-      val vote = e.join(labels, e("src") === labels("node"))
+      // label table (N rows, exact count known) broadcasts when small:
+      // the symmetrised 2E-row edge table is then the streamed side —
+      // never shuffled, never built into a per-round hash relation
+      val lb = broadcastIfSmall(labels, nNodes)
+      val vote = e.join(lb, e("src") === lb("node"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         // argmax by (count DESC, label ASC) as one partial-aggregable
@@ -214,8 +250,9 @@ object Graph {
         .groupBy(col("dst"))
         .agg(min(struct((-col("c")).as("negc"), col("lbl"))).as("win"))
         .select(col("dst"), col("win.lbl").as("newLbl"))
+      val vb = broadcastIfSmall(vote, nNodes)
       labels = labels
-        .join(vote, labels("node") === vote("dst"), "left")
+        .join(vb, labels("node") === vb("dst"), "left")
         .select(col("node"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
       if (k % checkpointEvery == 0 && k < iters)
         labels = labels.localCheckpoint(true)
@@ -346,7 +383,11 @@ object Graph {
       val deg = cur.select(col("a").as("node"))
         .unionByName(cur.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select(col("node"))
+      // surviving-node table ≤ 2·|surviving edges| rows (an exact bound
+      // from the count the loop already pays) — broadcast it when small
+      // so the edge table streams through both semi-joins unshuffled
+      val keep = broadcastIfSmall(
+        deg.filter(col("d") >= k).select(col("node")), 2L * nCur)
       val next = cur
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")

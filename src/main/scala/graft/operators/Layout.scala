@@ -148,9 +148,14 @@ object Layout {
       if (n <= 1) (lit(0), 1)
       else {
         val ps = (1 until n).map(_.toDouble / n).toArray
+        // accuracy 2000 (rank error ≤ N/2000): split points only need
+        // to land within the snap tolerance of half an ideal file's
+        // Z-width — the default 10000 pays a visibly costlier
+        // QuantileSummaries compress per row for precision the snap
+        // immediately rounds away
         val row = withZ
           .select(
-            percentile_approx(col("__graft_z"), lit(ps), lit(10000)).as("q"),
+            percentile_approx(col("__graft_z"), lit(ps), lit(2000)).as("q"),
             min(col("__graft_z")).as("lo"), max(col("__graft_z")).as("hi"))
           .head()
         if (row.isNullAt(0)) (lit(0), 1)
