@@ -223,7 +223,16 @@ object Bench {
       "q_join_unique", "q_dedup_minhash", "q_dedup_exact",
       "q_ann_bruteforce", "q_asof_join", "q_events_sessionize",
       "q_range_join", "q_token_packing", "q_decontaminate",
-      "q_window_rank")
+      "q_window_rank",
+      // r15 verdict #2 (additions only — the original 14 stay for
+      // round-over-round comparability): the heavy, parallelizable rows
+      // that actually carry the suite total, so the cross-round
+      // comparison and the low-core scaling block see the queries where
+      // optimization wins/regressions are visible instead of only
+      // sub-second driver-bound rows. Line stays well under the ~2000
+      // char stdout tail (6 extra entries ≈ 150 chars).
+      "q_dedup_ingest", "q_pagerank", "q_label_prop",
+      "q_span_dedup", "q_winnow_pairs", "q_sigtable_compact")
     val headlineResults = results.filter { case (n, _) => headline.contains(n) }
     val fullLine =
       s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedCount,"queries":${jsonMap(results ++ probeRows)},"entry_sec":$entry,"calib_sec":$calibJson,"sf":"$sfDir"}"""
