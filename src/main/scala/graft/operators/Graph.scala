@@ -44,7 +44,16 @@ object Graph {
   private[operators] def broadcastIfSmall(
       df: DataFrame, rows: Long): DataFrame = {
     val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    if (thr > 0 && rows >= 0 && rows <= thr / 64) broadcast(df) else df
+    // bytes/row from the schema, not a constant (ADVICE r15): the
+    // iterative operators pass narrow fixed-width frames where the old
+    // flat 64 B/row was right (2 longs ≈ 16 B data + hash-relation
+    // overhead ≈ 64), but a future caller with wide rows (string
+    // labels) would force-broadcast oversized relations. 4× the
+    // schema's defaultSize keeps the original margin on two-long rows
+    // (4·16 = 64) and scales with the actual row width; floor 64 so a
+    // single-column frame never gets a looser threshold than before.
+    val bytesPerRow = math.max(64L, 4L * df.schema.defaultSize)
+    if (thr > 0 && rows >= 0 && rows <= thr / bytesPerRow) broadcast(df) else df
   }
 
   /** Fixed-point PageRank over a directed edge list.
@@ -115,9 +124,14 @@ object Graph {
         s"(total mass times the damping numerator): scale=$scale dampNum=$dampNum")
     // materialize the edge list ONCE — nodes and out-degrees both
     // derive from it, and without this the upstream edge construction
-    // (often a join) would execute once per derivation
+    // (often a join) would execute once per derivation. LAZY
+    // checkpoints: the plan is truncated at once, and the node-count
+    // aggregate below is a full scan that materializes both frames in
+    // the SAME job — eager here cost one whole extra job each (r15
+    // verdict #6: per-call fixed driver actions were the measured
+    // cost on the small per-gate graphs)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // seed membership rides the node table as a flag so the per-round
     // teleport is a codegen'd CASE, not a per-round join
     val nodesPlain = e.select(col("src").as("node"))
@@ -129,20 +143,28 @@ object Graph {
         nodesPlain.join(sd.select(col("node"), lit(true).as("isSeed")),
           Seq("node"), "left")
           .select(col("node"), coalesce(col("isSeed"), lit(false)).as("isSeed"))
-    }).localCheckpoint(true)
-    val nMass = nodes.filter(col("isSeed")).count()
+    }).localCheckpoint(false)
+    // ONE fused pre-loop job: materializes e + nodes (full-scan
+    // aggregate over the lazy checkpoints) and returns the seed-mass
+    // and node counts together — formerly five separate driver actions
+    // (two eager checkpoints, two counts, the eDeg checkpoint)
+    val cnts = nodes.agg(
+      count(when(col("isSeed"), lit(1))).as("m"),
+      count(lit(1)).as("n")).head()
+    val nMass = cnts.getLong(0)
     require(nMass > 0, seedsOpt.fold("pageRank needs a non-empty graph")(
       _ => "personalizedPageRank needs at least one seed present in the graph"))
-    // exact node count (cheap: nodes are already materialized) — gates
-    // the per-round broadcast hints below
-    val nNodes = nodes.count()
+    // exact node count — gates the per-round broadcast hints below
+    val nNodes = cnts.getLong(1)
     val base = scale / nMass
     val teleport = base * (dampDen - dampNum) / dampDen
     // out-degrees ride the edge table once — the per-round join then
-    // only moves the N-row rank table, not a second E-row relation
+    // only moves the N-row rank table, not a second E-row relation.
+    // Lazy: the first round's execution materializes it once; every
+    // later round reads the checkpointed blocks
     val eDeg = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val tpCol = when(col("isSeed"), lit(teleport)).otherwise(lit(0L))
     var ranks = nodes.select(col("node"), col("isSeed"),
       when(col("isSeed"), lit(base)).otherwise(lit(0L)).as("r"))
@@ -227,14 +249,16 @@ object Graph {
       s"checkpointEvery must be >= 1, got $checkpointEvery")
     val half = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    // symmetrise once; nodes derive from the same materialization
+    // symmetrise once; nodes derive from the same materialization.
+    // Lazy checkpoints + one count: the count's full scan materializes
+    // e AND nodes in a single job where two eager checkpoints plus the
+    // count paid three (r15 verdict #6 — fixed per-call driver actions)
     val e = half.unionByName(
         half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
-    // exact node count (cheap: nodes are already materialized) — gates
-    // the per-round broadcast hints below
+      .localCheckpoint(false)
+    // exact node count — gates the per-round broadcast hints below
     val nNodes = nodes.count()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     for (k <- 1 to iters) {
@@ -372,9 +396,11 @@ object Graph {
         col("a") =!= col("b"))
       .dropDuplicates("a", "b")
     // every round is consumed twice (its count gates the loop, its
-    // rows feed the next peel), so each is eagerly materialized —
-    // the Dedup.connectedComponents pattern, not the flat-plan cadence
-    var cur = und.localCheckpoint(true)
+    // rows feed the next peel), so each is materialized by its own
+    // count — the Dedup.connectedComponents pattern: a LAZY checkpoint
+    // whose full-scan count materializes it in the same job (eager +
+    // count was two driver actions per round, r15 verdict #6)
+    var cur = und.localCheckpoint(false)
     var nCur = cur.count()
     var done = nCur == 0L
     var round = 0
@@ -392,7 +418,7 @@ object Graph {
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nNext = next.count()
       if (nNext == nCur || nNext == 0L) done = true
       cur = next

@@ -148,14 +148,19 @@ object Layout {
       if (n <= 1) (lit(0), 1)
       else {
         val ps = (1 until n).map(_.toDouble / n).toArray
-        // accuracy 2000 (rank error ≤ N/2000): split points only need
-        // to land within the snap tolerance of half an ideal file's
-        // Z-width — the default 10000 pays a visibly costlier
-        // QuantileSummaries compress per row for precision the snap
-        // immediately rounds away
+        // accuracy max(2000, 4n) (rank error ≤ N/accuracy): split
+        // points only need to land within the snap tolerance of half an
+        // ideal file's Z-width — the default 10000 pays a visibly
+        // costlier QuantileSummaries compress per row for precision the
+        // snap immediately rounds away. Scaling with the split count
+        // keeps rank error well under one ideal file's row width
+        // (N/(4n) < N/n), so adjacent quantiles cannot collide and be
+        // silently dropped by the downstream .distinct when n
+        // approaches the fixed accuracy (ADVICE r15).
         val row = withZ
           .select(
-            percentile_approx(col("__graft_z"), lit(ps), lit(2000)).as("q"),
+            percentile_approx(col("__graft_z"), lit(ps),
+              lit(math.max(2000, 4 * n))).as("q"),
             min(col("__graft_z")).as("lo"), max(col("__graft_z")).as("hi"))
           .head()
         if (row.isNullAt(0)) (lit(0), 1)

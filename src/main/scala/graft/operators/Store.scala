@@ -147,7 +147,17 @@ object Store {
   final case class Snap(
       relRoot: String, gen: Gen, fence: Set[String], legacy: Boolean,
       df: DataFrame, files: Seq[FileEntry],
-      partitionSchema: StructType, dataSchema: StructType)
+      partitionSchema: StructType, dataSchema: StructType) {
+    /** The snapshot's EXACT row count from the manifest's per-file
+      * counts (recorded from parquet footers at commit time) — a
+      * free scalar where a `count()` is a whole job. None when any
+      * file predates the r16 count entry or the store is legacy:
+      * callers gating a broadcast on it must then leave the planner's
+      * choice standing (the conservative direction). */
+    def manifestRowCount: Option[Long] =
+      if (legacy || files.isEmpty || files.exists(_.rows < 0)) None
+      else Some(files.map(_.rows).sum)
+  }
 
   private def manifestsDir(relRoot: String) = s"$relRoot/_manifests"
   private def legacyGenPath(relRoot: String, n: Long) = f"$relRoot/g-$n%09d"
@@ -182,23 +192,29 @@ object Store {
 
   /** Stat entries: integral columns as `enc(col):min:max` (3 fields),
     * string columns as `enc(col):s:enc(min):enc(max)` (4 fields, `s`
-    * tag) — URL-encoding removes `:`/`;` from names and values, so the
-    * two shapes parse unambiguously and legacy 3-field manifests read
-    * unchanged. */
+    * tag), the file's exact ROW COUNT as `n:r:<rows>` (3 fields, `r`
+    * tag — added r16 within v2's grow-the-entry-set rule: an r15
+    * reader's 3-field branch throws NumberFormatException on the tag
+    * and skips the entry, losing only the count) — URL-encoding
+    * removes `:`/`;` from names and values, so the shapes parse
+    * unambiguously and legacy 3-field manifests read unchanged. */
   private def renderStats(
       stats: Map[String, (Long, Long)],
-      strStats: Map[String, (String, String)]): String = {
+      strStats: Map[String, (String, String)],
+      rows: Long): String = {
     val ints = stats.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"${enc(c)}:$mn:$mx" }
     val strs = strStats.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"${enc(c)}:s:${enc(mn)}:${enc(mx)}" }
-    (ints ++ strs).mkString(";")
+    val cnt = if (rows >= 0) Seq(s"n:r:$rows") else Nil
+    (ints ++ strs ++ cnt).mkString(";")
   }
 
-  private def parseStats(
-      s: String): (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+  private def parseStats(s: String)
+      : (Map[String, (Long, Long)], Map[String, (String, String)], Long) = {
     val ints = Map.newBuilder[String, (Long, Long)]
     val strs = Map.newBuilder[String, (String, String)]
+    var rows = -1L
     s.split(';').iterator.filter(_.nonEmpty).foreach { part =>
       // limit -1 keeps trailing empty fields (an empty-string bound)
       val ps = part.split(":", -1)
@@ -210,19 +226,21 @@ object Store {
       try {
         if (ps.length == 4 && ps(1) == "s")
           strs += ((dec(ps(0)), (dec(ps(2)), dec(ps(3)))))
+        else if (ps.length == 3 && ps(1) == "r")
+          rows = ps(2).toLong
         else if (ps.length == 3)
           ints += ((dec(ps(0)), (ps(1).toLong, ps(2).toLong)))
       } catch {
         case _: NumberFormatException | _: IllegalArgumentException => ()
       }
     }
-    (ints.result(), strs.result())
+    (ints.result(), strs.result(), rows)
   }
 
   private def renderFileLine(f: FileEntry): String = {
     val base = s"f\t${enc(f.rel)}\t${f.size}"
-    if (f.stats.isEmpty && f.strStats.isEmpty) base
-    else s"$base\t${renderStats(f.stats, f.strStats)}"
+    if (f.stats.isEmpty && f.strStats.isEmpty && f.rows < 0) base
+    else s"$base\t${renderStats(f.stats, f.strStats, f.rows)}"
   }
 
   private def renderManifest(
@@ -254,10 +272,11 @@ object Store {
   private def parseFileLines(content: String): Seq[FileEntry] =
     content.linesIterator.filter(_.startsWith("f\t")).map { l =>
       val parts = l.split('\t')
-      val (ints, strs) =
+      val (ints, strs, rows) =
         if (parts.length > 3) parseStats(parts(3))
-        else (Map.empty[String, (Long, Long)], Map.empty[String, (String, String)])
-      FileEntry(dec(parts(1)), parts(2).toLong, ints, strs)
+        else (Map.empty[String, (Long, Long)],
+          Map.empty[String, (String, String)], -1L)
+      FileEntry(dec(parts(1)), parts(2).toLong, ints, strs, rows)
     }.toSeq
 
   /** `where` names the manifest file in the corrupt-manifest error: a
@@ -462,6 +481,127 @@ object Store {
   def read(spark: SparkSession, relRoot: String): DataFrame =
     snapshot(spark, relRoot).df
 
+  /** Cheap driver-side staleness check for a probe-time snapshot: has
+    * the relation committed ANYTHING since `snap` was resolved — an
+    * append (publishes a marker) or a rewrite (bumps the generation)?
+    * One directory listing, no Spark job, no manifest read. The fused
+    * ingest paths reuse their probe's snapshot/collected keys at append
+    * time under a single-ingest-loop caller contract; this check turns
+    * a silent violation of that contract (occupancy undercount,
+    * duplicate hash rows) into a detected one the caller can heal by
+    * re-resolving (ADVICE r15). Legacy stores re-fingerprint the data
+    * directory — same listing cost. */
+  private[graft] def changedSince(spark: SparkSession, snap: Snap): Boolean =
+    if (snap.legacy) legacyFingerprint(spark, snap.gen.dataPath) != snap.fence
+    else {
+      val st = listState(spark, snap.relRoot)
+      st.n != snap.gen.n || st.markers != snap.fence
+    }
+
+  /** Read a store's ONE-ROW `meta` sidecar relation on the DRIVER —
+    * no Spark job. Every ingest batch re-reads its table's meta row
+    * (`openSignatureTable`, `paragraphIngest`, the Hamming twins), and
+    * `spark.read.parquet(...).head()` schedules a whole single-task
+    * job for a row of a few primitive constants; at landing-zone
+    * cadence that job is pure fixed driver cost (guide §5: the driver
+    * should do almost no data work — r15 verdict #3). The direct path
+    * handles exactly the shape the stores write (one part file, one
+    * row, primitive columns); ANYTHING else falls back to the Spark
+    * scan, so this is an execution shortcut, never a semantic change.
+    * The returned row carries a schema, so `getAs[T]("name")` works
+    * exactly as on a Spark-read row. */
+  def readMetaRow(spark: SparkSession, dir: String): org.apache.spark.sql.Row =
+    readMetaRowDirect(spark, dir).getOrElse(
+      spark.read.parquet(dir).head())
+
+  /** Thrown (and caught locally) when the meta relation is not the
+    * one-file/one-row/primitive-columns shape the direct read handles —
+    * the caller falls back to the Spark scan. A named control exception
+    * instead of non-local `return`s: those crash scalac's backend when
+    * they cross the nested try/finally below. */
+  private final class MetaShapeUnsupported extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private[graft] def readMetaRowDirect(
+      spark: SparkSession, dir: String): Option[org.apache.spark.sql.Row] = try {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.types._
+    def unsupported(): Nothing = throw new MetaShapeUnsupported
+    val base = new Path(dir)
+    val fs = fileSystem(spark, base)
+    // every .parquet part is scanned (a parallel one-row write leaves
+    // empty sibling parts next to the one real row); the ONE-ROW shape
+    // is enforced across the whole directory
+    val parts = fs.listStatus(base).filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet") &&
+      !st.getPath.getName.startsWith("."))
+    if (parts.isEmpty || parts.length > 8) unsupported()
+    var row: Option[org.apache.spark.sql.Row] = None
+    parts.foreach { part =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          part.getPath)
+        .withConf(spark.sparkContext.hadoopConfiguration)
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          if (row.isDefined) unsupported() // more than 1 row in the relation
+          val typ = g.getType
+          val n = typ.getFieldCount
+          val fields = new Array[StructField](n)
+          val values = new Array[Any](n)
+          var i = 0
+          while (i < n) {
+            val f = typ.getType(i)
+            if (!f.isPrimitive) unsupported()
+            val prim = f.asPrimitiveType()
+            val ann = prim.getLogicalTypeAnnotation
+            val isString = ann != null && ann.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            // a plain signed int annotation (intType(32/64, true)) is
+            // how newer writers spell an unannotated INT32/INT64
+            def plainInt(bits: Int): Boolean = ann == null || (ann match {
+              case it: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                it.getBitWidth == bits && it.isSigned
+              case _ => false
+            })
+            val dt: DataType = prim.getPrimitiveTypeName match {
+              case INT32 if plainInt(32) => IntegerType
+              case INT64 if plainInt(64) => LongType
+              case BOOLEAN => BooleanType
+              case DOUBLE => DoubleType
+              case FLOAT => FloatType
+              case BINARY if isString => StringType
+              case _ => unsupported() // decimals/timestamps/etc: Spark path
+            }
+            val absent = g.getFieldRepetitionCount(i) == 0
+            values(i) =
+              if (absent) null
+              else dt match {
+                case IntegerType => g.getInteger(i, 0)
+                case LongType => g.getLong(i, 0)
+                case BooleanType => g.getBoolean(i, 0)
+                case DoubleType => g.getDouble(i, 0)
+                case FloatType => g.getFloat(i, 0)
+                case StringType => g.getString(i, 0)
+                case _ => unsupported()
+              }
+            fields(i) = StructField(f.getName, dt, nullable = true)
+            i += 1
+          }
+          row = Some(
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              values, StructType(fields)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    if (row.isEmpty) unsupported()
+    row
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   private def manifestDf(
       spark: SparkSession, dataPath: String, files: Seq[FileEntry],
       partitionSchema: StructType, dataSchema: StructType): DataFrame = {
@@ -571,7 +711,8 @@ object Store {
   private final case class FooterInfo(
       stats: Map[String, (Long, Long)],
       strStats: Map[String, (String, String)],
-      fieldNames: Seq[String])
+      fieldNames: Seq[String],
+      rows: Long)
 
   /** Manifest string bounds are truncated to this many code points —
     * Iceberg's default; long url/document keys stay prunable without
@@ -700,7 +841,8 @@ object Store {
           !java.util.Arrays.equals(mx.getBytes(utf8), mxB)) None
         else truncUpperBound(mx).map(u => name -> (truncLowerBound(mn), u))
       }.toMap
-      FooterInfo(acc.toMap, strStats, names)
+      val rows = footer.getBlocks.asScala.map(_.getRowCount).sum
+      FooterInfo(acc.toMap, strStats, names, rows)
     } finally reader.close()
   }
 
@@ -736,12 +878,12 @@ object Store {
             // safely concurrent with its lazy initialization
             val taskConf = new org.apache.hadoop.conf.Configuration(bc.value.value)
             val info = readFooterInfo(taskConf, new Path(s"$base/$rel"))
-            (rel, size, info.stats, info.strStats, info.fieldNames)
+            (rel, size, info.stats, info.strStats, info.fieldNames, info.rows)
           }
           .collect()
           .toSeq
-          .map { case (rel, size, stats, strStats, names) =>
-            (FileEntry(rel, size, stats, strStats), names)
+          .map { case (rel, size, stats, strStats, names, rows) =>
+            (FileEntry(rel, size, stats, strStats, rows), names)
           }
       } finally bc.destroy() // one broadcast per large commit otherwise
         // accumulates on a continuously-ingesting driver
@@ -753,7 +895,8 @@ object Store {
         pool.submit(new java.util.concurrent.Callable[(FileEntry, Seq[String])] {
           override def call(): (FileEntry, Seq[String]) = {
             val info = readFooterInfo(conf, new Path(dir, rel))
-            (FileEntry(rel, size, info.stats, info.strStats), info.fieldNames)
+            (FileEntry(rel, size, info.stats, info.strStats, info.rows),
+              info.fieldNames)
           }
         })
       }
@@ -1317,8 +1460,15 @@ object Store {
     * land in partition index == pid via [[placeByPid]], so the files
     * are range-ordered exactly as the sampler would have placed them
     * (boundaries fall on equal-count ntile edges instead of sampled
-    * quantiles — same disjointness, same pruning power). */
-  def placeBatchByKey(batch: DataFrame, key: String, files: Int): DataFrame = {
+    * quantiles — same disjointness, same pruning power).
+    *
+    * package-private (ADVICE r15): the single-task funnel is the
+    * APPEND contract, enforced by visibility — an external caller
+    * handing it corpus-scale input would get a silent one-task
+    * sort/OOM instead of the sampled-but-distributed
+    * repartitionByRange. */
+  private[graft] def placeBatchByKey(
+      batch: DataFrame, key: String, files: Int): DataFrame = {
     require(files > 0, s"files must be > 0, got $files")
     if (files == 1) return batch.repartition(1)
     val pid = (ntile(files).over(org.apache.spark.sql.expressions.Window

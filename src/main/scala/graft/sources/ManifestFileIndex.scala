@@ -22,7 +22,8 @@ object ManifestFileIndex {
     * remain valid inclusive bounds for every value in the file). */
   final case class FileEntry(
       rel: String, size: Long, stats: Map[String, (Long, Long)],
-      strStats: Map[String, (String, String)] = Map.empty)
+      strStats: Map[String, (String, String)] = Map.empty,
+      rows: Long = -1L)
 }
 
 /** A [[FileIndex]] served entirely from an already-loaded manifest —

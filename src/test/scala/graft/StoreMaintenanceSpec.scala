@@ -254,6 +254,66 @@ class StoreMaintenanceSpec extends GraftSpec {
 
   // ───────── the Store generation/manifest contract itself ─────────
 
+  test("manifest row counts: snapshot reports the exact count, free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    val rel = s"$dir/rel"
+    Store.create((1L to 137L).map(i => (i, s"v$i")).toDF("id", "v"), rel,
+      numFiles = 3)
+    val snap = Store.snapshot(spark, rel)
+    assert(snap.manifestRowCount.contains(137L),
+      "per-file footer counts recorded at commit time sum to the " +
+        "relation's exact row count without a Spark job")
+    // appends extend the count (markers carry the same stat entry)
+    Store.append(spark, rel) { d =>
+      Seq((200L, "x"), (201L, "y")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(d)
+    }
+    assert(Store.snapshot(spark, rel).manifestRowCount.contains(139L))
+    // a rewrite re-records counts for the new generation
+    val s2 = Store.snapshot(spark, rel)
+    Store.rewrite(s2, s2.df.filter(col("id") <= 100L), numFiles = 1)
+    assert(Store.snapshot(spark, rel).manifestRowCount.contains(100L))
+  }
+
+  test("readMetaRow equals the Spark-read meta row without a job") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta_").toString
+    Dedup.writeSignatureTable(freshDocs(1L to 5L, 0L), "doc_id", "text",
+      s"$dir/sig", shingleLen = 3, numPerm = 64, bands = 16)
+    val directOpt = Store.readMetaRowDirect(spark, s"$dir/sig/meta")
+    assert(directOpt.isDefined,
+      "the driver-direct reader must handle the store's own meta shape " +
+        "(a None here silently re-instates one Spark job per ingest batch)")
+    val direct = directOpt.get
+    val viaSpark = spark.read.parquet(s"$dir/sig/meta").head()
+    assert(direct.schema.fieldNames.sorted.sameElements(
+      viaSpark.schema.fieldNames.sorted))
+    viaSpark.schema.fieldNames.foreach { f =>
+      assert(direct.getAs[Any](f) == viaSpark.getAs[Any](f),
+        s"meta field $f must read identically on the driver path")
+    }
+  }
+
+  test("changedSince: false on a quiet relation, true after a commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fence_").toString
+    val rel = s"$dir/rel"
+    Store.create(Seq((1L, "a")).toDF("id", "v"), rel)
+    val snap = Store.snapshot(spark, rel)
+    assert(!Store.changedSince(spark, snap),
+      "no commit since the snapshot — the fused ingest path may reuse " +
+        "its probe-time occupancy")
+    Store.append(spark, rel) { d =>
+      Seq((2L, "b")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(d)
+    }
+    assert(Store.changedSince(spark, snap),
+      "an append published a marker — probe-time reuse must re-resolve")
+    val fresh = Store.snapshot(spark, rel)
+    assert(!Store.changedSince(spark, fresh))
+    Store.rewrite(fresh, fresh.df, numFiles = 1)
+    assert(Store.changedSince(spark, fresh),
+      "a rewrite bumped the generation — stale snapshot detected")
+  }
+
   test("rewrite flips the manifest; a reader sees old or new, never none") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
     val rel = s"$dir/rel"
