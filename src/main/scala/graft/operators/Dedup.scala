@@ -2538,18 +2538,28 @@ object Dedup {
     val h = openHammingTable(spark, path)
     val meta = h.meta
     val maxHamming = meta.getAs[Int]("max_hamming")
+    // `inc` stays an EAGER checkpoint on purpose: it feeds BOTH sides
+    // of the within-batch banded self-join below, and with a lazy
+    // checkpoint the two subtrees race to compute each partition
+    // before the cache fills — the batch's upstream plan (image
+    // decode + pHash in the media pipeline) executes ~twice inside
+    // the one job (MEASURED r16: q_image_ingest 9.0 → 14.2 s when
+    // this was made lazy; reverted). The PAIR checkpoint has no such
+    // shared-subtree hazard (its inputs are the cached inc blocks),
+    // so it is lazy and materialized by the count that doubles as the
+    // CC-skip probe — one driver action where checkpoint + isEmpty
+    // were two. The common micro-batch shape — no within-batch twins
+    // — skips connectedComponents entirely, whose fixed per-round job
+    // cascade dwarfs a zero-edge input.
     val inc = incoming
       .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
       .filter(col("sig").isNotNull)
       .localCheckpoint(true)
-    // within-batch pairs materialize once (they feed the emptiness
-    // probe AND component propagation); the common micro-batch shape —
-    // no within-batch twins — skips connectedComponents entirely,
-    // whose fixed per-round job cascade dwarfs a zero-edge input
     val batchPairs = hammingNearDups(inc, "id", "sig",
-      maxHamming, Int.MaxValue).localCheckpoint(true)
+      maxHamming, Int.MaxValue).localCheckpoint(false)
+    val nPairs = batchPairs.count()
     val comps =
-      if (batchPairs.isEmpty)
+      if (nPairs == 0L)
         batchPairs.select(col("id_a").as("id"), col("id_b").as("component"))
           .limit(0)
       else connectedComponents(batchPairs, "id_a", "id_b")
