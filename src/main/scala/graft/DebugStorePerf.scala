@@ -24,11 +24,14 @@ object DebugStorePerf {
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val stages = j.stageInfos.map(si =>
+            s"${si.name.takeWhile(_ != ' ')}(${si.numTasks})").mkString("+")
           jobs.put(j.jobId, (System.nanoTime(),
             Option(j.properties.getProperty("spark.job.description"))
               .orElse(Option(j.properties.getProperty("callSite.short")))
-              .getOrElse("?")))
+              .getOrElse("?") + s" [$stages]"))
+        }
         override def onJobEnd(
             j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val st = jobs.remove(j.jobId)
